@@ -1,0 +1,56 @@
+"""Fixture-table readers (SURVEY.md §2.1 O-8).
+
+Schemas are declared, never inferred (reference declares all schemas up
+front, task.ts:18-43); parquet footers carry them so ``spark.read.parquet``
+is already schema-stable. Filters/projections applied by callers reach the
+scan via Catalyst pushdown — do not pre-materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+        # default (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime conf)
+        # and convert to a microsecond timestamp — lossless for this data,
+        # and identical to DuckDB's ns→us handling.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame keyed by table name."""
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the fixture tables as temp views for spark.sql queries."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,503 @@
+"""Relational core: N-1…N-10 from SURVEY.md §2.5 + the flagship query.
+
+All Spark built-ins — Catalyst handles pushdown, join selection (broadcast
+vs SMJ via AQE), partial+final aggregation, and whole-stage codegen. The
+work here is oracle parity: stable aliases, explicit casts, deterministic
+tie-breaks, and a documented rounding policy for floating aggregates
+(plans/canonical.py).
+
+Reference parity note: the reference implements NONE of these (SURVEY.md
+§2.5 — single-file ETL, no joins/aggregates); they are the "new surface,
+Spark-built-in" relational core mandated by the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by European nation for 1996 orders.
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with filter + group +
+    sum + sort + limit (N-1, N-2, N-4, N-8 in one plan). nation/region are
+    tiny => Catalyst broadcasts them; the lineitem⋈orders join is the only
+    real shuffle, on the join key, after the date filter is pushed to the
+    parquet scan.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .limit(10)
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+LIMIT 10
+"""
+
+query("flagship_revenue_by_nation", FLAGSHIP_ORACLE)(flagship_revenue_by_nation)
+
+
+@query(
+    "n1_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+      AND l_quantity < 10
+    """,
+)
+def n1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-1: filter + projection; predicate and column pruning reach the scan.
+
+    No aggregation — the per-row double product is IEEE-exact in both
+    engines, so no rounding is needed.
+    """
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-07-01")
+            & (F.col("l_quantity") < 10)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+            "l_returnflag",
+        )
+    )
+
+
+@query(
+    "n2_join_broadcast_agg",
+    """
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    """,
+)
+def n2_join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-2/N-4: equi inner join with an explicitly broadcast dim + hash agg."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "n2_join_semi",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    """,
+)
+def n2_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-2: left-semi join (customers with a 2001+ order)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "n2_join_anti",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def n2_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-2: left-anti join (customers with no orders at all)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@query(
+    "n3_range_join",
+    """
+    SELECT s_nationkey AS nationkey,
+           COUNT(*) AS n_pairs,
+           ROUND(SUM(c_acctbal - s_acctbal), 2) AS total_gap
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_nationkey
+    """,
+)
+def n3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-3: equi + non-equi (theta) join condition.
+
+    The equi part keys the shuffle; the inequality is evaluated post-match,
+    so this stays a hash/sort-merge join rather than a BNLJ — the shape that
+    survives at scale.
+    """
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        supplier.join(
+            customer,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.col("c_acctbal") > F.col("s_acctbal")),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("total_gap"),
+        )
+    )
+
+
+@query(
+    "n4_agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def n4_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-4: TPC-H Q1-style hash aggregate (Catalyst does partial+final)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "n5_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def n5_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-5: exact count-distinct (expand + two-phase agg under the hood)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+        )
+    )
+
+
+@query("n5_approx_count_distinct")  # HLL sketch — not bit-comparable to DuckDB: rows-only
+def n5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-5: approx distinct via HyperLogLog++ — the 100 TB-scale variant.
+
+    rsd=0.01 keeps the sketch small enough to broadcast-merge; exactness is
+    checked in tests against countDistinct within tolerance, not by oracle.
+    """
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+    )
+
+
+@query(
+    "n6_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def n6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-6: rollup (grouping-sets family)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "n6_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def n6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-6: cube over two low-cardinality dimensions."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "n7_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def n7_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-7/N-8: rank window + top-k per group (single shuffle on o_custkey)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "n7_window_lag",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def n7_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-7: lag + running-sum rows-frame; tie-broken by o_orderkey so the
+    frame order is deterministic across engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+            ).alias("running_total"),
+        )
+    )
+
+
+@query(
+    "n8_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def n8_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-8: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), no full sort even at 100 TB."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "n9_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey = 5
+    """,
+)
+def n9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-9: UNION (distinct) then EXCEPT (distinct) set semantics."""
+    customer = read_table(spark, sf_dir, "customer")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    nation5 = customer.filter(F.col("c_nationkey") == 5).select("c_custkey")
+    return building.union(negative).distinct().subtract(nation5)
+
+
+@query(
+    "n9_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def n9_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-9: INTERSECT (distinct)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+    )
+
+
+@query(
+    "n10_scalar_suite",
+    """
+    SELECT event_id,
+           UPPER(event_type) AS type_upper,
+           SUBSTR(event_type, 1, 2) AS type_prefix,
+           CONCAT(event_type, ':', CAST(user_id AS VARCHAR)) AS type_user,
+           CAST(YEAR(ts) AS INT) AS yr,
+           CAST(MONTH(ts) AS INT) AS mo,
+           CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS INT) AS k,
+           value * 2.0 AS value_x2,
+           ABS(value - 50.0) AS value_dist,
+           CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def n10_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-10: scalar function suite — string/date/math/regex/JSON-in-string.
+
+    ``props`` holds JSON in a string column (same "documents hiding inside
+    scalar columns" pattern as the reference's `responses`, task.ts:121);
+    extraction via regexp keeps both engines on identical semantics.
+    """
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            F.upper("event_type").alias("type_upper"),
+            F.substring("event_type", 1, 2).alias("type_prefix"),
+            F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("type_user"),
+            F.year("ts").cast("int").alias("yr"),
+            F.month("ts").cast("int").alias("mo"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+            (F.col("value") * 2.0).alias("value_x2"),
+            F.abs(F.col("value") - 50.0).alias("value_dist"),
+            F.floor(F.col("value") / 10.0).cast("bigint").alias("value_bucket"),
+        )
+    )
+
+
+@query(
+    "n10_json_struct",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(MIN(REGEXP_EXTRACT(props, '"k": (\\d+)', 1)) AS INT) AS min_k_str
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def n10_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-10: from_json into a typed struct, then aggregate on the parsed
+    field — the Catalyst-native path for O-3-style JSON-in-column data."""
+    parsed = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("props_struct", F.from_json("props", "k INT"))
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("props_struct.k").cast("bigint")).alias("sum_k"),
+        F.min(F.col("props_struct.k").cast("string")).cast("int").alias("min_k_str"),
+    )
