@@ -1,0 +1,169 @@
+"""Golden tests for the Active911 transform (SURVEY.md §5.2).
+
+The reference has no tests; expected values here are derived by hand from
+task.ts semantics (file:line cited per case) and pin every subtlety:
+tz map + unknown-abbr fallback, zero-coord place fallback + lat/lon swap +
+row drop, 'Unknown' sentinel + last-wins dedup + insertion order, and the
+byte-exact remarks template.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+from etl_active911_spark.pipeline.active911 import (
+    ALERT_COLUMNS,
+    ALERTS_SCHEMA,
+    to_features,
+)
+
+
+def make_alert(spark, **overrides):
+    base = {c: "" for c in ALERT_COLUMNS}
+    base.update(
+        id="1",
+        sent="12/08/2025 18:27:47 MST",
+        lat="39.7",
+        lon="-104.9",
+        description="Structure Fire",
+        units="E1,L2",
+        source="CAD",
+        details="Some details",
+    )
+    base.update(overrides)
+    return spark.createDataFrame([tuple(base[c] for c in ALERT_COLUMNS)], ALERTS_SCHEMA)
+
+
+# --- O-15 parseTime (task.ts:45-76) ---------------------------------------
+
+TZ_CASES = [
+    # (input, expected ISO) — winter date: standard offsets apply
+    ("12/08/2025 18:27:47 EST", "2025-12-08T23:27:47.000Z"),
+    ("12/08/2025 18:27:47 EDT", "2025-12-08T23:27:47.000Z"),  # map→NY, Dec = -5
+    ("12/08/2025 18:27:47 CST", "2025-12-09T00:27:47.000Z"),
+    ("12/08/2025 18:27:47 MST", "2025-12-09T01:27:47.000Z"),
+    ("12/08/2025 18:27:47 PST", "2025-12-09T02:27:47.000Z"),
+    ("12/08/2025 18:27:47 AKST", "2025-12-09T03:27:47.000Z"),
+    ("12/08/2025 18:27:47 HST", "2025-12-09T04:27:47.000Z"),
+    ("12/08/2025 18:27:47 AST", "2025-12-08T22:27:47.000Z"),  # Halifax -4
+    ("12/08/2025 18:27:47 NST", "2025-12-08T21:57:47.000Z"),  # St_Johns -3:30
+    ("12/08/2025 18:27:47 UTC", "2025-12-08T18:27:47.000Z"),
+    ("12/08/2025 18:27:47 GMT", "2025-12-08T18:27:47.000Z"),
+    # summer date: daylight offsets apply via the IANA zone
+    ("07/08/2025 18:27:47 EDT", "2025-07-08T22:27:47.000Z"),
+    ("07/08/2025 18:27:47 MST", "2025-07-09T00:27:47.000Z"),  # map→Denver, Jul = -6
+    # unknown abbreviation → date part parsed as UTC (task.ts:75)
+    ("12/08/2025 18:27:47 XYZ", "2025-12-08T18:27:47.000Z"),
+    # unparseable → null
+    ("not a date at all", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", TZ_CASES)
+def test_parse_time_golden(spark, raw, expected):
+    got = (
+        spark.range(1)
+        .select(parse_alert_time_iso(F.lit(raw)).alias("iso"))
+        .first()["iso"]
+    )
+    assert got == expected, f"{raw!r}: got {got!r}, want {expected!r}"
+
+
+# --- O-10 coordinate fallback (task.ts:172-185) ---------------------------
+
+
+def geometry_of(spark, **overrides):
+    rows = to_features(make_alert(spark, **overrides)).collect()
+    return rows[0]["geometry"] if rows else None
+
+
+def test_coords_passthrough(spark):
+    geo = geometry_of(spark, lat="39.7", lon="-104.9")
+    assert geo["coordinates"] == [-104.9, 39.7]  # lon-first (task.ts:229)
+
+
+def test_coords_zero_lon_place_fallback_swaps(spark):
+    # place is lat-first; output is lon-first (task.ts:173-181)
+    geo = geometry_of(spark, lon="0", place=" 40.1 , -105.2 ")
+    assert geo["coordinates"] == [-105.2, 40.1]
+
+
+def test_coords_empty_string_is_zero(spark):
+    # JS Number('') === 0 → triggers fallback (task.ts:172)
+    geo = geometry_of(spark, lat="", place="41.5,-106.5")
+    assert geo["coordinates"] == [-106.5, 41.5]
+
+
+def test_coords_invalid_place_drops_row(spark):
+    assert geometry_of(spark, lon="0", place="Station 5") is None  # task.ts:183
+
+
+def test_coords_one_component_drops_row(spark):
+    assert geometry_of(spark, lon="0", place="40.1") is None
+
+
+def test_coords_three_components_uses_first_two(spark):
+    geo = geometry_of(spark, lon="0", place="40.1,-105.2,extra")
+    assert geo["coordinates"] == [-105.2, 40.1]
+
+
+def test_coords_zero_zero_from_place_accepted(spark):
+    # Number('0')==0 twice, but fallback only validates NaN — 0,0 survives
+    geo = geometry_of(spark, lon="0", place="0,0")
+    assert geo["coordinates"] == [0.0, 0.0]
+
+
+# --- O-13/O-14/O-19 responses (task.ts:121,187-209) -----------------------
+
+RESPONSES = "\n".join(
+    [
+        "Got a response of Respond to Nick Ingalls(123456) at 12/08/2025 18:28:20 MST.",
+        "Some noise line that is filtered",
+        "Got a response of weird unmatched line",
+        "Got a response of Arrived to Nick Ingalls(123456) at 12/08/2025 18:40:00 MST.",
+        "Got a response of Respond to Jane Doe(654321) at 12/08/2025 18:30:00 MST.",
+        "Got a response of another unmatched line",
+    ]
+)
+
+
+def test_links_last_wins_and_insertion_order(spark):
+    feats = to_features(make_alert(spark, responses=RESPONSES)).collect()
+    links = feats[0]["properties"]["links"]
+    # Map insertion order: Nick (first seen pos 0), Unknown (pos 2), Jane (pos 4)
+    assert [l["callsign"] for l in links] == ["Nick Ingalls", "Unknown", "Jane Doe"]
+    nick = links[0]
+    assert nick["remarks"] == "Arrived"  # last-wins (task.ts:203)
+    assert nick["relation"] == "t-s"
+    unknown = links[1]
+    # both unmatched lines dedup to the 'Unknown' key; last one wins but all
+    # fields are the sentinel/None (task.ts:203-207)
+    assert unknown["remarks"] == "Unknown" and unknown["production_time"] is None
+    jane = links[2]
+    assert jane["production_time"] is not None
+
+
+def test_empty_responses_empty_links(spark):
+    feats = to_features(make_alert(spark, responses="no prefix here")).collect()
+    assert feats[0]["properties"]["links"] == []
+
+
+# --- O-12/O-16 feature construction (task.ts:214-231) ---------------------
+
+
+def test_feature_shape_and_remarks_whitespace(spark):
+    feats = to_features(make_alert(spark)).collect()
+    f = feats[0]
+    assert f["id"] == "active911-1"
+    assert f["type"] == "Feature"
+    assert f["properties"]["callsign"] == "Structure Fire"
+    expected_remarks = (
+        "\n" + " " * 32 + "Groups: E1,L2"
+        "\n" + " " * 32 + "Author: CAD"
+        "\n" + " " * 32 + "Some details"
+        "\n" + " " * 28
+    )
+    assert f["properties"]["remarks"] == expected_remarks  # task.ts:221-226
+    assert f["geometry"]["type"] == "Point"
