@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is executed with a count-style action (full pipeline runs, no
+driver-side result materialization beyond row counts). One warm-up run of
+the flagship precedes timing so JVM/codegen startup isn't billed to Q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_active911_spark.plans import registry  # noqa: E402
+from etl_active911_spark.session import get_spark  # noqa: E402
+
+registry.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: One per operator family (SURVEY.md §2): relational core, windows,
+#: streaming semantics, Active911 surface, and every X-extension.
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "n2_join_broadcast_agg",
+    "n3_range_join",
+    "n4_agg_pricing_summary",
+    "n7_window_rank",
+    "n8_global_topk",
+    "n10_json_struct",
+    "n11_tumbling_window",
+    "n12_session_window",
+    "a911_pipeline_flat",
+    "x1_exact_dedup",
+    "x2_minhash_lsh",
+    "x3_cosine_topk",
+    "x4_token_stats",
+    "x4_lang_id",
+    "x5_media_decode",
+    "x6_ts_pattern_match",
+]
+
+
+def time_query(spark, name: str) -> float:
+    t0 = time.perf_counter()
+    registry.QUERIES[name](spark, SF_DIR).count()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    spark = get_spark("etl-active911-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM + codegen + parquet footer caches
+    registry.QUERIES["flagship_revenue_by_nation"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in registry.QUERIES:
+            timings[name] = time_query(spark, name)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+            # Integer division — a double division here would lose precision
+            # (epoch-nanos ≈ 1.7e18 exceeds double's 53-bit mantissa).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -1,0 +1,301 @@
+"""Deduplication operators for LLM training-data pipelines (X-1, X-2).
+
+Designed for 100 TB: every algorithm shuffles on a *small derived key*
+(content hash, band hash, token), never cross-joins raw text, and keeps all
+hot-path arithmetic JVM-side (built-in higher-order functions — no Python
+UDFs). Candidate generation (LSH banding / posting-list joins) bounds pair
+enumeration; exact verification runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical text form shared by all dedup ops: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as distinct strings (JVM-side higher-order fns)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_exact_dedup",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash
+        FROM documents
+    ),
+    g AS (
+        SELECT content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM h GROUP BY content_hash
+    )
+    SELECT keeper_id AS doc_id, content_hash, n_copies FROM g
+    """,
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-1: exact dedup via content hash. One shuffle, keyed by the 256-bit
+    hash (never the text). Keeper = lowest doc_id; n_copies preserved for
+    frequency-weighted sampling downstream."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-2a: exact n-gram Jaccard via posting-list join (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x2_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                      i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM toks
+    ),
+    postings AS (
+        SELECT doc_id, lang, UNNEST(gs) AS g, len(gs) AS n_g FROM sh
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_g AS na, b.n_g AS nb, COUNT(*) AS inter
+        FROM postings a JOIN postings b
+          ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_g, b.n_g
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM pair_inter
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+    """,
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (exact variant): 3-shingle Jaccard over candidate pairs generated
+    by a posting-list self-join (blocked by lang) — the scalable shape:
+    pairs sharing no shingle are never enumerated, and the shuffle key is
+    the shingle, not the document. At 100 TB add a document-frequency cut
+    (drop shingles with df > threshold) to bound posting fan-out."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "lang", shingles(F.col("text")).alias("gs"))
+    postings = sh.select(
+        "doc_id", "lang", F.explode("gs").alias("g"), F.size("gs").alias("n_g")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pair_inter.filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-2b: MinHash + LSH banding (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands × 4 rows → catches Jaccard ≳ 0.5 with high recall
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures as 64 flat columns h0..h63.
+
+    Shape chosen for whole-stage codegen: explode shingles → one hash-
+    aggregate with 64 ``min(xxhash64(shingle, i))`` expressions. (A
+    higher-order-function formulation — transform/aggregate lambdas — is
+    interpreted per element in Spark and measured ~100× slower here; flat
+    aggregates stay in Tungsten.) Shuffle key = doc id; shuffle payload =
+    the shingle strings once, not 64×.
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(N_HASHES)]
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    signature → band hash per ROWS_PER_BAND consecutive minhashes →
+    explode (doc, band_idx, band_hash) → self-join on (band_idx,
+    band_hash). The join key is an 8-byte hash: at 100 TB the shuffle
+    carries n_bands rows of ~16 bytes per document, independent of
+    document size.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("x2_minhash_lsh")  # multi-stage LSH — rows-only; recall-tested vs exact in pytest
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
+    the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5)."""
+    docs = read_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("gs"))
+    verified = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gs_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+            / F.size(F.array_union("gs_a", "gs_b")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-2c: SimHash (Hamming-distance near-dup)
+# ---------------------------------------------------------------------------
+
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, ±1 bit-voting.
+
+    Explode + one hash-aggregate with 64 SUM(±1) expressions (codegen),
+    then bit assembly in a single projection — no interpreted lambdas.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.shiftleft(
+            F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b
+        )
+    return votes.select("doc_id", out.alias("simhash"))
+
+
+@query("x2_simhash")  # bit-sketch — rows-only; invariants tested in pytest
+def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2: SimHash near-dup candidates. Banding on 4×16-bit chunks bounds
+    the self-join (a pair within Hamming distance 3 shares ≥1 exact chunk —
+    pigeonhole); verification = popcount(xor) ≤ 3."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = simhash_table(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)

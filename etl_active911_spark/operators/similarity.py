@@ -1,0 +1,202 @@
+"""Similarity search over embeddings (X-3): brute-force cosine top-k as the
+exact baseline, and a bucketed LSH variant as the 100 TB scale path.
+
+Embeddings stay as array columns end-to-end; dot products run JVM-side via
+higher-order functions for the exact path, and as Arrow-batched NumPy
+matmuls (pandas_udf) for the bucketed path — never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+TOP_K = 5
+N_QUERIES = 20  # queries = vec_id < 20
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+@query(
+    "x3_cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 exact baseline: brute-force cosine top-k for a query subset.
+
+    The query side is tiny → explicitly broadcast; the corpus scan streams
+    once. Ranking keys on (round(cos,6), vec_id) so result selection is
+    deterministic across engines despite last-ulp float differences.
+    At 100 TB the same plan holds per query-block: broadcast the queries,
+    one corpus pass, per-partition heap via the row_number window.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot(F.col("qe"), F.col("embedding")) / (l2norm(F.col("qe")) * l2norm(F.col("embedding"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+@query("x3_ann_lsh")  # approximate — rows-only; recall vs brute force in pytest
+def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 scale path: random-hyperplane LSH bucketing.
+
+    Signature bit p = sign(Σ_d emb[d] · h(p,d)) with h a deterministic
+    ±1 hash of (plane, dim) — no stored projection matrix, so executors
+    need no broadcast state. Candidates = bucket collisions on any of the
+    signature bands; exact cosine re-ranks candidates only. At 100 TB the
+    shuffle key is (band, 16-bit bucket): ~constant bytes per vector.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    # 8 bands × 4 planes: tuned for weak-similarity corpora (the fixture
+    # embeddings are near-random; top-5 neighbors sit at cos≈0.3, where a
+    # 4-plane band collides with p≈0.13 → 8 bands give ~0.68 recall while
+    # pruning roughly half the corpus per query). On clustered production
+    # embeddings the same banding prunes far harder.
+    #
+    # Plane projections via posexplode + one codegen hash-aggregate with 32
+    # SUM expressions (hyperplane p, dim d → ±1 from xxhash64(p, d)); a
+    # higher-order-lambda formulation would be interpreted AND re-inlined
+    # into the join predicate below — measured minutes vs seconds. The
+    # aggregate is also a pipeline breaker, so band values are computed
+    # exactly once.
+    n_planes, n_bands, planes_per_band = 32, 8, 4
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    pm = lambda p: F.when(  # noqa: E731 — ±1 pseudo-random plane component
+        F.xxhash64(F.lit(p), F.col("d")).bitwiseAND(F.lit(1)) == 1, F.col("v").cast("double")
+    ).otherwise(-F.col("v").cast("double"))
+    projs = dims.groupBy("vec_id").agg(
+        *[F.sum(pm(p)).alias(f"s{p}") for p in range(n_planes)]
+    )
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[
+                F.when(F.col(f"s{band * planes_per_band + j}") > 0, "1").otherwise("0")
+                for j in range(planes_per_band)
+            ],
+        ).alias(f"band{band}")
+        for band in range(n_bands)
+    ]
+    sig = projs.select("vec_id", *band_cols).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[F.col(f"band{band}").alias(f"qband{band}") for band in range(n_bands)],
+    )
+    any_band = None
+    for band in range(n_bands):
+        clause = F.col(f"band{band}") == F.col(f"qband{band}")
+        any_band = clause if any_band is None else (any_band | clause)
+    cands = (
+        sig.join(
+            F.broadcast(q),
+            any_band & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("qe"), F.col("embedding"))
+            / (l2norm(F.col("qe")) * l2norm(F.col("embedding"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rnk")
+    )
+
+
+@query("x3_pandas_matmul")  # Arrow/NumPy path — rows-only (UDF surface, N-13)
+def x3_pandas_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3/N-13: the vectorized-Python variant — mapInPandas computes a
+    NumPy matmul of each Arrow batch against the broadcast query block.
+    This is the shape that wins when k·dim is large (BLAS beats per-row
+    SQL expressions); demonstrates the Arrow batch boundary done right.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    # Tiny query block only (N_QUERIES×dim floats) — broadcast via closure;
+    # corpus embeddings are never collected.
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score_batches(batches):
+        for pdf in batches:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            sims = (mat @ q_mat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * q_norm[None, :]
+            )
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, "query_id long, vec_id long, cosine double"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.round("cosine", 6).desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rnk")
+    )

@@ -1,0 +1,213 @@
+"""Text-analysis operators for training-data pipelines (X-4):
+token statistics, quality scoring, language ID, and document
+fingerprinting. All hot-path logic is built-in JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# X-4a: token statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_token_stats",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               string_split_regex(TRIM(text), '\\s+') AS toks,
+               LENGTH(regexp_replace(text, '\\s', '', 'g')) AS token_chars
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(token_chars AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+    FROM t
+    """,
+)
+def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: per-document token counts, type-token ratio, avg token length —
+    whitespace tokenization, single scan, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    token_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(token_chars.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-4b: quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_quality_score",
+    """
+    WITH q AS (
+        SELECT doc_id,
+               LENGTH(text) AS len_total,
+               LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS len_alpha,
+               LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS len_digit,
+               LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS len_punct,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(len_alpha AS DOUBLE) / len_total, 6) AS alpha_ratio,
+           ROUND(CAST(len_digit AS DOUBLE) / len_total, 6) AS digit_ratio,
+           ROUND(CAST(len_punct AS DOUBLE) / len_total, 6) AS punct_ratio,
+           n_tokens,
+           (n_tokens BETWEEN 10 AND 100000
+            AND CAST(len_alpha AS DOUBLE) / len_total > 0.5
+            AND CAST(len_digit AS DOUBLE) / len_total < 0.3) AS passes_quality
+    FROM q
+    """,
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: Gopher-style quality heuristics — alpha/digit/punct ratios and
+    a token-count gate, composed into a boolean filter column."""
+    docs = read_table(spark, sf_dir, "documents")
+    len_total = F.length("text")
+    len_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    len_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    len_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    alpha_ratio = len_alpha.cast("double") / len_total
+    digit_ratio = len_digit.cast("double") / len_total
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(len_punct.cast("double") / len_total, 6).alias("punct_ratio"),
+        n_tokens.alias("n_tokens"),
+        (
+            n_tokens.between(10, 100000) & (alpha_ratio > 0.5) & (digit_ratio < 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-4c: language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+_LANG_ORDER = list(STOPWORDS)
+
+
+def _score_sql(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({lits})))"
+
+
+_LANG_PRED_SQL = "CASE " + " ".join(
+    f"WHEN s_{l} >= GREATEST({', '.join('s_' + o for o in _LANG_ORDER)}) THEN '{l}'"
+    for l in _LANG_ORDER
+) + " END"
+
+
+@query(
+    "x4_lang_id",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang AS labeled_lang,
+               string_split_regex(TRIM(LOWER(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, labeled_lang,
+               {", ".join(f"CAST({_score_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
+        FROM t
+    )
+    SELECT doc_id, labeled_lang, {_LANG_PRED_SQL} AS predicted_lang,
+           ({_LANG_PRED_SQL} = labeled_lang) AS agrees
+    FROM s
+    """,
+)
+def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: language-ID via stopword-hit counting per candidate language;
+    argmax with a fixed tie-break order. Single scan, no shuffle, no UDF."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    def stopword_hits(lang: str) -> Column:
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(words))).cast("bigint")
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[stopword_hits(l).alias(f"s_{l}") for l in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    for l in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        (pred == F.col("labeled_lang")).alias("agrees"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-4d: document fingerprinting (winnowing)
+# ---------------------------------------------------------------------------
+
+
+@query("x4_fingerprint")  # set-valued output — rows-only; invariants in pytest
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: winnowing fingerprints (Schleimer et al. MOSS scheme): k-gram
+    hashes → min per sliding w-window → distinct selected hashes.
+    Emitted as (doc_id, fingerprint_hash) posting rows — joinable for
+    near-dup detection the same way as x2 postings.
+
+    Shape: explode gram positions, hash each k-gram, winnow with a
+    rows-frame window min — all whole-stage-codegen. (Nested dependent
+    higher-order lambdas here would re-evaluate the gram array per window
+    element — interpreted and quadratic; measured minutes vs seconds.)
+    """
+    k, w = 5, 4
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
+        norm.alias("norm"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "i",
+        F.xxhash64(F.col("norm").substr(F.col("i"), F.lit(k))).alias("gram_hash"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    selected = (
+        grams.withColumn("win_min", F.min("gram_hash").over(win))
+        .filter(F.col("i") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1)))
+        .select("doc_id", F.col("win_min").alias("fingerprint_hash"))
+        .distinct()
+    )
+    return selected

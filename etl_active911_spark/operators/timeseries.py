@@ -1,0 +1,105 @@
+"""Time-series similarity over event streams (X-6, PAPERS.md:6 pattern).
+
+Z-normalized sliding windows per entity, compared against a reference
+pattern by Pearson correlation — window assembly via frame functions,
+numerics via JVM array expressions. The same transform applies to a
+Structured Streaming source (the window frame becomes a watermark-bounded
+state store); batch form here is the oracle-testable body.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+WINDOW = 8
+
+# Deterministic reference pattern (one period of a sine) — the "query" in
+# pattern-matching terms; literal on both engines.
+PATTERN = [math.sin(2 * math.pi * i / WINDOW) for i in range(WINDOW)]
+
+
+@query("x6_ts_pattern_match")  # window-array numerics — rows-only
+def x6_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6: per-user sliding windows of the last WINDOW values (rows frame
+    ordered by time), z-normalized, correlated with PATTERN; emits windows
+    with |r| ≥ 0.6. One shuffle (partitionBy user_id), then pure array math.
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(WINDOW - 1), Window.currentRow)
+    )
+    windowed = (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("win", F.collect_list("value").over(w))
+        .filter(F.size("win") == WINDOW)
+    )
+
+    mean = F.aggregate("win", F.lit(0.0), lambda a, v: a + v) / WINDOW
+    centered = F.transform("win", lambda v: v - mean)
+    sd = F.sqrt(
+        F.aggregate(centered, F.lit(0.0), lambda a, v: a + v * v) / WINDOW
+    )
+    pat = F.array(*[F.lit(p) for p in PATTERN])
+    pat_sd = float(math.sqrt(sum(p * p for p in PATTERN) / WINDOW))
+    # Pearson r = mean(z_x * z_p); PATTERN already has zero mean.
+    r = (
+        F.aggregate(F.zip_with(centered, pat, lambda x, p: x * p), F.lit(0.0), lambda a, v: a + v)
+        / (F.lit(WINDOW) * sd * F.lit(pat_sd))
+    )
+    return (
+        windowed.withColumn("corr", F.when(sd > 0, r))
+        .filter(F.abs(F.col("corr")) >= 0.6)
+        .select("user_id", "event_id", "ts", F.round("corr", 6).alias("corr"))
+    )
+
+
+@query(
+    "x6_ts_znorm_stats",
+    """
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win_mean,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win_n
+        FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(win_mean, 6) AS win_mean,
+           ROUND(value - win_mean, 6) AS deviation
+    FROM w WHERE win_n = 8
+    """,
+)
+def x6_ts_znorm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (oracle slice): rolling mean/deviation over the same rows frame —
+    validates the window mechanics the pattern matcher builds on."""
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(WINDOW - 1), Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.avg("value").over(w).alias("win_mean"),
+            F.count(F.lit(1)).over(w).alias("win_n"),
+        )
+        .filter(F.col("win_n") == WINDOW)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("win_mean", 6).alias("win_mean"),
+            F.round(F.col("value") - F.col("win_mean"), 6).alias("deviation"),
+        )
+    )

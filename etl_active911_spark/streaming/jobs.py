@@ -1,0 +1,86 @@
+"""Structured Streaming jobs (SURVEY.md §7 Phase 3).
+
+The reference's ingestion model — scheduled pull of an overlapping 6-hour
+window, one batched submit per run (task.ts:81,134-135,238) — maps to:
+file/readStream source → event-time watermark → windowed aggregation or
+keyed dedup → ``foreachBatch`` sink (batch-atomic, like the single
+FeatureCollection submit). ``Trigger.AvailableNow`` gives the same
+catch-up-then-stop behavior as a scheduled Lambda run.
+
+The transform bodies are shared with batch (streaming/windows.py), so the
+oracle-checked batch results ARE the streaming results — asserted by the
+parity tests in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_active911_spark.streaming.windows import tumbling_counts
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-based micro-batch source over a directory of parquet parts.
+
+    At scale this is the landing zone written by the ingestion tier; new
+    files become micro-batches. ``maxFilesPerTrigger`` bounds batch size.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """N-11 streaming: watermarked tumbling counts. Late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon."""
+    return tumbling_counts(events.withWatermark("ts", watermark))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """N-12 streaming: keyed dedup within the watermark horizon — the
+    streaming analogue of the reference's overlapping-window re-pull dedup
+    (alert ids resubmitted within 6h collapse to one feature)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
+) -> None:
+    """O-7 analogue: batch-atomic sink via foreachBatch (one 'submit' per
+    micro-batch, mirroring task.ts:238's single FeatureCollection POST)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_complete_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Test helper: run an aggregation stream to a memory sink in complete
+    mode with AvailableNow (process-everything-then-stop)."""
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,99 @@
+"""Quality tests for the approximate / rows-only extension operators:
+LSH recall vs exact ground truth, SimHash invariants, multimodal decode
+plumbing, and fingerprint determinism (SURVEY.md §7 hard-part #6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_active911_spark.plans import registry
+from tests.conftest import SF_SMOKE, SF_ORACLE
+
+registry.load_all()
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every exact near-dup pair (Jaccard ≥ 0.6) must be found by the
+    MinHash-LSH candidate path at threshold 0.5 (banding catches ≳0.5)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["x2_ngram_jaccard"](spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["x2_minhash_lsh"](spark, SF_ORACLE).collect()
+        if r["jaccard"] >= 0.6
+    }
+    # x2_ngram_jaccard blocks by lang; LSH doesn't — compare on the exact set
+    missed = exact - lsh
+    recall = 1 - len(missed) / len(exact) if exact else 1.0
+    assert recall >= 0.9, f"LSH recall {recall:.2f}; missed {list(missed)[:5]}"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from etl_active911_spark.operators.dedup import simhash_table
+
+    df = simhash_table(
+        spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
+            "doc_id long, text string",
+        )
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """LSH ANN must recover most of the exact top-5 neighbors."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_ann_lsh"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall:.2f}"
+
+
+def test_pandas_matmul_matches_sql_topk(spark):
+    """The NumPy/Arrow scoring path must agree with the JVM SQL path."""
+    sql_rows = {
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in registry.QUERIES["x3_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    np_rows = {
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in registry.QUERIES["x3_pandas_matmul"](spark, SF_SMOKE).collect()
+    }
+    assert sql_rows == np_rows
+
+
+def test_media_decode_plumbing(spark):
+    df = registry.QUERIES["x5_media_decode"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    assert 16 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 4
+    # deterministic: same input → same fake decode
+    again = registry.QUERIES["x5_media_decode"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_fingerprint_deterministic_and_shared_for_dupes(spark):
+    from etl_active911_spark.operators.textual import x4_fingerprint
+
+    a = x4_fingerprint(spark, SF_SMOKE)
+    counts = a.groupBy("doc_id").count().collect()
+    assert all(r["count"] > 0 for r in counts)
+    b = x4_fingerprint(spark, SF_SMOKE)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_exact_dedup_keeps_one_per_hash(spark):
+    out = registry.QUERIES["x1_exact_dedup"](spark, SF_ORACLE)
+    assert out.groupBy("content_hash").count().filter(F.col("count") > 1).count() == 0

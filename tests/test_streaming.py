@@ -1,0 +1,96 @@
+"""Batch/stream parity (SURVEY.md §5.4): the same transform over the same
+events must produce identical results via batch and Structured Streaming
+(Trigger.AvailableNow), and the watermark must drop late data."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.streaming import jobs
+from etl_active911_spark.streaming.windows import tumbling_counts
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Re-write the events fixture as µs-timestamp parquet (streaming reader
+    needs a plain timestamp schema) split into several files."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    read_table(spark, SF_ORACLE, "events").repartition(6).write.mode("overwrite").parquet(d)
+    return d
+
+
+def canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_batch_stream_parity(spark, events_dir):
+    batch = tumbling_counts(spark.read.parquet(events_dir))
+    stream = jobs.windowed_counts_stream(jobs.read_events_stream(spark, events_dir))
+    jobs.run_complete_to_memory(stream, "tumbling_parity")
+    got = spark.table("tumbling_parity")
+    assert canon(got) == canon(batch)
+
+
+def test_dedup_stream_drops_resubmitted_ids(spark, events_dir):
+    events = spark.read.parquet(events_dir)
+    # simulate the reference's overlapping re-pull: the same events arrive twice
+    doubled_dir = events_dir + "_doubled"
+    events.union(events).repartition(4).write.mode("overwrite").parquet(doubled_dir)
+    stream = jobs.dedup_stream(jobs.read_events_stream(spark, doubled_dir))
+    out_dir = tempfile.mkdtemp(prefix="dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    jobs.run_to_parquet(stream, out_dir, ckpt)
+    got = spark.read.parquet(os.path.join(out_dir, "*"))
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: the second carries an event far older than the
+    watermark horizon behind batch 1's max event time → dropped."""
+    d = str(tmp_path / "late_src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    in_schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, in_schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    batch1 = mk(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}")]
+    )
+    batch2 = mk(
+        [(3, "2024-01-01 09:00:00", 1, "click", 1.0, "{}"),  # > 30 min late
+         (4, "2024-01-01 12:30:00", 1, "click", 1.0, "{}")]
+    )
+    batch1.write.parquet(d + "/f1")
+    batch2.write.parquet(d + "/f2")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    stream = jobs.windowed_counts_stream(src, watermark="30 minutes")
+    (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")  # append emits only finalized (watermark-passed) windows
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    finalized = spark.table("late_test")
+    # the 09:00 window must never appear with the late row counted after
+    # batch 1 advanced the watermark to 11:30
+    w9 = [r for r in finalized.collect() if r["window_start"].hour == 9]
+    assert all(r["n_events"] == 0 for r in w9) or not w9
