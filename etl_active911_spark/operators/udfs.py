@@ -1,0 +1,100 @@
+"""N-13: the vectorized Python UDF surface — scalar pandas_udf, grouped-agg
+pandas_udf, and applyInPandas (SNIPPETS.md patterns; Arrow batch transfer).
+
+These exist to prove the Python boundary is Arrow-vectorized end-to-end;
+equivalent built-in expressions are preferred in real pipelines (and the
+oracle SQL shows each is semantically plain SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+
+@query(
+    "n13_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def n13_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: whole-column NumPy arithmetic per Arrow batch."""
+
+    @pandas_udf("double")
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(charged("l_extendedprice", "l_discount", "l_tax"), 6).alias("charged"),
+        )
+    )
+
+
+@query(
+    "n13_pandas_grouped_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def n13_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf: one NumPy reduction per group."""
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(weighted_avg("l_extendedprice", "l_quantity"), 6).alias(
+                "weighted_avg_price"
+            )
+        )
+    )
+
+
+@query(
+    "n13_apply_in_pandas",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+               AS price_dev
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+def n13_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: per-group pandas transform (group-wise demeaning) —
+    the grouped-map pattern used for per-entity feature engineering."""
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        out["price_dev"] = (pdf["o_totalprice"] - pdf["o_totalprice"].mean()).round(6)
+        return out
+
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(demean, "o_custkey long, o_orderkey long, price_dev double")
+    )

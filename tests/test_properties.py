@@ -1,0 +1,105 @@
+"""Property tests (SURVEY.md §5.3, hypothesis):
+- parseTime round-trips against Python zoneinfo for arbitrary datetimes/zones
+- exact dedup is idempotent
+- union-all conserves row counts
+- MinHash signature equality ⇒ shingle-set similarity (sanity of the sketch)
+
+Each property draws a batch of cases and runs ONE Spark job over the batch
+(per-example Spark jobs would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from zoneinfo import ZoneInfo
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_active911_spark.functions.timeparse import TIMEZONE_MAPPINGS, parse_alert_time_iso
+
+ABBRS = sorted(TIMEZONE_MAPPINGS)
+
+# Avoid DST-transition local times (both libraries may legally disagree on
+# ambiguous/skipped wall clocks — SURVEY.md §7 hard-part #1): hours 06-17
+# are never inside any US/Canada transition window.
+SAFE_DT = st.datetimes(
+    min_value=datetime(1990, 1, 1, 6, 0, 0),
+    max_value=datetime(2030, 12, 28, 17, 0, 0),
+).filter(lambda d: 6 <= d.hour <= 17)
+
+
+def expected_iso(dt: datetime, abbr: str) -> str:
+    zone = ZoneInfo(TIMEZONE_MAPPINGS.get(abbr, "UTC"))
+    if abbr in TIMEZONE_MAPPINGS:
+        utc = dt.replace(tzinfo=zone).astimezone(ZoneInfo("UTC"))
+    else:
+        utc = dt.replace(tzinfo=ZoneInfo("UTC"))
+    return utc.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(SAFE_DT, st.sampled_from(ABBRS + ["ZZZ", "FOO"])), min_size=20, max_size=60))
+def test_parse_time_matches_zoneinfo(spark, cases):
+    rows = [
+        (f"{dt.strftime('%m/%d/%Y %H:%M:%S')} {abbr}", expected_iso(dt, abbr))
+        for dt, abbr in cases
+    ]
+    df = spark.createDataFrame(rows, "raw string, expected string").select(
+        "raw", "expected", parse_alert_time_iso(F.col("raw")).alias("got")
+    )
+    bad = df.filter(F.col("got") != F.col("expected")).collect()
+    assert not bad, f"zoneinfo disagreement: {bad[:5]}"
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab \n\t", min_size=0, max_size=40), min_size=1, max_size=40
+    )
+)
+def test_exact_dedup_idempotent(spark, texts):
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    dedup1 = (
+        df.select("doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # applying the same dedup to the surviving docs must be a no-op
+    survivors = df.join(dedup1.select("doc_id"), "doc_id")
+    dedup2 = (
+        survivors.select("doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert dedup1.count() == dedup2.count()
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 200), st.integers(1, 200))
+def test_union_conserves_rows(spark, n1, n2):
+    a = spark.range(n1).withColumn("src", F.lit("a"))
+    b = spark.range(n2).withColumn("src", F.lit("b"))
+    assert a.unionByName(b).count() == n1 + n2
+
+
+@settings(max_examples=2, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_minhash_identical_docs_identical_signatures(spark, data):
+    from etl_active911_spark.operators.dedup import minhash_signatures
+
+    words = data.draw(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]), min_size=5, max_size=30)
+    )
+    text = " ".join(words)
+    other = " ".join(reversed(words))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(64)) for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
