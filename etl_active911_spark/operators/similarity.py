@@ -156,6 +156,59 @@ def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x2_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+               AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+    """,
+)
+def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (embedding-cosine near-dup): all pairs with cosine ≥ 0.45,
+    computed as an Arrow-batched NumPy matmul of each corpus batch against
+    the (small) corpus matrix. Exact — serves as the oracle-checked ground
+    truth the LSH-bucketed path trades against. At 100 TB the same batch
+    matmul runs per LSH bucket instead of against the full corpus
+    (x3_ann_lsh's banding), keeping the pair space bounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+
+    def pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bids = pdf["vec_id"].to_numpy()
+            sims = (bm @ mat.T) / (np.linalg.norm(bm, axis=1)[:, None] * norms[None, :])
+            bi, cj = np.where(sims >= 0.45)
+            keep = bids[bi] < ids[cj]
+            yield pd.DataFrame(
+                {
+                    "vec_a": bids[bi][keep],
+                    "vec_b": ids[cj][keep],
+                    "cosine": np.round(sims[bi, cj][keep], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        pairs, "vec_a long, vec_b long, cosine double"
+    )
+
+
 @query("x3_pandas_matmul")  # Arrow/NumPy path — rows-only (UDF surface, N-13)
 def x3_pandas_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3/N-13: the vectorized-Python variant — mapInPandas computes a

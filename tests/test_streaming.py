@@ -37,6 +37,46 @@ def test_tumbling_batch_stream_parity(spark, events_dir):
     assert canon(got) == canon(batch)
 
 
+def test_session_batch_stream_parity(spark, events_dir):
+    from etl_active911_spark.streaming.windows import session_counts
+
+    batch = session_counts(spark.read.parquet(events_dir))
+    stream = session_counts(
+        jobs.read_events_stream(spark, events_dir).withWatermark("ts", "1 hour")
+    )
+    jobs.run_complete_to_memory(stream, "session_parity")
+    assert canon(spark.table("session_parity")) == canon(batch)
+
+
+def test_stateful_running_stats(spark, events_dir):
+    """applyInPandasWithState across multiple micro-batches: the final
+    per-user totals (max n_events emitted) must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.streaming.stateful import user_running_stats
+
+    stream = user_running_stats(jobs.read_events_stream(spark, events_dir))
+    (
+        stream.writeStream.format("memory")
+        .queryName("stateful_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final = (
+        spark.table("stateful_stats")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert canon(final) == canon(expected)
+
+
 def test_dedup_stream_drops_resubmitted_ids(spark, events_dir):
     events = spark.read.parquet(events_dir)
     # simulate the reference's overlapping re-pull: the same events arrive twice
