@@ -47,6 +47,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism.
+
+    The fixture tables are single parquet files → Spark reads them as ONE
+    partition, serializing any CPU-heavy per-row work (measured: the whole
+    MinHash pipeline ran on one core). A cheap round-robin exchange before
+    expensive derivations buys full parallelism; on a real 100 TB layout
+    inputs arrive pre-split, and this becomes a no-op-sized safeguard for
+    small/skewed file sets.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table as a DataFrame keyed by table name."""
     return {name: read_table(spark, sf_dir, name) for name in TABLES}

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_active911_spark.io import read_table
+from etl_active911_spark.io import read_table, spread
 from etl_active911_spark.plans.registry import query
 
 
@@ -65,6 +65,8 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-1: exact dedup via content hash. One shuffle, keyed by the 256-bit
     hash (never the text). Keeper = lowest doc_id; n_copies preserved for
     frequency-weighted sampling downstream."""
+    # no spread(): one cheap hash pass per row — a repartition exchange of
+    # the full text costs more than it buys (measured)
     docs = read_table(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -119,7 +121,7 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing no shingle are never enumerated, and the shuffle key is
     the shingle, not the document. At 100 TB add a document-frequency cut
     (drop shingles with df > threshold) to bound posting fan-out."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", "lang", shingles(F.col("text")).alias("gs"))
     postings = sh.select(
         "doc_id", "lang", F.explode("gs").alias("g"), F.size("gs").alias("n_g")
@@ -216,7 +218,7 @@ def lsh_candidate_pairs(
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
     the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     cands = lsh_candidate_pairs(docs)
     sh = docs.select("doc_id", shingles(F.col("text")).alias("gs"))
     verified = (
@@ -267,7 +269,7 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: SimHash near-dup candidates. Banding on 4×16-bit chunks bounds
     the self-join (a pair within Hamming distance 3 shares ≥1 exact chunk —
     pigeonhole); verification = popcount(xor) ≤ 3."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     sh = simhash_table(docs)
     chunks = sh.select(
         "doc_id",

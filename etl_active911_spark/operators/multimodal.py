@@ -21,7 +21,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_active911_spark.io import read_table
+from etl_active911_spark.io import read_table, spread
 from etl_active911_spark.plans.registry import query
 
 MEDIA_SCHEMA = (
@@ -37,7 +37,7 @@ FEATURE_SCHEMA = (
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a multimodal table from ``documents``: text bytes stand in
     for media payloads; mime/URI assigned deterministically."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     mime = F.element_at(
         F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
         (F.col("doc_id") % 3 + 1).cast("int"),

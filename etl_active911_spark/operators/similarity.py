@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_active911_spark.io import read_table
+from etl_active911_spark.io import read_table, spread
 from etl_active911_spark.plans.registry import query
 
 TOP_K = 5
@@ -67,7 +67,7 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same plan holds per query-block: broadcast the queries,
     one corpus pass, per-partition heap via the row_number window.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -93,7 +93,7 @@ def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bands; exact cosine re-ranks candidates only. At 100 TB the
     shuffle key is (band, 16-bit bucket): ~constant bytes per vector.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
 
     # 8 bands × 4 planes: tuned for weak-similarity corpora (the fixture
     # embeddings are near-random; top-5 neighbors sit at cos≈0.3, where a
@@ -181,7 +181,7 @@ def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -219,7 +219,7 @@ def x3_pandas_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     # Tiny query block only (N_QUERIES×dim floats) — broadcast via closure;
     # corpus embeddings are never collected.

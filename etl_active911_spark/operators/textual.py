@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_active911_spark.io import read_table
+from etl_active911_spark.io import read_table, spread
 from etl_active911_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -189,7 +189,7 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     element — interpreted and quadratic; measured minutes vs seconds.)
     """
     k, w = 5, 4
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     grams = docs.select(

@@ -140,6 +140,47 @@ def links_array(deduped: DataFrame) -> DataFrame:
     )
 
 
+def links_array_native(time_as_iso: bool = False) -> Column:
+    """O-13/O-14/O-19/O-20 in one shuffle-free Column expression
+    (SURVEY.md §7 "semantics-preserving shortcut": ``responses`` never
+    leaves its alert row, so dedup can stay inside the row).
+
+    keys = first-occurrence-ordered distinct callsigns (array_distinct
+    preserves first occurrence = Map insertion order, task.ts:187-209);
+    each key's link carries the LAST matching line's fields (last-wins).
+    Arrays are bounded by the response-log length (a few lines), so the
+    interpreted-lambda cost is constant per row — unlike corpus-sized
+    hot paths (see SCALE.md invariant 3).
+    """
+    from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+
+    time_fn = parse_alert_time_iso if time_as_iso else parse_alert_time
+
+    lines = F.filter(
+        F.split(F.col("responses"), "\n"), lambda l: l.startswith(RESPONSE_PREFIX)
+    )
+
+    def key_of(l: Column) -> Column:
+        return F.when(
+            l.rlike(RESPONSE_REGEX), F.trim(F.regexp_extract(l, RESPONSE_REGEX, 2))
+        ).otherwise(F.lit("Unknown"))
+
+    keys = F.array_distinct(F.transform(lines, key_of))
+
+    def link_of(k: Column) -> Column:
+        last_line = F.element_at(F.filter(lines, lambda l: key_of(l) == k), -1)
+        matched = last_line.rlike(RESPONSE_REGEX)
+        g = lambda i: F.regexp_extract(last_line, RESPONSE_REGEX, i)  # noqa: E731
+        return F.struct(
+            F.lit("t-s").alias("relation"),
+            k.alias("callsign"),
+            F.when(matched, F.trim(g(1))).otherwise(F.lit("Unknown")).alias("remarks"),
+            F.when(matched, time_fn(F.trim(g(4)))).alias("production_time"),
+        )
+
+    return F.transform(keys, link_of)
+
+
 def alert_remarks() -> Column:
     """O-16 (task.ts:221-226): the remarks template literal, byte-exact
     (leading newline, 32-space indents, 28-space tail)."""
@@ -151,11 +192,34 @@ def alert_remarks() -> Column:
     )
 
 
-def to_features(alerts: DataFrame) -> DataFrame:
+def to_features(alerts: DataFrame, array_native: bool = True) -> DataFrame:
     """Full O-9…O-20 pipeline: alerts (24 string cols) → GeoJSON features
     (task.ts:214-231). Returns one row per feature, nested struct schema
-    matching FIXTURES.md §A.4."""
+    matching FIXTURES.md §A.4.
+
+    ``array_native=True`` (default) computes links inside each row — the
+    whole pipeline is then one narrow stage with ZERO shuffles. The
+    explode+aggregate formulation (``array_native=False``) produces
+    identical results (asserted in tests) and exists because its exploded
+    intermediates are what the flat oracle queries check.
+    """
     resolved = resolve_coordinates(alerts)
+    if array_native:
+        with_links = resolved.withColumn("links", links_array_native())
+        return with_links.select(
+            F.concat(F.lit("active911-"), F.col("id")).alias("id"),
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.col("description").alias("callsign"),
+                parse_alert_time(F.col("sent")).alias("start"),
+                F.col("links"),
+                alert_remarks().alias("remarks"),
+            ).alias("properties"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col("lon_d"), F.col("lat_d")).alias("coordinates"),
+            ).alias("geometry"),
+        )
     links = links_array(dedupe_links(extract_responses(alerts)))
     with_links = resolved.join(links, "id", "left").withColumn(
         "links",

@@ -233,22 +233,16 @@ def a911_pipeline_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinates, and per-alert link count."""
     alerts = synthetic_alerts(spark, sf_dir)
     resolved = a911.resolve_coordinates(alerts)
-    link_counts = (
-        a911.dedupe_links(a911.extract_responses(alerts, time_as_iso=True))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_links"))
-    )
-    return (
-        resolved.join(link_counts, "id", "left")
-        .select(
-            F.concat(F.lit("active911-"), F.col("id")).alias("feature_id"),
-            F.col("description").alias("callsign"),
-            parse_alert_time_iso(F.col("sent")).alias("start_iso"),
-            a911.alert_remarks().alias("remarks"),
-            "lon_d",
-            "lat_d",
-            F.coalesce(F.col("n_links"), F.lit(0)).alias("n_links"),
-        )
+    # links stay inside the row (links_array_native) → the whole pipeline
+    # is one narrow stage, zero shuffles (SURVEY.md §7 shortcut).
+    return resolved.select(
+        F.concat(F.lit("active911-"), F.col("id")).alias("feature_id"),
+        F.col("description").alias("callsign"),
+        parse_alert_time_iso(F.col("sent")).alias("start_iso"),
+        a911.alert_remarks().alias("remarks"),
+        "lon_d",
+        "lat_d",
+        F.size(a911.links_array_native(time_as_iso=True)).cast("bigint").alias("n_links"),
     )
 
 

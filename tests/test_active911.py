@@ -153,6 +153,18 @@ def test_empty_responses_empty_links(spark):
 # --- O-12/O-16 feature construction (task.ts:214-231) ---------------------
 
 
+def test_array_native_equals_explode_formulation(spark):
+    """The shuffle-free array-native links path must produce exactly the
+    nested output of the explode+aggregate path (same fixture corpus)."""
+    from etl_active911_spark.pipeline.fixtures import synthetic_alerts
+
+    alerts = synthetic_alerts(spark, "/root/testdata/sf0.001").limit(300)
+    a = to_features(alerts, array_native=True).collect()
+    b = to_features(alerts, array_native=False).collect()
+    canon = lambda rows: sorted((r["id"], repr(r["properties"]), repr(r["geometry"])) for r in rows)  # noqa: E731
+    assert canon(a) == canon(b)
+
+
 def test_feature_shape_and_remarks_whitespace(spark):
     feats = to_features(make_alert(spark)).collect()
     f = feats[0]
