@@ -479,6 +479,62 @@ def n10_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n6_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def n6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-6 family: pivot (wide aggregation) — explicit value list so the
+    plan needs no extra distinct-values job (required at scale)."""
+    pivoted = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@query(
+    "n2_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def n2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-2 family: correlated scalar subquery (Catalyst decorrelates it into
+    an aggregate + join — no per-row re-execution)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_cs o
+        WHERE o_totalprice > (
+            SELECT 2 * AVG(o2.o_totalprice) FROM orders_cs o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
     "n10_json_struct",
     """
     SELECT event_type,

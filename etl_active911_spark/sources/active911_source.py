@@ -149,6 +149,51 @@ class Active911Reader(DataSourceReader):
             yield tuple([None] * len(ALERT_COLUMNS)) + (agency, f"{type(err).__name__}: {err}")
 
 
+class Active911StreamReader:
+    """Streaming variant (SimpleDataSourceStreamReader): each micro-batch is
+    one scheduled pull of the archived-alerts window, exactly the
+    reference's invocation model (task.ts:81 Schedule + the overlapping
+    6-hour window, task.ts:134-135). Because windows overlap, consecutive
+    batches re-emit alerts — downstream dedup is
+    ``dropDuplicatesWithinWatermark(['id'])`` (see streaming/jobs.py),
+    which is how the TAK sink's stable-feature-id dedup maps to Spark.
+
+    The offset is the pull counter; ``max_pulls`` bounds the fixture
+    stream so AvailableNow terminates.
+    """
+
+    def __init__(self, options: dict):
+        self.batch = Active911Reader(options)
+        self.max_pulls = int(options.get("max_pulls", 2))
+
+    def initialOffset(self) -> dict:
+        return {"pull": 0}
+
+    def read(self, start: dict):
+        pull = start["pull"]
+        if pull >= self.max_pulls:
+            return iter([]), {"pull": pull}
+        rows = [
+            row
+            for part in self.batch.partitions()
+            for row in self.batch.read(part)
+        ]
+        return iter(rows), {"pull": pull + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        if end["pull"] > start["pull"]:
+            rows = [
+                row
+                for part in self.batch.partitions()
+                for row in self.batch.read(part)
+            ]
+            return iter(rows)
+        return iter([])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class Active911DataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -159,6 +204,9 @@ class Active911DataSource(DataSource):
 
     def reader(self, schema: StructType) -> Active911Reader:
         return Active911Reader(dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> Active911StreamReader:
+        return Active911StreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -1,0 +1,84 @@
+"""Scale-layout tests: salted aggregation/join correctness and bucketed
+co-located joins (exchange elimination verified in the physical plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.skew import salted_agg, salted_join
+from tests.conftest import SF_ORACLE
+
+
+def test_salted_agg_matches_plain(spark):
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    plain = {
+        (r["l_returnflag"]): (r["s"], r["c"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"]): (round(r["sum_l_quantity"], 2), r["count_l_orderkey"])
+        for r in salted_agg(
+            li, "l_returnflag", {"l_quantity": "sum", "l_orderkey": "count"}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    orders = read_table(spark, SF_ORACLE, "orders")
+    customer = read_table(spark, SF_ORACLE, "customer").select("c_custkey", "c_name")
+    plain = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).count()
+    salted = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).count()
+    assert plain == salted
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warehouse")
+    return d
+
+
+def test_bucketed_join_eliminates_exchange(spark, warehouse):
+    """Bucketing both sides by the join key removes the shuffle: the
+    SortMergeJoin reads pre-bucketed files directly (no Exchange above the
+    scans). This is the repeated-large-join layout for 100 TB."""
+    orders = read_table(spark, SF_ORACLE, "orders")
+    lineitem = read_table(spark, SF_ORACLE, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(warehouse / "b_orders"))
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(warehouse / "b_lineitem"))
+        .mode("overwrite").saveAsTable("b_lineitem")
+    )
+    # disable broadcast so the join would otherwise need a full shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        # and it is still correct
+        assert joined.count() == lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
