@@ -47,10 +47,18 @@ HEADLINE = [
 ]
 
 
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def time_query(spark, name: str) -> float:
-    t0 = time.perf_counter()
-    registry.QUERIES[name](spark, SF_DIR).count()
-    return round(time.perf_counter() - t0, 3)
+    """Median of N_RUNS timed executions (BASELINE.md Part B protocol)."""
+    times = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, SF_DIR).count()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[len(times) // 2], 3)
 
 
 def main() -> None:

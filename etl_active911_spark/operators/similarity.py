@@ -209,6 +209,82 @@ def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x3_ann_ivf")  # approximate — rows-only; recall vs brute force in pytest
+def x3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 scale path #2: IVF (inverted-file) ANN.
+
+    Coarse quantizer: K centroids from a deterministic strided sample,
+    refined with two Lloyd iterations driver-side (the sample is tiny —
+    centroids are the only thing ever collected). Vectors are assigned to
+    their nearest centroid cell via an Arrow-batched matmul; each query
+    probes its ``nprobe`` nearest cells and reranks exactly within them.
+    At 100 TB the cell id becomes the storage partition key, so a probe
+    reads only matching partitions (partition pruning on cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_cells, nprobe = 16, 4
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+
+    sample = (
+        emb.filter(F.col("vec_id") % 7 == 0).limit(256).select("vec_id", "embedding").collect()
+    )
+    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    C = S[:n_cells].copy()
+    for _ in range(2):  # Lloyd refinement on the sample
+        assign = (S @ C.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = S[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / np.linalg.norm(m)
+
+    def assign_cells(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": (M @ C.T).argmax(axis=1).astype("int32")}
+            )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(assign_cells, "vec_id long, cell int")
+    data = emb.select("vec_id", "embedding").join(cells, "vec_id")
+
+    # queries probe their nprobe nearest cells (tiny driver-side table)
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    probes = []
+    for r in qrows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        for c in np.argsort(-(C @ v))[:nprobe]:
+            probes.append((r["vec_id"], int(c)))
+    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+    cands = (
+        data.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("qe"), F.col("embedding"))
+            / (l2norm(F.col("qe")) * l2norm(F.col("embedding"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rnk")
+    )
+
+
 @query("x3_pandas_matmul")  # Arrow/NumPy path — rows-only (UDF surface, N-13)
 def x3_pandas_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3/N-13: the vectorized-Python variant — mapInPandas computes a

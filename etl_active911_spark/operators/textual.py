@@ -101,6 +101,34 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization regex (GPT-2-style shape: contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs) restricted to the
+# RE2∩Java-regex common subset so Spark and DuckDB count identically.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+@query(
+    "x4_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(LOWER(text), '{BPE_ISH_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def x4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: token counting two ways — whitespace and a BPE-ish
+    pre-tokenizer regex (the LLM-cost-estimation proxy). Single scan,
+    `regexp_count` stays in codegen."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X-4c: language identification (stopword-hit heuristic)
 # ---------------------------------------------------------------------------

@@ -29,6 +29,58 @@ ALERT_COLUMNS = [
 
 ALERTS_SCHEMA = T.StructType([T.StructField(c, T.StringType()) for c in ALERT_COLUMNS])
 
+#: FIXTURES.md §A.4 / task.ts:214-231 — the nested GeoJSON feature schema.
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "properties",
+            T.StructType(
+                [
+                    T.StructField("callsign", T.StringType()),
+                    T.StructField("start", T.TimestampType()),
+                    T.StructField(
+                        "links",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("relation", T.StringType()),
+                                    T.StructField("callsign", T.StringType()),
+                                    T.StructField("remarks", T.StringType()),
+                                    T.StructField("production_time", T.TimestampType()),
+                                ]
+                            )
+                        ),
+                    ),
+                    T.StructField("remarks", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "geometry",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField("coordinates", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def input_schema() -> T.StructType:
+    """Schema-discovery entry point (reference ``schema(SchemaType.Input)``,
+    task.ts:83-96): the 24-string-column alert input."""
+    return ALERTS_SCHEMA
+
+
+def output_schema() -> T.StructType:
+    """Schema-discovery entry point (``schema(SchemaType.Output)``): the
+    nested GeoJSON feature output."""
+    return FEATURES_SCHEMA
+
 #: task.ts:121 — response-log line parser (non-greedy groups, unanchored).
 RESPONSE_REGEX = r"Got a response of (.+?) to (.+?)\((\d+)\) at (.+?)\."
 RESPONSE_PREFIX = "Got a response of "

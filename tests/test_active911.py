@@ -165,6 +165,17 @@ def test_array_native_equals_explode_formulation(spark):
     assert canon(a) == canon(b)
 
 
+def test_schema_discovery_matches_actual_output(spark):
+    """Entry point 3 (task.ts:83-96): the declared output schema must equal
+    the schema the transform actually produces (the 'catalog' contract)."""
+    from etl_active911_spark.pipeline.active911 import input_schema, output_schema
+
+    alerts = make_alert(spark)
+    # simpleString ignores nullability (literal-derived fields are non-null)
+    assert alerts.schema.simpleString() == input_schema().simpleString()
+    assert to_features(alerts).schema.simpleString() == output_schema().simpleString()
+
+
 def test_feature_shape_and_remarks_whitespace(spark):
     feats = to_features(make_alert(spark)).collect()
     f = feats[0]

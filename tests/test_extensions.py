@@ -59,6 +59,21 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall {recall:.2f}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 cells must recover a reasonable share of the
+    exact top-5 on near-random embeddings (scans ~25% of the corpus)."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_ann_ivf"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
 def test_pandas_matmul_matches_sql_topk(spark):
     """The NumPy/Arrow scoring path must agree with the JVM SQL path."""
     sql_rows = {
