@@ -42,7 +42,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
             # Integer division — a double division here would lose precision
             # (epoch-nanos ≈ 1.7e18 exceeds double's 53-bit mantissa).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # The ntz cast renders the instant in the *session* zone, so
+            # convert that wall clock back to UTC wall: events.ts becomes a
+            # UTC TIMESTAMP_NTZ under ANY session timezone — matching
+            # DuckDB's naive reading and the other tables' ntz columns
+            # (date functions on events.ts are then session-tz-independent;
+            # verified by the Asia/Tokyo parity sweep in tests).
+            session_tz = spark.conf.get("spark.sql.session.timeZone")
+            df = df.withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.lit(session_tz),
+                    F.lit("UTC"),
+                    F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                ),
+            )
         return df
     return spark.read.parquet(path)
 
