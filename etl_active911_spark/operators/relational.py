@@ -264,6 +264,46 @@ def n5_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n4_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def n4_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-4: exact percentiles (continuous interpolation — same definition
+    as DuckDB's quantile_cont) + min/max."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query("n4_approx_percentiles")  # t-digest-style sketch — rows-only
+def n4_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-4: approx_percentile — the sketch-based variant that scales to
+    100 TB without a per-group sort; accuracy bound set by the last arg."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+        )
+    )
+
+
 @query("n5_approx_count_distinct")  # HLL sketch — not bit-comparable to DuckDB: rows-only
 def n5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-5: approx distinct via HyperLogLog++ — the 100 TB-scale variant.

@@ -30,7 +30,12 @@ def x6_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by time), z-normalized, correlated with PATTERN; emits windows
     with |r| ≥ 0.6. One shuffle (partitionBy user_id), then pure array math.
     """
-    events = read_table(spark, sf_dir, "events")
+    return pattern_match_batch(read_table(spark, sf_dir, "events"))
+
+
+def pattern_match_batch(events: DataFrame) -> DataFrame:
+    """Batch body of the X-6 matcher (streaming counterpart:
+    streaming/pattern.py — parity asserted in tests)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

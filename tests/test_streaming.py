@@ -91,6 +91,59 @@ def test_dedup_stream_drops_resubmitted_ids(spark, events_dir):
     assert got.select("event_id").distinct().count() == events.count()
 
 
+def test_pattern_match_batch_stream_parity(spark, tmp_path):
+    """Streaming X-6 (applyInPandasWithState, state = trailing window) must
+    reproduce the batch rows-frame matcher when micro-batches arrive in
+    time order (two files split at the median timestamp)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.timeseries import pattern_match_batch
+    from etl_active911_spark.streaming.pattern import pattern_match_stream
+
+    events = (
+        read_table(spark, SF_ORACLE, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    # split by time: state must see each user's prefix first
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
+    tsmid = lo + (hi - lo) / 2
+    d = str(tmp_path / "pat_src")
+    early = events.filter(F.col("ts") <= F.lit(tsmid))
+    late = events.filter(F.col("ts") > F.lit(tsmid))
+    early.coalesce(1).write.parquet(d + "/b1")
+    _time.sleep(1.1)  # file-stream orders by modification time
+    late.coalesce(1).write.parquet(d + "/b2")
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    (
+        pattern_match_stream(src)
+        .writeStream.format("memory")
+        .queryName("pat_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["corr"])
+        for r in spark.table("pat_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["corr"])
+        for r in pattern_match_batch(events).collect()
+    }
+    assert got == want
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Two micro-batches: the second carries an event far older than the
     watermark horizon behind batch 1's max event time → dropped."""
