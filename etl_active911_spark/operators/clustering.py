@@ -1,0 +1,88 @@
+"""Duplicate-group clustering (X-2 final stage, SURVEY.md §2.6): connected
+components over the near-dup candidate pair graph, so each duplicate
+cluster keeps one representative.
+
+Algorithm: iterative label propagation (alternating large-star/small-star
+style min-label exchange) — each vertex's label converges to the minimum
+doc_id reachable from it. Iteration count is bounded by the cluster
+diameter, which for near-dup graphs is tiny (dups of the same document
+form near-cliques); a fixed cap + convergence check guards pathological
+chains. Each iteration is one join + one aggregate, all keyed by vertex id
+— no driver-side graph state, scales with the pair list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 10
+) -> DataFrame:
+    """(a, b) edge list → (doc_id, component) with component = min doc_id
+    of the component. Converges in O(log diameter) passes for near-dup
+    graphs; stops early when labels are stable."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, per vertex
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("x2_dup_clusters")  # iterative algorithm — rows-only; invariants in pytest
+def x2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 end-to-end dedup: MinHash-LSH candidate pairs → exact-Jaccard
+    verification (≥ 0.5) → connected components → one keeper per cluster.
+    Returns (doc_id, component, is_keeper); downstream drops
+    ``is_keeper = false`` rows."""
+    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+
+    pairs = x2_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    keepers = comp.groupBy("component").agg(F.min("doc_id").alias("keeper_id"))
+    return (
+        comp.join(keepers, "component")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Geospatial operators over point features (the engine's output domain is
+GeoJSON/CoT points, task.ts:227-231): haversine distance, radius filtering,
+and nearest-facility assignment.
+
+Pure-math column expressions (radians/sin/cos/asin exist in both engines),
+so everything is oracle-checkable; distances are ranked/filtered on their
+ROUNDED value so both engines make identical boundary decisions despite
+last-ulp libm differences (plans/canonical.py policy 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_active911_spark.pipeline import active911 as a911
+from etl_active911_spark.pipeline.fixtures import SYNTH_ALERTS_SQL, synthetic_alerts
+from etl_active911_spark.plans.registry import query
+
+EARTH_RADIUS_KM = 6371.0088
+
+#: Dispatch center the radius query measures from (Denver-ish, matching the
+#: fixture coordinate space 39.x/-104.x).
+CENTER_LAT, CENTER_LON = 39.5, -104.5
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    dphi = F.radians(lat2 - lat1)
+    dlmb = F.radians(lon2 - lon1)
+    h = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"2 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"  sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
+        f"  + cos(radians({lat1})) * cos(radians({lat2}))"
+        f"  * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)))"
+    )
+
+
+# stations derived from the region table: 5 facilities on a deterministic
+# grid inside the fixture coordinate space
+_STATIONS_SQL = """
+SELECT r_regionkey AS station_id,
+       39.0 + CAST(r_regionkey AS DOUBLE) * 0.3 AS s_lat,
+       -105.0 + CAST(r_regionkey AS DOUBLE) * 0.25 AS s_lon
+FROM region
+"""
+
+from etl_active911_spark.pipeline.queries import _COORDS_CTE  # noqa: E402
+
+
+@query(
+    "x7_geo_radius",
+    f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE}
+    SELECT id, ROUND({_haversine_sql(str(CENTER_LAT), str(CENTER_LON), "lat_d", "lon_d")}, 3) AS dist_km
+    FROM resolved
+    WHERE ROUND({_haversine_sql(str(CENTER_LAT), str(CENTER_LON), "lat_d", "lon_d")}, 3) <= 60.0
+    """,
+)
+def x7_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo: alerts within 60 km of the dispatch center (haversine),
+    filtered on the rounded distance for cross-engine determinism."""
+    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    dist = F.round(
+        haversine_km(F.lit(CENTER_LAT), F.lit(CENTER_LON), F.col("lat_d"), F.col("lon_d")), 3
+    )
+    return (
+        resolved.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= 60.0)
+        .select("id", "dist_km")
+    )
+
+
+@query(
+    "x7_nearest_station",
+    f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    stations AS ({_STATIONS_SQL}),
+    scored AS (
+        SELECT r.id, s.station_id,
+               ROUND({_haversine_sql("r.lat_d", "r.lon_d", "s.s_lat", "s.s_lon")}, 3) AS dist_km
+        FROM resolved r CROSS JOIN stations s
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist_km, station_id) AS rn
+        FROM scored
+    )
+    SELECT id, station_id, dist_km FROM ranked WHERE rn = 1
+    """,
+)
+def x7_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo: nearest-facility assignment — broadcast the (tiny) station dim,
+    one pass over alerts, rank on (rounded distance, station_id). The
+    100 TB shape: facilities always broadcast; alerts never shuffle."""
+    from etl_active911_spark.io import read_table
+
+    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    stations = read_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("station_id"),
+        (F.lit(39.0) + F.col("r_regionkey").cast("double") * 0.3).alias("s_lat"),
+        (F.lit(-105.0) + F.col("r_regionkey").cast("double") * 0.25).alias("s_lon"),
+    )
+    scored = resolved.crossJoin(F.broadcast(stations)).select(
+        "id",
+        "station_id",
+        F.round(
+            haversine_km(F.col("lat_d"), F.col("lon_d"), F.col("s_lat"), F.col("s_lon")), 3
+        ).alias("dist_km"),
+    )
+    w = Window.partitionBy("id").orderBy("dist_km", "station_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "station_id", "dist_km")
+    )

@@ -47,6 +47,8 @@ def load_all() -> None:
     import etl_active911_spark.operators.textual  # noqa: F401
     import etl_active911_spark.operators.multimodal  # noqa: F401
     import etl_active911_spark.operators.timeseries  # noqa: F401
+    import etl_active911_spark.operators.clustering  # noqa: F401
+    import etl_active911_spark.operators.geo  # noqa: F401
     import etl_active911_spark.operators.udfs  # noqa: F401
     import etl_active911_spark.pipeline.queries  # noqa: F401
     import etl_active911_spark.pipeline.control  # noqa: F401

@@ -109,6 +109,32 @@ def test_fingerprint_deterministic_and_shared_for_dupes(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_connected_components_known_graph(spark):
+    """Hand-built edge list: {1-2, 2-3} ∪ {10-11} ∪ isolated-by-absence —
+    components must be min-labeled and complete."""
+    from etl_active911_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dup_clusters_one_keeper_per_component(spark):
+    out = registry.QUERIES["x2_dup_clusters"](spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows, "LSH found no dup clusters?"
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == min(m["doc_id"] for m in members) == comp
+
+
 def test_exact_dedup_keeps_one_per_hash(spark):
     out = registry.QUERIES["x1_exact_dedup"](spark, SF_ORACLE)
     assert out.groupBy("content_hash").count().filter(F.col("count") > 1).count() == 0
