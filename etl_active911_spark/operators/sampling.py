@@ -1,0 +1,81 @@
+"""Deterministic sampling operators for training-data pipelines (X-8).
+
+RNG-based sampling (``df.sample``) is neither reproducible across engines
+nor stable under retries/partition changes. These operators sample by
+**content-addressed hash buckets** (md5 — identical in every engine), so a
+sample is a pure function of the data: re-runs, backfills, and the DuckDB
+oracle all agree row-for-row. This is the standard trick for holdout
+splits and mixture weighting at 100 TB: no shuffle, one scan, pushdown-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 hex chars of md5 of
+    the key string, mod n_buckets — engine-agnostic."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def _bucket_sql(key: str, n_buckets: int = 100) -> str:
+    return f"(('0x' || substr(md5(CAST({key} AS STRING)), 1, 8))::BIGINT) % {n_buckets}"
+
+
+@query(
+    "x8_hash_sample",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_bucket_sql("doc_id")} < 10
+    """,
+)
+def x8_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8: reproducible ~10% uniform sample by content hash bucket."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket(F.col("doc_id")) < 10).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "x8_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_bucket_sql("doc_id")} <
+        CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 50 ELSE 100 END
+    """,
+)
+def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8: stratified mixture weighting — per-language keep rates
+    (down-sample the dominant language, keep the rest), the deterministic
+    form of training-mixture reweighting."""
+    docs = read_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(100)
+    )
+    return docs.filter(hash_bucket(F.col("doc_id")) < rate).select("doc_id", "lang")
+
+
+@query(
+    "x8_train_holdout_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql("doc_id")} < 90 THEN 'train' ELSE 'holdout' END AS split
+    FROM documents
+    """,
+)
+def x8_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8: stable 90/10 train/holdout assignment — membership never
+    changes as the corpus grows (content-addressed, not positional)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise("holdout").alias("split"),
+    )

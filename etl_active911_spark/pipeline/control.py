@@ -26,6 +26,11 @@ def _wire_fixture_dir(spark: SparkSession, sf_dir: str, n_agencies: int = 3) -> 
     tag = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(tempfile.gettempdir(), f"a911_wire_{tag}")
     os.makedirs(d, exist_ok=True)
+    # remove stale agency files (e.g. from older fixture layouts or probes)
+    # — the source globs agency_*.jsonp, so leftovers would add rows
+    for f in os.listdir(d):
+        if f.startswith("agency_"):
+            os.unlink(os.path.join(d, f))
     alerts = synthetic_alerts(spark, sf_dir)
     rows = alerts.filter((F.col("id").cast("long") % 500) < n_agencies).collect()
     by_agency: dict[int, list[dict]] = {i: [] for i in range(n_agencies)}
