@@ -117,3 +117,69 @@ def x5_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5: full decode/feature-extract path through mapInPandas (Arrow
     batches); codec stubbed deterministically, plumbing real."""
     return extract_media_features(media_table(spark, sf_dir))
+
+
+RESIZE_SCHEMA = "doc_id long, mime string, width int, height int, out_width int, out_height int, n_out_bytes long"
+
+
+def resize_media(media: DataFrame, target: int = 64) -> DataFrame:
+    """X-5 resize: scale every image's longer edge to ``target`` px,
+    preserving aspect ratio. The resample kernel itself is the stubbed
+    codec step (real impl: PIL.Image.resize inside the same batch loop);
+    geometry math and output sizing are real and tested."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            dims = [_fake_decode(b, m) for b, m in zip(pdf["bytes"], pdf["mime"])]
+            rows = []
+            for (w, h, ch), doc_id, mime in zip(dims, pdf["doc_id"], pdf["mime"]):
+                scale = target / max(w, h)
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                rows.append((doc_id, mime, w, h, ow, oh, ow * oh * ch))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height", "out_width", "out_height", "n_out_bytes"],
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame_sha string"
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0, n_frames: int = 4) -> DataFrame:
+    """X-5 frame-sample: emit ``n_frames`` evenly spaced frames per video
+    payload (one→many via mapInPandas). Frame extraction is the stubbed
+    codec step (real impl: pyav/ffmpeg per batch); the fan-out shape,
+    timestamps, and per-frame digests are real."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["bytes"]):
+                if mime != "video/mp4":
+                    continue
+                # stub: fake duration from payload size; real impl probes the container
+                duration_ms = 1000 * (1 + len(payload) % 60)
+                for i in range(n_frames):
+                    ts = int(i * duration_ms / n_frames)
+                    digest = hashlib.sha256(payload + ts.to_bytes(8, "big")).hexdigest()
+                    rows.append((doc_id, i, ts, digest))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_sha"])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+@query("x5_media_resize")  # stubbed resample kernel — rows-only
+def x5_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5: aspect-preserving resize metadata for every media row."""
+    return resize_media(media_table(spark, sf_dir))
+
+
+@query("x5_frame_sample")  # stubbed frame extraction — rows-only
+def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5: evenly-spaced frame sampling for the video rows (1→N fan-out
+    inside the Arrow batch — no explode shuffle of blob bytes)."""
+    return sample_frames(media_table(spark, sf_dir))

@@ -99,6 +99,27 @@ def test_media_decode_plumbing(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_media_resize_geometry(spark):
+    rows = registry.QUERIES["x5_media_resize"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert max(r["out_width"], r["out_height"]) == 64  # longer edge scaled to target
+        assert r["n_out_bytes"] > 0
+
+
+def test_frame_sample_fanout(spark):
+    rows = registry.QUERIES["x5_frame_sample"](spark, SF_SMOKE).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, frames in by_doc.items():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
+        assert len({f["frame_sha"] for f in frames}) == 4  # distinct per-frame digests
+        ts = [f["frame_ts_ms"] for f in sorted(frames, key=lambda f: f["frame_idx"])]
+        assert ts == sorted(ts)
+
+
 def test_fingerprint_deterministic_and_shared_for_dupes(spark):
     from etl_active911_spark.operators.textual import x4_fingerprint
 
