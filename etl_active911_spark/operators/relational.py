@@ -162,13 +162,18 @@ def n2_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def n2_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-2: left-anti join (customers with no orders at all)."""
+    """N-2: left-anti join (customers who never placed an urgent order —
+    restricted so the fixture yields a non-empty result)."""
     customer = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_nationkey")
