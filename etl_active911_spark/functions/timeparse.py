@@ -8,10 +8,14 @@ Semantics (pinned by golden tests):
 - trim, split on single spaces; the last token is the tz abbreviation.
 - known abbreviation → parse 'MM/DD/YYYY HH:mm:ss' as local wall time in
   the mapped IANA zone, emit UTC.
-- unknown abbreviation → the reference parses with moment's 'z' token,
-  which is a parse-time no-op, in zone UTC (task.ts:75): i.e. the date
-  part is interpreted as UTC.
+- unknown abbreviation → the reference parses the WHOLE string with
+  moment's 'z' token, which is a parse-time no-op, in zone UTC
+  (task.ts:75). We first try the string minus its last token, then fall
+  back to the full trimmed string — so an abbreviation-less but
+  well-formed input ('12/08/2025 18:27:47') parses as UTC (ADVICE r01).
 - unparseable input → NULL (moment emits null ISO; we use NULL timestamp).
+  Known documented divergence (CLAUDE.md rule 8): moment additionally
+  accepts malformed whitespace/garbage dates leniently; we stay strict.
 - DST-ambiguous local times resolve to the earlier offset (java.time);
   moment-timezone agrees for US zones. Golden fixtures avoid the 2am
   transition window entirely (SURVEY.md §7 hard-part #1).
@@ -54,12 +58,12 @@ def _tz_map_lit() -> Column:
 ALERT_TIME_FORMAT = "MM/dd/yyyy HH:mm:ss"
 
 
-def _split_parts(col: Column) -> tuple[Column, Column]:
+def _split_parts(col: Column) -> tuple[Column, Column, Column]:
     trimmed = F.trim(col)
     abbr = F.regexp_extract(trimmed, r"(\S+)$", 1)
     # Everything before the last space-separated token (task.ts:71).
     date_part = F.trim(F.regexp_replace(trimmed, r"\s*\S+$", ""))
-    return date_part, abbr
+    return date_part, abbr, trimmed
 
 
 def parse_alert_time(col: Column) -> Column:
@@ -69,12 +73,14 @@ def parse_alert_time(col: Column) -> Column:
     in the session zone and ``to_utc_timestamp`` reinterprets that same
     wall clock in the mapped zone, so the session zone cancels out.
     """
-    date_part, abbr = _split_parts(col)
+    date_part, abbr, trimmed = _split_parts(col)
     tz = F.try_element_at(_tz_map_lit(), abbr)
-    # Unknown abbr → moment parses the date part with the abbr ignored, in
-    # UTC (task.ts:75) — handled by COALESCE to 'UTC'.
+    fmt = F.lit(ALERT_TIME_FORMAT)
+    # Unknown abbr → moment parses with the abbr ignored, in UTC
+    # (task.ts:75); for abbreviation-less input the date-part parse fails
+    # and the full trimmed string parses instead (same moment call).
     return F.to_utc_timestamp(
-        F.try_to_timestamp(date_part, F.lit(ALERT_TIME_FORMAT)),
+        F.coalesce(F.try_to_timestamp(date_part, fmt), F.try_to_timestamp(trimmed, fmt)),
         F.coalesce(tz, F.lit("UTC")),
     )
 
@@ -82,13 +88,17 @@ def parse_alert_time(col: Column) -> Column:
 def parse_alert_time_ntz(col: Column) -> Column:
     """Same parse, returning the UTC wall clock as TIMESTAMP_NTZ — fully
     session-independent representation for oracle-checked queries."""
-    date_part, abbr = _split_parts(col)
+    date_part, abbr, trimmed = _split_parts(col)
     tz = F.try_element_at(_tz_map_lit(), abbr)
+    fmt = F.lit(ALERT_TIME_FORMAT)
     # to_timestamp_ntz throws on malformed input under ANSI mode; guard it
-    # behind a lazily-evaluated branch keyed on try_to_timestamp (only its
+    # behind lazily-evaluated branches keyed on try_to_timestamp (only its
     # null-ness is used, so its session-zone interpretation is irrelevant).
-    parseable = F.try_to_timestamp(date_part, F.lit(ALERT_TIME_FORMAT)).isNotNull()
-    ntz = F.when(parseable, F.to_timestamp_ntz(date_part, F.lit(ALERT_TIME_FORMAT)))
+    dp_ok = F.try_to_timestamp(date_part, fmt).isNotNull()
+    full_ok = F.try_to_timestamp(trimmed, fmt).isNotNull()
+    ntz = F.when(dp_ok, F.to_timestamp_ntz(date_part, fmt)).when(
+        full_ok, F.to_timestamp_ntz(trimmed, fmt)
+    )
     return F.convert_timezone(F.coalesce(tz, F.lit("UTC")), F.lit("UTC"), ntz)
 
 

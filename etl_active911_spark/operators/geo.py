@@ -52,7 +52,7 @@ SELECT r_regionkey AS station_id,
 FROM region
 """
 
-from etl_active911_spark.pipeline.queries import _COORDS_CTE  # noqa: E402
+from etl_active911_spark.pipeline.oracle_sql import _COORDS_CTE  # noqa: E402
 
 
 @query(

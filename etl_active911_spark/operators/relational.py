@@ -584,7 +584,7 @@ def n2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MIN(REGEXP_EXTRACT(props, '"k": (\\d+)', 1)) AS INT) AS min_k_str
     FROM events
     GROUP BY event_type

@@ -92,22 +92,29 @@ _REMARKS_TAIL = " " * 28
 
 def js_number(col: Column) -> Column:
     """JS ``Number(str)`` semantics used at task.ts:172-181: empty/blank
-    string → 0.0; unparseable → NULL (JS NaN; NULL chosen so the invalid
-    branch drops rows exactly like ``isNaN`` does)."""
+    string → 0.0; unparseable → NULL (the Column stand-in for JS NaN —
+    callers must treat NULL exactly as JS treats NaN: NaN !== 0, and
+    ``isNaN`` checks map to IS NULL)."""
     t = F.trim(col)
     return F.when(t == "", F.lit(0.0)).otherwise(t.try_cast("double"))
 
 
 def resolve_coordinates(alerts: DataFrame) -> DataFrame:
-    """O-10 (task.ts:172-185): if lon==0 or lat==0, fall back to parsing
-    ``place`` as 'lat,lon' (note the swap: place is lat-first, output is
-    lon-first); drop the row when the fallback is invalid.
+    """O-10 (task.ts:172-185): if Number(lon)===0 or Number(lat)===0, fall
+    back to parsing ``place`` as 'lat,lon' (note the swap: place is
+    lat-first, output is lon-first); drop the row when the fallback is
+    invalid. NaN is NOT === 0, so rows whose lat/lon are non-blank but
+    unparseable skip the fallback and are KEPT with NULL (JS NaN)
+    coordinates — the reference emits those features with NaN geometry
+    (ADVICE r01 alignment; previously we dropped them).
 
     Emits ``lon_d``/``lat_d`` double columns next to the original strings.
     """
     lon0 = js_number(F.col("lon"))
     lat0 = js_number(F.col("lat"))
-    needs_fallback = (lon0 == 0) | (lat0 == 0)
+    # NULL (NaN) comparisons yield NULL → coalesce to False, matching
+    # JS `NaN === 0` being false (task.ts:172).
+    needs_fallback = F.coalesce((lon0 == 0) | (lat0 == 0), F.lit(False))
 
     coords = F.slice(F.split(F.trim(F.col("place")), ","), 1, 2)
     place_lat = js_number(F.element_at(coords, 1))

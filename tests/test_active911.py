@@ -56,6 +56,10 @@ TZ_CASES = [
     ("07/08/2025 18:27:47 MST", "2025-07-09T00:27:47.000Z"),  # map→Denver, Jul = -6
     # unknown abbreviation → date part parsed as UTC (task.ts:75)
     ("12/08/2025 18:27:47 XYZ", "2025-12-08T18:27:47.000Z"),
+    # NO abbreviation: moment parses the whole string in UTC ('z' token is
+    # a parse no-op, task.ts:75) — ADVICE r01 whole-string fallback
+    ("12/08/2025 18:27:47", "2025-12-08T18:27:47.000Z"),
+    ("  12/08/2025 18:27:47  ", "2025-12-08T18:27:47.000Z"),
     # unparseable → null
     ("not a date at all", None),
 ]
@@ -113,6 +117,22 @@ def test_coords_zero_zero_from_place_accepted(spark):
     # Number('0')==0 twice, but fallback only validates NaN — 0,0 survives
     geo = geometry_of(spark, lon="0", place="0,0")
     assert geo["coordinates"] == [0.0, 0.0]
+
+
+def test_coords_nan_row_kept_with_null_coords(spark):
+    # Number('N/A') is NaN; NaN !== 0 so the fallback branch is NOT taken
+    # and the reference emits the feature with NaN coordinates
+    # (task.ts:172-185). We represent JS NaN as NULL. ADVICE r01 alignment.
+    geo = geometry_of(spark, lat="N/A", lon="-104.9", place="40.1,-105.2")
+    assert geo is not None, "NaN-coordinate row must NOT be dropped"
+    assert geo["coordinates"] == [-104.9, None]
+
+
+def test_coords_nan_lon_kept_and_place_ignored(spark):
+    # NaN lon + lat==0-triggering lat: lat=='' → Number 0 → fallback runs
+    # (lat===0 is true even though lon is NaN, task.ts:172)
+    geo = geometry_of(spark, lat="", lon="junk", place="41.5,-106.5")
+    assert geo["coordinates"] == [-106.5, 41.5]
 
 
 # --- O-13/O-14/O-19 responses (task.ts:121,187-209) -----------------------
