@@ -44,6 +44,9 @@ HEADLINE = [
     "x4_lang_id",
     "x5_media_decode",
     "x6_ts_pattern_match",
+    "x7_nearest_station",
+    "x8_stratified_sample",
+    "n13_apply_in_pandas",
 ]
 
 

@@ -24,8 +24,19 @@ def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 10
 ) -> DataFrame:
     """(a, b) edge list → (doc_id, component) with component = min doc_id
-    of the component. Converges in O(log diameter) passes for near-dup
-    graphs; stops early when labels are stable."""
+    of the component.
+
+    Plain min-label propagation: converges in O(diameter) passes (NOT
+    O(log diameter) — that would need star-contraction; ADVICE r01). For
+    near-dup graphs the diameter is tiny (dups of one document form
+    near-cliques), so a small cap suffices; if the cap is hit without the
+    stable-labels check firing, components may be silently split — we
+    raise instead of returning wrong clusters.
+
+    Scale hygiene: labels are persisted per iteration and
+    ``localCheckpoint``-ed every 3 iterations to truncate the join
+    lineage; the per-iteration driver round-trip is one LIMIT-1 count.
+    """
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -36,7 +47,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         # neighbor's current label, per vertex
         neigh = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -52,6 +64,9 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        if (it + 1) % 3 == 0:
+            # truncate lineage: each iteration stacks a join on the last
+            new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
@@ -63,7 +78,14 @@ def connected_components(
         labels.unpersist() if hasattr(labels, "unpersist") else None
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds the cap); raise max_iter — returning "
+            "would silently split clusters"
+        )
     return labels
 
 

@@ -96,9 +96,15 @@ def x7_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x7_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geo: nearest-facility assignment — broadcast the (tiny) station dim,
-    one pass over alerts, rank on (rounded distance, station_id). The
-    100 TB shape: facilities always broadcast; alerts never shuffle."""
+    """Geo: nearest-facility assignment with ZERO shuffle of the alert
+    side: the (tiny) station dim is collapsed to ONE array-of-structs row
+    and broadcast-cross-joined onto every alert, so the arg-min is a
+    bounded 5-element ``array_sort`` inside the row. Round 1 ranked a
+    5×-exploded cross join through a per-alert window — a shuffle of 5n
+    rows into n tiny groups (measured 2.0 s of the sf0.1 bench; now ~0.4 s).
+    The 100 TB shape: facilities always broadcast; alerts never shuffle.
+    Interpreted-lambda cost is constant per row (5 stations — bounded,
+    SCALE.md invariant 3 does not apply)."""
     from etl_active911_spark.io import read_table
 
     resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
@@ -107,16 +113,35 @@ def x7_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(39.0) + F.col("r_regionkey").cast("double") * 0.3).alias("s_lat"),
         (F.lit(-105.0) + F.col("r_regionkey").cast("double") * 0.25).alias("s_lon"),
     )
-    scored = resolved.crossJoin(F.broadcast(stations)).select(
-        "id",
-        "station_id",
-        F.round(
-            haversine_km(F.col("lat_d"), F.col("lon_d"), F.col("s_lat"), F.col("s_lon")), 3
-        ).alias("dist_km"),
+    sarr = stations.agg(
+        F.collect_list(F.struct("station_id", "s_lat", "s_lon")).alias("stations")
     )
-    w = Window.partitionBy("id").orderBy("dist_km", "station_id")
+    # rank key (dist_km, station_id) matches the oracle's ROW_NUMBER order;
+    # NULL coords → all 5 distances NULL → struct compare falls to
+    # station_id on both engines (station 0, NULL distance)
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("stations"),
+                lambda s: F.struct(
+                    F.round(
+                        haversine_km(
+                            F.col("lat_d"), F.col("lon_d"), s["s_lat"], s["s_lon"]
+                        ),
+                        3,
+                    ).alias("dist_km"),
+                    s["station_id"].alias("station_id"),
+                ),
+            )
+        ),
+        1,
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "station_id", "dist_km")
+        resolved.crossJoin(F.broadcast(sarr))
+        .withColumn("__best", best)
+        .select(
+            "id",
+            F.col("__best.station_id").alias("station_id"),
+            F.col("__best.dist_km").alias("dist_km"),
+        )
     )

@@ -40,6 +40,48 @@ def test_salted_join_matches_plain(spark):
     assert plain == salted
 
 
+def test_ann_lsh_band_join_is_equi_join(spark):
+    """x3_ann_lsh must candidate-generate via an equi-join on the exploded
+    (band_idx, band_hash) key — never a BroadcastNestedLoopJoin that
+    evaluates every corpus×query pair (VERDICT r01 #4). A hash or
+    sort-merge join on the band key is the 100 TB-safe plan."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["x3_ann_lsh"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_embedding_neardup_blocked_gemm_is_exact(spark):
+    """x2_embedding_neardup (blocked cogroup GEMM — no driver collect of
+    embeddings) must equal the brute-force all-pairs threshold join."""
+    import numpy as np
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in registry.QUERIES["x2_embedding_neardup"](spark, SF_ORACLE).collect()
+    }
+    pdf = read_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding").toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = M @ M.T
+    ai, bj = np.where(sims >= 0.45)
+    want = {
+        (int(ids[i]), int(ids[j])): round(float(sims[i, j]), 6)
+        for i, j in zip(ai, bj)
+        if ids[i] < ids[j]
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("warehouse")
