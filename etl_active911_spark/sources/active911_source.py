@@ -18,9 +18,11 @@ Spark 4 Python DataSource API — no JVM code. The reference's shape maps as:
   O-22 terminal assert becomes a post-read filter+count.
 
 Transports: ``fixture`` (offline; reads ``<fixture_dir>/agency_<id>.jsonp``
-files in the exact wire format) is the default and what tests use. A real
-HTTP transport would drop in at ``Transport.fetch`` — deliberately not
-implemented here (no network in this environment).
+files in the exact wire format) is the default and what the driver-contract
+tests use. ``transport=http`` selects the live protocol implementation
+(sources/http_transport.py — stdlib urllib + cookie jar, multipart forms,
+task.ts:245-279); its tests run against a loopback http.server, never the
+internet.
 """
 
 from __future__ import annotations
@@ -105,22 +107,46 @@ class FixtureTransport:
 
 class Active911Reader(DataSourceReader):
     def __init__(self, options: dict):
+        self.transport_kind = options.get("transport", "fixture")
         self.fixture_dir = options.get("fixture_dir")
-        if not self.fixture_dir:
+        self.base_url = options.get("base_url")
+        self.username = options.get("username")
+        self.password = options.get("password")
+        if self.transport_kind == "fixture" and not self.fixture_dir:
             raise ValueError(
-                "active911 source requires a fixture_dir option (offline "
-                "transport); HTTP transport is intentionally not wired here"
+                "active911 source requires a fixture_dir option for the "
+                "fixture transport (or transport=http with username/password)"
             )
-        self.from_ms = int(options.get("from_date", 0))
-        self.to_ms = int(options.get("to_date", 1 << 62))
+        if self.transport_kind == "http" and not (self.username and self.password):
+            raise ValueError("transport=http requires username and password options")
+        if "from_date" in options or "to_date" in options or self.transport_kind != "http":
+            self.from_ms = int(options.get("from_date", 0))
+            self.to_ms = int(options.get("to_date", 1 << 62))
+        else:
+            # reference default: overlapping 6-hour pull window ending now
+            from etl_active911_spark.sources.http_transport import default_window_ms
+
+            self.from_ms, self.to_ms = default_window_ms()
         self.requested = (
             [int(a) for a in str(options["agencies"]).split(",") if a]
             if "agencies" in options
             else None
         )
 
+    def _transport(self):
+        if self.transport_kind == "http":
+            from etl_active911_spark.sources.http_transport import (
+                DEFAULT_BASE_URL,
+                HttpTransport,
+            )
+
+            return HttpTransport(
+                self.username, self.password, self.base_url or DEFAULT_BASE_URL
+            )
+        return FixtureTransport(self.fixture_dir)
+
     def partitions(self) -> list[AgencyPartition]:
-        transport = FixtureTransport(self.fixture_dir)
+        transport = self._transport()
         _token, entitled = transport.login()
         # O-11 allow-list validation (task.ts:105-114): requested ⊆ entitled
         if self.requested:
@@ -135,7 +161,9 @@ class Active911Reader(DataSourceReader):
         return [AgencyPartition(a) for a in agencies]
 
     def read(self, partition: AgencyPartition) -> Iterator[tuple]:
-        transport = FixtureTransport(self.fixture_dir)
+        # one transport per partition: HTTP logs in lazily per executor
+        # (cookies never serialize through the plan)
+        transport = self._transport()
         agency = str(partition.agency_id)
         try:
             payload = transport.fetch(partition.agency_id, self.from_ms, self.to_ms)
