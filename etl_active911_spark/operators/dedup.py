@@ -149,6 +149,56 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_with_df_cut(
+    docs: DataFrame, threshold: float = 0.6, max_df: int | None = None
+) -> DataFrame:
+    """X-2 scale knob (round-1 docstring promise, now real): the exact
+    posting-list Jaccard with a DOCUMENT-FREQUENCY CUT — shingles appearing
+    in more than ``max_df`` documents (boilerplate, stop-phrases) are
+    dropped from the posting lists BEFORE the self-join, bounding per-key
+    fan-out: a shingle with df=d contributes O(d²) candidate pairs, so the
+    hottest keys dominate the join at corpus scale.
+
+    Semantics: denominators (per-doc shingle counts) are computed BEFORE
+    the cut, so surviving pairs keep exact union sizes; intersections that
+    existed only through dropped hot shingles are lost → Jaccard is
+    understated for boilerplate-only pairs (the standard trade; with
+    ``max_df=None`` output is bit-identical to ``x2_ngram_jaccard``,
+    asserted in tests)."""
+    sh = docs.select("doc_id", "lang", shingles(F.col("text")).alias("gs"))
+    postings = sh.select(
+        "doc_id", "lang", F.explode("gs").alias("g"), F.size("gs").alias("n_g")
+    )
+    if max_df is not None:
+        hot = (
+            postings.groupBy("lang", "g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("lang", "g")
+        )
+        postings = postings.join(hot, ["lang", "g"], "left_anti")
+    a, b = postings.alias("a"), postings.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pair_inter.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X-2b: MinHash + LSH banding (the 100 TB path)
 # ---------------------------------------------------------------------------

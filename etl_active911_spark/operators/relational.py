@@ -602,3 +602,229 @@ def n10_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("props_struct.k").cast("bigint")).alias("sum_k"),
         F.min(F.col("props_struct.k").cast("string")).cast("int").alias("min_k_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H-shaped breadth queries (round 2): the canonical plan shapes
+# a user of a general analytics engine runs daily — multi-way joins with
+# selective filters, ratio-of-sums, HAVING on aggregates, dual-dim joins.
+# All Spark built-ins; oracle parity follows plans/canonical.py policies
+# (round(2) money, round(6) ratios, rank/filter on rounded values).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment filter + 3-way join + grouped revenue + top-N.
+    Both date predicates push to the scans; customer is the broadcast side
+    after its segment filter; TakeOrderedAndProject caps the sort."""
+    customer = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, yr, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS INT) AS yr,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the dual-dimension join — nation joined TWICE under
+    different roles (supplier's vs customer's), disjunctive pair filter,
+    yearly rollup. Both nation sides broadcast; the fact-side shuffles are
+    keyed by the join keys only."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        supplier.join(lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional counting (CASE inside SUM) after a selective
+    fact-side filter — the filter prunes at the lineitem scan BEFORE the
+    join, so the shuffle carries only the surviving year."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT ROUND(
+        100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: ratio of conditional to total aggregate in one pass —
+    one month of lineitem joined to the part dim (broadcast), no
+    second scan for the denominator. round(6) per ratio policy."""
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = read_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(o_totalprice, 2) AS total_price,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING ROUND(SUM(l_quantity), 2) > 300
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING on an aggregate (large-quantity orders) + top-N.
+    The boundary decision uses the ROUNDED sum (canonical policy 4) so
+    both engines agree on threshold-straddling float sums."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

@@ -239,3 +239,102 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return selected
+
+
+# ---------------------------------------------------------------------------
+# X-9: the composed curation pipeline (what a user actually runs)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "x9_curation_pipeline",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang AS labeled_lang, text,
+               string_split_regex(TRIM(LOWER(text)), '\\s+') AS toks,
+               LENGTH(text) AS len_total,
+               LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS len_alpha,
+               LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS len_digit,
+               sha256({_NORM_SQL}) AS content_hash
+        FROM documents
+    ),
+    s AS (
+        SELECT *, {", ".join(f"CAST({_score_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)},
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len_alpha AS DOUBLE) / len_total AS alpha_ratio,
+               CAST(len_digit AS DOUBLE) / len_total AS digit_ratio
+        FROM t
+    ),
+    curated AS (
+        SELECT * FROM s
+        WHERE {_LANG_PRED_SQL} = 'en'
+          AND n_tokens BETWEEN 10 AND 100000
+          AND alpha_ratio > 0.5 AND digit_ratio < 0.3
+    ),
+    deduped AS (
+        SELECT content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM curated GROUP BY content_hash
+    ),
+    kept AS (
+        SELECT c.* FROM curated c JOIN deduped d ON c.doc_id = d.keeper_id
+    )
+    SELECT labeled_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(alpha_ratio), 6) AS avg_alpha_ratio
+    FROM kept
+    GROUP BY labeled_lang
+    """,
+)
+def x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9: the COMPOSED training-data curation flow — lang-ID filter
+    (predicted English), Gopher-style quality gate, exact dedup (keep
+    lowest doc_id per content hash), then per-source-label corpus stats.
+    One narrow scan computes lang scores + quality + content hash
+    together; the only shuffles are the dedup (keyed by the 256-bit hash)
+    and the final tiny rollup — the same plan shape at 100 TB. Composes
+    x4_lang_id + x4_quality_score + x1_exact_dedup building blocks.
+    """
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+
+    def stopword_hits(lang: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).cast("bigint")
+
+    len_total = F.length("text")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / len_total
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / len_total
+    n_tokens = F.size(toks).cast("bigint")
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[stopword_hits(l).alias(f"s_{l}") for l in _LANG_ORDER],
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        F.sha2(normalized_text(F.col("text")), 256).alias("content_hash"),
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    for l in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
+    curated = scored.filter(
+        (pred == "en")
+        & F.col("n_tokens").between(10, 100000)
+        & (F.col("alpha_ratio") > 0.5)
+        & (F.col("digit_ratio") < 0.3)
+    )
+    keepers = curated.groupBy("content_hash").agg(F.min("doc_id").alias("keeper_id"))
+    kept = curated.join(
+        keepers, curated["doc_id"] == keepers["keeper_id"], "inner"
+    )
+    return kept.groupBy("labeled_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
+    )

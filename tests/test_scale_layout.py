@@ -3,6 +3,8 @@ co-located joins (exchange elimination verified in the physical plan)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -80,6 +82,57 @@ def test_embedding_neardup_blocked_gemm_is_exact(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_ivf_partitioned_probe_is_partition_pruned(spark, tmp_path_factory):
+    """The materialized IVF layout must turn probes into partition-pruned
+    scans: the cell filter lands in PartitionFilters (file skipping), not
+    a post-scan Filter over all cells."""
+    from etl_active911_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        ivf_probe_topk,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_write_index(spark, SF_ORACLE, path)
+    got = ivf_probe_topk(spark, SF_ORACLE, path)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, plan[:3000]
+    rows = got.collect()
+    # every query answered with k ranked neighbors from probed cells
+    assert len(rows) == N_QUERIES * TOP_K
+    assert IVF_NPROBE < 16  # probes read a strict subset of cells
+
+
+def test_ngram_jaccard_df_cut_knob(spark):
+    """max_df=None must be bit-identical to the oracle-checked exact query;
+    a tight cut may only LOSE pairs or LOWER scores, never invent them."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.dedup import ngram_jaccard_with_df_cut
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    docs = read_table(spark, SF_ORACLE, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["x2_ngram_jaccard"](spark, SF_ORACLE).collect()
+    }
+    uncut = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_with_df_cut(docs, max_df=None).collect()
+    }
+    assert uncut == exact
+    cut = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_with_df_cut(docs, max_df=3).collect()
+    }
+    assert set(cut) <= set(exact)
+    for pair, j in cut.items():
+        assert j <= exact[pair] + 1e-9
 
 
 @pytest.fixture(scope="module")
