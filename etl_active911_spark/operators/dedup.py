@@ -208,23 +208,61 @@ N_BANDS = 16  # 16 bands × 4 rows → catches Jaccard ≳ 0.5 with high recall
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) rows — the fully-codegen shingle path.
+
+    Same shingle VALUES as ``shingles()`` (incl. the short-doc whole-text
+    fallback) but NOT de-duplicated (min-hash is multiset-insensitive, so
+    signatures are identical) and built without interpreted lambdas:
+    ``explode(sequence)`` + ``element_at`` + ``concat_ws`` are all
+    whole-stage-codegen, where the array-returning ``shingles()`` pays an
+    interpreted ``transform(slice+array_join)`` per position — measured
+    ~2× on the sf0.1 explode (SCALE.md invariant 3 applied to the one
+    corpus-sized lambda that remained)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))))
+    with_pos = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks"), n.alias("__n"), pos.alias("i")
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("__toks"), F.col("i") + j) for j in range(k)]
+    )
+    whole = F.array_join(F.col("__toks"), " ")
+    return with_pos.select(
+        "doc_id",
+        F.when(F.col("__n") >= k, gram).otherwise(whole).alias("shingle"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """MinHash signatures as 64 flat columns h0..h63.
 
     Shape chosen for whole-stage codegen: explode shingles → one hash-
-    aggregate with 64 ``min(xxhash64(shingle, i))`` expressions. (A
-    higher-order-function formulation — transform/aggregate lambdas — is
-    interpreted per element in Spark and measured ~100× slower here; flat
-    aggregates stay in Tungsten.) Shuffle key = doc id; shuffle payload =
-    the shingle strings once, not 64×.
+    aggregate with 64 ``min(...)`` expressions. (A higher-order-function
+    formulation — transform/aggregate lambdas — is interpreted per element
+    in Spark and measured ~100× slower here; flat aggregates stay in
+    Tungsten.) Shuffle key = doc id; shuffle payload = one 8-byte base
+    hash per shingle, not the shingle strings.
+
+    One-hash trick: the variable-length shingle STRING is hashed exactly
+    once (``xxhash64(shingle)``); the 64 per-permutation values re-hash
+    that fixed 8-byte value (``xxhash64(base, i)`` — a few ALU ops each),
+    so per-shingle hash work is O(len + 64) instead of O(64·len). On the
+    short fixture shingles this measures neutral (the explode itself
+    dominates); it pays off as shingle length grows at corpus scale. The
+    base-hash collision probability (2⁻⁶⁴ per shingle pair) is negligible
+    vs the sketch's own error.
     """
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
+    exploded = shingle_rows(docs, id_col, text_col).select(
+        "doc_id", F.xxhash64("shingle").alias("base")
     )
     return exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(N_HASHES)]
+        *[F.min(F.xxhash64(F.col("base"), F.lit(i))).alias(f"h{i}") for i in range(N_HASHES)]
     )
 
 
@@ -269,8 +307,21 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
     the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    cands = lsh_candidate_pairs(docs)
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("gs"))
+    # persist: the (tiny) pair list feeds BOTH the semi-join below and the
+    # verification join — without it the whole signature+band subtree
+    # evaluates twice (measured +50%)
+    cands = lsh_candidate_pairs(docs).persist()
+    # exact verification touches only docs that appear in a candidate pair
+    # (semi-join first — shingle arrays for the other 99.9% of the corpus
+    # are never materialized; at 100 TB candidates ≪ corpus by design)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", shingles(F.col("text")).alias("gs")
+    )
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gs_b"), "doc_b")
