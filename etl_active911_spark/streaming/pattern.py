@@ -27,12 +27,18 @@ _PAT_SD = math.sqrt(sum(p * p for p in PATTERN) / WINDOW)
 
 
 def _corr(window_vals: list[float]) -> float | None:
-    mean = sum(window_vals) / WINDOW
-    centered = [v - mean for v in window_vals]
-    sd = math.sqrt(sum(v * v for v in centered) / WINDOW)
-    if sd == 0:
+    # mirrors the batch flat formulation term-for-term (same op order →
+    # bit-identical floats; the parity test compares exact rounded values):
+    # one-pass sd, uncentered dot (Σ PATTERN ≈ 0)
+    mean = sum(window_vals, 0.0) / WINDOW
+    ssq = sum((v * v for v in window_vals), 0.0)
+    var = ssq / WINDOW - mean * mean
+    if not var > 0:
         return None
-    s = sum(x * p for x, p in zip(centered, PATTERN))
+    sd = math.sqrt(var)
+    s = 0.0
+    for x, p in zip(window_vals, PATTERN):
+        s = s + x * p
     return s / (WINDOW * sd * _PAT_SD)
 
 
