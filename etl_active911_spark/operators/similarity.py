@@ -22,6 +22,9 @@ TOP_K = 5
 N_QUERIES = 20  # queries = vec_id < 20
 
 
+EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two array columns (JVM-side)."""
     return F.aggregate(
@@ -29,6 +32,14 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+# NOTE (measured, do not "optimize"): unrolling this dot into 64 codegen
+# element_at products is ~50% SLOWER than the interpreted aggregate lambda
+# at dim=64 — the generated method blows past JIT-friendly size. The
+# lambda-vs-codegen rule (SCALE.md invariant 3) applies to per-ELEMENT
+# fan-out (explode shapes), not to a fixed-width reduction; for large
+# k·dim the right escape hatch is the Arrow matmul path (x3_pandas_matmul).
 
 
 def l2norm(a: Column) -> Column:
@@ -114,16 +125,25 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred rows — no all-pairs shuffle into N_QUERIES partitions.
     """
     emb = spread(read_table(spark, sf_dir, "embeddings"))
+    # norms hoisted to per-VECTOR projections (computed n + n_q times, not
+    # per pair — the interpreted higher-order l2norm was 2/3 of the
+    # per-pair lambda work)
+    corpus = emb.select(
+        "vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qnrm"),
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            (dot(F.col("qe"), F.col("embedding"))
-             / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))).alias("cosine"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
         )
     )
     return partial_topk(scored, TOP_K)
