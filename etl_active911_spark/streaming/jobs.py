@@ -84,3 +84,50 @@ def run_complete_to_memory(stream_df: DataFrame, name: str) -> None:
         .start()
         .awaitTermination()
     )
+
+
+def run_control_stream(
+    spark: SparkSession,
+    submit_url: str,
+    checkpoint_dir: str,
+    source_options: dict | None = None,
+    max_features_per_post: int = 1000,
+) -> None:
+    """The reference's COMPLETE lifecycle (task.ts:98-243) as ONE streaming
+    job: authenticated windowed source pulls → dead-letter routing →
+    alert→Feature transform → deduplicated FeatureCollection POSTs.
+
+    Mapping, stage by stage:
+    - source: the ``active911`` streaming reader (one partition per agency,
+      window pushed into the fetch) — task.ts:124-148;
+    - error routing: ``_error`` rows are diverted, not fatal — task.ts:123;
+    - transform: ``to_features`` (zero-shuffle array-native links);
+    - dedup: overlapping pull windows re-emit alerts; stable feature ids
+      collapse them per micro-batch before the POST — the TAK sink
+      semantics of task.ts:238;
+    - sink: per-partition chunked FeatureCollection POSTs (streaming/
+      http_sink.py), batch-atomic via foreachBatch.
+    """
+    from etl_active911_spark.pipeline.active911 import to_features
+    from etl_active911_spark.sources import active911_source
+    from etl_active911_spark.streaming.http_sink import http_sink_foreach_batch
+
+    active911_source.register(spark)
+    reader = spark.readStream.format("active911")
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    alerts = reader.load()
+    post = http_sink_foreach_batch(submit_url, max_features_per_post)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        good = batch_df.filter(F.col("_error").isNull())
+        features = to_features(good.drop("agency_id", "_error")).dropDuplicates(["id"])
+        post(features, batch_id)
+
+    (
+        alerts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

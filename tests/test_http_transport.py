@@ -228,3 +228,36 @@ def test_http_sink_chunks_partitions(spark, submit_server):
     http_sink_foreach_batch(url, max_features_per_post=10)(df, 0)
     sizes = sorted(len(p["features"]) for p in srv.posts)
     assert sizes == [5, 10, 10]
+
+
+def test_control_stream_end_to_end(spark, submit_server, tmp_path):
+    """The full reference lifecycle as one streaming job: fixture-transport
+    source (overlapping pulls re-emit alerts) → error routing → features →
+    per-batch deduped FeatureCollection POSTs to the loopback sink."""
+    from etl_active911_spark.streaming.jobs import run_control_stream
+    from tests.test_source import ALERT
+
+    d = tmp_path / "wire"
+    d.mkdir()
+    (d / "agency_1.jsonp").write_text(encode_wire_payload([ALERT]))
+    (d / "agency_2.jsonp").write_text(
+        encode_wire_payload([{**ALERT, "id": "43"}, {**ALERT, "id": "44"}])
+    )
+    (d / "agency_3.jsonp").write_text(encode_error_payload("upstream failure"))
+
+    srv, url = submit_server
+    run_control_stream(
+        spark,
+        url,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_options={"fixture_dir": str(d), "max_pulls": "2"},
+    )
+    all_ids = {f["id"] for p in srv.posts for f in p["features"]}
+    assert all_ids == {"active911-42", "active911-43", "active911-44"}
+    # overlapping pulls re-emit alerts; dedup by stable feature id must
+    # collapse them within each POSTed batch (task.ts:238 sink semantics)
+    for p in srv.posts:
+        ids = [f["id"] for f in p["features"]]
+        assert len(ids) == len(set(ids)), "features must be deduped per batch"
+    # the dead-letter agency is routed, never POSTed
+    assert all(not f["id"].endswith("-None") for p in srv.posts for f in p["features"])
