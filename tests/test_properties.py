@@ -103,3 +103,44 @@ def test_minhash_identical_docs_identical_signatures(spark, data):
     )
     sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(64)) for r in minhash_signatures(df).collect()}
     assert sigs[1] == sigs[2]  # identical docs → identical signatures
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),                     # query_id
+            st.integers(0, 400),                   # vec_id
+            st.floats(-1.0, 1.0, width=32),        # cosine
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_partial_topk_equals_global_topk(spark, rows):
+    """partial_topk's per-batch 1e-6 cut must NEVER change the global
+    result: for any scored set, output == the straightforward global
+    window ranked by (round(cosine,6) DESC, vec_id)."""
+    import pandas as pd
+
+    from etl_active911_spark.operators.similarity import TOP_K, partial_topk
+
+    # dedupe (query, vec) pairs — rank ties on vec_id assume uniqueness
+    seen, uniq = set(), []
+    for q, v, c in rows:
+        if (q, v) not in seen:
+            seen.add((q, v))
+            uniq.append((q, v, float(c)))
+    df = spark.createDataFrame(uniq, "query_id long, vec_id long, cosine double").repartition(7)
+    got = {
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in partial_topk(df, TOP_K).collect()
+    }
+    pdf = pd.DataFrame(uniq, columns=["query_id", "vec_id", "cosine"])
+    pdf["r6"] = pdf["cosine"].round(6)
+    want = set()
+    for q, g in pdf.groupby("query_id"):
+        g = g.sort_values(["r6", "vec_id"], ascending=[False, True]).head(TOP_K)
+        for rnk, (_, row) in enumerate(g.iterrows(), start=1):
+            want.add((q, int(row["vec_id"]), rnk))
+    assert got == want
