@@ -91,9 +91,10 @@ def partial_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-@query(
-    "x3_cosine_topk",
-    f"""
+# Exact top-k ground truth — shared by BOTH exact implementations
+# (x3_cosine_topk's codegen path and x3_pandas_matmul's BLAS path): same
+# contract, same oracle.
+_EXACT_TOPK_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -114,8 +115,10 @@ def partial_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     )
     SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
     FROM ranked WHERE rnk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("x3_cosine_topk", _EXACT_TOPK_ORACLE)
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3 exact baseline: brute-force cosine top-k for a query subset.
 
@@ -463,7 +466,7 @@ def x3_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_topk(spark, sf_dir, path)
 
 
-@query("x3_pandas_matmul")  # Arrow/NumPy path — rows-only (UDF surface, N-13)
+@query("x3_pandas_matmul", _EXACT_TOPK_ORACLE)  # Arrow/NumPy path (UDF surface, N-13): exact — shares the brute-force oracle
 def x3_pandas_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3/N-13: the vectorized-Python variant — mapInPandas computes a
     NumPy matmul of each Arrow batch against the broadcast query block and

@@ -23,8 +23,46 @@ WINDOW = 8
 # pattern-matching terms; literal on both engines.
 PATTERN = [math.sin(2 * math.pi * i / WINDOW) for i in range(WINDOW)]
 
+_PAT_SD = math.sqrt(sum(p * p for p in PATTERN) / WINDOW)
 
-@query("x6_ts_pattern_match")  # window-array numerics — rows-only
+# DuckDB oracle (round 2 — the flat-window rewrite made this fully
+# SQL-expressible): the dot product is written term-by-term in the SAME
+# left-associative oldest-first order as the Spark loop below, with
+# ``repr()`` float literals (shortest round-trip → identical doubles), so
+# dotp is bit-identical across engines; mean/ssq come from each engine's
+# sliding frame (segment-tree vs running sums → last-bit differences) which
+# ROUND(corr, 6) absorbs. Output carries no timestamp (CLAUDE.md rule 3).
+_DOTP_SQL = " + ".join(
+    f"(LAG(value, {lag}) OVER wo) * ({PATTERN[WINDOW - 1 - lag]!r})"
+    if lag else f"value * ({PATTERN[WINDOW - 1]!r})"
+    for lag in range(WINDOW - 1, -1, -1)
+)
+_PATTERN_ORACLE = f"""
+    WITH w AS (
+        SELECT user_id, event_id,
+               AVG(value) OVER wf AS mean,
+               SUM(value * value) OVER wf AS ssq,
+               COUNT(*) OVER wf AS n,
+               {_DOTP_SQL} AS dotp
+        FROM events
+        WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {WINDOW - 1} PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+        SELECT user_id, event_id, n,
+               CASE WHEN sqrt(ssq / {WINDOW} - mean * mean) > 0
+                    THEN dotp / ({WINDOW} * sqrt(ssq / {WINDOW} - mean * mean)
+                                 * ({_PAT_SD!r}))
+               END AS corr
+        FROM w
+    )
+    SELECT user_id, event_id, ROUND(corr, 6) AS corr
+    FROM c WHERE n = {WINDOW} AND ABS(corr) >= 0.6
+    """
+
+
+@query("x6_ts_pattern_match", _PATTERN_ORACLE)
 def x6_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-6: per-user sliding windows of the last WINDOW values (rows frame
     ordered by time), z-normalized, correlated with PATTERN; emits windows
@@ -55,18 +93,17 @@ def pattern_match_batch(events: DataFrame) -> DataFrame:
     ssq = F.sum(F.col("value") * F.col("value")).over(wf)
     n = F.count(F.lit(1)).over(wf)
     sd = F.sqrt(ssq / WINDOW - mean * mean)
-    pat_sd = float(math.sqrt(sum(p * p for p in PATTERN) / WINDOW))
     # oldest-first term order: lag(W-1) holds window index 0
     dotp = None
     for lag in range(WINDOW - 1, -1, -1):
         term = F.lag("value", lag).over(wo) * F.lit(PATTERN[WINDOW - 1 - lag])
         dotp = term if dotp is None else dotp + term
-    r = dotp / (F.lit(WINDOW) * sd * F.lit(pat_sd))
+    r = dotp / (F.lit(WINDOW) * sd * F.lit(_PAT_SD))
     return (
         base.withColumn("__n", n)
         .withColumn("corr", F.when(sd > 0, r))
         .filter((F.col("__n") == WINDOW) & (F.abs(F.col("corr")) >= 0.6))
-        .select("user_id", "event_id", "ts", F.round("corr", 6).alias("corr"))
+        .select("user_id", "event_id", F.round("corr", 6).alias("corr"))
     )
 
 
