@@ -28,6 +28,36 @@ MEDIA_SCHEMA = (
     "doc_id long, uri string, mime string, bytes binary, meta map<string,string>"
 )
 
+# Shared oracle scaffolding: the stub codec derives everything from the
+# payload's sha256 DIGEST, so DuckDB can replicate it exactly by parsing
+# digest bytes out of the hex string (2 hex chars = 1 byte) — the stub is
+# deliberately specified in SQL-replicable terms so the whole mapInPandas
+# path gets a hard oracle, not a rows-only check.
+_MEDIA_CTE = """
+    m AS (
+        SELECT doc_id,
+               's3://media-bucket/' || source || '/' || CAST(doc_id AS STRING) AS uri,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+               text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents
+    )
+"""
+
+
+def _hexbyte(col: str, byte_idx: int) -> str:
+    """SQL for digest byte ``byte_idx`` (0-based) of a lowercase hex column."""
+    hv = lambda pos: f"(strpos('0123456789abcdef', substr({col}, {pos}, 1)) - 1)"  # noqa: E731
+    return f"(16 * {hv(2 * byte_idx + 1)} + {hv(2 * byte_idx + 2)})"
+
+
+# _fake_decode in SQL: width/height/channels from digest bytes 0..2
+_SQL_W = f"(16 + {_hexbyte('sha', 0)} % 240)"
+_SQL_H = f"(16 + {_hexbyte('sha', 1)} % 240)"
+_SQL_C = f"(1 + {_hexbyte('sha', 2)} % 4)"
+
 FEATURE_SCHEMA = (
     "doc_id long, uri string, mime string, n_bytes long, sha256 string, "
     "width int, height int, n_channels int"
@@ -112,10 +142,22 @@ def x5_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x5_media_decode")  # Pandas-UDF decode path — rows-only (stubbed codec)
+@query(
+    "x5_media_decode",
+    f"""
+    WITH {_MEDIA_CTE}
+    SELECT doc_id, uri, mime, n_bytes, sha AS sha256,
+           CAST({_SQL_W} AS INT) AS width,
+           CAST({_SQL_H} AS INT) AS height,
+           CAST({_SQL_C} AS INT) AS n_channels
+    FROM m
+    """,
+)
 def x5_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5: full decode/feature-extract path through mapInPandas (Arrow
-    batches); codec stubbed deterministically, plumbing real."""
+    batches); codec stubbed deterministically (digest-derived — see
+    ``_fake_decode``), plumbing real, and the whole path oracle-checked
+    against DuckDB's hex-parsed replica of the stub."""
     return extract_media_features(media_table(spark, sf_dir))
 
 
@@ -135,7 +177,10 @@ def resize_media(media: DataFrame, target: int = 64) -> DataFrame:
             rows = []
             for (w, h, ch), doc_id, mime in zip(dims, pdf["doc_id"], pdf["mime"]):
                 scale = target / max(w, h)
-                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                # half-UP rounding (floor(x + 0.5)), not Python's banker's
+                # round: specified this way so the SQL oracle reproduces it
+                # bit-for-bit (same IEEE op order: w * (target/max))
+                ow, oh = max(1, int(w * scale + 0.5)), max(1, int(h * scale + 0.5))
                 rows.append((doc_id, mime, w, h, ow, oh, ow * oh * ch))
             yield pd.DataFrame(
                 rows,
@@ -165,20 +210,56 @@ def sample_frames(media: DataFrame, fps: float = 1.0, n_frames: int = 4) -> Data
                 duration_ms = 1000 * (1 + len(payload) % 60)
                 for i in range(n_frames):
                     ts = int(i * duration_ms / n_frames)
-                    digest = hashlib.sha256(payload + ts.to_bytes(8, "big")).hexdigest()
+                    # tag = ASCII decimal of ts (not raw bytes) so the SQL
+                    # oracle can replicate the digest via string concat
+                    digest = hashlib.sha256(payload + str(ts).encode()).hexdigest()
                     rows.append((doc_id, i, ts, digest))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_sha"])
 
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
-@query("x5_media_resize")  # stubbed resample kernel — rows-only
+@query(
+    "x5_media_resize",
+    f"""
+    WITH {_MEDIA_CTE},
+    d AS (
+        SELECT doc_id, mime,
+               {_SQL_W} AS w, {_SQL_H} AS h, {_SQL_C} AS ch
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, mime, w, h, ch,
+               GREATEST(1, CAST(FLOOR(w * (64.0 / GREATEST(w, h)) + 0.5) AS INT)) AS ow,
+               GREATEST(1, CAST(FLOOR(h * (64.0 / GREATEST(w, h)) + 0.5) AS INT)) AS oh
+        FROM d
+    )
+    SELECT doc_id, mime, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ow AS out_width, oh AS out_height,
+           CAST(ow * oh * ch AS BIGINT) AS n_out_bytes
+    FROM r
+    """,
+)
 def x5_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5: aspect-preserving resize metadata for every media row."""
     return resize_media(media_table(spark, sf_dir))
 
 
-@query("x5_frame_sample")  # stubbed frame extraction — rows-only
+@query(
+    "x5_frame_sample",
+    f"""
+    WITH {_MEDIA_CTE},
+    v AS (
+        SELECT doc_id, text, 1000 * (1 + n_bytes % 60) AS dur
+        FROM m WHERE mime = 'video/mp4'
+    )
+    SELECT v.doc_id,
+           CAST(f.i AS INT) AS frame_idx,
+           CAST(f.i * v.dur / 4 AS BIGINT) AS frame_ts_ms,
+           sha256(v.text || CAST(CAST(f.i * v.dur / 4 AS BIGINT) AS STRING)) AS frame_sha
+    FROM v CROSS JOIN generate_series(0, 3) AS f(i)
+    """,
+)
 def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5: evenly-spaced frame sampling for the video rows (1→N fan-out
     inside the Arrow batch — no explode shuffle of blob bytes)."""
