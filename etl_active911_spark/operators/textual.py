@@ -204,19 +204,55 @@ def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("x4_fingerprint")  # set-valued output — rows-only; invariants in pytest
+_FP_K, _FP_W = 5, 4
+
+_FINGERPRINT_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, norm,
+               GREATEST(LENGTH(norm) - {_FP_K - 1}, 1) AS n_grams,
+               unnest(range(1, GREATEST(LENGTH(norm) - {_FP_K - 1}, 1) + 1)) AS i
+        FROM d
+    ),
+    g AS (
+        SELECT doc_id, n_grams, i,
+               md5(substr(norm, CAST(i AS INT), {_FP_K})) AS gram_hash
+        FROM pos
+    ),
+    w AS (
+        SELECT doc_id, i, n_grams,
+               MIN(gram_hash) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND {_FP_W - 1} FOLLOWING) AS win_min
+        FROM g
+    )
+    SELECT DISTINCT doc_id, win_min AS fingerprint_hash
+    FROM w WHERE i <= GREATEST(n_grams - {_FP_W - 1}, 1)
+    """
+
+
+@query("x4_fingerprint", _FINGERPRINT_ORACLE)
 def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4: winnowing fingerprints (Schleimer et al. MOSS scheme): k-gram
     hashes → min per sliding w-window → distinct selected hashes.
     Emitted as (doc_id, fingerprint_hash) posting rows — joinable for
     near-dup detection the same way as x2 postings.
 
+    Gram hash is md5 hex (lexicographic window min — identical semantics
+    on both engines), which buys an exact DuckDB oracle for the whole
+    winnowing pipeline; xxhash64 would be ~2× cheaper per gram but is not
+    replicable outside Spark (round-2 tradeoff, documented).
+
     Shape: explode gram positions, hash each k-gram, winnow with a
     rows-frame window min — all whole-stage-codegen. (Nested dependent
     higher-order lambdas here would re-evaluate the gram array per window
     element — interpreted and quadratic; measured minutes vs seconds.)
     """
-    k, w = 5, 4
+    k, w = _FP_K, _FP_W
     docs = spread(read_table(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
@@ -229,7 +265,7 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "i",
-        F.xxhash64(F.col("norm").substr(F.col("i"), F.lit(k))).alias("gram_hash"),
+        F.md5(F.col("norm").substr(F.col("i"), F.lit(k))).alias("gram_hash"),
     )
     win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
     selected = (
