@@ -89,7 +89,44 @@ def connected_components(
     return labels
 
 
-@query("x2_dup_clusters")  # iterative algorithm — rows-only; invariants in pytest
+def _dup_clusters_oracle() -> str:
+    """DuckDB oracle: the shared MinHash-LSH CTE chain (dedup.py) feeding a
+    recursive transitive-closure walk — component = min reachable doc_id.
+    O(V·E) closure is fine at oracle scale; the Spark side is the
+    distributed label-propagation loop."""
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (
+        SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM edges
+    ),
+    comp AS (
+        SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.component, c.doc_id = k.keeper_id AS is_keeper
+    FROM comp c
+    JOIN (SELECT component, MIN(doc_id) AS keeper_id FROM comp GROUP BY component) k
+      ON c.component = k.component
+    """
+
+
+@query("x2_dup_clusters", _dup_clusters_oracle())
 def x2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2 end-to-end dedup: MinHash-LSH candidate pairs → exact-Jaccard
     verification (≥ 0.5) → connected components → one keeper per cluster.

@@ -26,6 +26,23 @@ def tokens(col: Column) -> Column:
     return F.split(normalized_text(col), " ")
 
 
+def token_hash60(col: Column) -> Column:
+    """Shared 60-bit string hash: first 15 hex chars of md5, parsed base-16.
+
+    md5 (not xxhash64) so DuckDB can reproduce the value exactly — this is
+    what turns the sketch family (MinHash/SimHash) into hard oracle checks.
+    60 bits because a 16-hex-char parse may exceed int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(col: str) -> str:
+    """DuckDB replica of ``token_hash60``: per-hex-char strpos arithmetic."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as distinct strings (JVM-side higher-order fns)."""
     toks = tokens(col)
@@ -237,6 +254,27 @@ def shingle_rows(
     )
 
 
+# Universal-hash permutation family over the 60-bit md5 base hash:
+# h_i(s) = (A[i]·(base(s) mod P) + B[i]) mod P with P = 2³¹−1 (prime).
+# Constants are fixed (seeded) module-level literals injected into BOTH the
+# Spark plan and the DuckDB oracle SQL, so the entire banded pipeline is
+# bit-replicable outside Spark. A[i]·x < 2⁶² keeps every product inside
+# int64 on both engines (DuckDB raises on overflow rather than wrapping).
+MINHASH_P = 2147483647
+
+def _mh_constants() -> tuple[list[int], list[int]]:
+    import random
+
+    rng = random.Random(42)
+    return (
+        [rng.randrange(1, MINHASH_P) for _ in range(N_HASHES)],
+        [rng.randrange(0, MINHASH_P) for _ in range(N_HASHES)],
+    )
+
+
+_MH_A, _MH_B = _mh_constants()
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -250,19 +288,21 @@ def minhash_signatures(
     hash per shingle, not the shingle strings.
 
     One-hash trick: the variable-length shingle STRING is hashed exactly
-    once (``xxhash64(shingle)``); the 64 per-permutation values re-hash
-    that fixed 8-byte value (``xxhash64(base, i)`` — a few ALU ops each),
-    so per-shingle hash work is O(len + 64) instead of O(64·len). On the
-    short fixture shingles this measures neutral (the explode itself
-    dominates); it pays off as shingle length grows at corpus scale. The
-    base-hash collision probability (2⁻⁶⁴ per shingle pair) is negligible
-    vs the sketch's own error.
+    once (``token_hash60``); the 64 per-permutation values are affine
+    transforms of that value mod P — a few ALU ops each — so per-shingle
+    hash work is O(len + 64) instead of O(64·len). Unlike round 1's
+    ``xxhash64(base, i)`` re-hash this family is replicable in plain SQL,
+    which buys the full-pipeline DuckDB oracle below; min-wise uniformity
+    of (a·x+b) mod P is the standard universal-hashing guarantee.
     """
     exploded = shingle_rows(docs, id_col, text_col).select(
-        "doc_id", F.xxhash64("shingle").alias("base")
+        "doc_id", (token_hash60(F.col("shingle")) % MINHASH_P).alias("x")
     )
     return exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("base"), F.lit(i))).alias(f"h{i}") for i in range(N_HASHES)]
+        *[
+            F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % MINHASH_P).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
     )
 
 
@@ -271,30 +311,36 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
-    signature → band hash per ROWS_PER_BAND consecutive minhashes →
-    explode (doc, band_idx, band_hash) → self-join on (band_idx,
-    band_hash). The join key is an 8-byte hash: at 100 TB the shuffle
-    carries n_bands rows of ~16 bytes per document, independent of
+    signature → band key per ROWS_PER_BAND consecutive minhashes →
+    explode (doc, band_key) → self-join on band_key. The key is the
+    band-index-prefixed join of the band's minhash values (self-describing
+    — no separate band_idx column needed, and exactly replicable in the
+    DuckDB oracle; at 100 TB wrap it in xxhash64 to shrink the shuffle to
+    8 bytes/row — same collisions, minus the oracle). Either way the
+    shuffle carries n_bands small rows per document, independent of
     document size.
     """
     sigs = minhash_signatures(docs, id_col, text_col)
     bands = sigs.select(
         "doc_id",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+                    F.concat_ws(
+                        "|",
+                        F.lit(b),
+                        *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
                     for b in range(N_BANDS)
                 ]
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -302,7 +348,70 @@ def lsh_candidate_pairs(
     )
 
 
-@query("x2_minhash_lsh")  # multi-stage LSH — rows-only; recall-tested vs exact in pytest
+# Full-pipeline DuckDB oracle (round 2): replicates signatures (md5-60bit
+# base → 64 affine permutations mod P → MIN), index-prefixed band keys,
+# the candidate self-join, and exact-Jaccard verification — bit-for-bit
+# the same algorithm, so even the LSH *misses* must agree. Signatures use
+# the DEDUPED shingle list (min over a multiset == min over its set).
+_MINHASH_SIG_SQL = ", ".join(
+    f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {MINHASH_P}) AS h{i}" for i in range(N_HASHES)
+)
+_MINHASH_BAND_SQL = ", ".join(
+    "'{b}|' || ".format(b=b)
+    + " || '|' || ".join(
+        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    for b in range(N_BANDS)
+)
+# CTE chain shared with the x2_dup_clusters oracle (clustering.py), which
+# appends a recursive connected-components walk on top of `verified`.
+MINHASH_CTES = f"""toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                      i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM toks
+    ),
+    postings AS (
+        SELECT doc_id, UNNEST(gs) AS g FROM sh
+    ),
+    xs AS (
+        SELECT doc_id, ({sql_hash60("g")}) % {MINHASH_P} AS x FROM postings
+    ),
+    sigs AS (
+        SELECT doc_id, {_MINHASH_SIG_SQL} FROM xs GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, UNNEST([{_MINHASH_BAND_SQL}]) AS band_key FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+                 / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) AS jac
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )"""
+
+_MINHASH_ORACLE = f"""
+    WITH {MINHASH_CTES}
+    SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+    FROM verified WHERE jac >= 0.5
+    """
+
+
+@query("x2_minhash_lsh", _MINHASH_ORACLE)
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
     the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5)."""
@@ -341,44 +450,81 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, ±1 bit-voting.
+SIMHASH_BITS = 60  # 15 hex chars of md5 — max width parseable to int64 on both engines
+_SIMHASH_CHUNK = SIMHASH_BITS // 4  # 4 chunks × 15 bits for pigeonhole banding
 
-    Explode + one hash-aggregate with 64 SUM(±1) expressions (codegen),
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document: per-token 60-bit md5 hash, ±1 bit-voting.
+
+    Explode + one hash-aggregate with 60 SUM(±1) expressions (codegen),
     then bit assembly in a single projection — no interpreted lambdas.
+    The token is hashed ONCE; per-bit votes are ALU shifts of that value.
     """
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    toks = toks.select("doc_id", token_hash60(F.col("tok")).alias("h"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     out = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         out = out + F.shiftleft(
             F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b
         )
     return votes.select("doc_id", out.alias("simhash"))
 
 
-@query("x2_simhash")  # bit-sketch — rows-only; invariants tested in pytest
+# Oracle: chunk banding is RECALL-EXACT for hamming ≤ 3 over 4 chunks
+# (pigeonhole: 3 differing bits can dirty at most 3 chunks), so the banded
+# Spark plan must equal the brute-force all-pairs filter — which is what
+# the oracle computes, over bit-identical md5-derived signatures.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, {sql_hash60("tok")} AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(SIMHASH_BITS))}
+        FROM th GROUP BY doc_id
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST({" + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+        FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("x2_simhash", _SIMHASH_ORACLE)
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-2: SimHash near-dup candidates. Banding on 4×16-bit chunks bounds
+    """X-2: SimHash near-dup candidates. Banding on 4×15-bit chunks bounds
     the self-join (a pair within Hamming distance 3 shares ≥1 exact chunk —
-    pigeonhole); verification = popcount(xor) ≤ 3."""
+    pigeonhole); verification = popcount(xor) ≤ 3. The oracle brute-forces
+    all pairs over the same signatures — banding must lose nothing."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     sh = simhash_table(docs)
+    chunk_mask = (1 << _SIMHASH_CHUNK) - 1
     chunks = sh.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), c * _SIMHASH_CHUNK).bitwiseAND(F.lit(chunk_mask))
                     for c in range(4)
                 ]
             )
