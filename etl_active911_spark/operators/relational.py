@@ -828,3 +828,259 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelated to a left-semi join, then a tiny
+    grouped count. The quarter filter prunes the orders scan; the semi
+    join's right side carries only (l_orderkey) for returned lines —
+    no lineitem payload ever shuffles. (No l_commitdate/receiptdate in
+    the slim fixture schema; l_returnflag='R' is the stand-in predicate.)
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: lost-revenue ranking of customers who returned items —
+    quarter + returnflag filters at the scans, nation broadcast, one
+    grouped shuffle keyed by customer, TakeOrderedAndProject top-20.
+    Ranking orders by the ROUNDED revenue (canonical policy 4) with
+    c_custkey as the unique tie-break."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13_order_histogram",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer join preserved through TWO aggregation levels —
+    per-customer order counts (left join keeps order-less customers at 0),
+    then the distribution of those counts. The second aggregate's input is
+    one row per customer, so the second shuffle is tiny. (The classic
+    comment-pattern exclusion becomes an o_orderpriority filter in the
+    slim schema — pushed into the JOIN CONDITION, not a WHERE, to keep
+    outer-join semantics.)"""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery (per-part average quantity)
+    decorrelated to a grouped aggregate joined back to the fact — the
+    classic two-pass plan Catalyst would also produce for the subquery.
+    The brand-filtered part dim broadcasts; the threshold comparison is
+    exact on both engines because integer-valued quantities sum exactly
+    in doubles (no rounding needed at the boundary)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part_avg = lineitem.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the hardest decorrelation in the suite — one EXISTS and
+    one NOT EXISTS against the same fact, both correlated on the join key
+    WITH an inequality on a second column. Each becomes a semi/anti join
+    whose right side is a 2-column projection of lineitem keyed by
+    l_orderkey — the heavy columns never reach either shuffle. (Adapted to
+    the slim schema: 'kept waiting' = sole returned-line supplier on a
+    finished multi-supplier order.)"""
+    supplier = read_table(spark, sf_dir, "supplier")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = lineitem.filter(F.col("l_returnflag") == "R")
+    other = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_returned = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+        )
+    )
+    return (
+        l1.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            other,
+            (F.col("o2_orderkey") == F.col("l_orderkey"))
+            & (F.col("o2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_returned,
+            (F.col("o3_orderkey") == F.col("l_orderkey"))
+            & (F.col("o3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    """
+    WITH ab AS (
+        SELECT ROUND(AVG(c_acctbal), 2) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey, ab
+    WHERE c_acctbal > ab.a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar aggregate threshold (global average) feeding a
+    filter + anti join. The one-row average broadcasts via crossJoin; the
+    threshold is the ROUNDED average (canonical policy 4) so an engine
+    last-bit difference in the float mean can't flip a boundary customer.
+    (Slim-schema adaptation: 'idle' = no urgent orders; nation stands in
+    for the phone country code.)"""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("a")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
