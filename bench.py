@@ -47,6 +47,11 @@ HEADLINE = [
     "x7_nearest_station",
     "x8_stratified_sample",
     "n13_apply_in_pandas",
+    # round-2 additions (BASELINE.md Part B: totals are not like-for-like
+    # across rounds — gate on the shared-subset sum)
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_suppliers",
+    "x2_simhash",
 ]
 
 

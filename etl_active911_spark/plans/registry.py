@@ -54,3 +54,4 @@ def load_all() -> None:
     import etl_active911_spark.pipeline.queries  # noqa: F401
     import etl_active911_spark.pipeline.control  # noqa: F401
     import etl_active911_spark.streaming.windows  # noqa: F401
+    import etl_active911_spark.streaming.joins  # noqa: F401

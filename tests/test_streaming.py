@@ -187,3 +187,61 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # batch 1 advanced the watermark to 11:30
     w9 = [r for r in finalized.collect() if r["window_start"].hour == 9]
     assert all(r["n_events"] == 0 for r in w9) or not w9
+
+
+def test_stream_stream_join_batch_parity(spark, tmp_path):
+    """N-14 stream-stream attribution join (watermarked, time-range-bounded
+    state) must reproduce the batch range join when micro-batches arrive in
+    time order."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.streaming.joins import (
+        _split_roles,
+        attribution_stream,
+        n14_stream_stream_join,
+    )
+
+    # watermarks need TIMESTAMP (not NTZ); the session is pinned UTC, so
+    # the cast preserves instants and batch/stream values stay comparable
+    events = (
+        read_table(spark, SF_ORACLE, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id", "event_type", "value")
+    )
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
+    tsmid = lo + (hi - lo) / 2
+    d = str(tmp_path / "ssj_src")
+    events.filter(F.col("ts") <= F.lit(tsmid)).coalesce(1).write.parquet(d + "/b1")
+    _time.sleep(1.1)  # file-stream orders by modification time
+    events.filter(F.col("ts") > F.lit(tsmid)).coalesce(1).write.parquet(d + "/b2")
+
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    clicks, purchases = _split_roles(src)
+    (
+        attribution_stream(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.table("ssj_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in n14_stream_stream_join(spark, SF_ORACLE).collect()
+    }
+    assert got == want and len(want) > 0
