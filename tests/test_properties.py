@@ -144,3 +144,37 @@ def test_partial_topk_equals_global_topk(spark, rows):
         for rnk, (_, row) in enumerate(g.iterrows(), start=1):
             want.add((q, int(row["vec_id"]), rnk))
     assert got == want
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_token_hash60_matches_python_and_duckdb(spark, texts):
+    """token_hash60 (Spark conv(md5)) must equal Python's md5-hex parse AND
+    DuckDB's sql_hash60 replica for arbitrary unicode — the foundation every
+    sketch-family oracle (MinHash/SimHash) rests on."""
+    import hashlib
+
+    import duckdb
+
+    from etl_active911_spark.operators.dedup import sql_hash60, token_hash60
+
+    df = spark.createDataFrame([(t,) for t in texts], "tok string")
+    got = {r["tok"]: r["h"] for r in df.select("tok", token_hash60(F.col("tok")).alias("h")).collect()}
+    want = {t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in texts}
+    assert got == want
+    con = duckdb.connect()
+    con.register("toks_tbl", __import__("pandas").DataFrame({"tok": texts}))
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(f"SELECT tok, {sql_hash60('tok')} AS h FROM toks_tbl").fetchall()
+    }
+    assert duck == want
