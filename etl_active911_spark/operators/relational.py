@@ -1084,3 +1084,74 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "n6_grouping_sets",
+    """
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    """,
+)
+def n6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-6 (explicit GROUPING SETS): arbitrary grouping combinations in one
+    pass — Spark expands to a single Expand + hash aggregate, not one scan
+    per set. grouping_id disambiguates the NULL-as-ALL rows exactly like
+    the rollup/cube queries (same Expand machinery, user-chosen sets)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["o_orderpriority"], []], "n_name", "o_orderpriority"
+        )
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("o_orderpriority"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("n_name", "o_orderpriority", "gid", "n_orders", "total")
+    )
+
+
+@query(
+    "n7_window_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS sum_close
+    FROM orders
+    """,
+)
+def n7_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-7 (RANGE frame): value-based window bounds — peers within $1000
+    below the current order's total, per customer. Unlike ROWS frames the
+    bound is a predicate on the ORDER BY value, so ties (peer rows) enter
+    the frame together on both engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_close"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_close"),
+    )

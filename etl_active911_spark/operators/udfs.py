@@ -98,3 +98,56 @@ def n13_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .applyInPandas(demean, "o_custkey long, o_orderkey long, price_dev double")
     )
+
+
+@query(
+    "n13_python_udtf",
+    """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey < 100
+    ),
+    i AS (
+        SELECT o_orderkey, cents, unnest(range(4)) AS inst FROM c
+    )
+    SELECT o_orderkey, CAST(inst AS INT) AS installment,
+           CAST(CASE WHEN inst < 3 THEN cents // 4
+                     ELSE cents - 3 * (cents // 4) END AS BIGINT) AS amount_cents
+    FROM i
+    """,
+)
+def n13_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-13 (UDTF surface): a Python user-defined TABLE function applied
+    via SQL LATERAL — each order fans out to 4 installment rows whose
+    integer-cent amounts sum exactly to the total (half-up cent rounding,
+    floor split, remainder on the last installment — all integer math so
+    the oracle replicates it bit-for-bit).
+
+    UDTFs complete the Python-function surface (scalar pandas_udf →
+    grouped agg → applyInPandas → mapInPandas → UDTF); ``eval`` runs
+    per input row, so on a 100 TB hot path prefer mapInPandas — this
+    registration exists for API parity and is filtered to a small key
+    range accordingly.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, installment int, amount_cents bigint")
+    class Installments:
+        def eval(self, o_orderkey: int, o_totalprice: float):
+            cents = int(o_totalprice * 100 + 0.5)
+            per = cents // 4
+            for i in range(4):
+                yield o_orderkey, i, per if i < 3 else cents - 3 * per
+
+    spark.udtf.register("installments_udtf", Installments)
+    read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100).select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("udtf_orders_in")
+    return spark.sql(
+        """
+        SELECT i.o_orderkey, i.installment, i.amount_cents
+        FROM udtf_orders_in o,
+             LATERAL installments_udtf(o.o_orderkey, o.o_totalprice) i
+        """
+    )
