@@ -548,3 +548,127 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# X-2d: benchmark decontamination + substring-level dedup (LLM pipeline)
+# ---------------------------------------------------------------------------
+
+EVAL_SOURCE = "src0"  # fixture stand-in for the held-out benchmark set
+
+
+@query(
+    "x2_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) >= 5
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                                      i -> array_to_string(t[i:i+4], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM toks
+    ),
+    train AS (SELECT doc_id, UNNEST(gs) AS g FROM sh WHERE source <> '{EVAL_SOURCE}'),
+    eval_g AS (SELECT DISTINCT UNNEST(gs) AS g, doc_id AS eval_doc
+               FROM sh WHERE source = '{EVAL_SOURCE}')
+    SELECT t.doc_id, CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_overlap_grams,
+           CAST(COUNT(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+    FROM train t JOIN eval_g e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (decontamination): flag training documents sharing any word
+    5-gram with the held-out benchmark split (the standard open-LM
+    eval-overlap rule). Posting-list equi-join keyed by the 5-gram — the
+    same scalable shape as x2_ngram_jaccard; the (small) benchmark side's
+    distinct grams broadcast at 100 TB, so the corpus is scanned once and
+    never self-joined. Returns each contaminated doc with its overlap
+    gram count and the number of benchmark docs hit."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", "source", shingles(F.col("text"), k=5).alias("gs"))
+    train = sh.filter(F.col("source") != EVAL_SOURCE).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    eval_g = (
+        sh.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g"))
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("bigint").alias("n_overlap_grams"),
+            F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs"),
+        )
+    )
+
+
+SPAN_LEN, SPAN_STRIDE = 40, 10
+
+
+@query(
+    "x2_substring_spans",
+    f"""
+    WITH d AS (
+        SELECT doc_id, TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, norm,
+               unnest(range(1, GREATEST(LENGTH(norm) - {SPAN_LEN - 1}, 1) + 1,
+                            {SPAN_STRIDE})) AS i
+        FROM d
+    ),
+    g AS (
+        SELECT doc_id, i, md5(substr(norm, CAST(i AS INT), {SPAN_LEN})) AS gh FROM pos
+    ),
+    df AS (
+        SELECT gh, COUNT(DISTINCT doc_id) AS ddf FROM g GROUP BY gh
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df.ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN df.ddf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM g JOIN df ON g.gh = df.gh
+    GROUP BY g.doc_id
+    """,
+)
+def x2_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (substring-level dedup, Lee et al. ExactSubstr flavor): detect
+    repeated {SPAN_LEN}-char spans ACROSS documents — catches boilerplate
+    and partial copies that whole-doc / shingle-set dedup misses. Strided
+    span starts bound the fan-out to len/{SPAN_STRIDE} rows per doc; spans
+    travel as md5 hashes (the text never shuffles), document frequency is
+    one hash-keyed aggregate, and the per-doc roll-up reuses the same
+    hash key. A true suffix-array pass is sequential by construction;
+    this strided-span formulation is the Spark-native equivalent with a
+    stride/length knob instead of an index build."""
+    k, s = SPAN_LEN, SPAN_STRIDE
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)), F.lit(s))
+        ).alias("i"),
+        norm.alias("norm"),
+    ).select("doc_id", F.md5(F.col("norm").substr(F.col("i"), F.lit(k))).alias("gh"))
+    span_df = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("ddf"))
+    dup = F.when(F.col("ddf") >= 2, 1).otherwise(0)
+    return (
+        g.join(span_df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+    )
