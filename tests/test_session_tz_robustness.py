@@ -20,6 +20,10 @@ TIME_SENSITIVE = [
     "n12_session_window",
     "n12_stateful_dedup",
     "x6_ts_znorm_stats",
+    "x6_ts_pattern_match",
+    "n14_stream_stream_join",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
     "o15_time_parse",
     "o13_response_extract",
     "a911_pipeline_flat",
