@@ -1155,3 +1155,29 @@ def n7_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_close"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_close"),
     )
+
+
+@query(
+    "n7_window_distribution",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def n7_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-7 (distribution functions): ntile/percent_rank/cume_dist over a
+    deterministic total order (unique o_orderkey tie-break, canonical
+    policy 4). One shuffle keyed by the partition column; the rank math is
+    pure per-partition streaming."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

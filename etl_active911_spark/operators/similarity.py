@@ -412,8 +412,15 @@ def _fit_ivf_centroids(emb: DataFrame, n_cells: int = IVF_N_CELLS):
     the ONLY embedding data ever collected."""
     import numpy as np
 
+    # orderBy before limit: an unordered limit picks whatever partitions
+    # respond first once the strided filter yields > 256 rows (sf ≥ 0.1),
+    # making centroids — and thus every IVF result — run-dependent
     sample = (
-        emb.filter(F.col("vec_id") % 7 == 0).limit(256).select("vec_id", "embedding").collect()
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id")
+        .limit(256)
+        .select("vec_id", "embedding")
+        .collect()
     )
     S = np.array([r["embedding"] for r in sample], dtype=np.float64)
     S = S / np.linalg.norm(S, axis=1, keepdims=True)

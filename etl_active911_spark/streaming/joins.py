@@ -82,3 +82,50 @@ def attribution_stream(clicks: DataFrame, purchases: DataFrame,
         clicks.withWatermark("click_ts", watermark),
         purchases.withWatermark("purchase_ts", watermark),
     )
+
+
+@query(
+    "n14_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           ROUND(e.value, 2) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def n14_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-14b batch body: dimension enrichment — purchases joined to the
+    (static) customer dim. In the streaming form the dim is the broadcast
+    build side of every micro-batch join; no state store is involved, so
+    this is the cheap join flavor (vs the stateful stream-stream join
+    above) and the one to prefer whenever one side is slowly-changing."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        events.join(
+            F.broadcast(customer), F.col("c_custkey") == F.col("user_id") + 1
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+def enrichment_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Streaming form of n14_stream_static_join: stream-static broadcast
+    join, stateless (the dim is re-broadcast per micro-batch, picking up
+    slowly-changing updates for free)."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("user_id") + 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            F.round("value", 2).alias("value"),
+        )
+    )

@@ -245,3 +245,47 @@ def test_stream_stream_join_batch_parity(spark, tmp_path):
         for r in n14_stream_stream_join(spark, SF_ORACLE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_join_batch_parity(spark, tmp_path):
+    """N-14b stream-static enrichment (stateless broadcast dim per
+    micro-batch) must reproduce the batch join."""
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.streaming.joins import (
+        enrichment_stream,
+        n14_stream_static_join,
+    )
+
+    events = read_table(spark, SF_ORACLE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    d = str(tmp_path / "ssj2_src")
+    events.coalesce(2).write.parquet(d)
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp_ntz, event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    customer = read_table(spark, SF_ORACLE, "customer").select("c_custkey", "c_mktsegment")
+    (
+        enrichment_stream(src, customer)
+        .writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["event_id"], r["user_id"], r["segment"], r["value"])
+        for r in spark.table("enrich_stream").collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["segment"], r["value"])
+        for r in n14_stream_static_join(spark, SF_ORACLE).collect()
+    }
+    assert got == want and len(want) > 0
