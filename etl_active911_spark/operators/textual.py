@@ -374,3 +374,128 @@ def x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4e: Gopher-style quality rules (repetition + composition filters)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+
+
+@query(
+    "x4_gopher_rules",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_word_len,
+               ROUND(CAST(SUM(CASE WHEN tok IN {_STOPWORDS} THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS stop_frac,
+               ROUND(CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS alpha_word_frac
+        FROM toks GROUP BY doc_id
+    ),
+    t2 AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS g,
+               len(t) - 1 AS n_bi
+        FROM t2 WHERE len(t) >= 2
+    ),
+    bc AS (
+        SELECT doc_id, g, n_bi, COUNT(*) AS c FROM bi GROUP BY doc_id, g, n_bi
+    ),
+    topbi AS (
+        SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / ANY_VALUE(n_bi), 6) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words, s.mean_word_len, s.stop_frac, s.alpha_word_frac,
+           COALESCE(tb.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (s.n_words BETWEEN 50 AND 100000
+            AND s.mean_word_len BETWEEN 3.0 AND 10.0
+            AND s.stop_frac >= 0.005
+            AND COALESCE(tb.top_bigram_frac, 0.0) <= 0.2) AS keep
+    FROM stats s LEFT JOIN topbi tb ON s.doc_id = tb.doc_id
+    """,
+)
+def x4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (Gopher-style quality rules, Rae et al. §A1.1 adapted to the
+    line-less fixture corpus): word-count bounds, mean word length,
+    stop-word presence, alphabetic-word fraction, and the repetition
+    signal (most-frequent-bigram mass). All flat codegen: one token
+    explode feeds the composition stats, one bigram explode feeds the
+    repetition stat; every ratio is rounded before thresholding
+    (canonical policy 4) so keep/drop decisions agree across engines.
+    At 100 TB both explodes shuffle (doc_id)-keyed small rows; the text
+    column never shuffles."""
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.round(F.sum(F.length("tok")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            F.sum(F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("stop_frac"),
+        F.round(
+            F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("alpha_word_frac"),
+    )
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    bi = (
+        docs.select("doc_id", t.alias("t"), n.alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            (F.col("n") - 1).alias("n_bi"),
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "n_bi",
+            F.concat_ws(
+                " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+            ).alias("g"),
+        )
+    )
+    bc = bi.groupBy("doc_id", "g", "n_bi").agg(F.count(F.lit(1)).alias("c"))
+    topbi = bc.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.first("n_bi"), 6).alias("top_bigram_frac")
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_frac") >= 0.005)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.2)
+    )
+    return (
+        stats.join(topbi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "stop_frac",
+            "alpha_word_frac",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+            keep.alias("keep"),
+        )
+    )
