@@ -131,3 +131,61 @@ def run_control_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_upsert_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """MERGE-style keyed upsert sink via foreachBatch: last-write-wins per
+    key across micro-batches, materialized as a hash-bucketed parquet table.
+
+    Each micro-batch rewrites ONLY the bucket directories its keys hash
+    into (read-modify-replace of affected buckets; untouched buckets keep
+    their files) — the partition-overwrite trick that stands in for a real
+    MERGE INTO on plain parquet. At 100 TB, n_buckets scales with key
+    cardinality so a rewrite touches data proportional to the batch, not
+    the table; swapping this sink for Delta/Iceberg MERGE changes nothing
+    upstream. Idempotent per (checkpoint, batch_id): replaying a batch
+    rewrites the same buckets to the same state.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+        )
+        touched = [r["__bucket"] for r in batch.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+        try:
+            existing = spark.read.parquet(out_dir).filter(
+                F.col("__bucket").isin(touched)
+            )
+            # last-write-wins: keys present in this batch replace old rows
+            keep = existing.join(
+                batch.select(F.col(key_col)).distinct(), key_col, "left_anti"
+            )
+            merged = keep.unionByName(batch)
+        except Exception:  # first batch: nothing materialized yet
+            merged = batch
+        merged = merged.localCheckpoint(eager=True)  # cut self-referencing lineage
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

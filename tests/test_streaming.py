@@ -289,3 +289,33 @@ def test_stream_static_join_batch_parity(spark, tmp_path):
         for r in n14_stream_static_join(spark, SF_ORACLE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_upsert_sink_last_write_wins(spark, tmp_path):
+    """MERGE-style foreachBatch sink: the same user_id arriving in later
+    micro-batches must REPLACE its earlier row (last-write-wins), while
+    untouched keys survive bucket rewrites."""
+    import time as _time
+
+    d = str(tmp_path / "upsert_src")
+    rows_schema = "user_id long, value double"
+    b1 = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], rows_schema)
+    b2 = spark.createDataFrame([(2, 20.0), (4, 4.0)], rows_schema)
+    b1.coalesce(1).write.parquet(d + "/f1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(d + "/f2")
+
+    src = (
+        spark.readStream.schema(rows_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    out = str(tmp_path / "upsert_out")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    jobs.run_upsert_to_parquet(src, out, ckpt, key_col="user_id")
+
+    got = {
+        r["user_id"]: r["value"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
