@@ -145,3 +145,83 @@ def x7_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__best.dist_km").alias("dist_km"),
         )
     )
+
+
+# grid cell edge in degrees: 0.001° ≈ 111 m of latitude / ≈ 85 m of
+# longitude at the fixture's 39–40°N — both ≥ the 20 m pair radius, so a
+# qualifying pair can never span more than one cell boundary per axis
+# (neighbor expansion is RECALL-EXACT, like SimHash's chunk pigeonhole)
+GRID_DEG = 0.001
+PAIR_RADIUS_KM = 0.02
+
+
+@query(
+    "x7_geo_bucket_join",
+    f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE}
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND({_haversine_sql('a.lat_d', 'a.lon_d', 'b.lat_d', 'b.lon_d')}, 3) AS dist_km
+    FROM resolved a JOIN resolved b ON a.id < b.id
+    WHERE ROUND({_haversine_sql('a.lat_d', 'a.lon_d', 'b.lat_d', 'b.lon_d')}, 3)
+          <= {PAIR_RADIUS_KM}
+    """,
+)
+def x7_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo: co-located alert pairs (≤ 20 m apart — duplicate-incident
+    detection) via GRID-BUCKETED self-join: each point keys to its
+    0.001° grid cell; the left side expands to the 9-cell neighborhood,
+    the right side stays in its own cell, and the equi-join on the cell
+    key enumerates ONLY near cells — never the all-pairs cross join the
+    oracle runs. Because the cell edge exceeds the pair radius on both
+    axes, the expansion is recall-exact, so the banded plan must equal
+    the brute-force oracle row-for-row (the same provable-pruning pattern
+    as SimHash chunk banding). At 100 TB the shuffle key is the 16-byte
+    cell id and each point replicates 9×/1× — independent of density;
+    hot cells (urban cores) are the AQE-skew/salting case, documented in
+    plans/skew.py."""
+    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    pts = resolved.select(
+        "id",
+        "lat_d",
+        "lon_d",
+        F.floor(F.col("lat_d") / GRID_DEG).cast("long").alias("cy"),
+        F.floor(F.col("lon_d") / GRID_DEG).cast("long").alias("cx"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat_d").alias("lat_a"),
+        F.col("lon_d").alias("lon_a"),
+        F.explode(offsets).alias("o"),
+        "cy",
+        "cx",
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat_d").alias("lat_b"),
+        F.col("lon_d").alias("lon_b"),
+        F.col("cy").alias("jy"),
+        F.col("cx").alias("jx"),
+    )
+    dist = F.round(
+        haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 3
+    )
+    return (
+        left.join(right, ["jy", "jx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= PAIR_RADIUS_KM)
+        .select("id_a", "id_b", "dist_km")
+    )
