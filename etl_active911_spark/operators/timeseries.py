@@ -149,3 +149,143 @@ def x6_ts_znorm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") - F.col("win_mean"), 6).alias("deviation"),
         )
     )
+
+
+@query(
+    "x6_ts_outliers",
+    """
+    WITH s AS (
+        SELECT user_id,
+               AVG(value) AS mu,
+               COUNT(*) AS n,
+               SUM(value * value) AS ssq
+        FROM events GROUP BY user_id
+    ),
+    z AS (
+        SELECT e.user_id, e.event_id, e.value,
+               ROUND((e.value - s.mu)
+                     / sqrt(s.ssq / s.n - s.mu * s.mu), 6) AS zscore
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE s.n >= 2 AND sqrt(s.ssq / s.n - s.mu * s.mu) > 1e-6
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value, zscore
+    FROM z WHERE ABS(zscore) >= 2.5
+    """,
+)
+def x6_ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6: per-entity outlier flagging — |z| ≥ 2.5 against the entity's
+    own mean/sd (population form, same one-pass sum/ssq shape as the
+    pattern matcher so the sd guard matches rule-of-thumb 1e-6 float
+    hygiene). One keyed aggregate + a broadcast-back join; the streaming
+    analogue is the Welford state in streaming/stateful.py. Thresholding
+    happens on the ROUNDED z (canonical policy 4)."""
+    events = read_table(spark, sf_dir, "events")
+    s = events.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value") * F.col("value")).alias("ssq"),
+    )
+    sd = F.sqrt(F.col("ssq") / F.col("n") - F.col("mu") * F.col("mu"))
+    return (
+        events.join(s, "user_id")
+        .filter((F.col("n") >= 2) & (sd > 1e-6))
+        .withColumn("zscore", F.round((F.col("value") - F.col("mu")) / sd, 6))
+        .filter(F.abs(F.col("zscore")) >= 2.5)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "zscore")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-6c: dynamic time warping against the reference pattern
+# ---------------------------------------------------------------------------
+
+
+def _dtw_oracle() -> str:
+    """Fully-unrolled 8×8 DTW dynamic program in SQL: one CTE per pattern
+    row, lateral column aliases carry the within-row recurrence. Addition
+    is the only rounding operation and is written in the same (cost +
+    min) order as the numpy DP, so cell values are bit-identical."""
+    p = [repr(x) for x in PATTERN]
+    # window columns v0..v7 (v0 = oldest) via LAG
+    vdefs = ", ".join(
+        f"LAG(value, {WINDOW - 1 - i}) OVER wo AS v{i}" if i < WINDOW - 1 else f"value AS v{i}"
+        for i in range(WINDOW)
+    )
+    stages = []
+    # row 0: D(i,0) = |v_i - p_0| cumulative down the window axis
+    row0 = [f"ABS(v0 - ({p[0]})) AS d0_0"]
+    for i in range(1, WINDOW):
+        row0.append(f"d{i - 1}_0 + ABS(v{i} - ({p[0]})) AS d{i}_0")
+    stages.append("r0 AS (SELECT *, " + ", ".join(row0) + " FROM cells)")
+    for j in range(1, WINDOW):
+        row = [f"d0_{j - 1} + ABS(v0 - ({p[j]})) AS d0_{j}"]
+        for i in range(1, WINDOW):
+            row.append(
+                f"ABS(v{i} - ({p[j]})) + LEAST(d{i - 1}_{j}, d{i}_{j - 1}, d{i - 1}_{j - 1}) "
+                f"AS d{i}_{j}"
+            )
+        stages.append(f"r{j} AS (SELECT *, " + ", ".join(row) + f" FROM r{j - 1})")
+    return f"""
+    WITH cells AS (
+        SELECT user_id, event_id, {vdefs},
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN {WINDOW - 1} PRECEDING AND CURRENT ROW) AS n
+        FROM events
+        WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    {", ".join(stages)}
+    SELECT user_id, event_id, ROUND(d{WINDOW - 1}_{WINDOW - 1}, 6) AS dtw
+    FROM r{WINDOW - 1} WHERE n = {WINDOW}
+    """
+
+
+@query("x6_ts_dtw", _dtw_oracle())
+def x6_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6: sliding-window dynamic time warping distance against PATTERN —
+    the alignment-tolerant similarity the Pearson matcher can't express
+    (it assumes index-aligned windows). Per-user Arrow batches run the DP
+    vectorized ACROSS windows (numpy sliding_window_view; 64 cell steps,
+    each an elementwise op over every window at once — no per-window
+    Python loop). min() is exact in floats and addition order matches the
+    SQL oracle's unrolled recurrence term-for-term, so the driver's hash
+    check holds bit-for-bit despite the Python/SQL split."""
+    import numpy as np
+    import pandas as pd
+
+    events = read_table(spark, sf_dir, "events")
+    pat = np.array(PATTERN)
+
+    def dtw_per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        if len(vals) < WINDOW:
+            return pd.DataFrame({"user_id": [], "event_id": [], "dtw": []}).astype(
+                {"user_id": "int64", "event_id": "int64", "dtw": "float64"}
+            )
+        Wn = np.lib.stride_tricks.sliding_window_view(vals, WINDOW)  # (nw, 8)
+        # DP over all windows at once; D[i] = column i of the current row
+        D = np.empty((WINDOW, len(Wn)))
+        D[0] = np.abs(Wn[:, 0] - pat[0])
+        for i in range(1, WINDOW):
+            D[i] = D[i - 1] + np.abs(Wn[:, i] - pat[0])
+        for j in range(1, WINDOW):
+            prev = D.copy()
+            D[0] = prev[0] + np.abs(Wn[:, 0] - pat[j])
+            for i in range(1, WINDOW):
+                # same term order as the SQL: cost + LEAST(up, left, diag)
+                D[i] = np.abs(Wn[:, i] - pat[j]) + np.minimum(
+                    prev[i], np.minimum(D[i - 1], prev[i - 1])
+                )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[WINDOW - 1 :].to_numpy(),
+                "event_id": pdf["event_id"].iloc[WINDOW - 1 :].to_numpy(),
+                "dtw": np.round(D[WINDOW - 1], 6),
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(dtw_per_user, "user_id long, event_id long, dtw double")
+    )
