@@ -590,14 +590,16 @@ def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct grams broadcast at 100 TB, so the corpus is scanned once and
     never self-joined. Returns each contaminated doc with its overlap
     gram count and the number of benchmark docs hit."""
+    # codegen shingle_rows, not the interpreted-lambda shingles() — this
+    # explode is corpus-sized (SCALE.md invariant 3; measured 6.0 s → 3.1 s
+    # at sf0.1). Multiset rows are fine: both aggregates count DISTINCT.
     docs = spread(read_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", "source", shingles(F.col("text"), k=5).alias("gs"))
-    train = sh.filter(F.col("source") != EVAL_SOURCE).select(
-        "doc_id", F.explode("gs").alias("g")
-    )
+    train = shingle_rows(
+        docs.filter(F.col("source") != EVAL_SOURCE), k=5
+    ).withColumnRenamed("shingle", "g")
     eval_g = (
-        sh.filter(F.col("source") == EVAL_SOURCE)
-        .select(F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g"))
+        shingle_rows(docs.filter(F.col("source") == EVAL_SOURCE), k=5)
+        .select(F.col("doc_id").alias("eval_doc"), F.col("shingle").alias("g"))
         .distinct()
     )
     return (

@@ -180,13 +180,16 @@ def x7_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot cells (urban cores) are the AQE-skew/salting case, documented in
     plans/skew.py."""
     resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    # persist: both join sides read pts — without it the whole synthetic
+    # fixture + coordinate-resolve subtree evaluates twice (measured
+    # 5.3 s → 2.6 s at sf0.1; same rationale as x2_minhash_lsh's cands)
     pts = resolved.select(
         "id",
         "lat_d",
         "lon_d",
         F.floor(F.col("lat_d") / GRID_DEG).cast("long").alias("cy"),
         F.floor(F.col("lon_d") / GRID_DEG).cast("long").alias("cx"),
-    )
+    ).persist()
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
