@@ -52,6 +52,8 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q21_waiting_suppliers",
     "x2_simhash",
+    "x2_decontaminate",
+    "x6_ts_dtw",
 ]
 
 
