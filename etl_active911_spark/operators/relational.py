@@ -1181,3 +1181,70 @@ def n7_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "n2_join_full_outer",
+    """
+    SELECT COALESCE(c.c_custkey, -1) AS cust_key,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.n_orders IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+    FULL OUTER JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def n2_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-2 (full outer): both sides preserved — the join flavor the
+    rest of the suite doesn't exercise. Deliberately mismatched filters
+    (mod-3 customers vs mod-2 order keys) so all three row classes
+    (both / customer_only / order_only) appear. Full outer cannot
+    broadcast — always a shuffle join keyed by the equi key, which is the
+    correct 100 TB plan too."""
+    customer = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("n_orders").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("cust_key"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            side.alias("side"),
+        )
+    )
+
+
+@query(
+    "n9_except_all",
+    """
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 30
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10
+    """,
+)
+def n9_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-9 (bag semantics): EXCEPT ALL keeps multiplicities — each
+    (flag, status) row survives (count_left − count_right) times, unlike
+    the set-semantics `n9_set_ops`. Spark plans this as a counted
+    hash aggregate + generate, one shuffle on the row value."""
+    li = read_table(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_quantity") < 30).select("l_returnflag", "l_linestatus")
+    right = li.filter(F.col("l_quantity") < 10).select("l_returnflag", "l_linestatus")
+    return left.exceptAll(right)

@@ -79,3 +79,47 @@ def x8_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise("holdout").alias("split"),
     )
+
+
+@query(
+    "x8_weighted_sample",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash
+        FROM documents
+    ),
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM h GROUP BY content_hash
+    )
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+    FROM keepers
+    WHERE {_bucket_sql("doc_id", 10000)} < LEAST(10000, n_copies * 2000)
+    """,
+)
+def x8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8: frequency-weighted sampling AFTER dedup — the keeper of a
+    duplicate cluster is kept with probability ∝ its original copy count
+    (min(1, 0.2·n_copies)), the standard way to preserve the corpus
+    distribution while storing each text once. Deterministic: the 'coin'
+    is the doc_id's md5 bucket out of 10 000, so the sample is a pure
+    function of the data (re-runs, the oracle, and backfills agree
+    row-for-row). Composes x1_exact_dedup; one extra scan-free filter."""
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.select(
+            "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        keepers.filter(
+            hash_bucket(F.col("doc_id"), 10000)
+            < F.least(F.lit(10000), F.col("n_copies") * 2000)
+        )
+        .select("doc_id", F.col("n_copies").cast("bigint").alias("n_copies"))
+    )

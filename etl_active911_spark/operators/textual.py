@@ -499,3 +499,125 @@ def x4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9b: the round-2 curation pipeline (Gopher gate → decontaminate → dedup)
+# ---------------------------------------------------------------------------
+
+
+def _curation_v2_oracle() -> str:
+    """Composed oracle: Gopher keep-rules + 5-gram benchmark overlap +
+    exact dedup, ending in per-language corpus stats."""
+    from etl_active911_spark.operators.dedup import EVAL_SOURCE
+
+    stop_in = "('the', 'a', 'of', 'to', 'and', 'in', 'is', 'on')"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_word_len,
+               ROUND(CAST(SUM(CASE WHEN tok IN {stop_in} THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS stop_frac
+        FROM toks GROUP BY doc_id
+    ),
+    t2 AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS g,
+               len(t) - 1 AS n_bi
+        FROM t2 WHERE len(t) >= 2
+    ),
+    bc AS (SELECT doc_id, g, n_bi, COUNT(*) AS c FROM bi GROUP BY doc_id, g, n_bi),
+    topbi AS (
+        SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / ANY_VALUE(n_bi), 6) AS tb
+        FROM bc GROUP BY doc_id
+    ),
+    gshingle AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 5
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                                      i -> array_to_string(t[i:i+4], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM t2
+    ),
+    contaminated AS (
+        SELECT DISTINCT tr.doc_id
+        FROM (SELECT s.doc_id, UNNEST(s.gs) AS g
+              FROM gshingle s JOIN documents d ON s.doc_id = d.doc_id
+              WHERE d.source <> '{EVAL_SOURCE}') tr
+        JOIN (SELECT DISTINCT UNNEST(s.gs) AS g
+              FROM gshingle s JOIN documents d ON s.doc_id = d.doc_id
+              WHERE d.source = '{EVAL_SOURCE}') ev
+          ON tr.g = ev.g
+    ),
+    kept AS (
+        SELECT d.doc_id, d.lang, st.n_words,
+               sha256({_NORM_SQL}) AS content_hash
+        FROM documents d
+        JOIN stats st ON st.doc_id = d.doc_id
+        LEFT JOIN topbi tb ON tb.doc_id = d.doc_id
+        WHERE d.source <> '{EVAL_SOURCE}'
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND st.n_words BETWEEN 50 AND 100000
+          AND st.mean_word_len BETWEEN 3.0 AND 10.0
+          AND st.stop_frac >= 0.005
+          AND COALESCE(tb.tb, 0.0) <= 0.2
+    ),
+    deduped AS (
+        SELECT content_hash, MIN(doc_id) AS keeper_id
+        FROM kept GROUP BY content_hash
+    )
+    SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.n_words) AS BIGINT) AS total_words
+    FROM kept k JOIN deduped dd ON k.doc_id = dd.keeper_id
+    GROUP BY k.lang
+    """
+
+
+@query("x9_curation_v2", _curation_v2_oracle())
+def x9_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9b: the ROUND-2 composed curation flow — Gopher-rule quality gate
+    (x4_gopher_rules), benchmark decontamination (x2_decontaminate), exact
+    dedup (x1 shape), then per-language corpus stats. Built by COMPOSING
+    the registered operators' DataFrames (each already plan-optimal), so
+    Catalyst fuses the shared document scan; the only shuffles are the
+    stat aggregates, the posting join, and the hash dedup — all keyed by
+    small derived values, same shape at 100 TB."""
+    from etl_active911_spark.operators.dedup import (
+        EVAL_SOURCE,
+        normalized_text,
+        x2_decontaminate,
+    )
+
+    gr = x4_gopher_rules(spark, sf_dir).select("doc_id", "keep", "n_words")
+    contaminated = x2_decontaminate(spark, sf_dir).select("doc_id")
+    docs = read_table(spark, sf_dir, "documents")
+    kept = (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .join(gr, "doc_id")
+        .filter(F.col("keep"))
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.sha2(normalized_text(F.col("text")), 256).alias("content_hash"),
+        )
+    )
+    keepers = kept.groupBy("content_hash").agg(F.min("doc_id").alias("keeper_id"))
+    return (
+        kept.join(keepers, kept["doc_id"] == keepers["keeper_id"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+    )
