@@ -264,3 +264,33 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-5: evenly-spaced frame sampling for the video rows (1→N fan-out
     inside the Arrow batch — no explode shuffle of blob bytes)."""
     return sample_frames(media_table(spark, sf_dir))
+
+
+@query(
+    "x5_meta_kv",
+    """
+    WITH kv AS (
+        SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+        UNION ALL
+        SELECT doc_id, 'n_chars', CAST(n_chars AS STRING) FROM documents
+    )
+    SELECT k, v, CAST(COUNT(*) AS BIGINT) AS n
+    FROM kv WHERE k = 'lang' OR CAST(v AS BIGINT) >= 300
+    GROUP BY k, v
+    """,
+)
+def x5_meta_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (typed-metadata surface): explode the media table's
+    ``map<string,string>`` meta column to key/value rows and aggregate —
+    exercises the MapType path (map_entries + inline explode) that no
+    other query touches. The oracle rebuilds the same kv rows relationally
+    from ``documents`` since the map itself is constructed in-flight."""
+    media = media_table(spark, sf_dir)
+    kv = media.select(
+        "doc_id", F.explode(F.map_entries("meta")).alias("e")
+    ).select("doc_id", F.col("e.key").alias("k"), F.col("e.value").alias("v"))
+    return (
+        kv.filter((F.col("k") == "lang") | (F.col("v").cast("bigint") >= 300))
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

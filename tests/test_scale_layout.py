@@ -177,3 +177,33 @@ def test_bucketed_join_eliminates_exchange(spark, warehouse):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_geo_bucket_join_has_no_cartesian(spark):
+    """x7_geo_bucket_join must candidate-generate via the grid-cell
+    equi-join — never a cartesian/nested-loop over all alert pairs."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    plan = (
+        registry.QUERIES["x7_geo_bucket_join"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """x2_decontaminate's posting join must broadcast the (small) benchmark
+    gram side — the corpus side must not shuffle on the gram."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    plan = (
+        registry.QUERIES["x2_decontaminate"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
