@@ -1248,3 +1248,33 @@ def n9_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = li.filter(F.col("l_quantity") < 30).select("l_returnflag", "l_linestatus")
     right = li.filter(F.col("l_quantity") < 10).select("l_returnflag", "l_linestatus")
     return left.exceptAll(right)
+
+
+# One SQL text, two engines: restricted to the shared Spark∩DuckDB dialect
+# (CLAUDE.md rule 5 — CAST AS STRING, CASE, %, no date formatting).
+_SHARED_SQL = """
+    WITH buckets AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_totalprice >= 200000 THEN 'large'
+                    WHEN o_totalprice >= 50000 THEN 'mid'
+                    ELSE 'small' END AS size_class,
+               CAST(o_orderkey % 2 AS STRING) AS parity
+        FROM orders
+    )
+    SELECT o_orderpriority, size_class, parity,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM buckets
+    GROUP BY o_orderpriority, size_class, parity
+    """
+
+
+@query("n15_sql_api", _SHARED_SQL)
+def n15_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-15 (SQL entry point): the registered query IS the oracle text —
+    one statement in the shared Spark∩DuckDB dialect, executed via
+    ``spark.sql`` over a temp view. Demonstrates the engine's second API
+    surface (ANSI SQL on Catalyst) with literally zero translation: any
+    dialect drift between the engines would fail this query's hash check.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_SQL)
