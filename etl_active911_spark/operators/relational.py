@@ -1278,3 +1278,59 @@ def n15_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SHARED_SQL)
+
+
+def _dup_closure_sql(edges_sql: str) -> str:
+    """Shared recursion over a (doc_a < doc_b) edge list: walk every node
+    downward to smaller ids (strictly decreasing → UNION ALL terminates),
+    take MIN reached as the cluster root. Same text runs on Spark 4's
+    native WITH RECURSIVE and on DuckDB."""
+    return f"""
+    WITH RECURSIVE edges AS ({edges_sql}),
+    nodes AS (
+        SELECT DISTINCT doc_a AS doc_id FROM edges
+        UNION
+        SELECT DISTINCT doc_b FROM edges
+    ),
+    walk(doc_id, reach) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION ALL
+        SELECT w.doc_id, e.doc_a
+        FROM walk w JOIN edges e ON w.reach = e.doc_b
+    )
+    SELECT doc_id, MIN(reach) AS cluster_root
+    FROM walk GROUP BY doc_id
+    """
+
+
+@query(
+    "n16_recursive_cte",
+    None,  # oracle injected below — needs the x2 edge SQL
+)
+def n16_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-16: Spark 4's native ``WITH RECURSIVE`` (SPARK-24497) — transitive
+    closure over the exact near-dup edge graph, assigning each document
+    the smallest doc_id it can reach (its duplicate-cluster root). The
+    edge list comes from the registered ``x2_ngram_jaccard`` DataFrame via
+    a temp view, so the recursion composes with the operator library; the
+    walk only ever steps to strictly smaller ids, so UNION ALL terminates
+    in ≤ chain-length iterations without fixpoint dedup. Contrast with
+    ``x2_dup_clusters``: that is the hand-built distributed
+    label-propagation loop; this is the declarative engine feature."""
+    from etl_active911_spark.operators.dedup import x2_ngram_jaccard
+
+    x2_ngram_jaccard(spark, sf_dir).createOrReplaceTempView("n16_dup_edges")
+    return spark.sql(
+        _dup_closure_sql("SELECT doc_a, doc_b FROM n16_dup_edges")
+    )
+
+
+# oracle: the SAME recursion text over DuckDB's replica of the edge query.
+# Importing dedup here (relational loads first in load_all) makes its
+# x2_ngram_jaccard oracle available; the later load_all import is a no-op.
+import etl_active911_spark.operators.dedup  # noqa: E402, F401
+from etl_active911_spark.plans import registry as _registry  # noqa: E402
+
+_registry.ORACLES["n16_recursive_cte"] = _dup_closure_sql(
+    f"SELECT doc_a, doc_b FROM ({_registry.ORACLES['x2_ngram_jaccard']}) je"
+)

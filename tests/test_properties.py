@@ -178,3 +178,77 @@ def test_token_hash60_matches_python_and_duckdb(spark, texts):
         for r in con.execute(f"SELECT tok, {sql_hash60('tok')} AS h FROM toks_tbl").fetchall()
     }
     assert duck == want
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(39.0, 40.0, allow_nan=False, width=32),
+            st.floats(-105.0, -104.0, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_grid_bucket_join_is_recall_exact(spark, pts):
+    """The 9-cell grid expansion must find EVERY pair within the radius —
+    for arbitrary points, bucketed pairs == brute-force pairs (the
+    pigeonhole claim x7_geo_bucket_join's oracle rests on)."""
+    import math
+
+    from etl_active911_spark.operators.geo import (
+        GRID_DEG,
+        PAIR_RADIUS_KM,
+        EARTH_RADIUS_KM,
+        haversine_km,
+    )
+
+    rows = [(i, float(la), float(lo)) for i, (la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, lat_d double, lon_d double")
+    p = df.select(
+        "id", "lat_d", "lon_d",
+        F.floor(F.col("lat_d") / GRID_DEG).cast("long").alias("cy"),
+        F.floor(F.col("lon_d") / GRID_DEG).cast("long").alias("cx"),
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])
+    left = p.select(
+        F.col("id").alias("id_a"), F.col("lat_d").alias("la"), F.col("lon_d").alias("lo"),
+        F.explode(offs).alias("o"), "cy", "cx",
+    ).select(
+        "id_a", "la", "lo",
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+    )
+    right = p.select(
+        F.col("id").alias("id_b"), F.col("lat_d").alias("lb"), F.col("lon_d").alias("lb2"),
+        F.col("cy").alias("jy"), F.col("cx").alias("jx"),
+    )
+    d = F.round(haversine_km(F.col("la"), F.col("lo"), F.col("lb"), F.col("lb2")), 3)
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in left.join(right, ["jy", "jx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d <= PAIR_RADIUS_KM)
+        .select("id_a", "id_b")
+        .collect()
+    }
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        dphi, dlmb = math.radians(la2 - la1), math.radians(lo2 - lo1)
+        h = (math.sin(dphi / 2) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dlmb / 2) ** 2)
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(h))
+
+    brute = {
+        (i, j)
+        for i in range(len(rows)) for j in range(i + 1, len(rows))
+        if round(hav((rows[i][1], rows[i][2]), (rows[j][1], rows[j][2])), 3)
+        <= PAIR_RADIUS_KM
+    }
+    assert bucketed == brute
