@@ -319,3 +319,27 @@ def test_upsert_sink_last_write_wins(spark, tmp_path):
         r["user_id"]: r["value"] for r in spark.read.parquet(out).collect()
     }
     assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+
+
+def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same source through a FRESH checkpoint must converge
+    to the same materialized table (the docstring's idempotency claim)."""
+    d = str(tmp_path / "idem_src")
+    rows_schema = "user_id long, value double"
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (2, 20.0)], rows_schema
+    ).coalesce(2).write.parquet(d)
+
+    def run(tag):
+        src = spark.readStream.schema(rows_schema).parquet(d)
+        out = str(tmp_path / f"idem_out_{tag}")
+        jobs.run_upsert_to_parquet(
+            src, out, str(tmp_path / f"idem_ckpt_{tag}"), key_col="user_id"
+        )
+        return {
+            (r["user_id"], r["value"]) for r in spark.read.parquet(out).collect()
+        }
+
+    first, second = run("a"), run("b")
+    assert first == second
+    assert {u for u, _ in first} == {1, 2, 3}
