@@ -621,3 +621,48 @@ def x9_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("total_words"),
         )
     )
+
+
+@query(
+    "x4_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT SUM(c) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(v.c / tot.n)), 6) AS avg_neg_logprob
+    FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (perplexity proxy): average negative log-probability of each
+    document under the CORPUS'S OWN unigram distribution — the cheap
+    self-supervised stand-in for CCNet-style LM quality scoring (docs of
+    rare/garbled tokens score high, formulaic boilerplate scores low). Two
+    shuffles: the vocab count (keyed by token) and the per-doc roll-up;
+    the vocab rejoin broadcasts below the threshold and SMJs above it —
+    both fine at 100 TB since the key is the token. ln() differs in the
+    last ulp across libm builds; AVG + ROUND(6) absorbs it."""
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("avg_neg_logprob"),
+        )
+    )
