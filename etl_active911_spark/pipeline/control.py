@@ -34,19 +34,41 @@ def _wire_fixture_dir(spark: SparkSession, sf_dir: str, n_agencies: int = 3) -> 
     for f in os.listdir(d):
         if f.startswith("agency_"):
             os.unlink(os.path.join(d, f))
-    alerts = synthetic_alerts(spark, sf_dir)
-    rows = alerts.filter((F.col("id").cast("long") % 500) < n_agencies).collect()
-    by_agency: dict[int, list[dict]] = {i: [] for i in range(n_agencies)}
-    for r in rows:
-        by_agency[int(r["id"]) % 500].append(r.asDict())
-    for agency, payload in by_agency.items():
-        payload.sort(key=lambda x: int(x["id"]))
-        # write-then-rename so a reader in this process never sees a
-        # half-written payload
+    # Pre-create an empty payload per agency so agencies with zero alerts
+    # still expose a wire file (the source globs agency_*.jsonp).
+    for agency in range(n_agencies):
         tmp = os.path.join(d, f".tmp_agency_{agency}.jsonp")
         with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(encode_wire_payload(payload))
+            fh.write(encode_wire_payload([]))
         os.replace(tmp, os.path.join(d, f"agency_{agency}.jsonp"))
+    # The per-agency payloads are written by EXECUTOR tasks, not collected
+    # to the driver (ADVICE r02: the collect scaled linearly with sf and
+    # could OOM the driver mid-sweep at a future sf bump). Hash-partition
+    # by agency id so each agency lands wholly in one task; the task
+    # writes one file per agency it holds, write-then-rename so a reader
+    # in this process never sees a half-written payload. Local-mode note:
+    # tasks share the driver's filesystem; on a real cluster this job
+    # would target shared storage, same layout.
+    alerts = synthetic_alerts(spark, sf_dir)
+    sub = (
+        alerts.filter((F.col("id").cast("long") % 500) < n_agencies)
+        .withColumn("_agency", (F.col("id").cast("long") % 500).cast("int"))
+        .repartition(n_agencies, "_agency")
+    )
+
+    def _write_partition(rows) -> None:
+        by_agency: dict[int, list[dict]] = {}
+        for r in rows:
+            rec = r.asDict()
+            by_agency.setdefault(int(rec.pop("_agency")), []).append(rec)
+        for agency, payload in by_agency.items():
+            payload.sort(key=lambda x: int(x["id"]))
+            tmp = os.path.join(d, f".tmp_agency_{agency}.jsonp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(encode_wire_payload(payload))
+            os.replace(tmp, os.path.join(d, f"agency_{agency}.jsonp"))
+
+    sub.foreachPartition(_write_partition)
     return d
 
 
