@@ -416,10 +416,13 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
     the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    # persist: the (tiny) pair list feeds BOTH the semi-join below and the
-    # verification join — without it the whole signature+band subtree
-    # evaluates twice (measured +50%)
-    cands = lsh_candidate_pairs(docs).persist()
+    # localCheckpoint (NOT persist): the (tiny) pair list feeds BOTH the
+    # semi-join below and the verification join — without materialization
+    # the whole signature+band subtree evaluates twice (measured +50%).
+    # Eager local checkpoint blocks are GC-reclaimed with this DataFrame,
+    # unlike a persist() CacheManager entry that outlives the query and
+    # accumulates across the parity sweep (ADVICE r02).
+    cands = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
     # exact verification touches only docs that appear in a candidate pair
     # (semi-join first — shingle arrays for the other 99.9% of the corpus
     # are never materialized; at 100 TB candidates ≪ corpus by design)

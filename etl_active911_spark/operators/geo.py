@@ -180,16 +180,21 @@ def x7_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot cells (urban cores) are the AQE-skew/salting case, documented in
     plans/skew.py."""
     resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
-    # persist: both join sides read pts — without it the whole synthetic
-    # fixture + coordinate-resolve subtree evaluates twice (measured
-    # 5.3 s → 2.6 s at sf0.1; same rationale as x2_minhash_lsh's cands)
+    # localCheckpoint (NOT persist): both join sides read pts — without
+    # materialization the whole synthetic fixture + coordinate-resolve
+    # subtree evaluates twice (measured 5.3 s → 2.6 s at sf0.1). An eager
+    # local checkpoint gives the same single-computation reuse, but its
+    # blocks are freed by the ContextCleaner when this DataFrame is
+    # garbage-collected — a plain persist() pins a CacheManager entry for
+    # the life of the session, accumulating across the ~100-query parity
+    # sweep (ADVICE r02).
     pts = resolved.select(
         "id",
         "lat_d",
         "lon_d",
         F.floor(F.col("lat_d") / GRID_DEG).cast("long").alias("cy"),
         F.floor(F.col("lon_d") / GRID_DEG).cast("long").alias("cx"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))

@@ -1283,8 +1283,14 @@ def n15_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_closure_sql(edges_sql: str) -> str:
     """Shared recursion over a (doc_a < doc_b) edge list: walk every node
     downward to smaller ids (strictly decreasing → UNION ALL terminates),
-    take MIN reached as the cluster root. Same text runs on Spark 4's
-    native WITH RECURSIVE and on DuckDB."""
+    take MIN reached. The result is the MINIMUM ID REACHABLE VIA STRICTLY
+    DECREASING PATHS — not, in general, the connected-component root: for
+    edges (1,3),(2,3) node 2 has no decreasing path to 1, so it keeps
+    root 2 while 1 and 3 get root 1 (ADVICE r02). Spark 4.1 only allows
+    UNION ALL in recursive CTEs (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+    so an exact symmetric-closure fixpoint is not expressible here; use
+    ``x2_dup_clusters`` (clustering.py) for true cluster assignment. Same
+    text runs on Spark 4's native WITH RECURSIVE and on DuckDB."""
     return f"""
     WITH RECURSIVE edges AS ({edges_sql}),
     nodes AS (
@@ -1308,15 +1314,17 @@ def _dup_closure_sql(edges_sql: str) -> str:
     None,  # oracle injected below — needs the x2 edge SQL
 )
 def n16_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-16: Spark 4's native ``WITH RECURSIVE`` (SPARK-24497) — transitive
-    closure over the exact near-dup edge graph, assigning each document
-    the smallest doc_id it can reach (its duplicate-cluster root). The
-    edge list comes from the registered ``x2_ngram_jaccard`` DataFrame via
-    a temp view, so the recursion composes with the operator library; the
-    walk only ever steps to strictly smaller ids, so UNION ALL terminates
-    in ≤ chain-length iterations without fixpoint dedup. Contrast with
-    ``x2_dup_clusters``: that is the hand-built distributed
-    label-propagation loop; this is the declarative engine feature."""
+    """N-16: Spark 4's native ``WITH RECURSIVE`` (SPARK-24497) — a
+    decreasing-path walk over the near-dup edge graph, assigning each
+    document the smallest doc_id reachable via strictly decreasing hops
+    (NOT the connected-component root — see ``_dup_closure_sql``; use
+    ``x2_dup_clusters`` for cluster assignment). The edge list comes from
+    the registered ``x2_ngram_jaccard`` DataFrame via a temp view, so the
+    recursion composes with the operator library; the walk only ever steps
+    to strictly smaller ids, so UNION ALL terminates in ≤ chain-length
+    iterations without fixpoint dedup. Contrast with ``x2_dup_clusters``:
+    that is the hand-built distributed label-propagation loop (a true
+    fixpoint); this demonstrates the declarative engine feature."""
     from etl_active911_spark.operators.dedup import x2_ngram_jaccard
 
     x2_ngram_jaccard(spark, sf_dir).createOrReplaceTempView("n16_dup_edges")

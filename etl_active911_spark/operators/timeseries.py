@@ -58,7 +58,7 @@ _PATTERN_ORACLE = f"""
         FROM w
     )
     SELECT user_id, event_id, ROUND(corr, 6) AS corr
-    FROM c WHERE n = {WINDOW} AND ABS(corr) >= 0.6
+    FROM c WHERE n = {WINDOW} AND ABS(ROUND(corr, 6)) >= 0.6
     """
 
 
@@ -99,11 +99,14 @@ def pattern_match_batch(events: DataFrame) -> DataFrame:
         term = F.lag("value", lag).over(wo) * F.lit(PATTERN[WINDOW - 1 - lag])
         dotp = term if dotp is None else dotp + term
     r = dotp / (F.lit(WINDOW) * sd * F.lit(_PAT_SD))
+    # threshold on the ROUNDED corr (canonical policy 4 — plans/canonical.py):
+    # mean/ssq differ in the last bit across engines, so a raw-corr cutoff
+    # within 1 ulp of 0.6 could flip row membership between Spark and DuckDB
     return (
         base.withColumn("__n", n)
-        .withColumn("corr", F.when(sd > 0, r))
+        .withColumn("corr", F.round(F.when(sd > 0, r), 6))
         .filter((F.col("__n") == WINDOW) & (F.abs(F.col("corr")) >= 0.6))
-        .select("user_id", "event_id", F.round("corr", 6).alias("corr"))
+        .select("user_id", "event_id", "corr")
     )
 
 

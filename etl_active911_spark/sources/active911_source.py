@@ -119,14 +119,22 @@ class Active911Reader(DataSourceReader):
             )
         if self.transport_kind == "http" and not (self.username and self.password):
             raise ValueError("transport=http requires username and password options")
-        if "from_date" in options or "to_date" in options or self.transport_kind != "http":
-            self.from_ms = int(options.get("from_date", 0))
-            self.to_ms = int(options.get("to_date", 1 << 62))
-        else:
-            # reference default: overlapping 6-hour pull window ending now
+        if self.transport_kind == "http":
+            # reference default: overlapping 6-hour pull window ending now.
+            # Each missing bound defaults INDIVIDUALLY (ADVICE r02: a lone
+            # from_date previously paired with the 1<<62 batch sentinel —
+            # a live-API window ending in year ~146M).
             from etl_active911_spark.sources.http_transport import default_window_ms
 
-            self.from_ms, self.to_ms = default_window_ms()
+            dflt_from, dflt_to = default_window_ms()
+            self.from_ms = (
+                int(options["from_date"]) if "from_date" in options else dflt_from
+            )
+            self.to_ms = int(options["to_date"]) if "to_date" in options else dflt_to
+        else:
+            # batch/fixture sentinels: the full range unless explicitly bounded
+            self.from_ms = int(options.get("from_date", 0))
+            self.to_ms = int(options.get("to_date", 1 << 62))
         self.requested = (
             [int(a) for a in str(options["agencies"]).split(",") if a]
             if "agencies" in options

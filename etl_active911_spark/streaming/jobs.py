@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -172,7 +173,16 @@ def run_upsert_to_parquet(
                 batch.select(F.col(key_col)).distinct(), key_col, "left_anti"
             )
             merged = keep.unionByName(batch)
-        except Exception:  # first batch: nothing materialized yet
+        except AnalysisException as e:
+            # ONLY path-not-found means "first batch: nothing materialized
+            # yet". Any other read failure (transient FS error, corrupt
+            # footer, permissions) must abort the batch — treating it as
+            # first-batch would dynamic-overwrite the touched buckets with
+            # batch-only rows and silently drop stored keys (ADVICE r02).
+            if "PATH_NOT_FOUND" not in str(e.getErrorClass() or "") and not isinstance(
+                getattr(e, "cause", None), FileNotFoundError
+            ):
+                raise
             merged = batch
         merged = merged.localCheckpoint(eager=True)  # cut self-referencing lineage
         (

@@ -58,8 +58,10 @@ def _match_patterns(
                 tail_vals.pop(0)
                 tail_eids.pop(0)
             if len(tail_vals) == WINDOW:
+                # threshold on the rounded value, matching the batch body's
+                # F.round(...) filter (canonical policy 4) bit-for-bit
                 r = _corr(tail_vals)
-                if r is not None and abs(r) >= 0.6:
+                if r is not None and abs(round(r, 6)) >= 0.6:
                     out_eids.append(tail_eids[-1])
                     out_corrs.append(round(r, 6))
     state.update((tail_vals[-(WINDOW - 1):], tail_eids[-(WINDOW - 1):]))
