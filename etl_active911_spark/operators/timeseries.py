@@ -242,25 +242,44 @@ def _dtw_oracle() -> str:
     """
 
 
-@query("x6_ts_dtw", _dtw_oracle())
-def x6_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-6: sliding-window dynamic time warping distance against PATTERN —
-    the alignment-tolerant similarity the Pearson matcher can't express
-    (it assumes index-aligned windows). Per-user Arrow batches run the DP
-    vectorized ACROSS windows (numpy sliding_window_view; 64 cell steps,
-    each an elementwise op over every window at once — no per-window
-    Python loop). min() is exact in floats and addition order matches the
-    SQL oracle's unrolled recurrence term-for-term, so the driver's hash
-    check holds bit-for-bit despite the Python/SQL split."""
+# max home rows per DTW task: one pandas group holds ≤ DTW_CHUNK + WINDOW - 1
+# rows no matter how long a user's series grows (VERDICT r02 "What's wrong #3":
+# grouping by bare user_id pulled years of one user's events into a single
+# task — unbounded memory + skew magnet at 100×)
+DTW_CHUNK = 4096
+
+
+def dtw_batch(events: DataFrame, chunk: int = DTW_CHUNK) -> DataFrame:
+    """Chunked DTW body: rows get a per-user sequence number, each task
+    processes one (user_id, floor(seq/chunk)) slice, and the last
+    WINDOW-1 rows of every slice are DUPLICATED into the next slice so
+    each sliding window is computable locally. A window is emitted only by
+    the chunk that owns its END row, so the overlap introduces no
+    duplicate output rows and the union over chunks is exactly the
+    per-user result. Window values are independent of which other windows
+    share the numpy batch (the DP vectorization is elementwise across
+    windows), so chunking cannot perturb a single bit of the output."""
     import numpy as np
     import pandas as pd
 
-    events = read_table(spark, sf_dir, "events")
+    if chunk < WINDOW:
+        raise ValueError(f"chunk ({chunk}) must be >= WINDOW ({WINDOW}): "
+                         "a window may never span more than two chunks")
     pat = np.array(PATTERN)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.select("user_id", "ts", "event_id", "value").withColumn(
+        "seq", F.row_number().over(wo) - 1
+    )
+    home = F.floor(F.col("seq") / chunk)
+    feeds = F.when(
+        F.col("seq") % chunk >= chunk - (WINDOW - 1), F.array(home, home + 1)
+    ).otherwise(F.array(home))
 
-    def dtw_per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    def dtw_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        c = int(pdf["chunk"].iloc[0])
         vals = pdf["value"].to_numpy(dtype=np.float64)
+        seqs = pdf["seq"].to_numpy()
         if len(vals) < WINDOW:
             return pd.DataFrame({"user_id": [], "event_id": [], "dtw": []}).astype(
                 {"user_id": "int64", "event_id": "int64", "dtw": "float64"}
@@ -279,16 +298,36 @@ def x6_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 D[i] = np.abs(Wn[:, i] - pat[j]) + np.minimum(
                     prev[i], np.minimum(D[i - 1], prev[i - 1])
                 )
+        # emit only windows whose END row is a home row of this chunk
+        # (overlap-fed windows belong to — and are emitted by — this chunk;
+        # the copied rows' own windows end in the NEXT chunk's home range)
+        ends = seqs[WINDOW - 1 :]
+        own = ends // chunk == c
         return pd.DataFrame(
             {
-                "user_id": pdf["user_id"].iloc[WINDOW - 1 :].to_numpy(),
-                "event_id": pdf["event_id"].iloc[WINDOW - 1 :].to_numpy(),
-                "dtw": np.round(D[WINDOW - 1], 6),
+                "user_id": pdf["user_id"].iloc[WINDOW - 1 :].to_numpy()[own],
+                "event_id": pdf["event_id"].iloc[WINDOW - 1 :].to_numpy()[own],
+                "dtw": np.round(D[WINDOW - 1], 6)[own],
             }
         )
 
     return (
-        events.select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(dtw_per_user, "user_id long, event_id long, dtw double")
+        base.withColumn("chunk", F.explode(feeds))
+        .groupBy("user_id", "chunk")
+        .applyInPandas(dtw_chunk, "user_id long, event_id long, dtw double")
     )
+
+
+@query("x6_ts_dtw", _dtw_oracle())
+def x6_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6: sliding-window dynamic time warping distance against PATTERN —
+    the alignment-tolerant similarity the Pearson matcher can't express
+    (it assumes index-aligned windows). Arrow batches run the DP
+    vectorized ACROSS windows (numpy sliding_window_view; 64 cell steps,
+    each an elementwise op over every window at once — no per-window
+    Python loop). min() is exact in floats and addition order matches the
+    SQL oracle's unrolled recurrence term-for-term, so the driver's hash
+    check holds bit-for-bit despite the Python/SQL split. Grouping is by
+    (user_id, seq-chunk) with WINDOW-1 overlap — see ``dtw_batch`` — so a
+    task's memory is bounded by DTW_CHUNK regardless of series length."""
+    return dtw_batch(read_table(spark, sf_dir, "events"))
