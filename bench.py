@@ -59,11 +59,19 @@ HEADLINE = [
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+#: The frozen round-1 anchor set (BASELINE.md Part B: the 2x gate applies
+#: to this shared subset only). Medians over 5 runs instead of 3: r2's
+#: flagship read 1.89x of its anchor purely under ambient load (VERDICT r02
+#: next-step #3), so gate queries get the tighter protocol.
+ANCHOR_17 = set(HEADLINE[:17])
+N_RUNS_ANCHOR = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_ANCHOR", "5"))
+
 
 def time_query(spark, name: str) -> float:
-    """Median of N_RUNS timed executions (BASELINE.md Part B protocol)."""
+    """Median of timed executions (BASELINE.md Part B protocol): 5 runs for
+    the frozen 17-query anchor subset, N_RUNS for later additions."""
     times = []
-    for _ in range(N_RUNS):
+    for _ in range(N_RUNS_ANCHOR if name in ANCHOR_17 else N_RUNS):
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, SF_DIR).count()
         times.append(time.perf_counter() - t0)

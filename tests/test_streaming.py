@@ -343,3 +343,85 @@ def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
     first, second = run("a"), run("b")
     assert first == second
     assert {u for u, _ in first} == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# Registered-body parity (VERDICT r02 next-step #6): every N-11..N-14 query
+# in the driver registry gets one end-to-end Trigger.AvailableNow run that
+# must equal the REGISTERED batch body on the same fixture. (The n14 joins
+# are covered above; these complete the set.) Timestamp columns compare as
+# session-rendered strings so TIMESTAMP (stream, UTC session) and
+# TIMESTAMP_NTZ (registered body) rows align regardless of driver-local tz.
+# ---------------------------------------------------------------------------
+
+
+def _canon_str(df, ts_col):
+    return sorted(
+        tuple(r) for r in df.withColumn(ts_col, F.col(ts_col).cast("string")).collect()
+    )
+
+
+def test_tumbling_stream_matches_registered_body(spark, events_dir):
+    from etl_active911_spark.streaming.windows import n11_tumbling_window
+
+    stream = jobs.windowed_counts_stream(jobs.read_events_stream(spark, events_dir))
+    jobs.run_complete_to_memory(stream, "tumbling_reg_parity")
+    got = _canon_str(spark.table("tumbling_reg_parity"), "window_start")
+    want = _canon_str(n11_tumbling_window(spark, SF_ORACLE), "window_start")
+    assert got == want and len(want) > 0
+
+
+def test_sliding_stream_matches_registered_body(spark, events_dir):
+    from etl_active911_spark.streaming.windows import n11_sliding_window, sliding_counts
+
+    stream = sliding_counts(
+        jobs.read_events_stream(spark, events_dir).withWatermark("ts", "30 minutes")
+    )
+    jobs.run_complete_to_memory(stream, "sliding_reg_parity")
+    got = _canon_str(spark.table("sliding_reg_parity"), "window_start")
+    want = _canon_str(n11_sliding_window(spark, SF_ORACLE), "window_start")
+    assert got == want and len(want) > 0
+
+
+def test_session_stream_matches_registered_body(spark, events_dir):
+    from etl_active911_spark.streaming.windows import n12_session_window, session_counts
+
+    stream = session_counts(
+        jobs.read_events_stream(spark, events_dir).withWatermark("ts", "1 hour")
+    )
+    jobs.run_complete_to_memory(stream, "session_reg_parity")
+    got = _canon_str(spark.table("session_reg_parity"), "session_start")
+    want = _canon_str(n12_session_window(spark, SF_ORACLE), "session_start")
+    assert got == want and len(want) > 0
+
+
+def test_stateful_dedup_stream_matches_registered_body(spark, events_dir):
+    """Streaming form of n12_stateful_dedup: dropDuplicatesWithinWatermark
+    on (user_id, event_type, hour-bucket) emits one row per key, so the
+    per-(user, type) counts must equal the registered batch body's row_number
+    dedup — regardless of WHICH row within a bucket survives."""
+    from etl_active911_spark.streaming.windows import n12_stateful_dedup
+
+    deduped = (
+        jobs.read_events_stream(spark, events_dir)
+        .withWatermark("ts", "2 hours")
+        .withColumn("bucket", F.window("ts", "1 hour")["start"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "bucket"])
+    )
+    (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_reg_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.table("dedup_reg_parity")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()
+    )
+    want = sorted(tuple(r) for r in n12_stateful_dedup(spark, SF_ORACLE).collect())
+    assert got == want and len(want) > 0
