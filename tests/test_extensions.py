@@ -56,7 +56,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         for r in registry.QUERIES["x3_ann_lsh"](spark, SF_SMOKE).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"ANN recall {recall:.2f}"
+    assert recall >= 0.6, f"ANN recall {recall:.2f}"  # deterministic; measured 0.72 @sf0.001, 0.63 @sf0.01
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
@@ -71,7 +71,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         for r in registry.QUERIES["x3_ann_ivf"](spark, SF_SMOKE).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"  # deterministic; measured 0.61 @sf0.001, 0.56 @sf0.01
 
 
 def test_pandas_matmul_matches_sql_topk(spark):
@@ -174,7 +174,7 @@ def test_ann_pq_recall_vs_bruteforce(spark):
         for r in registry.QUERIES["x3_ann_pq"](spark, SF_SMOKE).collect()
     }
     recall = len(exact & pq) / len(exact)
-    assert recall >= 0.4, f"PQ recall collapsed: {recall:.2f}"  # measured 0.58
+    assert recall >= 0.5, f"PQ recall collapsed: {recall:.2f}"  # deterministic; measured 0.58 at both sf0.001 and sf0.01
 
 
 def test_pq_codes_are_compact_and_deterministic(spark):
@@ -192,3 +192,50 @@ def test_pq_codes_are_compact_and_deterministic(spark):
     b = {r["vec_id"]: tuple(r["code"]) for r in pq_encode(emb, books).collect()}
     assert a == b  # deterministic
     assert all(len(c) == PQ_M and all(0 <= x < PQ_K for x in c) for c in a.values())
+
+
+# ---------------------------------------------------------------------------
+# Error-bound asserts for the rows-only sketch aggregates (VERDICT r02
+# next-step #7): "ran clean" becomes a falsifiable accuracy check.
+# ---------------------------------------------------------------------------
+
+
+def test_approx_count_distinct_within_5pct_of_exact(spark):
+    """HLL++ at rsd=0.01 must land within 5% of the exact per-group
+    distinct count (5x the configured rsd — a hard failure here means the
+    sketch is misconfigured, not unlucky)."""
+    from etl_active911_spark.io import read_table
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in registry.QUERIES["n5_approx_count_distinct"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in read_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= 0.05 * n, (k, approx[k], n)
+
+
+def test_approx_percentile_rank_error_within_bound(spark):
+    """percentile_approx(accuracy=10000) guarantees rank error <= n/accuracy.
+    Check the realized rank of each group's approx p50: the fraction of
+    values <= the returned element must sit within 0.5 +/- 0.001 (10x the
+    1/accuracy bound, slack for duplicate values)."""
+    from etl_active911_spark.io import read_table
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["p50_approx"]
+        for r in registry.QUERIES["n4_approx_percentiles"](spark, SF_ORACLE).collect()
+    }
+    for flag, p50 in approx.items():
+        grp = li.filter(F.col("l_returnflag") == flag)
+        n = grp.count()
+        rank = grp.filter(F.col("l_extendedprice") <= p50).count() / n
+        assert abs(rank - 0.5) <= 0.001, (flag, p50, rank, n)
