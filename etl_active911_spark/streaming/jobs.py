@@ -151,8 +151,21 @@ def run_upsert_to_parquet(
     cardinality so a rewrite touches data proportional to the batch, not
     the table; swapping this sink for Delta/Iceberg MERGE changes nothing
     upstream. Idempotent per (checkpoint, batch_id): replaying a batch
-    rewrites the same buckets to the same state.
+    rewrites the same buckets to the same state — exercised by the
+    crash/restart test in tests/test_streaming.py.
     """
+    (
+        stream_df.writeStream.foreachBatch(upsert_sink(out_dir, key_col, n_buckets))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def upsert_sink(out_dir: str, key_col: str, n_buckets: int = 8):
+    """The foreachBatch body of ``run_upsert_to_parquet``, exposed so tests
+    can wrap it (e.g. crash injection between batches)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -192,10 +205,4 @@ def run_upsert_to_parquet(
             .parquet(out_dir)
         )
 
-    (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    return sink

@@ -425,3 +425,72 @@ def test_stateful_dedup_stream_matches_registered_body(spark, events_dir):
     )
     want = sorted(tuple(r) for r in n12_stateful_dedup(spark, SF_ORACLE).collect())
     assert got == want and len(want) > 0
+
+
+def test_upsert_sink_survives_crash_and_restart(spark, tmp_path):
+    """Exactly-once replay across a real restart (VERDICT r02 stretch #8):
+    the stream dies mid-run — once BEFORE batch 1's sink applies, once
+    AFTER it applied but before the checkpoint committed — and a restart
+    on the SAME checkpoint must converge to the exact last-write-wins
+    state with no lost or duplicated keys."""
+    import time as _time
+
+    from pyspark.errors import StreamingQueryException
+
+    rows_schema = "user_id long, value double"
+
+    def make_source(tag):
+        d = str(tmp_path / f"crash_src_{tag}")
+        b1 = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], rows_schema)
+        b2 = spark.createDataFrame([(2, 20.0), (4, 4.0)], rows_schema)
+        b1.coalesce(1).write.parquet(d + "/f1")
+        _time.sleep(1.1)  # file-stream orders by modification time
+        b2.coalesce(1).write.parquet(d + "/f2")
+        return d
+
+    def stream_from(d):
+        return (
+            spark.readStream.schema(rows_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d + "/*")
+        )
+
+    def run(d, sink_fn, ckpt):
+        (
+            stream_from(d)
+            .writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    want = {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+
+    for crash_point, tag in [("before", "pre"), ("after", "post")]:
+        d = make_source(tag)
+        out = str(tmp_path / f"crash_out_{tag}")
+        ckpt = str(tmp_path / f"crash_ckpt_{tag}")
+        inner = jobs.upsert_sink(out, key_col="user_id")
+        state = {"crashed": False}
+
+        def crashing_sink(batch_df, batch_id):
+            if batch_id == 1 and not state["crashed"]:
+                state["crashed"] = True
+                if crash_point == "after":
+                    inner(batch_df, batch_id)  # applied, but commit never lands
+                raise RuntimeError("injected crash")
+            inner(batch_df, batch_id)
+
+        with pytest.raises(StreamingQueryException):
+            run(d, crashing_sink, ckpt)
+        # batch 0 must already be durable, batch 1 must not have lost keys
+        partial = {
+            r["user_id"]: r["value"] for r in spark.read.parquet(out).collect()
+        }
+        assert partial[1] == 1.0 and partial[3] == 3.0
+
+        run(d, crashing_sink, ckpt)  # restart on the SAME checkpoint
+        got = {r["user_id"]: r["value"] for r in spark.read.parquet(out).collect()}
+        assert got == want, (crash_point, got)
