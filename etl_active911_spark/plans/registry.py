@@ -125,6 +125,7 @@ def ordered_queries() -> dict[str, QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import etl_active911_spark.operators.relational  # noqa: F401
+    import etl_active911_spark.operators.tpch  # noqa: F401
     import etl_active911_spark.operators.dedup  # noqa: F401
     import etl_active911_spark.operators.similarity  # noqa: F401
     import etl_active911_spark.operators.textual  # noqa: F401
