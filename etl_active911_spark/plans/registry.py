@@ -126,6 +126,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import etl_active911_spark.operators.relational  # noqa: F401
     import etl_active911_spark.operators.tpch  # noqa: F401
+    import etl_active911_spark.operators.asof  # noqa: F401
     import etl_active911_spark.operators.dedup  # noqa: F401
     import etl_active911_spark.operators.similarity  # noqa: F401
     import etl_active911_spark.operators.textual  # noqa: F401

@@ -257,3 +257,20 @@ def test_dtw_chunk_must_cover_window():
 
     with pytest.raises(ValueError):
         dtw_batch(None, chunk=WINDOW - 1)
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join must be the union-scan plan: ONE exchange on the key
+    and NO join operator anywhere — a range-join formulation would put an
+    unbounded per-click candidate set on the build side at scale."""
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    plan = (
+        QUERIES["n17_asof_join"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
