@@ -123,3 +123,66 @@ def x8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("n_copies").cast("bigint").alias("n_copies"))
     )
+
+
+def _cluster_split_oracle() -> str:
+    """Closure CTE (same walk as x2_dup_clusters' oracle) + md5 bucket of
+    the CLUSTER key, so every member of a near-dup cluster lands on the
+    same side of the split."""
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    key = "CAST(COALESCE(c.component, d.doc_id) AS STRING)"
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM edges
+    ),
+    comp AS (SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_key,
+           CASE WHEN (('0x' || substr(md5({key}), 1, 8))::BIGINT) % 100 < 80
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+@query("x8_cluster_split", None)  # oracle injected below (needs dedup's CTEs)
+def x8_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8: LEAKAGE-FREE train/holdout split — the split key is the
+    near-dup CLUSTER (connected component of the verified MinHash pair
+    graph), not the document, so two near-duplicates can never straddle
+    train and holdout (the classic eval-contamination bug that doc-level
+    splits like x8_train_holdout_split cannot prevent). Singletons key by
+    their own doc_id. Composes x2_dup_clusters; the no-straddle property
+    is asserted in tests/test_extensions.py."""
+    from etl_active911_spark.operators.clustering import x2_dup_clusters
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    comp = x2_dup_clusters(spark, sf_dir).select("doc_id", "component")
+    key = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.cast("bigint").alias("cluster_key"),
+            F.when(hash_bucket(key) < 80, "train").otherwise("holdout").alias("split"),
+        )
+    )
+
+
+from etl_active911_spark.plans import registry as _registry  # noqa: E402
+
+_registry.ORACLES["x8_cluster_split"] = _cluster_split_oracle()

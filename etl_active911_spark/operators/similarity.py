@@ -152,6 +152,56 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial_topk(scored, TOP_K)
 
 
+RANGE_TAU = 0.3  # cosine radius for the range-search variant
+
+
+@query(
+    "x3_range_search",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine
+    FROM scored WHERE ROUND(cos, 6) >= {RANGE_TAU}
+    """,
+)
+def x3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 range variant: ALL neighbors within a cosine radius (vs top-k's
+    fixed count) — the similarity-search API's second verb ("find
+    everything this similar", radius queries for dedup candidates or
+    retrieval cutoffs). Same broadcast-query single-scan scoring plan as
+    ``x3_cosine_topk``; selection is a threshold filter fused into the
+    scan stage (no merge step at all — strictly cheaper than top-k).
+    Thresholds on ROUND(cos, 6) in both engines (canonical policy 4)."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    corpus = emb.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qnrm"),
+    )
+    return (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+
+
 ANN_N_PLANES, ANN_N_BANDS, ANN_PLANES_PER_BAND = 32, 8, 4
 
 

@@ -239,3 +239,25 @@ def test_approx_percentile_rank_error_within_bound(spark):
         n = grp.count()
         rank = grp.filter(F.col("l_extendedprice") <= p50).count() / n
         assert abs(rank - 0.5) <= 0.001, (flag, p50, rank, n)
+
+
+def test_cluster_split_has_no_cross_split_near_dups(spark):
+    """The whole point of x8_cluster_split: no verified near-dup pair may
+    straddle train/holdout (doc-level splits leak eval data through
+    near-duplicates; cluster-level splits cannot)."""
+    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in registry.QUERIES["x8_cluster_split"](spark, SF_ORACLE).collect()
+    }
+    pairs = x2_minhash_lsh(spark, SF_ORACLE).collect()
+    assert len(pairs) > 0
+    straddlers = [
+        (r["doc_a"], r["doc_b"])
+        for r in pairs
+        if split[r["doc_a"]] != split[r["doc_b"]]
+    ]
+    assert straddlers == []
+    # and both sides are non-trivially populated
+    assert {"train", "holdout"} == set(split.values())
