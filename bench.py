@@ -54,6 +54,11 @@ HEADLINE = [
     "x2_simhash",
     "x2_decontaminate",
     "x6_ts_dtw",
+    # round-3 additions (same rule)
+    "n17_asof_join",
+    "x6_resample_ffill",
+    "tpch_q8_market_share",
+    "x8_cluster_split",
 ]
 
 
