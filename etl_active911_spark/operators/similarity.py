@@ -557,6 +557,139 @@ def x3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_rerank(spark, data, emb, _ivf_probe_table(emb, C))
 
 
+_IVF_SEEDED_ORACLE = f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, embedding::DOUBLE[] AS se
+        FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    scored_cells AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.ee, s.se)
+                 / (sqrt(list_dot_product(e.ee, e.ee))
+                    * sqrt(list_dot_product(s.se, s.se))) AS cos
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+        CROSS JOIN seeds s
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells WHERE vec_id < {N_QUERIES}
+        ) t WHERE rn <= {IVF_NPROBE}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id,
+               list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE c.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query("x3_ann_ivf_seeded", _IVF_SEEDED_ORACLE)
+def x3_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3: the fully ORACLE-CHECKED IVF — the Lloyd-refined fit
+    (``x3_ann_ivf``) is rows-only by nature (driver-side numpy means
+    aren't SQL-replicable), so this variant swaps the fit for
+    deterministic SEED centroids (the strided vec_id % 7 vectors the
+    Lloyd fit starts from; cell = vec_id / 7) and keeps every other stage
+    identical: cosine argmax assignment, nprobe=4 probe lists, exact
+    re-rank within probed cells. Every stage is a windowed SQL expression
+    over the same md5-free arithmetic the exact-top-k oracle already
+    hash-matches, so the whole ANN index pipeline — assign → probe →
+    re-rank — is bit-checked end-to-end against DuckDB. Assignment/probe
+    ranks order by ROUND(cos, 6) with cell/vec_id tie-breaks (canonical
+    policy 4). At 100 TB the assignment scan would move to the Arrow
+    matmul path of ``_ivf_cells`` — same cells, cheaper per row; this
+    query keeps it as JVM expressions because that is what DuckDB can
+    replicate."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    seeds = (
+        emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS))
+        .select(
+            F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
+            F.col("embedding").alias("se"),
+        )
+    )
+    scored_cells = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                dot(F.col("embedding"), F.col("se"))
+                / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+            ).alias("cos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round("cos", 6).desc(), F.col("cell")
+    )
+    cells = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
 def ivf_write_index(spark: SparkSession, sf_dir: str, path: str, n_cells: int = IVF_N_CELLS):
     """Materialize the IVF layout: embeddings written as parquet
     PARTITIONED BY cell (one directory per cell), centroids stored beside

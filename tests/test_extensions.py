@@ -261,3 +261,19 @@ def test_cluster_split_has_no_cross_split_near_dups(spark):
     assert straddlers == []
     # and both sides are non-trivially populated
     assert {"train", "holdout"} == set(split.values())
+
+
+def test_ann_ivf_seeded_recall_vs_bruteforce(spark):
+    """The oracle-checked seeded-IVF variant must stay in the same recall
+    band as the Lloyd-fitted one — seeds are the fit's own starting
+    vectors, so cells are coarser but not degenerate."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_ann_ivf_seeded"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"seeded-IVF recall {recall:.2f}"  # deterministic; measured 0.65 @sf0.001, 0.53 @sf0.01
