@@ -494,3 +494,52 @@ def test_upsert_sink_survives_crash_and_restart(spark, tmp_path):
         run(d, crashing_sink, ckpt)  # restart on the SAME checkpoint
         got = {r["user_id"]: r["value"] for r in spark.read.parquet(out).collect()}
         assert got == want, (crash_point, got)
+
+
+def test_asof_stream_matches_registered_body(spark, tmp_path):
+    """Streaming N-17 (applyInPandasWithState, state = latest purchase per
+    user) must reproduce the registered batch as-of join when micro-batches
+    arrive in time order."""
+    import time as _time
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.asof import n17_asof_join
+    from etl_active911_spark.streaming.asof_stream import asof_join_stream
+
+    events = read_table(spark, SF_ORACLE, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type", "value",
+    )
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
+    tsmid = lo + (hi - lo) / 2
+    d = str(tmp_path / "asof_src")
+    events.filter(F.col("ts") <= F.lit(tsmid)).coalesce(1).write.parquet(d + "/b1")
+    _time.sleep(1.1)
+    events.filter(F.col("ts") > F.lit(tsmid)).coalesce(1).write.parquet(d + "/b2")
+
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    (
+        asof_join_stream(src)
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["last_value"])
+        for r in spark.table("asof_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["last_value"])
+        for r in n17_asof_join(spark, SF_ORACLE).collect()
+    }
+    assert got == want and len(want) > 0
