@@ -69,7 +69,13 @@ def _tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared body: each click row carries the as-of purchase id/value/ts
     (NULLs when no purchase precedes it)."""
-    tagged = _tagged_union(spark, sf_dir)
+    return asof_core(_tagged_union(spark, sf_dir))
+
+
+def asof_core(tagged: DataFrame) -> DataFrame:
+    """The union-scan as-of over an already-tagged frame (columns:
+    user_id, ts, tag 0=right/1=left, purchase_id, value, click_id) —
+    split out so property tests can drive it with synthetic frames."""
     # (ts, tag, event_id) order puts a same-instant purchase BEFORE the
     # click (ties included in "at-or-before") and resolves same-instant
     # purchase ties to max event_id; clicks never contribute non-null

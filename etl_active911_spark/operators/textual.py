@@ -666,3 +666,71 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("avg_neg_logprob"),
         )
     )
+
+
+@query(
+    "x4_tfidf_topterms",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.tok,
+               ROUND(t.tf * ln((nd.n + 1) / (d.df + 1)), 6) AS tfidf
+        FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN nd
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def x4_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: per-document top-3 TF-IDF terms — the classic keyword /
+    salient-term extraction every corpus tool ships (smoothed idf =
+    ln((N+1)/(df+1))). Shuffle ledger at 100 TB: one (doc_id, tok)
+    aggregate for tf, one token-keyed aggregate for df, a token-keyed
+    rejoin (broadcast under the threshold, SMJ above), and the corpus
+    count as a 1-row broadcast. Ranking orders by the ROUNDED score with
+    a token tie-break (canonical policy 4) so top-3 membership is
+    deterministic cross-engine; ln() ulp drift is absorbed by ROUND(6).
+    """
+    from etl_active911_spark.operators.dedup import tokens as _tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )

@@ -252,3 +252,59 @@ def test_grid_bucket_join_is_recall_exact(spark, pts):
         <= PAIR_RADIUS_KM
     }
     assert bucketed == brute
+
+
+# ---------------------------------------------------------------------------
+# As-of join (N-17): the union-scan window trick must match a brute-force
+# per-click lookup for ANY event arrangement — ties at identical
+# timestamps, clicks before any purchase, interleaved users, duplicates.
+# ---------------------------------------------------------------------------
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),   # user_id (small → collisions)
+    st.integers(min_value=0, max_value=20),  # ts second (small → ts ties)
+    st.booleans(),                           # is_purchase
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(EVENT, min_size=1, max_size=40))
+def test_asof_union_scan_matches_bruteforce(spark, events):
+    from datetime import datetime, timedelta
+
+    from etl_active911_spark.operators.asof import asof_core
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (uid, base + timedelta(seconds=sec), eid, bool(p), float(val))
+        for eid, (uid, sec, p, val) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, is_purchase boolean, value double"
+    )
+    tagged = df.select(
+        "user_id",
+        "ts",
+        F.when(F.col("is_purchase"), 0).otherwise(1).alias("tag"),
+        F.when(F.col("is_purchase"), F.col("event_id")).alias("purchase_id"),
+        F.when(F.col("is_purchase"), F.col("value")).alias("value"),
+        F.when(~F.col("is_purchase"), F.col("event_id")).alias("click_id"),
+    )
+    got = {
+        (r["user_id"], r["click_id"], r["asof_purchase_id"], r["asof_value"])
+        for r in asof_core(tagged).collect()
+    }
+
+    purchases = [(u, t, e, v) for (u, t, e, p, v) in rows if p]
+    want = set()
+    for u, t, e, p, v in rows:
+        if p:
+            continue
+        cands = [(pt, pe, pv) for (pu, pt, pe, pv) in purchases if pu == u and pt <= t]
+        if cands:
+            _, pe, pv = max(cands)  # max (ts, event_id) = as-of winner
+            want.add((u, e, pe, pv))
+        else:
+            want.add((u, e, None, None))
+    assert got == want
