@@ -1,0 +1,136 @@
+"""N-19: bloom-filter runtime pre-filter for selective joins.
+
+The scale problem (reference behavior: the connector's per-agency alert
+fetch is a selective semi-join of a huge fact stream against a small,
+dynamically-filtered key set — ``task.ts:122-141``): at 100 TB the fact
+side of ``fact SEMI JOIN filtered_dim`` should not shuffle at all, and
+even a broadcast of the exact key set can be too wide when keys are
+strings. The classic fix — what Spark's own runtime row-level filtering
+does under ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — is to
+condense the build side into a fixed-size bloom bitset, broadcast THAT,
+and pre-filter the fact scan before the exact join.
+
+Spark 4.1 does not expose ``bloom_filter_agg``/``might_contain`` as
+public SQL functions, so this operator builds the bloom honestly from
+DataFrame primitives, entirely JVM-side and deterministic:
+
+- build: k=4 md5-derived bit positions per key (``token_hash60 % 2^16``),
+  ``bit_or``-aggregated into <= 2048 32-bit words — a fixed-size table
+  INDEPENDENT of build-side cardinality (the whole point vs broadcasting
+  the key set itself);
+- probe: 4 broadcast hash joins word-table-side (no shuffle of the fact
+  side, no BNLJ — plan-asserted in tests/test_scale_layout.py), a row
+  survives only if all 4 bits are set;
+- verify: exact broadcast semi-join removes the ~0.1% false positives
+  (m/n ~ 21 bits/key at this segment size), so the RESULT is exactly the
+  semi-join — which is why the DuckDB oracle is the plain semi-join: any
+  false NEGATIVE in the bloom build/probe (the bug class that silently
+  loses data) fails the driver's row-count/hash gate end-to-end.
+
+At 1000 executors the only broadcast is <= 2048 rows + the filtered key
+set; the fact table is scanned once, filtered in the scan stage, and
+never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.registry import query
+
+M_BITS = 1 << 16  # bloom width: 2^16 bits = 2048 32-bit words
+K_HASH = 4  # hash functions per key
+_SEGMENT = "BUILDING"
+
+
+def _positions(key: Column) -> list[Column]:
+    """k independent bit positions via seeded md5 (cross-engine-stable)."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    return [
+        (token_hash60(F.concat(F.lit(f"bf{i}:"), key)) % M_BITS).cast("long")
+        for i in range(K_HASH)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Aggregate a key column into the bloom word table
+    ``(w: long, bits: long)`` — <= 2048 rows regardless of key count."""
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col).cast("string")))).alias("pos")
+    )
+    # F.shiftleft only takes a literal shift amount; the per-row shift
+    # must go through the SQL expression form.
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    return pos.groupBy(F.shiftright(F.col("pos"), 5).alias("w")).agg(
+        F.bit_or(mask).alias("bits")
+    )
+
+
+def bloom_probe(fact: DataFrame, key: Column, words: DataFrame) -> DataFrame:
+    """Keep only fact rows whose key passes the bloom: 4 broadcast hash
+    joins against the word table, each followed by a bit test. A missing
+    word (inner join miss) or an unset bit drops the row — both are
+    definite negatives."""
+    out = fact
+    for i, pos in enumerate(_positions(key.cast("string"))):
+        w = words.select(F.col("w").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}"))
+        out = (
+            out.withColumn(f"_p{i}", pos)
+            .join(F.broadcast(w), F.shiftright(F.col(f"_p{i}"), 5) == F.col(f"_w{i}"))
+            .filter(
+                F.col(f"_b{i}").bitwiseAND(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 32 AS INT))")
+                )
+                != 0
+            )
+            .drop(f"_p{i}", f"_w{i}", f"_b{i}")
+        )
+    return out
+
+
+def bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe output BEFORE exact verification (exposed for the
+    superset/false-positive-rate property test)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_mktsegment") == _SEGMENT).select("c_custkey")
+    words = bloom_build(keys, "c_custkey")
+    return bloom_probe(
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        F.col("o_custkey"),
+        words,
+    )
+
+
+@query(
+    "n19_bloom_prefilter_join",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = '{_SEGMENT}'
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def n19_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-19: order volume for one market segment, computed bloom-first:
+    bloom pre-filter (fixed-size broadcast) -> exact broadcast semi-join
+    (false-positive removal) -> aggregate. Semantically identical to the
+    oracle's plain semi-join; a bloom false negative would fail the
+    driver's hash gate."""
+    cust = read_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == _SEGMENT).select("c_custkey")
+    cand = bloom_candidates(spark, sf_dir)
+    exact = cand.join(
+        F.broadcast(keys), cand["o_custkey"] == keys["c_custkey"], "semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

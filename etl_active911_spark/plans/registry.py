@@ -127,6 +127,7 @@ def load_all() -> None:
     import etl_active911_spark.operators.relational  # noqa: F401
     import etl_active911_spark.operators.tpch  # noqa: F401
     import etl_active911_spark.operators.asof  # noqa: F401
+    import etl_active911_spark.operators.bloom  # noqa: F401
     import etl_active911_spark.operators.resample  # noqa: F401
     import etl_active911_spark.operators.scd  # noqa: F401
     import etl_active911_spark.operators.dedup  # noqa: F401

@@ -274,3 +274,53 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bloom_prefilter_is_broadcast_only_and_superset(spark):
+    """n19's probe must be pure broadcast hash joins (the fact side never
+    shuffles, no BNLJ/sort-merge), the word table must stay within its
+    fixed 2048-row bound, and the bloom candidate set must be a SUPERSET
+    of the true matches (no false negatives) with a small FP rate."""
+    from etl_active911_spark.operators import bloom
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["n19_bloom_prefilter_join"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+
+    cust = read_table(spark, SF_ORACLE, "customer")
+    keys = {
+        r["c_custkey"]
+        for r in cust.filter(F.col("c_mktsegment") == bloom._SEGMENT)
+        .select("c_custkey")
+        .collect()
+    }
+    words = bloom.bloom_build(
+        cust.filter(F.col("c_mktsegment") == bloom._SEGMENT).select("c_custkey"),
+        "c_custkey",
+    )
+    assert words.count() <= bloom.M_BITS // 32
+
+    cand = {
+        r["o_custkey"]
+        for r in bloom.bloom_candidates(spark, SF_ORACLE)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    all_cust = {r["c_custkey"] for r in cust.select("c_custkey").collect()}
+    orders_cust = {
+        r["o_custkey"]
+        for r in read_table(spark, SF_ORACLE, "orders")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    true_matches = keys & orders_cust
+    assert true_matches <= cand  # no false negatives — the data-loss bug class
+    false_pos = cand - keys
+    # m/n ~ 21 bits/key here -> theoretical FP ~ 0.1%; allow generous slack.
+    assert len(false_pos) <= max(5, 0.02 * len(all_cust)), len(false_pos)
