@@ -734,3 +734,130 @@ def x4_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4j: corpus heavy hitters (vocabulary head)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_heavy_hitters",
+    r"""
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS term_freq
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents
+    ) t
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 20
+    """,
+)
+def x4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: the corpus vocabulary head — top-20 tokens by document
+    frequency (term frequency carried alongside). One explode + one hash
+    aggregate keyed by token, then TakeOrderedAndProject for the top-k:
+    the 100 TB plan is a map-side partial agg per token (vocabulary-sized
+    state, not corpus-sized) and a 20-row driver result. Ties break on
+    the token itself, so membership at the cut is deterministic."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("term_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-4k: PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Conservative regex subset (character classes, bounded repeats — no
+# lookaround, no \d shorthands) so Java regex and RE2 agree byte-for-byte.
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_PII_PHONE = "\\+1-555-[0-9][0-9][0-9][0-9]"
+_PII_SSN = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+@query(
+    "x4_pii_redact",
+    f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ssn 987-65-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END AS aug
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split_regex(aug, '{_PII_EMAIL}')) - 1 AS BIGINT) AS n_emails,
+           CAST(len(string_split_regex(aug, '{_PII_PHONE}')) - 1 AS BIGINT) AS n_phones,
+           CAST(len(string_split_regex(aug, '{_PII_SSN}')) - 1 AS BIGINT) AS n_ssns,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_SSN}', '<SSN>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def x4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4: PII scrubbing for training corpora — email / phone / SSN
+    patterns replaced with typed sentinels, plus per-document match
+    counts. The fixture corpus is synthetic word salad, so deterministic
+    PII is first INJECTED as a function of doc_id (identically in both
+    engines) and then redacted; the oracle checks the full redacted text
+    byte-for-byte, which pins the Java-regex vs RE2 semantics of the
+    shared pattern subset. Single scan, no shuffle, no UDFs."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ssn 987-65-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    def n_matches(pat: str) -> Column:
+        return (F.size(F.split(F.col("aug"), pat)) - 1).cast("bigint")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_SSN,
+        "<SSN>",
+    )
+    return docs.select("doc_id", aug.alias("aug")).select(
+        "doc_id",
+        n_matches(_PII_EMAIL).alias("n_emails"),
+        n_matches(_PII_PHONE).alias("n_phones"),
+        n_matches(_PII_SSN).alias("n_ssns"),
+        redacted.alias("redacted"),
+    )
