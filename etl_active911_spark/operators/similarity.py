@@ -935,3 +935,175 @@ def x3_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return partial_topk(rescored, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# X-3g: IVF with an ORACLE-CHECKED Lloyd refinement step
+# ---------------------------------------------------------------------------
+
+_IVF_LLOYD_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, ee AS se
+        FROM n WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    sc0 AS (
+        SELECT n.vec_id, s.cell,
+               list_dot_product(n.ee, s.se)
+                 / (n.nrm * sqrt(list_dot_product(s.se, s.se))) AS cos
+        FROM n CROSS JOIN seeds s
+    ),
+    cells0 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM sc0
+        ) t WHERE rn = 1
+    ),
+    flat AS (
+        SELECT vec_id, nrm,
+               unnest(range(len(ee))) AS pos,
+               unnest(ee) AS val
+        FROM n
+    ),
+    cent AS (
+        SELECT c.cell, f.pos, ROUND(AVG(f.val / f.nrm), 6) AS comp
+        FROM flat f JOIN cells0 c USING (vec_id)
+        GROUP BY c.cell, f.pos
+    ),
+    carr AS (
+        SELECT cell, list(comp ORDER BY pos) AS ce FROM cent GROUP BY cell
+    ),
+    sc1 AS (
+        SELECT n.vec_id, c.cell,
+               list_dot_product(n.ee, c.ce)
+                 / (n.nrm * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        FROM n CROSS JOIN carr c
+    ),
+    cells1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM sc1
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM sc1 WHERE vec_id < {N_QUERIES}
+        ) t WHERE rn <= {IVF_NPROBE}
+    ),
+    q AS (SELECT vec_id AS query_id, ee AS qe, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT p.query_id, c.vec_id,
+               list_dot_product(q.qe, n.ee) / (q.qn * n.nrm) AS cos
+        FROM probes p
+        JOIN cells1 c ON c.cell = p.cell
+        JOIN n ON n.vec_id = c.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE c.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query("x3_ann_ivf_lloyd1", _IVF_LLOYD_ORACLE)
+def x3_ann_ivf_lloyd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3: IVF whose FIT is oracle-checked — closing the one stage
+    ``x3_ann_ivf_seeded`` left unverified. One spherical Lloyd step runs
+    as relational algebra: seed assignment (argmax cosine vs the strided
+    seed vectors), then the centroid UPDATE as a per-(cell, dim) mean of
+    L2-normalized components — posexplode → hash aggregate, the flat shape
+    SCALE.md invariant 3 prescribes — re-folded into 64-wide arrays, then
+    re-assignment, nprobe=4 probe lists, and exact re-rank, all bit-matched
+    against the DuckDB replica. Centroid components round to 6dp (canonical
+    policy 4) so the cross-engine AVG's last-ulp drift cannot flip the
+    downstream argmax; cosine against centroids needs no centroid
+    normalization (scale-invariance), so the update is one aggregate, not
+    two. The production fit (``_fit_ivf_centroids``) keeps iterating
+    driver-side on a 256-row sample; this query proves the update step
+    itself distributes — at 100 TB each Lloyd sweep is one explode +
+    one (cell, dim)-keyed aggregate over n·64 rows, no collect."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ee"),
+        l2norm(F.col("embedding")).alias("nrm"),
+    )
+    seeds = n.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS)).select(
+        F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
+        F.col("ee").alias("se"),
+    )
+    sc0 = n.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell",
+        (dot(F.col("ee"), F.col("se")) / (F.col("nrm") * l2norm(F.col("se")))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
+    cells0 = (
+        sc0.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    flat = n.select("vec_id", "nrm", F.posexplode("ee").alias("pos", "val"))
+    cent = (
+        flat.join(cells0, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double") / F.col("nrm")), 6).alias("comp"))
+    )
+    carr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+        ).alias("ce")
+    )
+    sc1 = n.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "cell",
+        (dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * l2norm(F.col("ce")))).alias("cos"),
+    )
+    cells1 = (
+        sc1.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        sc1.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        cells1.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(n.select("vec_id", "ee", "nrm"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (dot(F.col("qe"), F.col("ee")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
