@@ -1342,3 +1342,138 @@ from etl_active911_spark.plans import registry as _registry  # noqa: E402
 _registry.ORACLES["n16_recursive_cte"] = _dup_closure_sql(
     f"SELECT doc_a, doc_b FROM ({_registry.ORACLES['x2_ngram_jaccard']}) je"
 )
+
+
+# ---------------------------------------------------------------------------
+# N-6+: unpivot / melt (wide → long)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "n6_unpivot",
+    """
+    SELECT 'l_quantity' AS measure, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT), ROUND(SUM(l_extendedprice), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(*) AS BIGINT), ROUND(SUM(l_discount), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(COUNT(*) AS BIGINT), ROUND(SUM(l_tax), 2)
+    FROM lineitem
+    """,
+)
+def n6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-6: the inverse of pivot — ``DataFrame.unpivot`` melts the four
+    lineitem measures into (measure, value) rows, then one hash aggregate
+    per measure name. Catalyst expands unpivot to a generator (no
+    shuffle); the only shuffle is the 4-group aggregate. The oracle states
+    the same result as per-column aggregates, so the unpivot semantics
+    (column name → label, value carried) are what's actually checked."""
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-20: single-pass table profiling (describe/summarize surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "n20_data_profile",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_orderkey), 2) AS min_num, ROUND(MAX(o_orderkey), 2) AS max_num,
+           CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_custkey), 2), ROUND(MAX(o_custkey), 2), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def n20_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-20: data profiling (the describe()/summary() surface as a real
+    query): null count, exact distinct count, and typed min/max for five
+    orders columns — in ONE scan. All per-column metrics are computed in a
+    single aggregate row (Catalyst plans the multi-distinct via expand),
+    then exploded into the long (col_name, metrics...) shape. The oracle
+    spells the same result as five per-column aggregate scans — at 100 TB
+    the single-pass shape reads the table once instead of five times."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def nulls(c: str) -> Column:
+        return F.sum(F.col(c).isNull().cast("long"))
+
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [nulls(c).alias(f"nn_{c}"), F.countDistinct(c).alias(f"nd_{c}")]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 2).alias(f"mn_{c}"),
+            F.round(F.max(c).cast("double"), 2).alias(f"mx_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"mns_{c}"), F.max(c).alias(f"mxs_{c}")]
+    row = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_num"),
+            F.col(f"mx_{c}").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+        for c in num_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col(f"mns_{c}").alias("min_str"),
+            F.col(f"mxs_{c}").alias("max_str"),
+        )
+        for c in str_cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
