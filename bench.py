@@ -59,6 +59,7 @@ HEADLINE = [
     "x6_resample_ffill",
     "tpch_q8_market_share",
     "x8_cluster_split",
+    "n19_bloom_prefilter_join",
 ]
 
 

@@ -18,9 +18,13 @@ DataFrame primitives, entirely JVM-side and deterministic:
   ``bit_or``-aggregated into <= 2048 32-bit words — a fixed-size table
   INDEPENDENT of build-side cardinality (the whole point vs broadcasting
   the key set itself);
-- probe: 4 broadcast hash joins word-table-side (no shuffle of the fact
-  side, no BNLJ — plan-asserted in tests/test_scale_layout.py), a row
-  survives only if all 4 bits are set;
+- probe: the word table (<= 2048 longs — bounded driver state of the
+  same class as the IVF centroid sample) rides as a ONE-ROW broadcast, so
+  each of the 4 bit tests is a pure codegen ``element_at`` + ``&`` on the
+  scanned row: the fact side is filtered right after its scan with no
+  shuffle — exactly how a native engine broadcasts bloom bits, and
+  measured faster than probing the word table via chained broadcast hash
+  joins (see ``bloom_probe``);
 - verify: exact broadcast semi-join removes the ~0.1% false positives
   (m/n ~ 21 bits/key at this segment size), so the RESULT is exactly the
   semi-join — which is why the DuckDB oracle is the plain semi-join: any
@@ -69,26 +73,47 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def bloom_probe(fact: DataFrame, key: Column, words: DataFrame) -> DataFrame:
-    """Keep only fact rows whose key passes the bloom: 4 broadcast hash
-    joins against the word table, each followed by a bit test. A missing
-    word (inner join miss) or an unset bit drops the row — both are
-    definite negatives."""
-    out = fact
-    for i, pos in enumerate(_positions(key.cast("string"))):
-        w = words.select(F.col("w").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}"))
-        out = (
-            out.withColumn(f"_p{i}", pos)
-            .join(F.broadcast(w), F.shiftright(F.col(f"_p{i}"), 5) == F.col(f"_w{i}"))
-            .filter(
-                F.col(f"_b{i}").bitwiseAND(
-                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 32 AS INT))")
-                )
-                != 0
-            )
-            .drop(f"_p{i}", f"_w{i}", f"_b{i}")
-        )
-    return out
+def bloom_bits(keys: DataFrame, key_col: str) -> list[int]:
+    """Densify the distributed word table into the 2048-long bitset that
+    the probe embeds as a plan literal. The collect is bounded by
+    ``M_BITS/32`` rows regardless of key cardinality — the same bounded
+    driver-state class as the IVF centroid sample."""
+    bits = [0] * (M_BITS // 32)
+    for r in bloom_build(keys, key_col).collect():
+        bits[r["w"]] = r["bits"]
+    return bits
+
+
+_BIT_MASKS = [1 << b for b in range(32)]
+
+
+def bloom_probe(fact: DataFrame, key: Column, bits: list[int]) -> DataFrame:
+    """Keep only fact rows whose key passes the bloom: 4 pure-codegen bit
+    tests (``element_at`` into the broadcast bitset + ``&``). The bitset
+    rides as a ONE-ROW broadcast joined on a constant key (a 16 KB
+    BroadcastHashJoin build side) rather than as a 2048-element literal:
+    inlining the array as a literal was measured ~2 s SLOWER per query —
+    all of it analyzer/optimizer time walking the 4 copies of the 2048-node
+    expression tree, none of it execution. Catalyst constant-folds the
+    join key away and plans this as a BroadcastNestedLoopJoin whose build
+    side is the single bitset row — a scalar broadcast (1×N, bit tests
+    evaluated streaming-side), not a pairwise blowup; asserted as such in
+    tests/test_scale_layout.py. An unset bit is a definite negative; no
+    shuffle of the fact side anywhere."""
+    spark = fact.sparkSession
+    bits_df = spark.createDataFrame([(1, bits)], "_jk int, _bloom array<bigint>")
+    masks_lit = F.lit(_BIT_MASKS)
+    cond = F.lit(True)
+    for pos in _positions(key.cast("string")):
+        word = F.element_at(F.col("_bloom"), (F.shiftright(pos, 5) + 1).cast("int"))
+        mask = F.element_at(masks_lit, ((pos % 32) + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return (
+        fact.withColumn("_jk", F.lit(1))
+        .join(F.broadcast(bits_df), "_jk")
+        .filter(cond)
+        .drop("_jk", "_bloom")
+    )
 
 
 def bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,11 +122,11 @@ def bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     keys = cust.filter(F.col("c_mktsegment") == _SEGMENT).select("c_custkey")
-    words = bloom_build(keys, "c_custkey")
+    bits = bloom_bits(keys, "c_custkey")
     return bloom_probe(
         orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
         F.col("o_custkey"),
-        words,
+        bits,
     )
 
 

@@ -1477,3 +1477,67 @@ def n20_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in str_cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# N-21: funnel analysis (staged event-sequence conversion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "n21_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_view_click_purchase
+    """,
+)
+def n21_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-21: ordered-funnel conversion — users whose first 'view' is later
+    followed by a 'click', then a 'purchase' after that click
+    (MATCH_RECOGNIZE-lite; the product-analytics staple). Each stage is a
+    keyed MIN aggregate semi-joined forward into the next — three
+    aggregates on the SAME user_id key, so at scale the shuffle
+    partitioning is computed once and reused (Exchange reuse), and no
+    per-user event list is ever materialized (unlike a collect_list
+    sequence scan). Only timestamps are compared, never emitted — session
+    TZ cannot leak into the result."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )

@@ -331,3 +331,75 @@ def x6_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, seq-chunk) with WINDOW-1 overlap — see ``dtw_batch`` — so a
     task's memory is bounded by DTW_CHUNK regardless of series length."""
     return dtw_batch(read_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# X-6e: exponentially weighted moving average (bounded-window EWMA)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA_POWERS = [0.5**k for k in range(8)]  # exactly representable
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n               ".join(
+        f"LAG(value, {k}) OVER w AS v{k}" for k in range(1, 8)
+    )
+    num = " + ".join(
+        ["value"]
+        + [f"COALESCE({_EWMA_ALPHA_POWERS[k]!r} * v{k}, 0.0)" for k in range(1, 8)]
+    )
+    den = " + ".join(
+        ["1.0"]
+        + [
+            f"(CASE WHEN v{k} IS NULL THEN 0.0 ELSE {_EWMA_ALPHA_POWERS[k]!r} END)"
+            for k in range(1, 8)
+        ]
+    )
+    return f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, value,
+               {lags}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           ROUND(value, 6) AS value,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM lagged
+    """
+
+
+@query("x6_ts_ewma", _ewma_oracle())
+def x6_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6: bounded-window EWMA (half-life weights 0.5^k over the last 8
+    observations, partial windows renormalized over the terms present) —
+    the smoothing primitive behind anomaly baselines. A true infinite
+    EWMA is a sequential recurrence (bad distributed fit); the 8-term
+    truncation (residual mass 0.5^8 < 0.4%) makes it a PER-ROW expression
+    over 7 lag columns: one shuffle on user_id, then pure codegen — no
+    state carried across rows, so it parallelizes like any window query
+    at 100 TB. The weighted sum is written left-to-right identically in
+    both engines (exactly-representable powers of 0.5), so values
+    bit-match before the ROUND(6)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"v{k}") for k in range(1, 8)],
+    )
+    num = F.col("value")
+    for k in range(1, 8):
+        num = num + F.coalesce(F.lit(_EWMA_ALPHA_POWERS[k]) * F.col(f"v{k}"), F.lit(0.0))
+    den = F.lit(1.0)
+    for k in range(1, 8):
+        den = den + F.when(F.col(f"v{k}").isNull(), 0.0).otherwise(
+            F.lit(_EWMA_ALPHA_POWERS[k])
+        )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )

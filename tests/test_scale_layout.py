@@ -287,8 +287,15 @@ def test_bloom_prefilter_is_broadcast_only_and_superset(spark):
     registry.load_all()
     df = registry.QUERIES["n19_bloom_prefilter_join"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # The fact side must never shuffle for a join. The ONLY nested-loop
+    # join allowed is the 1-row bloom-bitset broadcast (Catalyst folds the
+    # constant-key equi join into a BNLJ whose build side is the single
+    # `_bloom` row — a scalar broadcast, 1×N, no pairwise blowup); the
+    # exact FP-removal join must be a BroadcastHashJoin.
     assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "_bloom" in plan.split("BroadcastNestedLoopJoin")[1][:2500], plan[:3000]
     assert "BroadcastHashJoin" in plan
 
     cust = read_table(spark, SF_ORACLE, "customer")
