@@ -1541,3 +1541,55 @@ def n21_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+# ---------------------------------------------------------------------------
+# N-22: data-quality constraint checks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "n22_dq_checks",
+    """
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) AS n_orphan_orders,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+        ) d) AS n_dup_orderkeys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_totalprice <= 0 OR o_totalprice IS NULL) AS n_bad_price,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderdate >= TIMESTAMP '2001-08-01') AS n_future_orders
+    """,
+)
+def n22_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-22: the data-quality gate a production pipeline runs before
+    publishing a partition — referential integrity (orders without a
+    customer: broadcast ANTI join), key uniqueness (duplicate orderkey
+    groups), domain checks (non-positive/null price), and freshness bounds
+    (dates at/after the known horizon) — emitted as ONE row of violation
+    counts. The three orders-side checks share one scan pass each as plain
+    aggregates; nothing here materializes violating rows (at 100 TB you
+    count first, fetch examples only on failure)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_orderkeys"))
+    )
+    scans = orders.agg(
+        F.sum(
+            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).cast("long")
+        ).alias("n_bad_price"),
+        F.sum((F.col("o_orderdate") >= "2001-08-01").cast("long")).alias(
+            "n_future_orders"
+        ),
+    )
+    return orphans.crossJoin(dups).crossJoin(scans)

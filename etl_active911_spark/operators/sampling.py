@@ -10,7 +10,7 @@ splits and mixture weighting at 100 TB: no shuffle, one scan, pushdown-safe.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table
@@ -186,3 +186,33 @@ def x8_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_active911_spark.plans import registry as _registry  # noqa: E402
 
 _registry.ORACLES["x8_cluster_split"] = _cluster_split_oracle()
+
+
+@query(
+    "x8_reservoir_sample",
+    f"""
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+        FROM documents
+    ) t WHERE rk <= 5
+    """,
+)
+def x8_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8: deterministic per-key 'reservoir' — the k=5 docs per language
+    with the smallest md5(doc_id), i.e. a uniform-at-random-looking but
+    fully reproducible fixed-size sample per group (hash order is the
+    random order). One shuffle on lang; at 100 TB the global window would
+    funnel each language into one task, so the production form is the same
+    two-phase trick as partial_topk — per-partition top-5 first, then the
+    tiny merge — which this query's plan gets from Spark's WindowGroupLimit
+    pushdown automatically. Oracle replicates the hash order exactly."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
