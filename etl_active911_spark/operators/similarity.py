@@ -1107,3 +1107,58 @@ def x3_ann_ivf_lloyd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3h: MLlib-native ANN (BucketedRandomProjectionLSH)
+# ---------------------------------------------------------------------------
+
+
+@query("x3_ann_brp")  # approximate + seeded-random projections — rows-only; recall floor in pytest
+def x3_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3: the MLlib-idiomatic ANN path — ``BucketedRandomProjectionLSH``
+    over L2-normalized embeddings (for unit vectors, euclidean and cosine
+    rank identically: d² = 2 − 2·cos). Candidate generation is
+    ``approxSimilarityJoin``'s hash-bucket EQUI-join (explode hash tables →
+    join on (table, bucket) — the same no-BNLJ shape our hand-rolled LSH
+    is plan-asserted to), with the distance threshold set to 2.0 (= the
+    unit-sphere diameter, cos ≥ −1) so selection is purely bucket
+    collision + per-query top-k window, like ``x3_ann_lsh``. Seeded, so the
+    output is deterministic run-to-run (tested), but the projection matrix
+    is JVM-random — not SQL-replicable, hence rows-only with a measured
+    recall floor vs the exact oracle (tests/test_extensions.py). This
+    variant exists alongside the hand-rolled ``x3_ann_lsh`` to cover the
+    framework API surface a Spark shop would actually reach for first."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spread(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("raw"),
+    )
+    data = (
+        Normalizer(inputCol="raw", outputCol="features", p=2.0)
+        .transform(emb)
+        .select("vec_id", "features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=6, seed=42,
+    )
+    model = brp.fit(data)
+    q = data.filter(F.col("vec_id") < N_QUERIES)
+    pairs = model.approxSimilarityJoin(q, data, 2.0, distCol="dist")
+    scored = (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            F.round(1.0 - (F.col("dist") * F.col("dist")) / 2.0, 6).alias("cosine"),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )

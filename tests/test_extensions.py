@@ -59,6 +59,22 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"ANN recall {recall:.2f}"  # deterministic; measured 0.72 @sf0.001, 0.63 @sf0.01
 
 
+def test_ann_brp_recall_and_determinism(spark):
+    """The MLlib BucketedRandomProjectionLSH variant: seeded, so repeat runs
+    must bit-match, and bucket-collision candidate generation with 6 hash
+    tables must recover nearly all exact top-5 neighbors."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in registry.QUERIES["x3_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    first = registry.QUERIES["x3_ann_brp"](spark, SF_SMOKE).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in first}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"BRP recall {recall:.2f}"  # deterministic; measured 0.99 @sf0.001, 0.98 @sf0.01
+    again = registry.QUERIES["x3_ann_brp"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF with nprobe=4/16 cells must recover a reasonable share of the
     exact top-5 on near-random embeddings (scans ~25% of the corpus)."""
