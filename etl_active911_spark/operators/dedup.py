@@ -677,3 +677,60 @@ def x2_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2i: edit-distance record linkage (blocked fuzzy join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x2_fuzzy_linkage",
+    """
+    SELECT a.p_brand            AS brand,
+           a.p_partkey          AS part_a,
+           b.p_partkey          AS part_b,
+           a.p_name             AS name_a,
+           b.p_name             AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def x2_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2i: fuzzy record linkage — near-identical part names within a
+    brand, the classic entity-resolution primitive (catalog dedup, user
+    merge) that MinHash can't serve because edit distance on short strings
+    is not set overlap.
+
+    Scale shape: the quadratic comparison NEVER runs globally — candidate
+    pairs come from a blocking-key EQUI-join (`p_brand`; at 100 TB the
+    block key would be e.g. (name-length band, first-token)), so the
+    expensive metric touches only within-block pairs. The metric itself is
+    Spark's thresholded `levenshtein(l, r, 3)` — the JVM early-exits the
+    DP once the band exceeds the threshold (returns -1), turning O(n·m)
+    per pair into O(threshold·min(n,m)); the oracle computes the full
+    distance and applies the same cut, so equality also pins the
+    threshold variant's exactness below the cut.
+    """
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b", 3)
+    return (
+        a.join(b, "brand")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)
+        .select("brand", "part_a", "part_b", "name_a", "name_b", "edit_dist")
+    )

@@ -861,3 +861,64 @@ def x4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matches(_PII_SSN).alias("n_ssns"),
         redacted.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4l: character-level Shannon entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, substr(text, CAST(k AS INT), 1) AS ch
+        FROM (
+            SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS k
+            FROM documents
+        ) t
+    ),
+    counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           COUNT(*)            AS n_distinct_chars,
+           ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 6)
+               AS char_entropy
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.n
+    """,
+)
+def x4_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4l: per-document character-distribution Shannon entropy — the
+    cheap "is this prose or garbage" quality gate (binary blobs and
+    repeated-char spam sit far from English's ~4.1 bits/char; used as a
+    pre-filter before the heavier Gopher rules).
+
+    Scale shape per SCALE.md invariant 3: the per-char loop is an
+    `explode(sequence)` + `substr` feeding ONE codegen hash-aggregate on
+    (doc_id, char) — no interpreted higher-order lambda touches the
+    corpus-sized side. The char-count table (≤ alphabet size per doc) is
+    what the entropy reduction runs on, so the second aggregate is tiny.
+    Float policy: entropy is a ratio-of-logs — rounded 6dp after the final
+    sum (CLAUDE.md rule 4).
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("k"),
+        "text",
+    ).select("doc_id", F.col("text").substr(F.col("k"), F.lit(1)).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.sum("c").over(w)
+    per_char = counts.select("doc_id", F.col("c"), (p * F.log2(p)).alias("plogp"))
+    return per_char.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(-F.sum("plogp"), 6).alias("char_entropy"),
+    )

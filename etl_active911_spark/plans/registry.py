@@ -138,6 +138,7 @@ def load_all() -> None:
     import etl_active911_spark.operators.clustering  # noqa: F401
     import etl_active911_spark.operators.geo  # noqa: F401
     import etl_active911_spark.operators.sampling  # noqa: F401
+    import etl_active911_spark.operators.skewdemo  # noqa: F401
     import etl_active911_spark.operators.udfs  # noqa: F401
     import etl_active911_spark.pipeline.queries  # noqa: F401
     import etl_active911_spark.pipeline.control  # noqa: F401
