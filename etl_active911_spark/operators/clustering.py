@@ -150,3 +150,92 @@ def x2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2j: PageRank over the near-dup graph (bounded power iteration)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB oracle: the shared MinHash CTE chain feeding 3 chained
+    power-iteration CTEs — same damping formula, same operation order
+    (`0.15 / n + 0.85 * SUM(r / d)`), rounded 6dp only at the end."""
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    it = """
+    r{next} AS (
+        SELECT e.dst AS doc_id,
+               0.15 / (SELECT n FROM nv) + 0.85 * SUM(r{prev}.r / deg.d) AS r
+        FROM edges e
+        JOIN r{prev} ON r{prev}.doc_id = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    )"""
+    iters = ",".join(it.format(prev=i, next=i + 1) for i in range(PR_ITERS))
+    return f"""
+    WITH {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nv AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS doc_id, 1.0 / (SELECT n FROM nv) AS r FROM deg),
+    {iters}
+    SELECT f.doc_id,
+           deg.d AS degree,
+           ROUND(f.r, 6) AS pagerank
+    FROM r{PR_ITERS} f JOIN deg ON deg.src = f.doc_id
+    """
+
+
+@query("x2_graph_pagerank", _pagerank_oracle())
+def x2_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2j: PageRank over the verified near-dup pair graph — ranks the
+    'canonical-est' document inside heavily-duplicated neighborhoods (a
+    centrality-based keeper choice, vs x2_dup_clusters' min-id choice).
+
+    The iterative-algorithm template at scale: each of the 3 power
+    iterations is ONE edge join + ONE keyed aggregate (no driver-side
+    graph state; the only driver scalar is the vertex count). The edge
+    list is localCheckpoint-ed once and reused by every iteration
+    (CLAUDE.md rule 17); symmetric near-dup edges mean no dangling-node
+    mass correction is needed (in-degree ≡ out-degree ≥ 1). Damping
+    formula replicated operation-for-operation in the oracle
+    (`0.15 / n + 0.85 * Σ r/d`), rounded 6dp after the final iteration
+    only (rule 4/11).
+    """
+    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+
+    pairs = x2_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()  # vertex count: the one (bounded) driver scalar
+    ranks = deg.select(F.col("src").alias("doc_id"), (F.lit(1.0) / F.lit(n)).alias("r"))
+    for _ in range(PR_ITERS):
+        ranks = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(
+                (
+                    F.lit(0.15) / F.lit(n)
+                    + F.lit(PR_DAMP) * F.sum(F.col("r") / F.col("d"))
+                ).alias("r")
+            )
+        )
+    return (
+        ranks.join(deg.withColumnRenamed("src", "doc_id"), "doc_id")
+        .select("doc_id", F.col("d").alias("degree"), F.round("r", 6).alias("pagerank"))
+    )

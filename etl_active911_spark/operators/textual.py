@@ -922,3 +922,103 @@ def x4_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_chars"),
         F.round(-F.sum("plogp"), 6).alias("char_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4m: bigram PMI (collocation / phrase mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 3
+PMI_TOP = 20
+
+
+@query(
+    "x4_pmi_bigrams",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, w, k FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS k
+            FROM documents
+        ) t WHERE w <> ''
+    ),
+    bi AS (
+        SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY k) AS w2
+        FROM toks
+    ),
+    bc AS (
+        SELECT w1, w2, COUNT(*) AS c_ab FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    nt AS (SELECT SUM(c) AS n FROM uc),
+    nb AS (SELECT SUM(c_ab) AS n FROM bc),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.c_ab,
+               ROUND(log2((CAST(bc.c_ab AS DOUBLE) / (SELECT n FROM nb))
+                          / ((CAST(a.c AS DOUBLE) / (SELECT n FROM nt))
+                             * (CAST(b.c AS DOUBLE) / (SELECT n FROM nt)))), 6) AS pmi
+        FROM bc
+        JOIN uc a ON a.w = bc.w1
+        JOIN uc b ON b.w = bc.w2
+        WHERE bc.c_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_ab, pmi, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM scored
+    ) r WHERE rnk <= {PMI_TOP}
+    """,
+)
+def x4_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4m: top bigram collocations by pointwise mutual information — the
+    classic phrase-mining pass (word2vec-style phrase joining, tokenizer
+    vocab curation) over the corpus.
+
+    Scale shape: tokens come from ONE posexplode (no interpreted lambda);
+    the bigram pairing is `lead()` over (doc, position) — one shuffle on
+    doc_id, no positional self-join; counts are codegen hash-aggregates
+    on small derived keys. Corpus totals ride as 1-row broadcast cross
+    joins. PMI is computed with the exact operation order of the oracle
+    (`(c_ab/N_b) / ((c_a/N_t) · (c_b/N_t))`, then log2 — rule 11), ranked
+    on the ROUNDED score with (w1, w2) tie-breaks (rule 4).
+    """
+    docs = spread(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("k", "w"))
+        .filter(F.col("w") != "")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("k")
+    bi = toks.select(
+        F.col("w").alias("w1"), F.lead("w").over(w_doc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nt = uc.agg(F.sum("c").alias("n_t"))
+    nb = bc.agg(F.sum("c_ab").alias("n_b"))
+    scored = (
+        bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log2(
+                    (F.col("c_ab").cast("double") / F.col("n_b"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_t"))
+                        * (F.col("c_b").cast("double") / F.col("n_t"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # global top-k as orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps + tiny driver merge, no single-partition global window); the
+    # rank window then runs over only PMI_TOP rows
+    topk = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP)
+    w_rank = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return topk.withColumn("rnk", F.row_number().over(w_rank))
