@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table
+from etl_active911_spark.plans.cache import scoped_persist
 from etl_active911_spark.plans.registry import query
 
 
@@ -40,7 +41,12 @@ def connected_components(
     # materialize the edge list ONCE: every iteration joins against it, and
     # without this the entire upstream pair pipeline (MinHash banding +
     # Jaccard verification when called from x2_dup_clusters) re-evaluates
-    # per iteration — measured 5.1 s → ~3.6 s on x8_cluster_split at sf0.1
+    # per iteration — measured 5.1 s → ~3.6 s on x8_cluster_split at sf0.1.
+    # localCheckpoint, NOT scoped_persist, despite the minhash finding
+    # (plans/cache.py): the loop needs LINEAGE TRUNCATION, not just block
+    # reuse — with persist() every iteration's plan still embeds the full
+    # upstream MinHash pipeline and Catalyst re-optimizes that tree per
+    # iteration (A/B r4: persist made x8_cluster_split 6.0 s → 22.3 s).
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))

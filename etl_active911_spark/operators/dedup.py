@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table, spread
+from etl_active911_spark.plans.cache import scoped_persist
 from etl_active911_spark.plans.registry import query
 
 
@@ -416,13 +417,14 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
     the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    # localCheckpoint (NOT persist): the (tiny) pair list feeds BOTH the
-    # semi-join below and the verification join — without materialization
-    # the whole signature+band subtree evaluates twice (measured +50%).
-    # Eager local checkpoint blocks are GC-reclaimed with this DataFrame,
-    # unlike a persist() CacheManager entry that outlives the query and
-    # accumulates across the parity sweep (ADVICE r02).
-    cands = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    # scoped_persist: the (tiny) pair list feeds BOTH the semi-join below
+    # and the verification join — without materialization the whole
+    # signature+band subtree evaluates twice (measured +50%). persist()
+    # beats localCheckpoint here (A/B in plans/cache.py docstring: 2.74 s
+    # vs 3.36 s eager / 4.61 s lazy fresh-session median at sf0.1 —
+    # VERDICT r03 item 1); the scoped key bounds CacheManager growth to
+    # one live entry across the parity sweep (ADVICE r02).
+    cands = scoped_persist("x2_minhash_lsh.cands", lsh_candidate_pairs(docs))
     # exact verification touches only docs that appear in a candidate pair
     # (semi-join first — shingle arrays for the other 99.9% of the corpus
     # are never materialized; at 100 TB candidates ≪ corpus by design)
