@@ -686,6 +686,119 @@ def x2_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+ED_K = 3  # edit-distance threshold
+ED_NSEG = ED_K + 1  # PassJoin pigeonhole: 3 edits leave >= 1 of 4 segments intact
+ED_SHORT = 2 * ED_NSEG  # below this length segments degenerate; brand-block fallback
+
+
+def _seg_geometry(l: Column, i: Column) -> tuple[Column, Column]:
+    """(1-indexed start, length) of segment ``i`` of an ``l``-char string
+    under the deterministic even partition: the first ``NSEG - l % NSEG``
+    segments get ``floor(l / NSEG)`` chars, the rest one extra."""
+    base = F.floor(l / ED_NSEG).cast("int")
+    rem = (l % ED_NSEG).cast("int")
+    seg_len = base + F.when(i >= ED_NSEG - rem, F.lit(1)).otherwise(F.lit(0))
+    seg_start = i * base + F.greatest(i - (ED_NSEG - rem), F.lit(0)) + F.lit(1)
+    return seg_start, seg_len
+
+
+def fuzzy_candidate_name_pairs(names: DataFrame) -> DataFrame:
+    """Candidate (brand, name_a < name_b) pairs for edit-distance-≤3
+    linkage over the DISTINCT name vocabulary, via PassJoin-style segment
+    blocking (Li, Deng & Feng, "PASS-JOIN: a partition-based method for
+    similarity joins", PVLDB 2011 — public literature).
+
+    Input: one row per distinct (brand, name). Output: every unordered
+    pair of DIFFERENT names that could be within edit distance ED_K — a
+    PROVABLE SUPERSET of the true pairs, so the exact-join oracle needs no
+    blocking adjustment. Argument: partition the indexed name (length
+    ``l``) into ``K+1 = 4`` contiguous segments; at most ``K = 3`` edit
+    operations touch at most 3 of them, so at least one segment survives
+    untouched and appears verbatim in the other name, its start position
+    shifted by at most the net insertion/deletion count (≤ 3). The probe
+    side therefore enumerates, for every plausible index length
+    ``l ∈ [m-3, m+3]`` and segment ``i``, its own substrings with segment
+    ``i``'s length at starts within ±3 of segment ``i``'s — if a true
+    pair exists, one (brand, l, i, seg) key collides. Names shorter than
+    ``ED_SHORT`` (degenerate segments) fall back to brand blocking
+    against every name within reachable length (|Δlen| ≤ K); TPC-H-ish
+    names are ~7-50 chars so that branch is nearly empty but keeps the
+    operator total.
+
+    Scale shape: the index side emits 4 rows per name, the probe side a
+    few dozen highly selective deduped keys, and candidate generation is
+    a pure EQUI-join on the composite (brand, l, i, seg) key — work is
+    quadratic only within same-segment collision groups of the
+    VOCABULARY, never within whole brands (VERDICT r03 item 2).
+    """
+    base = names.select("brand", "name", F.length("name").alias("len"))
+    long_names = base.filter(F.col("len") >= ED_SHORT)
+
+    seg_i = F.explode(F.sequence(F.lit(0), F.lit(ED_NSEG - 1))).alias("i")
+    idx = long_names.select("brand", "name", F.col("len").alias("l"), seg_i)
+    st, ln = _seg_geometry(F.col("l"), F.col("i"))
+    idx = idx.select("brand", "l", "i", F.col("name").substr(st, ln).alias("seg"), "name")
+
+    probe = (
+        long_names.withColumnRenamed("len", "m")
+        .select(
+            "brand",
+            "name",
+            "m",
+            F.explode(
+                F.sequence(F.greatest(F.col("m") - ED_K, F.lit(ED_SHORT)), F.col("m") + ED_K)
+            ).alias("l"),
+        )
+        .select("brand", "name", "m", "l", seg_i)
+    )
+    st, ln = _seg_geometry(F.col("l"), F.col("i"))
+    probe = (
+        probe.withColumn("lo", F.greatest(st - ED_K, F.lit(1)))
+        .withColumn("hi", F.least(st + ED_K, F.col("m") - ln + F.lit(1)))
+        .withColumn("ln", ln)
+        .filter(F.col("hi") >= F.col("lo"))
+        .select(
+            "brand", "l", "i", "name",
+            F.explode(F.sequence("lo", "hi")).alias("pos"),
+            "ln",
+        )
+        .select(
+            "brand", "l", "i",
+            F.col("name").substr(F.col("pos"), F.col("ln")).alias("seg"),
+            "name",
+        )
+        .distinct()  # same key reachable from several shifts — dedupe pre-join
+    )
+
+    long_pairs = (
+        idx.alias("x")
+        .join(probe.alias("p"), ["brand", "l", "i", "seg"])
+        .filter(F.col("x.name") != F.col("p.name"))
+        .select(
+            "brand",
+            F.least(F.col("x.name"), F.col("p.name")).alias("name_a"),
+            F.greatest(F.col("x.name"), F.col("p.name")).alias("name_b"),
+        )
+    )
+
+    # fallback block: a short name can still sit within distance K of a
+    # LONGER one (|Δlen| ≤ K), so shorts pair against every name of
+    # length < ED_SHORT + K within the brand, not just other shorts
+    shorts = base.filter(F.col("len") < ED_SHORT)
+    near_short = base.filter(F.col("len") < ED_SHORT + ED_K)
+    short_pairs = (
+        shorts.alias("sa")
+        .join(near_short.alias("sb"), "brand")
+        .filter(F.col("sa.name") != F.col("sb.name"))
+        .select(
+            "brand",
+            F.least(F.col("sa.name"), F.col("sb.name")).alias("name_a"),
+            F.greatest(F.col("sa.name"), F.col("sb.name")).alias("name_b"),
+        )
+    )
+    return long_pairs.unionByName(short_pairs).distinct()
+
+
 @query(
     "x2_fuzzy_linkage",
     """
@@ -707,32 +820,60 @@ def x2_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge) that MinHash can't serve because edit distance on short strings
     is not set overlap.
 
-    Scale shape: the quadratic comparison NEVER runs globally — candidate
-    pairs come from a blocking-key EQUI-join (`p_brand`; at 100 TB the
-    block key would be e.g. (name-length band, first-token)), so the
-    expensive metric touches only within-block pairs. The metric itself is
-    Spark's thresholded `levenshtein(l, r, 3)` — the JVM early-exits the
-    DP once the band exceeds the threshold (returns -1), turning O(n·m)
-    per pair into O(threshold·min(n,m)); the oracle computes the full
-    distance and applies the same cut, so equality also pins the
-    threshold variant's exactness below the cut.
+    Scale shape (reworked r4, VERDICT r03 item 2 — the old ``p_brand``-only
+    blocking made within-block pairs grow as n²/|brands|). Two tiers:
+
+    1. CLASS DEDUP: all quadratic-flavored candidate work runs on the
+       DISTINCT (brand, name) vocabulary — for duplicate-heavy corpora
+       (this table: 64 distinct names regardless of SF) the vocabulary is
+       orders of magnitude smaller than the row count and grows sublinearly.
+       Candidates over it come from PassJoin segment blocking
+       (``fuzzy_candidate_name_pairs`` — equi-join on (brand, l, i, seg),
+       a provable superset of all edit-≤3 pairs), then are verified ONCE
+       per name pair with Spark's thresholded ``levenshtein(l, r, 3)`` —
+       the JVM early-exits the DP once the band exceeds the threshold
+       (returns -1), O(threshold·min(n,m)) per pair.
+    2. OUTPUT-LINEAR FAN-OUT: verified name pairs (plus the trivial
+       identity pairs, distance 0 by definition — never re-verified) are
+       joined back to the part keys of each name class. Cost is
+       proportional to the RESULT size, the information-theoretic floor.
+
+    The oracle remains the TRUE within-brand edit-distance join over all
+    rows, so the driver's hash match certifies zero recall loss from both
+    the blocking and the class-dedup rewrite; the oracle's full-distance
+    computation with the same cut also pins the threshold variant's
+    exactness below the cut.
     """
-    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = part.select(
+    part = read_table(spark, sf_dir, "part").select(
         F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("part_a"),
-        F.col("p_name").alias("name_a"),
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
     )
-    b = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_name").alias("name_b"),
+    classes = part.select("brand", "name").distinct()
+
+    cand = fuzzy_candidate_name_pairs(classes)
+    verified = cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b", ED_K)).filter(
+        F.col("edit_dist") >= 0
     )
-    dist = F.levenshtein("name_a", "name_b", 3)
-    return (
-        a.join(b, "brand")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .withColumn("edit_dist", dist)
-        .filter(F.col("edit_dist") >= 0)
-        .select("brand", "part_a", "part_b", "name_a", "name_b", "edit_dist")
+    # identity pairs: two different parts sharing one exact name (distance 0)
+    identity = classes.select(
+        "brand", F.col("name").alias("name_a"), F.col("name").alias("name_b"),
+        F.lit(0).alias("edit_dist"),
     )
+    name_pairs = verified.unionByName(identity)
+
+    ma = part.select("brand", F.col("name").alias("name_a"), F.col("pk").alias("pk_a"))
+    mb = part.select("brand", F.col("name").alias("name_b"), F.col("pk").alias("pk_b"))
+    fanned = (
+        name_pairs.join(ma, ["brand", "name_a"]).join(mb, ["brand", "name_b"])
+        # identity classes produce both orientations; keep pk order once
+        .filter(F.col("pk_a") != F.col("pk_b"))
+    )
+    return fanned.select(
+        "brand",
+        F.least("pk_a", "pk_b").alias("part_a"),
+        F.greatest("pk_a", "pk_b").alias("part_b"),
+        F.when(F.col("pk_a") < F.col("pk_b"), F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
+        F.when(F.col("pk_a") < F.col("pk_b"), F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
+        "edit_dist",
+    ).distinct()
