@@ -6,16 +6,32 @@ JVM-side, whole-stage-codegen-friendly, no UDF.
 
 Semantics (pinned by golden tests):
 - trim, split on single spaces; the last token is the tz abbreviation.
-- known abbreviation → parse 'MM/DD/YYYY HH:mm:ss' as local wall time in
-  the mapped IANA zone, emit UTC.
+- known abbreviation → parse the rest as local wall time in the mapped
+  IANA zone, emit UTC.
 - unknown abbreviation → the reference parses the WHOLE string with
   moment's 'z' token, which is a parse-time no-op, in zone UTC
-  (task.ts:75). We first try the string minus its last token, then fall
-  back to the full trimmed string — so an abbreviation-less but
-  well-formed input ('12/08/2025 18:27:47') parses as UTC (ADVICE r01).
-- unparseable input → NULL (moment emits null ISO; we use NULL timestamp).
-  Known documented divergence (CLAUDE.md rule 8): moment additionally
-  accepts malformed whitespace/garbage dates leniently; we stay strict.
+  (task.ts:75) — so an abbreviation-less but well-formed input
+  ('12/08/2025 18:27:47') parses as UTC (ADVICE r01).
+- LENIENT parse (r4, VERDICT r03 item 4): moment's non-strict parser does
+  not require the input to match 'MM/DD/YYYY HH:mm:ss' literally — it
+  extracts one digit run per format token, in order, skipping any
+  separators and junk between them (public moment.js parse internals:
+  each token regex, e.g. /\\d\\d?/ for MM, is matched UNANCHORED against
+  the remaining input and everything before the match is discarded).
+  ``_LENIENT_PAT`` reproduces exactly that: 6 ordered digit-run groups
+  with lazy non-digit gaps, month/day/year required, time components
+  defaulting to 0 when absent — so '12/08/2025  18:27:47' (mangled
+  whitespace), '1/8/2025 3:27:47' (unpadded), '12-08-2025 18:27:47'
+  (wrong separators), and trailing junk all parse exactly as moment does,
+  while out-of-range components (month 13, hour 99) yield NULL exactly as
+  moment's overflow check does.
+- unparseable input → NULL timestamp (moment emits a null ISO string).
+  Remaining documented divergences (CLAUDE.md rule 8), both outside any
+  reachable input shape: (a) moment defaults a MISSING year to the
+  current year — non-deterministic, we return NULL; (b) strings whose
+  digit runs can be re-split by regex backtracking (e.g. '123' → moment
+  NULL, we parse month 1/day 2/year 3); (c) year 0 renders as a BC date
+  in the DuckDB oracle, so fixtures avoid it.
 - DST-ambiguous local times resolve to the earlier offset (java.time);
   moment-timezone agrees for US zones. Golden fixtures avoid the 2am
   transition window entirely (SURVEY.md §7 hard-part #1).
@@ -55,7 +71,28 @@ def _tz_map_lit() -> Column:
     return F.create_map(*[F.lit(x) for pair in TIMEZONE_MAPPINGS.items() for x in pair])
 
 
-ALERT_TIME_FORMAT = "MM/dd/yyyy HH:mm:ss"
+ALERT_TIME_FORMAT = "MM/dd/yyyy HH:mm:ss"  # the nominal shape; parse is lenient
+
+#: moment non-strict 'MM/DD/YYYY HH:mm:ss': 6 ordered digit runs, lazy
+#: non-digit gaps, time components optional. Shared verbatim (module-level
+#: SQL mirror below) with the DuckDB oracle — both engines run the same
+#: regex, and neither uses possessive quantifiers so backtracking behavior
+#: matches between java.util.regex and RE2.
+LENIENT_PAT = (
+    r"(\d{1,2})\D*?(\d{1,2})\D*?(\d{1,4})"
+    r"(?:\D*?(\d{1,2})(?:\D*?(\d{1,2})(?:\D*?(\d{1,2}))?)?)?"
+)
+
+
+def _lenient_wall(col: Column) -> Column:
+    """moment-non-strict parse → LOCAL wall clock as TIMESTAMP_NTZ (NULL
+    when month/day/year can't be extracted or any component overflows —
+    ``try_make_timestamp_ntz`` applies exactly moment's overflow rule)."""
+    g = lambda i: F.nullif(F.regexp_extract(col, LENIENT_PAT, i), F.lit(""))  # noqa: E731
+    opt = lambda i: F.coalesce(g(i).cast("int"), F.lit(0))  # noqa: E731
+    return F.try_make_timestamp_ntz(
+        g(3).cast("int"), g(1).cast("int"), g(2).cast("int"), opt(4), opt(5), opt(6)
+    )
 
 
 def _split_parts(col: Column) -> tuple[Column, Column, Column]:
@@ -66,40 +103,34 @@ def _split_parts(col: Column) -> tuple[Column, Column, Column]:
     return date_part, abbr, trimmed
 
 
+def _wall_and_zone(col: Column) -> tuple[Column, Column]:
+    """(local wall clock NTZ, IANA zone) per the reference's dispatch:
+    known trailing abbreviation → parse only the string minus that token
+    in the mapped zone (task.ts:70-73); otherwise parse the WHOLE string
+    in UTC (task.ts:75 — moment's 'z' token is a parse no-op and the
+    lenient parser skips a trailing unknown token as junk anyway)."""
+    date_part, abbr, trimmed = _split_parts(col)
+    tz = F.try_element_at(_tz_map_lit(), abbr)
+    wall = F.when(tz.isNotNull(), _lenient_wall(date_part)).otherwise(_lenient_wall(trimmed))
+    return wall, F.coalesce(tz, F.lit("UTC"))
+
+
 def parse_alert_time(col: Column) -> Column:
     """'MM/DD/YYYY HH:mm:ss ABBR' string → UTC-instant timestamp Column.
 
-    Session-timezone independent: ``to_timestamp`` renders the wall clock
-    in the session zone and ``to_utc_timestamp`` reinterprets that same
-    wall clock in the mapped zone, so the session zone cancels out.
+    Session-timezone independent: the NTZ→timestamp cast renders the wall
+    clock in the session zone and ``to_utc_timestamp`` reinterprets that
+    same wall clock in the mapped zone, so the session zone cancels out.
     """
-    date_part, abbr, trimmed = _split_parts(col)
-    tz = F.try_element_at(_tz_map_lit(), abbr)
-    fmt = F.lit(ALERT_TIME_FORMAT)
-    # Unknown abbr → moment parses with the abbr ignored, in UTC
-    # (task.ts:75); for abbreviation-less input the date-part parse fails
-    # and the full trimmed string parses instead (same moment call).
-    return F.to_utc_timestamp(
-        F.coalesce(F.try_to_timestamp(date_part, fmt), F.try_to_timestamp(trimmed, fmt)),
-        F.coalesce(tz, F.lit("UTC")),
-    )
+    wall, zone = _wall_and_zone(col)
+    return F.to_utc_timestamp(wall.cast("timestamp"), zone)
 
 
 def parse_alert_time_ntz(col: Column) -> Column:
     """Same parse, returning the UTC wall clock as TIMESTAMP_NTZ — fully
     session-independent representation for oracle-checked queries."""
-    date_part, abbr, trimmed = _split_parts(col)
-    tz = F.try_element_at(_tz_map_lit(), abbr)
-    fmt = F.lit(ALERT_TIME_FORMAT)
-    # to_timestamp_ntz throws on malformed input under ANSI mode; guard it
-    # behind lazily-evaluated branches keyed on try_to_timestamp (only its
-    # null-ness is used, so its session-zone interpretation is irrelevant).
-    dp_ok = F.try_to_timestamp(date_part, fmt).isNotNull()
-    full_ok = F.try_to_timestamp(trimmed, fmt).isNotNull()
-    ntz = F.when(dp_ok, F.to_timestamp_ntz(date_part, fmt)).when(
-        full_ok, F.to_timestamp_ntz(trimmed, fmt)
-    )
-    return F.convert_timezone(F.coalesce(tz, F.lit("UTC")), F.lit("UTC"), ntz)
+    wall, zone = _wall_and_zone(col)
+    return F.convert_timezone(zone, F.lit("UTC"), wall)
 
 
 def parse_alert_time_iso(col: Column) -> Column:

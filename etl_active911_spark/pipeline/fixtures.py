@@ -18,7 +18,10 @@ Fixture coverage (per FIXTURES.md §A / task.ts):
 - ``sent``/``received``: 'MM/DD/YYYY HH:mm:ss ABBR' covering all 18 tz
   abbreviations (task.ts:45-64) + unknown 'XYZ' (fallback path,
   task.ts:75) + every 23rd key abbreviation-LESS (moment parses the whole
-  string in UTC — whole-string fallback, ADVICE r01). Local hours 06-17
+  string in UTC — whole-string fallback, ADVICE r01) + moment-LENIENT
+  malformed variants on ``o_orderkey % 29 ∈ 1..7`` (r4: mangled
+  whitespace, unpadded digits, dash separators, trailing junk, garbage,
+  month overflow, compact digits — see ``_SENT_FULL``). Local hours 06-17
   only: avoids DST-transition ambiguity, where moment-timezone and
   java.time may legally disagree (SURVEY.md §7).
 - ``responses``: chronological lines (task.ts:194) with a repeated callsign
@@ -44,14 +47,18 @@ _ABBR_CASE = "CASE CAST(o_orderkey % 19 AS INT) " + " ".join(
 
 # 'MM/DD/YYYY HH:mm:ss' from pure integer arithmetic (no date formatting —
 # strftime patterns differ between engines).
-_SENT_TS = (
-    "LPAD(CAST(1 + o_orderkey % 12 AS STRING), 2, '0') || '/' || "
-    "LPAD(CAST(1 + o_orderkey % 28 AS STRING), 2, '0') || '/' || "
-    "CAST(1995 + o_orderkey % 8 AS STRING) || ' ' || "
-    "LPAD(CAST(6 + o_orderkey % 12 AS STRING), 2, '0') || ':' || "
-    "LPAD(CAST(o_orderkey % 60 AS STRING), 2, '0') || ':' || "
-    "LPAD(CAST((o_orderkey * 7) % 60 AS STRING), 2, '0')"
-)
+_MM = "LPAD(CAST(1 + o_orderkey % 12 AS STRING), 2, '0')"
+_DD = "LPAD(CAST(1 + o_orderkey % 28 AS STRING), 2, '0')"
+_YY = "CAST(1995 + o_orderkey % 8 AS STRING)"
+_HH = "LPAD(CAST(6 + o_orderkey % 12 AS STRING), 2, '0')"
+_MI = "LPAD(CAST(o_orderkey % 60 AS STRING), 2, '0')"
+_SS = "LPAD(CAST((o_orderkey * 7) % 60 AS STRING), 2, '0')"
+# unpadded variants (moment-lenient coverage: single-digit fields)
+_MM_U = "CAST(1 + o_orderkey % 12 AS STRING)"
+_DD_U = "CAST(1 + o_orderkey % 28 AS STRING)"
+_HH_U = "CAST(6 + o_orderkey % 12 AS STRING)"
+
+_SENT_TS = f"{_MM} || '/' || {_DD} || '/' || {_YY} || ' ' || {_HH} || ':' || {_MI} || ':' || {_SS}"
 
 # Response-line time: fixed simple January dates, EST.
 _RESP_TS = (
@@ -60,9 +67,24 @@ _RESP_TS = (
     "':15:' || LPAD(CAST(o_orderkey % 50 AS STRING), 2, '0')"
 )
 
+# Malformed-date coverage (r4, VERDICT r03 item 4 — moment parses these
+# leniently and so must both engines): keyed on o_orderkey % 29 so every
+# variant lands on every tz abbreviation over the fixture. Case 1 mangled
+# interior whitespace, 2 unpadded single-digit fields, 3 dash separators,
+# 4 trailing junk glued to the seconds, 5 pure garbage (NULL), 6 month
+# overflow (NULL — moment's overflow rule), 7 compact digits (no
+# separators at all; moment's unanchored token regexes still match).
 _SENT_FULL = (
-    f"CASE WHEN o_orderkey % 23 = 0 THEN {_SENT_TS} "
-    f"ELSE {_SENT_TS} || ' ' || {_ABBR_CASE} END"
+    f"CASE CAST(o_orderkey % 29 AS INT) "
+    f"WHEN 1 THEN {_MM} || '/' || {_DD} || '/' || {_YY} || '  ' || {_HH} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
+    f"WHEN 2 THEN {_MM_U} || '/' || {_DD_U} || '/' || {_YY} || ' ' || {_HH_U} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
+    f"WHEN 3 THEN {_MM} || '-' || {_DD} || '-' || {_YY} || ' ' || {_HH} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
+    f"WHEN 4 THEN {_SENT_TS} || 'junk ' || {_ABBR_CASE} "
+    f"WHEN 5 THEN 'not a date at all' "
+    f"WHEN 6 THEN '99/99/' || {_YY} || ' 10:00:00 ' || {_ABBR_CASE} "
+    f"WHEN 7 THEN {_MM} || {_DD} || {_YY} || ' ' || {_HH} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
+    f"ELSE CASE WHEN o_orderkey % 23 = 0 THEN {_SENT_TS} "
+    f"ELSE {_SENT_TS} || ' ' || {_ABBR_CASE} END END"
 )
 
 SYNTH_ALERTS_SQL = f"""

@@ -9,12 +9,17 @@ change together):
 
 - ``_JS_NUM``: JS ``Number(str)`` — blank → 0.0, unparseable → NULL (the
   SQL stand-in for JS NaN).
-- ``_PARSE_ISO``: reference ``parseTime`` (task.ts:66-76). Known trailing
-  tz abbreviation → parse the rest as local wall time in the mapped zone;
-  otherwise moment parses the WHOLE string with a no-op 'z' token in UTC —
-  mirrored by the COALESCE fallback on the full trimmed string, so a
-  well-formed abbreviation-less input ('12/08/2025 18:27:47') yields a
-  valid UTC instant instead of NULL (ADVICE r01).
+- ``parse_iso_sql``: reference ``parseTime`` (task.ts:66-76). Known
+  trailing tz abbreviation → parse the rest as local wall time in the
+  mapped zone; otherwise moment parses the WHOLE string with a no-op 'z'
+  token in UTC. The parse itself is moment-NON-STRICT (r4): the shared
+  ``LENIENT_PAT`` digit-run regex (timeparse.py) extracts the six
+  components, skipping separators/junk, with absent time fields → 0 and
+  any overflowing component (month 13, hour 99, Feb 30) → NULL, exactly
+  moment's overflow rule — replicated here with a guarded
+  ``make_timestamp`` (DuckDB 1.0 has no TRY()); the day-in-month bound
+  clamps the month argument of its own ``make_date`` so the guard can
+  never error.
 - ``_COORDS_CTE``: reference coordinate rules (task.ts:172-185).
   ``Number(lon) === 0 || Number(lat) === 0`` triggers the place fallback —
   NaN is NOT === 0, so rows whose lat/lon are non-blank but unparseable
@@ -33,18 +38,40 @@ _TZ_CASE = "CASE abbr " + " ".join(
     f"WHEN '{k}' THEN '{v}'" for k, v in TIMEZONE_MAPPINGS.items()
 ) + " ELSE NULL END"
 
+def _lenient_wall_sql(s: str) -> str:
+    """moment-non-strict parse of string expr ``s`` → naive TIMESTAMP (the
+    local wall clock), NULL on missing month/day/year or component
+    overflow. Mirrors ``timeparse._lenient_wall`` exactly — shared regex,
+    same defaulting, same overflow semantics."""
+    from etl_active911_spark.functions.timeparse import LENIENT_PAT
+
+    g = lambda i: f"TRY_CAST(NULLIF(regexp_extract({s}, '{LENIENT_PAT}', {i}), '') AS INT)"  # noqa: E731
+    yr, mo, dy = g(3), g(1), g(2)
+    hh, mi, ss = (f"COALESCE({g(i)}, 0)" for i in (4, 5, 6))
+    mo_clamped = f"CASE WHEN {mo} BETWEEN 1 AND 12 THEN {mo} ELSE 1 END"
+    valid = (
+        f"{yr} IS NOT NULL AND {mo} BETWEEN 1 AND 12 AND {hh} <= 23 AND {mi} <= 59 "
+        f"AND {ss} <= 59 AND {dy} BETWEEN 1 AND day(last_day(make_date({yr}, {mo_clamped}, 1)))"
+    )
+    return f"CASE WHEN {valid} THEN make_timestamp({yr}, {mo}, {dy}, {hh}, {mi}, {ss}) END"
+
+
 # parseTime (task.ts:66-76) in DuckDB: split off the trailing abbreviation,
 # parse the rest as local wall time in the mapped zone, emit ISO-UTC text.
 # timezone('UTC', timezone(tz, ts)) is session-TimeZone-independent.
 # Unknown/absent abbreviation: moment parses the whole string ('z' is a
-# parse no-op) in UTC → COALESCE onto the full trimmed string {full}.
-_PARSE_ISO = (
-    "strftime(CASE WHEN {tz} IS NOT NULL"
-    "  THEN timezone('UTC', timezone({tz}, try_strptime({dp}, '%m/%d/%Y %H:%M:%S')))"
-    "  ELSE COALESCE(try_strptime({dp}, '%m/%d/%Y %H:%M:%S'),"
-    "                try_strptime({full}, '%m/%d/%Y %H:%M:%S')) END,"
-    " '%Y-%m-%dT%H:%M:%S.%gZ')"
-)
+# parse no-op; the lenient parser treats a trailing token as junk) in UTC.
+def parse_iso_sql(tz: str, dp: str, full: str) -> str:
+    """ISO-UTC text for reference ``parseTime`` given SQL exprs for the
+    mapped-zone lookup, the string minus its last token, and the full
+    trimmed string. A function, not a ``.format`` template: the lenient
+    regex contains ``{1,2}`` quantifiers that str.format would eat."""
+    return (
+        f"strftime(CASE WHEN {tz} IS NOT NULL"
+        f"  THEN timezone('UTC', timezone({tz}, {_lenient_wall_sql(dp)}))"
+        f"  ELSE {_lenient_wall_sql(full)} END,"
+        " '%Y-%m-%dT%H:%M:%S.%gZ')"
+    )
 
 _RESPONSE_PAT = r"Got a response of (.+?) to (.+?)\((\d+)\) at (.+?)\."
 
@@ -53,7 +80,7 @@ _RESPONSE_PAT = r"Got a response of (.+?) to (.+?)\((\d+)\) at (.+?)\."
 _G4 = "TRIM(regexp_extract(line, '" + _RESPONSE_PAT + "', 4))"
 _G4_ABBR = "regexp_extract(" + _G4 + ", '(\\S+)$', 1)"
 _G4_DP = "TRIM(REGEXP_REPLACE(" + _G4 + ", '\\s*\\S+$', ''))"
-_G4_ISO = _PARSE_ISO.format(
+_G4_ISO = parse_iso_sql(
     tz="(" + _TZ_CASE.replace("abbr", _G4_ABBR) + ")", dp=_G4_DP, full=_G4
 )
 _MATCHED = "regexp_matches(line, '" + _RESPONSE_PAT + "')"

@@ -21,7 +21,7 @@ from etl_active911_spark.pipeline.oracle_sql import (
     _COORDS_CTE,
     _DEDUP_CTE,
     _LINES_CTE,
-    _PARSE_ISO,
+    parse_iso_sql,
     _REMARKS_SQL,
     _TZ_CASE,
 )
@@ -55,7 +55,7 @@ def o10_coord_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             TRIM(sent) AS fullp
         FROM alerts
     )
-    SELECT id, sent, {_PARSE_ISO.format(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS start_iso
+    SELECT id, sent, {parse_iso_sql(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS start_iso
     FROM p
     """,
 )
@@ -134,7 +134,7 @@ def o5_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'active911-' || id AS feature_id,
            description AS callsign,
-           {_PARSE_ISO.format(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS start_iso,
+           {parse_iso_sql(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS start_iso,
            {_REMARKS_SQL} AS remarks,
            lon_d, lat_d, n_links
     FROM p
@@ -193,7 +193,7 @@ link_strs AS (
     SELECT 'active911-' || id AS feature_id,
            'Feature' AS ftype,
            description AS callsign,
-           {_PARSE_ISO.format(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS start_iso,
+           {parse_iso_sql(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS start_iso,
            {_REMARKS_SQL} AS remarks,
            links_str,
            'Point' AS geo_type,

@@ -62,6 +62,30 @@ TZ_CASES = [
     ("  12/08/2025 18:27:47  ", "2025-12-08T18:27:47.000Z"),
     # unparseable → null
     ("not a date at all", None),
+    # --- moment-LENIENT parses (r4, VERDICT r03 item 4) -------------------
+    # mangled interior whitespace (moment skips separators entirely)
+    ("12/08/2025  18:27:47 EST", "2025-12-08T23:27:47.000Z"),
+    ("12/08/2025   18:27:47", "2025-12-08T18:27:47.000Z"),
+    # unpadded single-digit fields (moment token regex \d\d? matches 1-2)
+    ("1/8/2025 3:27:47 EST", "2025-01-08T08:27:47.000Z"),
+    # wrong separators (moment ignores format literals in non-strict mode)
+    ("12-08-2025 18:27:47 EST", "2025-12-08T23:27:47.000Z"),
+    ("12.08.2025 18:27:47", "2025-12-08T18:27:47.000Z"),
+    # trailing junk glued to the last token (moment discards the rest)
+    ("12/08/2025 18:27:47junk EST", "2025-12-08T23:27:47.000Z"),
+    # compact digits — moment's unanchored token regexes still match
+    ("12082025 10:00:00 EST", "2025-12-08T15:00:00.000Z"),
+    # missing time components default to 0 (moment defaulting rule)
+    ("12/08/2025 EST", "2025-12-08T05:00:00.000Z"),
+    ("12/08/2025 18:27 EST", "2025-12-08T23:27:00.000Z"),
+    # overflow components → Invalid Date → null (moment's overflow check)
+    ("99/99/2025 10:00:00 EST", None),
+    ("13/01/2025 10:00:00 EST", None),
+    ("12/08/2025 99:00:00 EST", None),
+    ("02/30/2025 10:00:00 EST", None),
+    # garbage with time-position letters: the first digit run after the
+    # year ('47') lands in the hour slot → 47 overflows → null
+    ("12/08/2025 aa:bb:47 EST", None),
 ]
 
 
