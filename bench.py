@@ -72,6 +72,31 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 ANCHOR_17 = set(HEADLINE[:17])
 N_RUNS_ANCHOR = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_ANCHOR", "5"))
 
+#: Frozen round-1 per-query anchors at sf0.1 (BENCH_r01.json, quiet run —
+#: the 2x gate denominators). Kept inline so every BENCH_r{N}.json is
+#: self-describing: the emitted "anchor_ratios"/"canary" fields let a
+#: reader judge machine-state drift vs real regression without
+#: re-deriving BASELINE.md arithmetic each round (VERDICT r03 item 5).
+ANCHOR_SECONDS: dict[str, float] = {
+    "flagship_revenue_by_nation": 0.767,
+    "n2_join_broadcast_agg": 0.424,
+    "n3_range_join": 0.310,
+    "n4_agg_pricing_summary": 0.254,
+    "n7_window_rank": 0.394,
+    "n8_global_topk": 0.161,
+    "n10_json_struct": 0.195,
+    "n11_tumbling_window": 0.357,
+    "n12_session_window": 0.443,
+    "a911_pipeline_flat": 0.588,
+    "x1_exact_dedup": 0.209,
+    "x2_minhash_lsh": 1.624,
+    "x3_cosine_topk": 0.512,
+    "x4_token_stats": 0.122,
+    "x4_lang_id": 0.217,
+    "x5_media_decode": 0.548,
+    "x6_ts_pattern_match": 1.138,
+}
+
 
 def time_query(spark, name: str) -> float:
     """Median of timed executions (BASELINE.md Part B protocol): 5 runs for
@@ -97,6 +122,26 @@ def main() -> None:
             timings[name] = time_query(spark, name)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Machine-state canary: per-query ratio vs the frozen r1 anchor, plus
+    # the aggregate gate numbers. If the MEDIAN anchor ratio is inflated
+    # across untouched queries, the machine is loaded — read per-query
+    # regressions relative to that median, not to 1.0.
+    ratios = {
+        n: round(timings[n] / ANCHOR_SECONDS[n], 3)
+        for n in timings
+        if n in ANCHOR_SECONDS and ANCHOR_SECONDS[n] > 0
+    }
+    anchor_sum = round(sum(timings[n] for n in ratios), 3)
+    frozen_sum = round(sum(ANCHOR_SECONDS[n] for n in ratios), 3)
+    srt = sorted(ratios.values())
+    canary = {
+        "anchor_sum_sec": anchor_sum,
+        "anchor_frozen_sec": frozen_sum,
+        "anchor_sum_ratio": round(anchor_sum / frozen_sum, 3) if frozen_sum else None,
+        "anchor_median_ratio": srt[len(srt) // 2] if srt else None,
+        "flagship_ratio": ratios.get("flagship_revenue_by_nation"),
+        "gate_2x_breaches": sorted(n for n, r in ratios.items() if r > 2.0),
+    }
     print(
         json.dumps(
             {
@@ -105,6 +150,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "anchor_ratios": ratios,
+                "canary": canary,
             }
         )
     )
