@@ -392,3 +392,20 @@ def test_fuzzy_linkage_candidates_grow_sublinearly(spark):
         )
         counts[sf] = fuzzy_candidate_name_pairs(classes).count()
     assert counts["/root/testdata/sf0.1"] < 5 * counts[SF_ORACLE], counts
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """x8_reservoir_sample's scale story is Spark's WindowGroupLimit
+    pushdown (per-partition top-k before the lang shuffle, so no single
+    task ever sees a whole language); pin it in the executed plan
+    (VERDICT r03 minor)."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["x8_reservoir_sample"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    # the pushdown must appear on BOTH sides of the exchange: a partial
+    # (map-side) group-limit before the shuffle and the final one after
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post, plan[:3000]
