@@ -159,6 +159,28 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_cap_raises_on_long_chain(spark):
+    """Adversarial chain graph (VERDICT r03 item 8): min-label propagation
+    needs O(diameter) passes, so a chain longer than ``max_iter`` hops
+    must RAISE rather than return silently split components — and a cap
+    sized to the diameter must converge on the identical input."""
+    import pytest as _pytest
+
+    from etl_active911_spark.operators.clustering import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10).collect()
+    # the cap is a knob, not a wall: the same graph converges when sized
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(chain, max_iter=16).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 16
+
+
 def test_dup_clusters_one_keeper_per_component(spark):
     out = registry.QUERIES["x2_dup_clusters"](spark, SF_ORACLE)
     rows = out.collect()
