@@ -294,3 +294,170 @@ def x5_meta_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5b: REAL tiny-format decode (24-bit BMP) — r4, VERDICT r03 item 7
+# ---------------------------------------------------------------------------
+#
+# Unlike the digest-stub codec above, this path parses ACTUAL bytes: the
+# encoder below writes genuine BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+# bottom-up pixel rows, and the decoder reads dimensions from the header
+# and pixel values from the array — `struct.unpack` on real offsets, no
+# digests. It still carries a hard DuckDB oracle because the encoder's
+# *parameters* (dims, pattern seeds) derive from the payload digest and the
+# pixel pattern is plain arithmetic, so SQL can predict what a correct
+# decoder must recover without ever touching binary.
+
+import struct  # noqa: E402
+
+
+def encode_bmp(width: int, height: int, seeds: tuple[int, int, int]) -> bytes:
+    """A real 24-bit bottom-up BMP: 14-byte file header, 40-byte
+    BITMAPINFOHEADER, BGR pixel triplets, rows zero-padded to 4 bytes.
+    Pixel (x, y) in image coords (y=0 is the TOP row — stored LAST):
+    R=(7x+13y+s0)%256, G=(3x+5y+s1)%256, B=(11x+17y+s2)%256."""
+    s0, s1, s2 = seeds
+    row_len = (3 * width + 3) & ~3
+    pix = bytearray(row_len * height)
+    for yy in range(height):          # yy = storage row, bottom-up
+        y = height - 1 - yy           # y  = image row
+        base = yy * row_len
+        for x in range(width):
+            o = base + 3 * x
+            pix[o] = (11 * x + 17 * y + s2) % 256       # B
+            pix[o + 1] = (3 * x + 5 * y + s1) % 256     # G
+            pix[o + 2] = (7 * x + 13 * y + s0) % 256    # R
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return bytes(header + pix)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int, int, int, int]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height, bpp,
+    sum_r, sum_g, sum_b, top_r, top_g, top_b). Every value comes from the
+    byte stream itself — header fields via struct.unpack at their
+    documented offsets, pixel sums by walking the padded bottom-up rows,
+    top_* from the TOP-LEFT image pixel (i.e. the FIRST triplet of the
+    LAST stored row — wrong row-order handling cannot pass the oracle)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    dib, width, height, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if dib < 40 or bpp != 24 or comp != 0 or height <= 0:
+        raise ValueError(f"unsupported BMP variant (dib={dib} bpp={bpp} comp={comp})")
+    row_len = (3 * width + 3) & ~3
+    sr = sg = sb = 0
+    for yy in range(height):
+        base = pix_off + yy * row_len
+        for x in range(width):
+            o = base + 3 * x
+            sb += payload[o]
+            sg += payload[o + 1]
+            sr += payload[o + 2]
+    top = pix_off + (height - 1) * row_len  # image row y=0 is stored last
+    return (width, height, bpp, sr, sg, sb, payload[top + 2], payload[top + 1], payload[top])
+
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, n_bytes long, "
+    "mean_r double, mean_g double, mean_b double, top_r int, top_g int, top_b int"
+)
+
+
+def bmp_media_table(media: DataFrame) -> DataFrame:
+    """Replace the image rows' text stand-in payloads with REAL encoded
+    BMPs whose parameters derive from the original payload digest
+    (dims from digest bytes 0-1 → 4..32 px, pattern seeds from bytes
+    3-5). Runs in mapInPandas — blob construction stays on executors."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pdf["mime"] == "image/png"].copy()
+            payloads = []
+            for b in out["bytes"]:
+                d = hashlib.sha256(b).digest()
+                payloads.append(
+                    encode_bmp(4 + d[0] % 29, 4 + d[1] % 29, (d[3], d[4], d[5]))
+                )
+            out["bytes"] = payloads
+            out["mime"] = "image/bmp"
+            yield out[["doc_id", "uri", "mime", "bytes"]]
+
+    return media.mapInPandas(run, "doc_id long, uri string, mime string, bytes binary")
+
+
+def decode_bmp_features(bmps: DataFrame) -> DataFrame:
+    """The real decode pass: header + pixel parse per Arrow batch."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bytes"]):
+                w, h, bpp, sr, sg, sb, tr, tg, tb = decode_bmp(payload)
+                n = w * h
+                rows.append(
+                    (doc_id, w, h, bpp, len(payload),
+                     round(sr / n, 6), round(sg / n, 6), round(sb / n, 6), tr, tg, tb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "bpp", "n_bytes",
+                         "mean_r", "mean_g", "mean_b", "top_r", "top_g", "top_b"],
+            )
+
+    return bmps.mapInPandas(run, BMP_FEATURE_SCHEMA)
+
+
+# digest-derived encoder parameters, as SQL over the hex digest
+_BMP_W = f"(4 + {_hexbyte('sha', 0)} % 29)"
+_BMP_H = f"(4 + {_hexbyte('sha', 1)} % 29)"
+_BMP_S0 = _hexbyte("sha", 3)
+_BMP_S1 = _hexbyte("sha", 4)
+_BMP_S2 = _hexbyte("sha", 5)
+
+
+@query(
+    "x5_media_decode_real",
+    f"""
+    WITH {_MEDIA_CTE},
+    img AS (
+        SELECT doc_id, sha,
+               {_BMP_W} AS w, {_BMP_H} AS h,
+               {_BMP_S0} AS s0, {_BMP_S1} AS s1, {_BMP_S2} AS s2
+        FROM m WHERE mime = 'image/png'
+    ),
+    px AS (
+        SELECT doc_id, w, h, s0, s1, s2, unnest(range(w * h)) AS i FROM img
+    ),
+    sums AS (
+        SELECT doc_id,
+               SUM((7 * (i % w) + 13 * (i // w) + s0) % 256) AS sr,
+               SUM((3 * (i % w) + 5 * (i // w) + s1) % 256) AS sg,
+               SUM((11 * (i % w) + 17 * (i // w) + s2) % 256) AS sb
+        FROM px GROUP BY doc_id
+    )
+    SELECT img.doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height, 24 AS bpp,
+           CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+           ROUND(CAST(sr AS DOUBLE) / (w * h), 6) AS mean_r,
+           ROUND(CAST(sg AS DOUBLE) / (w * h), 6) AS mean_g,
+           ROUND(CAST(sb AS DOUBLE) / (w * h), 6) AS mean_b,
+           CAST(s0 % 256 AS INT) AS top_r,
+           CAST(s1 % 256 AS INT) AS top_g,
+           CAST(s2 % 256 AS INT) AS top_b
+    FROM img JOIN sums ON img.doc_id = sums.doc_id
+    """,
+)
+def x5_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5b: REAL image decode — encode genuine 24-bit BMPs on the
+    executors, then parse headers and padded bottom-up pixel rows back out
+    of the raw bytes (``decode_bmp``). The oracle predicts every decoded
+    field closed-form from the digest-derived encoder parameters, so a
+    decoder that misreads offsets, padding, or row order hash-mismatches.
+    Top-left-pixel outputs specifically pin bottom-up row indexing."""
+    media = media_table(spark, sf_dir)
+    return decode_bmp_features(bmp_media_table(media))

@@ -75,7 +75,7 @@ CORE: tuple[str, ...] = (
     "x4_lang_id",
     "x9_curation_pipeline",
     "x5_media_decode",
-    "x5_meta_kv",
+    "x5_media_decode_real",
     "x6_ts_pattern_match",
     "x6_ts_dtw",
     "x7_nearest_station",

@@ -315,3 +315,42 @@ def test_ann_ivf_seeded_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.55, f"seeded-IVF recall {recall:.2f}"  # deterministic; measured 0.65 @sf0.001, 0.53 @sf0.01
+
+
+def test_bmp_decoder_golden_and_roundtrip(spark):
+    """decode_bmp must parse REAL bytes: (a) a hand-written literal 2x2
+    BMP with explicit row padding decodes to its known pixels, (b) it
+    round-trips encode_bmp over awkward widths (row padding 1..3 bytes),
+    (c) non-BMP payloads raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from etl_active911_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # (a) literal 2x2, 24bpp: rows padded to 8 bytes. Image pixels:
+    #   (0,0)=R10,G20,B30  (1,0)=R11,G21,B31   <- top row, stored SECOND
+    #   (0,1)=R40,G50,B60  (1,1)=R41,G51,B61   <- bottom row, stored FIRST
+    pix = bytes(
+        [60, 50, 40, 61, 51, 41, 0, 0,   # bottom storage row (y=1) + pad
+         30, 20, 10, 31, 21, 11, 0, 0]   # top storage row (y=0) + pad
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    w, h, bpp, sr, sg, sb, tr, tg, tb = decode_bmp(hdr + pix)
+    assert (w, h, bpp) == (2, 2, 24)
+    assert (sr, sg, sb) == (10 + 11 + 40 + 41, 20 + 21 + 50 + 51, 30 + 31 + 60 + 61)
+    assert (tr, tg, tb) == (10, 20, 30)  # top-left image pixel
+
+    # (b) encoder/decoder round-trip across every padding remainder
+    for width in (4, 5, 6, 7):
+        got = decode_bmp(encode_bmp(width, 3, (9, 8, 7)))
+        assert got[0] == width and got[1] == 3
+        exp_sr = sum((7 * x + 13 * y + 9) % 256 for x in range(width) for y in range(3))
+        assert got[3] == exp_sr
+        assert got[6] == 9 % 256  # top-left R = s0
+
+    # (c) garbage refuses loudly
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
