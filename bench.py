@@ -60,6 +60,9 @@ HEADLINE = [
     "tpch_q8_market_share",
     "x8_cluster_split",
     "n19_bloom_prefilter_join",
+    # round-4 additions (same shared-subset rule)
+    "x2_fuzzy_linkage",
+    "x5_media_decode_real",
 ]
 
 

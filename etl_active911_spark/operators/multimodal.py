@@ -317,17 +317,21 @@ def encode_bmp(width: int, height: int, seeds: tuple[int, int, int]) -> bytes:
     BITMAPINFOHEADER, BGR pixel triplets, rows zero-padded to 4 bytes.
     Pixel (x, y) in image coords (y=0 is the TOP row — stored LAST):
     R=(7x+13y+s0)%256, G=(3x+5y+s1)%256, B=(11x+17y+s2)%256."""
+    import numpy as np
+
     s0, s1, s2 = seeds
     row_len = (3 * width + 3) & ~3
-    pix = bytearray(row_len * height)
-    for yy in range(height):          # yy = storage row, bottom-up
-        y = height - 1 - yy           # y  = image row
-        base = yy * row_len
-        for x in range(width):
-            o = base + 3 * x
-            pix[o] = (11 * x + 17 * y + s2) % 256       # B
-            pix[o + 1] = (3 * x + 5 * y + s1) % 256     # G
-            pix[o + 2] = (7 * x + 13 * y + s0) % 256    # R
+    # vectorized pattern fill (the per-pixel Python loop measured ~2.8 s
+    # for the sf0.1 query; numpy broadcasting runs it at C speed)
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]  # image rows, y=0 top
+    bgr = np.empty((height, width, 3), dtype=np.uint8)
+    bgr[:, :, 0] = (11 * x + 17 * y + s2) % 256  # B
+    bgr[:, :, 1] = (3 * x + 5 * y + s1) % 256    # G
+    bgr[:, :, 2] = (7 * x + 13 * y + s0) % 256   # R
+    rows = np.zeros((height, row_len), dtype=np.uint8)
+    rows[:, : 3 * width] = bgr.reshape(height, 3 * width)
+    pix = rows[::-1].tobytes()  # bottom-up storage: image row 0 last
     header = struct.pack(
         "<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54
     ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
@@ -341,6 +345,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int, int, int, 
     documented offsets, pixel sums by walking the padded bottom-up rows,
     top_* from the TOP-LEFT image pixel (i.e. the FIRST triplet of the
     LAST stored row — wrong row-order handling cannot pass the oracle)."""
+    import numpy as np
+
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pix_off,) = struct.unpack_from("<I", payload, 10)
@@ -348,14 +354,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int, int, int, 
     if dib < 40 or bpp != 24 or comp != 0 or height <= 0:
         raise ValueError(f"unsupported BMP variant (dib={dib} bpp={bpp} comp={comp})")
     row_len = (3 * width + 3) & ~3
-    sr = sg = sb = 0
-    for yy in range(height):
-        base = pix_off + yy * row_len
-        for x in range(width):
-            o = base + 3 * x
-            sb += payload[o]
-            sg += payload[o + 1]
-            sr += payload[o + 2]
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_len * height, offset=pix_off
+    ).reshape(height, row_len)
+    bgr = rows[:, : 3 * width].reshape(height, width, 3).astype(np.int64)
+    sb, sg, sr = (int(bgr[:, :, c].sum()) for c in (0, 1, 2))
     top = pix_off + (height - 1) * row_len  # image row y=0 is stored last
     return (width, height, bpp, sr, sg, sb, payload[top + 2], payload[top + 1], payload[top])
 
