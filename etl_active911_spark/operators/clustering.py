@@ -158,6 +158,127 @@ def x2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components_star(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(a, b) edge list → (doc_id, component) via the alternating
+    large-star/small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi
+    & Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public literature).
+
+    Complement to ``connected_components`` (min-label propagation): that
+    one converges in O(diameter) passes — ideal for near-clique dup
+    graphs, but a long chain blows its cap. Star contraction converges in
+    O(log n) ROUNDS FOR ANY GRAPH, so high-diameter graphs (linked lists
+    of near-dups, threaded conversations) stay cheap: a 10⁶-hop chain is
+    ~20 rounds instead of 10⁶. Per round: two star steps, each ONE keyed
+    aggregate + ONE equi-join on the edge list, localCheckpoint-ed per
+    round (iterative loop ⇒ lineage truncation, CLAUDE.md rule 17);
+    convergence = the directed (child → parent) edge set reaching a
+    fixpoint, checked with a LIMIT-1 anti-join probe (cheap: both sides
+    are the current edge lists, not closures).
+
+    * large-star: every node's LARGER neighbors re-attach to its current
+      minimum (min over neighborhood ∪ self);
+    * small-star: its smaller-or-equal neighbors and itself attach to the
+      minimum of that smaller set.
+    At the fixpoint every non-root points directly at its component min.
+    """
+    sym = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = sym  # invariant: symmetric, no self-loops
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u")).alias("m")
+        return (
+            e.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("child"), m.alias("parent"))
+            .filter(F.col("child") != F.col("parent"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        sm = e.filter(F.col("v") < F.col("u"))
+        mins = sm.groupBy("u").agg(F.min("v").alias("m"))
+        attach_nb = (
+            sm.join(mins, "u")
+            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+        )
+        attach_self = mins.select(F.col("u").alias("child"), F.col("m").alias("parent"))
+        return (
+            attach_nb.union(attach_self)
+            .filter(F.col("child") != F.col("parent"))
+            .distinct()
+        )
+
+    def _resym(directed: DataFrame) -> DataFrame:
+        # each star step consumes the UNDIRECTED view of the previous output
+        return (
+            directed.select(F.col("child").alias("u"), F.col("parent").alias("v"))
+            .union(directed.select(F.col("parent").alias("u"), F.col("child").alias("v")))
+            .distinct()
+        )
+
+    prev = None
+    for _ in range(max_iter):
+        stars = _small_star(_resym(_large_star(edges)))  # directed child → parent
+        stars = stars.localCheckpoint(eager=True)
+        if prev is not None:
+            diff = (
+                stars.join(prev, ["child", "parent"], "left_anti")
+                .union(prev.join(stars, ["child", "parent"], "left_anti"))
+                .limit(1)
+                .count()
+            )
+            if diff == 0:
+                comp = stars.select(
+                    F.col("child").alias("doc_id"), F.col("parent").alias("component")
+                )
+                roots = (
+                    stars.select(F.col("parent").alias("doc_id"))
+                    .distinct()
+                    .join(stars.select(F.col("child").alias("doc_id")), "doc_id", "left_anti")
+                    .withColumn("component", F.col("doc_id"))
+                )
+                return comp.union(roots)
+        prev = stars
+        edges = _resym(stars)
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds "
+        "(theoretical bound is O(log n) — raise max_iter for truly enormous "
+        "graphs; returning would silently split clusters)"
+    )
+
+
+@query("x2_dup_clusters_star", _dup_clusters_oracle())
+def x2_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 end-to-end dedup on the star-contraction components
+    (``connected_components_star``): identical output contract to
+    ``x2_dup_clusters`` — same oracle — via the O(log n)-round algorithm,
+    so both components engines carry independent hard correctness
+    evidence on real pair data."""
+    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+
+    pairs = x2_minhash_lsh(spark, sf_dir)
+    comp = connected_components_star(pairs)
+    keepers = comp.groupBy("component").agg(F.min("doc_id").alias("keeper_id"))
+    return (
+        comp.join(keepers, "component")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X-2j: PageRank over the near-dup graph (bounded power iteration)
 # ---------------------------------------------------------------------------

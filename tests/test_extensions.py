@@ -354,3 +354,45 @@ def test_bmp_decoder_golden_and_roundtrip(spark):
     # (c) garbage refuses loudly
     with _pytest.raises(ValueError):
         decode_bmp(b"PNG not a bmp")
+
+
+def test_star_components_match_label_propagation(spark):
+    """connected_components_star (O(log n) alternating star contraction)
+    must produce the identical (doc_id, component) mapping as min-label
+    propagation on assorted graphs — including a 30-hop chain that label
+    propagation's default diameter cap cannot handle at all."""
+    import random
+
+    from etl_active911_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def comp_map(df):
+        return {r["doc_id"]: r["component"] for r in df.collect()}
+
+    known = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    assert comp_map(connected_components_star(known)) == comp_map(
+        connected_components(known)
+    )
+
+    rng = random.Random(41)
+    rand_edges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+    ]
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    rand = spark.createDataFrame(rand_edges, "doc_a long, doc_b long")
+    assert comp_map(connected_components_star(rand)) == comp_map(
+        connected_components(rand, max_iter=40)
+    )
+
+    # 30-hop chain: diameter 30 ≫ label-prop's default cap of 10, but
+    # star contraction needs only O(log 31) rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    comp = comp_map(connected_components_star(chain, max_iter=10))
+    assert set(comp.values()) == {0} and len(comp) == 31
