@@ -216,3 +216,104 @@ def x8_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8g: size-balanced shard assignment (distributed prefix sum) — r4
+# ---------------------------------------------------------------------------
+
+TARGET_SHARD_BYTES = 1 << 16  # 64 KiB over the fixture corpus; prod knob
+_SHARD_RANGES = 8  # range partitions for the two-phase prefix sum
+
+
+def assign_shards(docs: DataFrame, target: int = TARGET_SHARD_BYTES) -> DataFrame:
+    """Assign each document to a training shard so shards are filled
+    sequentially in deterministic ``doc_id`` order to ~``target`` bytes
+    (a doc belongs to the shard where its payload STARTS — the standard
+    streaming-packing rule, so a shard overflows by at most one doc).
+
+    100 TB shape: shard id = running byte offset ``div`` target, i.e. a
+    GLOBAL prefix sum — and the naive formulation (one window with a
+    global ORDER BY) funnels the entire corpus through a single task.
+    This is the two-phase distributed prefix sum instead:
+
+    1. ``repartitionByRange(doc_id)`` — contiguous, ordered key ranges;
+    2. per-range running sums with a window PARTITIONED by range id
+       (parallel, no single-task stage);
+    3. per-range totals (tiny: one row per range) → cumulative offsets on
+       the driver-side-sized table, broadcast back and added.
+
+    Returns (doc_id, n_bytes, shard_id)."""
+    d = docs.select("doc_id", F.octet_length("text").cast("bigint").alias("n_bytes"))
+    d = d.repartitionByRange(_SHARD_RANGES, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = d.withColumn("local_cum", F.sum("n_bytes").over(w_local))
+    # per-range totals: one row per range — the ONLY single-partition
+    # window in the plan runs over this bounded table
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.max("local_cum").alias("range_total"))
+        .withColumn("offset", F.sum("range_total").over(w_off) - F.col("range_total"))
+        .select("pid", "offset")
+    )
+    out = part.join(F.broadcast(offsets), "pid")
+    # byte offset where this doc STARTS; exact bigint division (DIV), not
+    # float `/` — cumulative byte offsets overflow double precision long
+    # before they overflow int64
+    start = F.col("offset") + F.col("local_cum") - F.col("n_bytes")
+    return out.withColumn("start_off", start).select(
+        "doc_id",
+        "n_bytes",
+        F.expr(f"CAST(start_off DIV {target} AS BIGINT)").alias("shard_id"),
+    )
+
+
+@query(
+    "x8_shard_assign",
+    f"""
+    WITH d AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_bytes,
+               SUM(n_bytes) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT (cum - n_bytes) // {TARGET_SHARD_BYTES} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def x8_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8g: size-balanced training-shard manifest — every shard's doc
+    count, byte size, and contiguous [first_doc, last_doc] range. The
+    oracle computes the same prefix sum with a plain global window (fine
+    at oracle scale); the Spark side must reproduce it bit-for-bit from
+    the two-phase distributed formulation, which pins the offset
+    arithmetic (a misplaced range boundary or off-by-one in the offset
+    join shifts every downstream shard id)."""
+    docs = read_table(spark, sf_dir, "documents")
+    shards = assign_shards(docs)
+    return (
+        shards.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

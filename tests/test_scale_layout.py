@@ -6,6 +6,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table
@@ -409,3 +410,33 @@ def test_reservoir_sample_uses_window_group_limit(spark):
     # (map-side) group-limit before the shuffle and the final one after
     pre, _, post = plan.partition("Exchange")
     assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post, plan[:3000]
+
+
+def test_shard_assign_two_phase_prefix_sum(spark):
+    """x8_shard_assign must (a) equal the naive global-window prefix sum
+    row-for-row, and (b) keep the corpus-sized window PARTITIONED — the
+    only single-partition window allowed is the per-range offsets table
+    (one row per range). A global ORDER BY window over the corpus would
+    funnel 100 TB through one task."""
+    from etl_active911_spark.operators.sampling import TARGET_SHARD_BYTES, assign_shards
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["shard_id"])
+        for r in assign_shards(docs).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (
+        docs.select("doc_id", F.octet_length("text").cast("bigint").alias("n_bytes"))
+        .withColumn("cum", F.sum("n_bytes").over(w))
+        .withColumn(
+            "shard_id", F.expr(f"CAST((cum - n_bytes) DIV {TARGET_SHARD_BYTES} AS BIGINT)")
+        )
+    )
+    want = {r["doc_id"]: (r["n_bytes"], r["shard_id"]) for r in naive.collect()}
+    assert got == want
+
+    plan = assign_shards(docs)._jdf.queryExecution().executedPlan().toString()
+    # exactly one SinglePartition exchange: the tiny offsets cumsum
+    assert plan.count("SinglePartition") <= 1, plan[:3000]
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
