@@ -308,3 +308,81 @@ def test_asof_union_scan_matches_bruteforce(spark, events):
         else:
             want.add((u, e, None, None))
     assert got == want
+
+
+# --- r4 lenient (moment non-strict) date extraction: tri-engine parity ----
+
+_LENIENT_RE = None
+
+
+def _lenient_wall_py(s: str):
+    """Pure-Python reference for the moment-non-strict digit-run
+    extraction (timeparse.LENIENT_PAT): Python re has the same
+    leftmost-first backtracking preference as java.util.regex and RE2's
+    NFA simulation, so all three engines must agree match-for-match."""
+    global _LENIENT_RE
+    import re as _re
+
+    from etl_active911_spark.functions.timeparse import LENIENT_PAT
+
+    if _LENIENT_RE is None:
+        _LENIENT_RE = _re.compile(LENIENT_PAT)
+    m = _LENIENT_RE.search(s)
+    if not m:
+        return None
+    g = m.groups()
+    mo, dy, yr = int(g[0]), int(g[1]), int(g[2])
+    hh = int(g[3]) if g[3] else 0
+    mi = int(g[4]) if g[4] else 0
+    ss = int(g[5]) if g[5] else 0
+    try:
+        return datetime(yr, mo, dy, hh, mi, ss)
+    except ValueError:  # overflow (month 13, Feb 30, hour 99, year 0) → NULL
+        return None
+
+
+_SEP = st.sampled_from(["/", "-", ".", " ", "  ", "", ", ", "x"])
+_DATEISH = st.builds(
+    lambda mo, d1, y, h, mi, s2, s1, s3, junk: f"{mo}{s1}{d1}{s2}{y}{s3}{h}:{mi}:{s2}{junk}",
+    st.integers(0, 19), st.integers(0, 39), st.integers(1, 2400),
+    st.integers(0, 30), st.integers(0, 70), _SEP, _SEP, _SEP,
+    st.text(alphabet="abc XYZ123456789", max_size=8),
+)
+_GARBAGE = st.text(alphabet="123456789/-.: abcEST", max_size=30)
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(_DATEISH, _GARBAGE), min_size=25, max_size=60))
+def test_lenient_wall_triple_engine_agreement(spark, raws):
+    """Spark `_lenient_wall`, the DuckDB `_lenient_wall_sql` oracle
+    fragment, and the pure-Python reference must agree on arbitrary
+    malformed inputs — separators, padding, junk, overflow and all.
+    (Alphabets exclude '0'-runs that could form year 0 — the one
+    documented cross-engine edge, CLAUDE.md rule 8.)"""
+    import duckdb
+    import pandas as pd
+
+    from etl_active911_spark.functions.timeparse import _lenient_wall
+    from etl_active911_spark.pipeline.oracle_sql import _lenient_wall_sql
+
+    raws = [r for r in raws if (w := _lenient_wall_py(r)) is None or w.year > 0]
+    if not raws:
+        return
+    want = [_lenient_wall_py(r) for r in raws]
+
+    got_spark = (
+        spark.createDataFrame([(r,) for r in raws], "s string")
+        .select(_lenient_wall(F.col("s")).alias("w"))
+        .collect()
+    )
+    for r, w, g in zip(raws, want, got_spark):
+        assert g["w"] == w, f"spark: {r!r} -> {g['w']} want {w}"
+
+    con = duckdb.connect()
+    con.register("raws", pd.DataFrame({"s": raws}))
+    got_duck = [x[0] for x in con.execute(
+        f"SELECT {_lenient_wall_sql('s')} FROM raws"
+    ).fetchall()]
+    for r, w, g in zip(raws, want, got_duck):
+        g = g.replace(tzinfo=None) if g is not None and g.tzinfo else g
+        assert g == w, f"duckdb: {r!r} -> {g} want {w}"
