@@ -337,14 +337,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # bucket-and-explode, NOT a self-join: a self-join evaluates the whole
+    # signature pipeline once per side (Spark cannot reuse an exchange
+    # across a broadcast boundary — measured ~2x the signature cost, r4).
+    # Grouping on the band key computes signatures ONCE; within-bucket
+    # pair fan-out is the same n²-per-bucket work the join did, on doc-id
+    # lists that are near-dup-group-sized.
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
