@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table
-from etl_active911_spark.plans.cache import scoped_persist
+from etl_active911_spark.plans.cache import scoped_persist, scoped_register
 from etl_active911_spark.plans.registry import query
 
 
@@ -97,7 +97,9 @@ def connected_components(
             "(component diameter exceeds the cap); raise max_iter — returning "
             "would silently split clusters"
         )
-    return labels
+    # the loop unpersists intermediates; register the surviving final
+    # labels so repeat invocations can't accumulate CacheManager entries
+    return scoped_register("connected_components.labels", labels)
 
 
 def _dup_clusters_oracle() -> str:

@@ -30,12 +30,19 @@ def scoped_persist(key: str, df: DataFrame) -> DataFrame:
     invocation of the same query) is unpersisted first — non-blocking, and
     tolerant of its session having been stopped since.
     """
+    return scoped_register(key, df.persist())
+
+
+def scoped_register(key: str, df: DataFrame) -> DataFrame:
+    """Track an ALREADY-persisted DataFrame under ``key`` (e.g. the final
+    labels of an iterative loop that manages its own per-iteration
+    persist/unpersist): the previous holder of the key is unpersisted, so
+    repeat invocations cannot accumulate CacheManager entries."""
     prev = _LIVE.pop(key, None)
-    if prev is not None:
+    if prev is not None and prev is not df:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # owning SparkSession already stopped — nothing to free
-    out = df.persist()
-    _LIVE[key] = out
-    return out
+    _LIVE[key] = df
+    return df
