@@ -1022,3 +1022,135 @@ def x4_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP)
     w_rank = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
     return topk.withColumn("rnk", F.row_number().over(w_rank))
+
+
+# ---------------------------------------------------------------------------
+# X-9c (r4): curation v3 — quality gate → near-dup drop → exact dedup →
+# size-balanced shard manifest. The full training-data story in one query.
+# ---------------------------------------------------------------------------
+
+
+def _curation_v3_oracle() -> str:
+    """Chained oracle: Gopher keep-rules, MinHash-LSH closure non-keeper
+    drop, exact-hash dedup among survivors, then the prefix-sum shard
+    manifest — every stage reuses the fragment already pinned by its
+    standalone query's oracle, so a v3 mismatch localizes the break."""
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+    from etl_active911_spark.operators.sampling import TARGET_SHARD_BYTES
+
+    stop_in = _STOPWORDS
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM cedges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN cedges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM cedges
+    ),
+    comp AS (SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id),
+    dup_drop AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    qtoks AS (
+        SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    qstats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_word_len,
+               ROUND(CAST(SUM(CASE WHEN tok IN {stop_in} THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS stop_frac
+        FROM qtoks GROUP BY doc_id
+    ),
+    qt2 AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    qbi AS (
+        SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS g,
+               len(t) - 1 AS n_bi
+        FROM qt2 WHERE len(t) >= 2
+    ),
+    qbc AS (SELECT doc_id, g, n_bi, COUNT(*) AS c FROM qbi GROUP BY doc_id, g, n_bi),
+    qtop AS (
+        SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / ANY_VALUE(n_bi), 6) AS tb
+        FROM qbc GROUP BY doc_id
+    ),
+    quality AS (
+        SELECT s.doc_id FROM qstats s LEFT JOIN qtop t ON s.doc_id = t.doc_id
+        WHERE s.n_words BETWEEN 50 AND 100000
+          AND s.mean_word_len BETWEEN 3.0 AND 10.0
+          AND s.stop_frac >= 0.005
+          AND COALESCE(t.tb, 0.0) <= 0.2
+    ),
+    stage AS (
+        SELECT q.doc_id FROM quality q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM dup_drop)
+    ),
+    hashes AS (
+        SELECT s.doc_id, sha256({_NORM_SQL}) AS content_hash
+        FROM stage s JOIN documents USING (doc_id)
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM hashes GROUP BY content_hash
+    ),
+    surv AS (
+        SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+        FROM exact_keep k JOIN documents d USING (doc_id)
+    ),
+    cum AS (
+        SELECT doc_id, n_bytes,
+               SUM(n_bytes) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        FROM surv
+    )
+    SELECT (cumb - n_bytes) // {TARGET_SHARD_BYTES} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum GROUP BY 1
+    """
+
+
+@query("x9_curation_v3", _curation_v3_oracle())
+def x9_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9c: the ROUND-4 composed training-data flow — Gopher quality gate
+    → near-dup CLUSTER drop (MinHash-LSH → connected components; every
+    non-keeper cluster member removed) → exact content-hash dedup among
+    the survivors → size-balanced shard manifest via the two-phase
+    distributed prefix sum (``assign_shards``). Stage order is part of the
+    contract and replicated exactly in the oracle: cluster-drop runs
+    BEFORE exact dedup so hash keepers are chosen among quality-kept,
+    non-near-dup docs only."""
+    from etl_active911_spark.operators.clustering import x2_dup_clusters
+    from etl_active911_spark.operators.dedup import normalized_text
+    from etl_active911_spark.operators.sampling import assign_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    quality = x4_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    non_keepers = (
+        x2_dup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
+    )
+    stage = docs.join(quality, "doc_id").join(non_keepers, "doc_id", "left_anti")
+    hashes = stage.select(
+        "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("content_hash")
+    )
+    exact_keep = hashes.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(exact_keep.select("doc_id"), "doc_id")
+    return (
+        assign_shards(survivors)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
