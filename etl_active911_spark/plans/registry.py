@@ -115,6 +115,18 @@ ROTATION: tuple[str, ...] = (
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
+#: Round-5 rotation queue (oldest driver evidence first — r2 scores, then
+#: never-windowed r3/r4 additions). Next round: move ~20 of these into
+#: ROTATION, retire the r4 set back to replica-only guardianship, update
+#: tests/test_registry_order.py's previous-window pin to the r4 window.
+#: Candidates: n2_join_semi, n2_join_anti, n2_correlated_subquery,
+#: n4_percentiles, n6_rollup, n6_cube, n6_pivot, n6_unpivot, n7_window_lag,
+#: n7_window_distribution, n9_intersect, n9_except_all, n10_scalar_suite,
+#: tpch_q3/q7/q12/q14/q18, x2_ngram_jaccard, x2_substring_spans,
+#: x3_range_search, x2_embedding_neardup, x8_shard_assign,
+#: x2_dup_clusters_star, x9_curation_v3, n17_asof_join, n18_scd2_intervals,
+#: n20_data_profile, n21_funnel, n22_dq_checks, x6_ts_ewma, x8_cluster_split.
+
 LAST: tuple[str, ...] = ("x3_ann_ivf_partitioned",)
 
 
