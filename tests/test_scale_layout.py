@@ -440,3 +440,33 @@ def test_shard_assign_two_phase_prefix_sum(spark):
     # exactly one SinglePartition exchange: the tiny offsets cumsum
     assert plan.count("SinglePartition") <= 1, plan[:3000]
     assert "rangepartitioning" in plan.lower(), plan[:2000]
+
+
+def test_scoped_persist_bounds_cache_entries(spark):
+    """plans/cache.py contract: re-invoking a query that scoped-persists
+    must leave at most ONE live cache entry per key — the r2 ADVICE
+    concern (persist accumulation across the parity sweep) stays fixed."""
+    from etl_active911_spark.plans.cache import _LIVE, scoped_persist
+
+    df1 = scoped_persist("test.cache.key", spark.range(10))
+    assert df1.storageLevel.useMemory
+    df2 = scoped_persist("test.cache.key", spark.range(20))
+    assert df2.count() == 20  # the NEW frame is returned, never the old
+    assert not df1.storageLevel.useMemory  # previous entry released
+    assert _LIVE["test.cache.key"] is df2
+    df2.unpersist()
+    del _LIVE["test.cache.key"]
+
+
+def test_minhash_candidates_are_join_free(spark):
+    """r4: LSH candidate generation is bucket-and-explode — the banded
+    signature pipeline must appear ONCE in the plan (a band self-join
+    evaluated it once per join side; Spark cannot reuse an exchange
+    across a broadcast boundary)."""
+    from etl_active911_spark.io import spread
+    from etl_active911_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spread(read_table(spark, SF_ORACLE, "documents"))
+    plan = lsh_candidate_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan[:2000])
