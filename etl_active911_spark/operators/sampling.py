@@ -317,3 +317,81 @@ def x8_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8h: temperature-based source mixture weighting — r4
+# ---------------------------------------------------------------------------
+
+MIX_BUCKETS = 1_000_000  # inclusion-threshold resolution
+
+
+@query(
+    "x8_mixture_weights",
+    f"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs,
+               SQRT(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM per)) AS wr
+        FROM per
+    ),
+    p AS (
+        SELECT source, n_docs, ROUND(wr / (SELECT SUM(wr) FROM w), 6) AS tempered_share
+        FROM w
+    ),
+    s AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM documents d JOIN p ON d.source = p.source
+        WHERE {_bucket_sql('doc_id', 1_000_000)}
+              < CAST(FLOOR(p.tempered_share * 1000000) AS BIGINT)
+        GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs, p.tempered_share,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM p LEFT JOIN s ON p.source = s.source
+    """,
+)
+def x8_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8h: temperature-based mixture weighting across sources — the
+    standard pretraining rebalancing (upweight small sources, downweight
+    dominant ones) at temperature α = 1/2: tempered share
+    p_s ∝ sqrt(n_s / N), renormalized. α is fixed at 1/2 deliberately:
+    sqrt is IEEE-correctly-rounded in every engine, so the oracle matches
+    bit-for-bit where a general pow(x, α) could differ in the last ulp.
+
+    Membership is then CONTENT-ADDRESSED, not RNG: doc included iff
+    md5-bucket(doc_id) < floor(p_s · 10⁶) — a deterministic per-source
+    Bernoulli(p_s) that is reproducible across engines, retries, and
+    partitionings (same property as the other X-8 samplers). Output: per
+    source, corpus count, tempered share, and realized sample count.
+
+    100 TB shape: two scans of `documents` (one countable aggregate, one
+    threshold filter), a ~|sources|-row broadcast join, and 1-row totals
+    folded as scalar subqueries — no global sort, no RNG state."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wr", F.sqrt(F.col("n_docs").cast("double") / F.col("n_total"))
+    )
+    z = w.agg(F.sum("wr").alias("z"))
+    p = w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("wr") / F.col("z"), 6).alias("tempered_share"),
+    )
+    thr = F.floor(F.col("tempered_share") * MIX_BUCKETS).cast("bigint")
+    sampled = (
+        docs.join(F.broadcast(p), "source")
+        .filter(hash_bucket(F.col("doc_id"), MIX_BUCKETS) < thr)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    )
+    return p.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "tempered_share",
+        F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias("n_sampled"),
+    )
