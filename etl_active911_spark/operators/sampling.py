@@ -395,3 +395,93 @@ def x8_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tempered_share",
         F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8i: token-budget sequence-packing manifest — r4
+# ---------------------------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 4096  # tokens per packed training sequence
+
+
+@query(
+    "x8_token_packing",
+    None,  # oracle injected below (needs textual's BPE pattern)
+)
+def x8_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8i: sequence-packing manifest — concatenate documents in
+    deterministic ``doc_id`` order into packed training sequences of
+    ~``PACK_TOKEN_BUDGET`` BPE-ish tokens (a doc belongs to the pack
+    where its first token lands; packs overflow by at most one doc, the
+    same streaming-packing rule as ``assign_shards``). Output per pack:
+    doc count, token total, and the contiguous [first_doc, last_doc]
+    span — what a pretraining loader needs to seek into the corpus.
+
+    Same two-phase distributed prefix-sum shape as ``assign_shards``
+    (range partitions → per-range running sums → broadcast offsets), with
+    the token count from x4's BPE-ish pre-tokenizer regex instead of
+    byte length. No global-ORDER-BY window anywhere near the corpus."""
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)).cast("bigint").alias("n_tokens"),
+    )
+    d = docs.repartitionByRange(_SHARD_RANGES, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = d.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.max("local_cum").alias("range_total"))
+        .withColumn("offset", F.sum("range_total").over(w_off) - F.col("range_total"))
+        .select("pid", "offset")
+    )
+    packed = (
+        part.join(F.broadcast(offsets), "pid")
+        .withColumn("start_tok", F.col("offset") + F.col("local_cum") - F.col("n_tokens"))
+        .withColumn("pack_id", F.expr(f"CAST(start_tok DIV {PACK_TOKEN_BUDGET} AS BIGINT)"))
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def _token_packing_oracle() -> str:
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(LOWER(text), '{pat}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT (cum - n_tokens) // {PACK_TOKEN_BUDGET} AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """
+
+
+_registry.ORACLES["x8_token_packing"] = _token_packing_oracle()
