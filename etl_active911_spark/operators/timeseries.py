@@ -403,3 +403,58 @@ def x6_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@query(
+    "x6_ts_outliers_robust",
+    """
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ),
+    j AS (
+        SELECT e.user_id, e.event_id, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM j GROUP BY user_id
+    ),
+    r AS (
+        SELECT j.user_id, j.event_id, j.value,
+               ROUND((j.value - j.med) / (mad.mad * 1.4826), 6) AS robust_z
+        FROM j JOIN mad USING (user_id)
+        WHERE mad.mad > 1e-6
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value, robust_z
+    FROM r WHERE ABS(robust_z) >= 3.5
+    """,
+)
+def x6_ts_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6e: MEDIAN/MAD outlier flagging — the breakdown-resistant
+    companion to x6_ts_outliers' mean/sd z-score (a single extreme value
+    inflates sd and masks itself; the median absolute deviation has a 50%
+    breakdown point). robust_z = (x − median) / (MAD · 1.4826), flagged
+    at |z| ≥ 3.5 on the ROUNDED score (canonical policy 4).
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the same linear-interpolation definition (pos = p·(n−1)), so the two
+    engines agree bit-for-bit. Shape: two keyed aggregates with
+    broadcast-back joins. At true 100 TB swap the exact percentile for
+    ``approx_percentile`` (t-digest) — same plan, sketch-bounded memory —
+    and the oracle degrades to the rows-only check like the other
+    sketches."""
+    events = read_table(spark, sf_dir, "events")
+    med = events.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    j = events.join(med, "user_id").withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = j.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        j.join(mad, "user_id")
+        .filter(F.col("mad") > 1e-6)
+        .withColumn(
+            "robust_z",
+            F.round((F.col("value") - F.col("med")) / (F.col("mad") * 1.4826), 6),
+        )
+        .filter(F.abs(F.col("robust_z")) >= 3.5)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "robust_z")
+    )
