@@ -885,3 +885,99 @@ def x2_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pk_a") < F.col("pk_b"), F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
         "edit_dist",
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# X-2k (r4): end-to-end entity resolution over the name-similarity graph
+# ---------------------------------------------------------------------------
+
+_ER_SEP = "\x01"  # sorts below every printable char; never appears in names
+
+
+@query(
+    "x2_entity_resolution",
+    f"""
+    WITH RECURSIVE cls AS (
+        SELECT DISTINCT p_brand AS brand, p_name AS name FROM part
+    ),
+    e0 AS (
+        SELECT x.brand, x.name AS a, y.name AS b
+        FROM cls x JOIN cls y ON x.brand = y.brand AND x.name < y.name
+        WHERE levenshtein(x.name, y.name) <= {ED_K}
+    ),
+    eredges AS (
+        SELECT brand, a AS src, b AS dst FROM e0
+        UNION
+        SELECT brand, b, a FROM e0
+    ),
+    walk(brand, src, dst) AS (
+        SELECT brand, src, dst FROM eredges
+        UNION
+        SELECT w.brand, w.src, e.dst
+        FROM walk w JOIN eredges e ON w.brand = e.brand AND w.dst = e.src
+    ),
+    reach AS (
+        SELECT brand, src AS name, dst FROM walk
+        UNION
+        SELECT brand, src, src FROM eredges
+    ),
+    comp AS (
+        SELECT brand, name, MIN(dst) AS canonical FROM reach GROUP BY brand, name
+    ),
+    resolved AS (
+        SELECT c.brand, c.name, COALESCE(k.canonical, c.name) AS canonical_name
+        FROM cls c LEFT JOIN comp k ON c.brand = k.brand AND c.name = k.name
+    )
+    SELECT r.brand, r.name, r.canonical_name,
+           CAST(COUNT(*) OVER (PARTITION BY r.brand, r.canonical_name) AS BIGINT)
+               AS n_variants
+    FROM resolved r
+    """,
+)
+def x2_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2k: full entity resolution — PassJoin segment blocking
+    (``fuzzy_candidate_name_pairs``) → thresholded-levenshtein
+    verification → STAR-CONTRACTION connected components over the
+    name-similarity graph → canonical-name survivorship (min name per
+    cluster) with variant counts.
+
+    This is the star algorithm's own oracled workload: unlike the
+    near-dup doc graph (near-cliques, where label propagation shines),
+    name-similarity graphs CHAIN — 'cold rod' ~ 'old rod' ~ 'old rose' —
+    so component diameter grows with vocabulary drift and the O(log n)
+    contraction is the right engine. Nodes are (brand, name) classes
+    encoded as ``brand ␁ name`` (␁ sorts below every printable char, so
+    the component min is exactly the lexicographically-least NAME within
+    the brand — the oracle's MIN(name) — never a tie-break artifact).
+    The oracle verifies the unblocked quadratic truth per brand, so the
+    driver row also re-certifies PassJoin's zero recall loss on the
+    composed pipeline."""
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name")
+    )
+    classes = part.distinct()
+    verified = fuzzy_candidate_name_pairs(classes).filter(
+        F.levenshtein("name_a", "name_b", ED_K) >= 0
+    )
+    node = lambda b, n: F.concat(F.col(b), F.lit(_ER_SEP), F.col(n))  # noqa: E731
+    edges = verified.select(
+        node("brand", "name_a").alias("doc_a"), node("brand", "name_b").alias("doc_b")
+    )
+    from etl_active911_spark.operators.clustering import connected_components_star
+
+    comp = connected_components_star(edges).select(
+        F.col("doc_id").alias("nodekey"), F.col("component")
+    )
+    resolved = (
+        classes.withColumn("nodekey", node("brand", "name"))
+        .join(comp, "nodekey", "left")
+        .select(
+            "brand",
+            "name",
+            F.coalesce(
+                F.substring_index("component", _ER_SEP, -1), F.col("name")
+            ).alias("canonical_name"),
+        )
+    )
+    w = Window.partitionBy("brand", "canonical_name")
+    return resolved.withColumn("n_variants", F.count(F.lit(1)).over(w).cast("bigint"))
