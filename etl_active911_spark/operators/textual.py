@@ -1195,3 +1195,52 @@ def x4_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_bytes") > 0)
     )
+
+
+@query(
+    "x4_quality_deciles",
+    """
+    WITH q AS (
+        SELECT doc_id, lang,
+               ROUND(CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / LENGTH(text), 6) AS score
+        FROM documents
+    ),
+    d AS (
+        SELECT lang, score,
+               NTILE(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS decile
+        FROM q
+    )
+    SELECT lang, CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score
+    FROM d GROUP BY lang, decile
+    """,
+)
+def x4_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (calibration): per-language decile bands of the alpha-ratio
+    quality score — the table an operator reads before picking a filter
+    cutoff ("what does decile 3 look like in German?"). Exercises NTILE,
+    the one ranking function no other query touches; ordering is made
+    deterministic with the (score, doc_id) tie-break (canonical policy 4),
+    and both engines share the SQL-standard larger-buckets-first NTILE
+    definition. Per-language windows partition the shuffle; no global
+    sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    score = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        docs.select("doc_id", "lang", score.alias("score"))
+        .withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
