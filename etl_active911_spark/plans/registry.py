@@ -125,7 +125,9 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: tpch_q3/q7/q12/q14/q18, x2_ngram_jaccard, x2_substring_spans,
 #: x3_range_search, x2_embedding_neardup, x8_shard_assign,
 #: x2_dup_clusters_star, x9_curation_v3, n17_asof_join, n18_scd2_intervals,
-#: n20_data_profile, n21_funnel, n22_dq_checks, x6_ts_ewma, x8_cluster_split.
+#: n20_data_profile, n21_funnel, n22_dq_checks, x6_ts_ewma, x8_cluster_split,
+#: x8_mixture_weights, x8_token_packing, x6_ts_outliers_robust,
+#: x2_entity_resolution, x2_incremental_neardup, x4_quality_deciles.
 
 LAST: tuple[str, ...] = ("x3_ann_ivf_partitioned",)
 
