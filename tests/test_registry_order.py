@@ -28,25 +28,27 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-3 scoring window (CORRECTNESS_r03.json keys, in order): the
-# rotation policy requires each round's window to re-earn driver rows for
-# queries this set did NOT score.
-R3_WINDOW = {
+# The round-4 scoring window (CORRECTNESS_r04.json keys): the rotation
+# policy requires each round's window to re-earn driver rows for queries
+# this set did NOT score.
+R4_WINDOW = {
     "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
     "o13_response_extract", "o15_time_parse", "o19_links_dedup",
     "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
-    "n11_tumbling_window", "n11_sliding_window", "n12_session_window",
-    "n12_stateful_dedup", "n14_stream_stream_join", "n14_stream_static_join",
-    "n13_pandas_scalar", "n13_pandas_grouped_agg", "n13_apply_in_pandas",
-    "n13_python_udtf", "n15_sql_api", "n16_recursive_cte", "x4_token_stats",
-    "x4_quality_score", "x4_bpe_token_count", "x4_lang_id", "x4_fingerprint",
-    "x4_gopher_rules", "x4_unigram_logprob", "x9_curation_pipeline",
-    "x9_curation_v2", "x5_media_meta", "x5_media_decode", "x5_media_resize",
-    "x5_frame_sample", "x5_meta_kv", "x6_ts_pattern_match", "x6_ts_znorm_stats",
-    "x6_ts_outliers", "x7_geo_radius", "x7_nearest_station",
-    "x7_geo_bucket_join", "x8_hash_sample", "x8_stratified_sample",
-    "x8_train_holdout_split", "x8_weighted_sample", "x3_pandas_matmul",
-    "x6_ts_dtw", "x2_dup_clusters", "o2_source_roundtrip", "x1_exact_dedup",
+    "n11_tumbling_window", "n12_session_window", "n14_stream_stream_join",
+    "n13_pandas_scalar", "n13_python_udtf", "n15_sql_api",
+    "n16_recursive_cte", "x4_token_stats", "x4_lang_id",
+    "x9_curation_pipeline", "x5_media_decode", "x5_media_decode_real",
+    "x6_ts_pattern_match", "x6_ts_dtw", "x7_nearest_station",
+    "x8_stratified_sample", "x8_train_holdout_split", "x3_pandas_matmul",
+    "x2_dup_clusters", "o2_source_roundtrip", "x1_exact_dedup",
+    "n1_filter_project", "n2_join_broadcast_agg", "n3_range_join",
+    "n4_agg_pricing_summary", "n5_count_distinct", "n6_grouping_sets",
+    "n7_window_range_frame", "n7_window_rank", "n8_global_topk",
+    "n9_set_ops", "n10_json_struct", "tpch_q8_market_share",
+    "tpch_q10_returned_items", "tpch_q21_waiting_suppliers", "x3_ann_lsh",
+    "x3_cosine_topk", "x2_simhash", "x2_decontaminate", "x2_minhash_lsh",
+    "x2_fuzzy_linkage",
 }
 
 
@@ -110,10 +112,10 @@ def test_rotation_reearns_driver_rows():
     slots must go to queries the PREVIOUS round's window did not score, so
     hard driver evidence cycles through the whole registry over rounds."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R3_WINDOW
+    fresh = window - R4_WINDOW
     assert len(fresh) >= 15, sorted(fresh)
     # and the rotation bench itself must consist of newly-scored queries
-    assert set(registry.ROTATION).isdisjoint(R3_WINDOW - {"x2_dup_clusters"})
+    assert set(registry.ROTATION).isdisjoint(R4_WINDOW)
 
 
 def test_no_duplicate_registration_possible():
