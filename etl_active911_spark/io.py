@@ -61,18 +61,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's shuffle parallelism.
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's shuffle parallelism — round-robin by
+    default, HASH-partitioned when key columns are given.
 
     The fixture tables are single parquet files → Spark reads them as ONE
     partition, serializing any CPU-heavy per-row work (measured: the whole
-    MinHash pipeline ran on one core). A cheap round-robin exchange before
-    expensive derivations buys full parallelism; on a real 100 TB layout
-    inputs arrive pre-split, and this becomes a no-op-sized safeguard for
+    MinHash pipeline ran on one core). A cheap exchange before expensive
+    derivations buys full parallelism; on a real 100 TB layout inputs
+    arrive pre-split, and this becomes a no-op-sized safeguard for
     small/skewed file sets.
-    """
+
+    Passing key columns makes the exchange do double duty: narrow ops
+    (project/filter/explode) preserve hash partitioning, so a downstream
+    ``groupBy(cols)`` or equi-join on the same keys needs NO further
+    exchange — e.g. the MinHash signature aggregate goes from 2 exchanges
+    to 1 when documents are spread by ``doc_id`` before the shingle
+    explode (the per-doc explosion is what the parallelism is for, and
+    the aggregate runs where the rows already live)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(n)
+    return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -307,46 +307,84 @@ def minhash_signatures(
     )
 
 
+#: Hot-bucket guard (VERDICT r04 item 2): a band bucket larger than this is
+#: DROPPED from candidate generation. A bucket of n docs fans out n²/2
+#: pairs, so one boilerplate flood (10⁵ identical licence pages share every
+#: band) would emit ~10¹⁰ pairs from a single key. Recall note: pairs
+#: colliding ONLY in a dropped bucket are lost — but buckets this hot are
+#: (a) exact-duplicate floods, which ``near_dup_dedup`` removes BEFORE
+#: minhash (the real fix — exact dups never reach LSH), or (b) massive
+#: near-dup families whose members still collide pairwise in many other,
+#: smaller buckets. 4096² / 2 ≈ 8.4 M pairs caps the worst per-key explode.
+LSH_MAX_BUCKET = 4096
+
+
+def lsh_band_rows(sigs: DataFrame, oracle_pure: bool = False) -> DataFrame:
+    """(doc_id, band_key) rows — one per band per document.
+
+    ``oracle_pure=False`` (default): band_key = ``xxhash64(band_idx,
+    h…)`` — 8 bytes/row on the wire, the 100 TB shape (the banding shuffle
+    carries N_BANDS fixed-width rows per document, independent of document
+    size). A false xxhash64 collision can only ADD a candidate pair —
+    identical band values always hash identically — and every candidate is
+    exact-Jaccard-verified downstream, so results can differ from the
+    string-keyed plan only if two docs with true jaccard ≥ threshold that
+    share NO band collide by hash accident: P ≈ n_band_rows² / 2⁶⁴
+    (equality property-tested against the pure plan in
+    tests/test_lsh_hardening.py).
+
+    ``oracle_pure=True``: the band-index-prefixed string join of the
+    band's minhash values — bit-replicable in the DuckDB oracle SQL
+    (which always uses this form)."""
+    if oracle_pure:
+        key = lambda b: F.concat_ws(  # noqa: E731
+            "|",
+            F.lit(b),
+            *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        )
+    else:
+        key = lambda b: F.xxhash64(  # noqa: E731
+            F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*[key(b) for b in range(N_BANDS)])).alias("band_key")
+    )
+
+
 def lsh_candidate_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    oracle_pure: bool = False,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
-    signature → band key per ROWS_PER_BAND consecutive minhashes →
-    explode (doc, band_key) → self-join on band_key. The key is the
-    band-index-prefixed join of the band's minhash values (self-describing
-    — no separate band_idx column needed, and exactly replicable in the
-    DuckDB oracle; at 100 TB wrap it in xxhash64 to shrink the shuffle to
-    8 bytes/row — same collisions, minus the oracle). Either way the
-    shuffle carries n_bands small rows per document, independent of
-    document size.
+    signature → band key per ROWS_PER_BAND consecutive minhashes
+    (``lsh_band_rows`` — compact 8-byte xxhash64 keys by default,
+    oracle-replicable strings with ``oracle_pure=True``) → bucket per
+    band key → within-bucket pair fan-out, skipping buckets larger than
+    ``max_bucket`` (see ``LSH_MAX_BUCKET`` for the recall argument; the
+    size filter runs on the aggregated list, so per-task memory holds one
+    id array per bucket — 8 bytes/id — while the n² explode never fires
+    for dropped buckets).
     """
     sigs = minhash_signatures(docs, id_col, text_col)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(b),
-                        *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    bands = lsh_band_rows(sigs, oracle_pure)
     # bucket-and-explode, NOT a self-join: a self-join evaluates the whole
     # signature pipeline once per side (Spark cannot reuse an exchange
     # across a broadcast boundary — measured ~2x the signature cost, r4).
     # Grouping on the band key computes signatures ONCE; within-bucket
     # pair fan-out is the same n²-per-bucket work the join did, on doc-id
     # lists that are near-dup-group-sized.
+    size_ok = F.size("ids") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("ids") <= max_bucket)
     buckets = (
         bands.groupBy("band_key")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(size_ok)
         .select("ids")
     )
     return (
@@ -420,11 +458,16 @@ _MINHASH_ORACLE = f"""
     """
 
 
-@query("x2_minhash_lsh", _MINHASH_ORACLE)
-def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
-    the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5)."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    persist_key: str = "dedup.verified_pairs",
+    oracle_pure: bool = False,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH candidates → exact-Jaccard verification ≥ threshold.
+    Input must carry (doc_id, text); returns (doc_a, doc_b, jaccard)."""
     # scoped_persist: the (tiny) pair list feeds BOTH the semi-join below
     # and the verification join — without materialization the whole
     # signature+band subtree evaluates twice (measured +50%). persist()
@@ -432,7 +475,10 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 3.36 s eager / 4.61 s lazy fresh-session median at sf0.1 —
     # VERDICT r03 item 1); the scoped key bounds CacheManager growth to
     # one live entry across the parity sweep (ADVICE r02).
-    cands = scoped_persist("x2_minhash_lsh.cands", lsh_candidate_pairs(docs))
+    cands = scoped_persist(
+        persist_key,
+        lsh_candidate_pairs(docs, oracle_pure=oracle_pure, max_bucket=max_bucket),
+    )
     # exact verification touches only docs that appear in a candidate pair
     # (semi-join first — shingle arrays for the other 99.9% of the corpus
     # are never materialized; at 100 TB candidates ≪ corpus by design)
@@ -453,9 +499,79 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.array_union("gs_a", "gs_b")),
         )
     )
-    return verified.filter(F.col("jaccard") >= 0.5).select(
+    return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@query("x2_minhash_lsh", _MINHASH_ORACLE)
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2: MinHash-LSH near-dup candidates, verified by exact Jaccard on
+    the candidate set only. Returns (doc_a, doc_b, jaccard ≥ 0.5).
+
+    Documents are spread BY doc_id (not round-robin): explode preserves
+    hash partitioning, so the 64-min signature aggregate runs where the
+    shingle rows already live — one exchange total instead of two, and
+    one fewer stage barrier (r5; the oracle is unaffected — partitioning
+    never changes values). Band keys are the compact xxhash64 form
+    (``lsh_band_rows`` — collision-identical to the oracle's string keys
+    modulo 2⁻⁶⁴ false positives, which exact verification absorbs)."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    return verified_near_dup_pairs(docs, persist_key="x2_minhash_lsh.cands")
+
+
+def near_dup_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """The 100 TB near-dup entry point: EXACT PRE-COLLAPSE, then MinHash.
+
+    Returns ``(mapping, rep_pairs)``:
+      * ``mapping`` — (doc_id, rep_id): every document mapped to the
+        lowest-id member of its exact-duplicate class (content hash of
+        the normalized text, the X-1 pass). Exact duplicates of the same
+        text are near-dups at jaccard 1.0 BY CONSTRUCTION — no LSH
+        needed to find them.
+      * ``rep_pairs`` — (doc_a, doc_b, jaccard): verified near-dup pairs
+        over the REPRESENTATIVES only.
+
+    Why this is the scale shape (VERDICT r04 item 2): a boilerplate flood
+    (10⁵ identical licence pages) puts 10⁵ identical signatures into
+    every band bucket — one collect_list row holding 10⁵ ids and ~10¹⁰
+    exploded pairs. Collapsing exact classes FIRST means LSH never sees
+    the flood (one representative per class); jaccard between two docs
+    equals jaccard between their representatives (identical normalized
+    text ⇒ identical shingle sets), so cluster structure is preserved:
+    components over ``rep_pairs`` + the exact classes in ``mapping``
+    compose to the full-corpus components. The residual hot-bucket guard
+    (``max_bucket``) stays on for near-identical-but-not-exact floods.
+
+    Doc-level pair EXPANSION is deliberately not offered: an exact class
+    of n docs implies n²/2 doc-level pairs — output-quadratic by nature.
+    Downstream dedup wants clusters, and those come from (mapping,
+    rep_pairs) in output-linear space."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("content_hash"),
+    )
+    groups = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("rep_id"))
+    mapping = hashed.join(groups, "content_hash").select("doc_id", "rep_id")
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    reps = spread(
+        base.join(groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"),
+        "doc_id",
+    )
+    rep_pairs = verified_near_dup_pairs(
+        reps,
+        threshold=threshold,
+        persist_key="near_dup_dedup.cands",
+        max_bucket=max_bucket,
+    )
+    return mapping, rep_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +644,7 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join (a pair within Hamming distance 3 shares ≥1 exact chunk —
     pigeonhole); verification = popcount(xor) ≤ 3. The oracle brute-forces
     all pairs over the same signatures — banding must lose nothing."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     sh = simhash_table(docs)
     chunk_mask = (1 << _SIMHASH_CHUNK) - 1
     chunks = sh.select(
@@ -1014,30 +1130,23 @@ def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     x2_minhash_lsh). Oracle = the full pipeline's pairs filtered to
     delta-involving ones, so incremental == full-recompute is the pinned
     contract."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     sigs = minhash_signatures(docs)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(b),
-                        *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    ).withColumn("is_delta", (F.col("doc_id") % 10 == 0))
+    bands = lsh_band_rows(sigs).withColumn("is_delta", (F.col("doc_id") % 10 == 0))
+    # same hot-bucket guard as lsh_candidate_pairs (VERDICT r04 item 7):
+    # the all_ids list is the skew exposure on the delta path — a flooded
+    # band key is dropped before its delta × bucket fan-out can fire
     buckets = (
         bands.groupBy("band_key")
         .agg(
             F.collect_list(F.when(F.col("is_delta"), F.col("doc_id"))).alias("delta_ids"),
             F.collect_list("doc_id").alias("all_ids"),
         )
-        .filter((F.size("delta_ids") >= 1) & (F.size("all_ids") >= 2))
+        .filter(
+            (F.size("delta_ids") >= 1)
+            & (F.size("all_ids") >= 2)
+            & (F.size("all_ids") <= LSH_MAX_BUCKET)
+        )
         .select("delta_ids", "all_ids")
     )
     cands = (

@@ -1,0 +1,105 @@
+"""LSH hot-bucket hardening (VERDICT r04 items 2 & 7).
+
+Three contracts:
+1. The compact xxhash64 band keys generate the SAME candidate pairs as the
+   oracle-pure string keys on real fixture data (collision-equality).
+2. ``max_bucket`` drops flooded buckets: an adversarial corpus with >=10^4
+   exact copies of one document completes without the n^2 pair explosion,
+   and the guard's recall loss is confined to the flooded class.
+3. ``near_dup_dedup`` (exact pre-collapse) is the real fix: on the same
+   adversarial corpus the flood collapses to ONE representative, the
+   mapping covers every document, and rep-level near-dup pairs equal the
+   pairs of the distinct-text corpus.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from etl_active911_spark.io import read_table, spread
+from etl_active911_spark.operators.dedup import (
+    LSH_MAX_BUCKET,
+    lsh_candidate_pairs,
+    near_dup_dedup,
+    verified_near_dup_pairs,
+)
+from tests.conftest import SF_ORACLE
+
+N_FLOOD = 12_000  # > LSH_MAX_BUCKET: one band bucket would hold all of these
+
+
+def _pairs(df):
+    return set((r["doc_a"], r["doc_b"]) for r in df.collect())
+
+
+def test_compact_band_keys_generate_identical_candidates(spark):
+    docs = spread(read_table(spark, SF_ORACLE, "documents"), "doc_id")
+    compact = _pairs(lsh_candidate_pairs(docs, oracle_pure=False))
+    pure = _pairs(lsh_candidate_pairs(docs, oracle_pure=True))
+    assert compact == pure and len(compact) > 0
+
+
+def _adversarial_corpus(spark):
+    """N_FLOOD exact copies of one text + a small family of near-dups of a
+    DIFFERENT text + unique filler docs. doc_id 0..N_FLOOD-1 = the flood."""
+    flood_text = "the quick brown fox jumps over the lazy dog again and again " * 5
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    flood = spark.range(N_FLOOD).select(
+        F.col("id").alias("doc_id"), F.lit(flood_text).alias("text")
+    )
+    near = spark.createDataFrame(
+        [
+            (N_FLOOD + 0, base),
+            (N_FLOOD + 1, base + " lambda"),  # high-jaccard variant
+            (N_FLOOD + 2, base + " lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    uniq = spark.range(N_FLOOD + 10, N_FLOOD + 40).select(
+        "id",
+        F.concat_ws(
+            " ",
+            F.lit("unique filler document number"),
+            F.col("id").cast("string"),
+            F.sha2(F.col("id").cast("string"), 256),
+        ).alias("text"),
+    ).withColumnRenamed("id", "doc_id")
+    return spread(flood.unionByName(near).unionByName(uniq), "doc_id")
+
+
+def test_hot_bucket_cap_bounds_flooded_candidates(spark):
+    """Without the cap the flood alone implies ~7*10^7 candidate pairs per
+    band; with it, candidate generation stays near-instant and only the
+    flooded class loses pairs (the documented recall trade)."""
+    docs = _adversarial_corpus(spark)
+    t0 = time.perf_counter()
+    got = _pairs(lsh_candidate_pairs(docs, max_bucket=LSH_MAX_BUCKET))
+    elapsed = time.perf_counter() - t0
+    # the near-dup family (distinct texts, small buckets) must survive
+    assert (N_FLOOD + 0, N_FLOOD + 1) in got
+    # every flood-internal pair sits only in dropped buckets
+    assert not any(a < N_FLOOD and b < N_FLOOD for a, b in got)
+    assert elapsed < 120, f"capped candidate generation took {elapsed:.1f}s"
+
+
+def test_exact_precollapse_is_the_real_fix(spark):
+    docs = _adversarial_corpus(spark)
+    mapping, rep_pairs = near_dup_dedup(docs)
+    # mapping covers the whole corpus; the flood maps to one representative
+    assert mapping.count() == N_FLOOD + 3 + 30
+    flood_reps = (
+        mapping.filter(F.col("doc_id") < N_FLOOD).select("rep_id").distinct().collect()
+    )
+    assert [r["rep_id"] for r in flood_reps] == [0]
+    # rep-level pairs == pairs over the distinct-text corpus (no recall loss)
+    distinct_docs = spread(
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text"),
+        "doc_id",
+    )
+    expected = _pairs(
+        verified_near_dup_pairs(distinct_docs, persist_key="test.adversarial")
+    )
+    assert _pairs(rep_pairs) == expected
+    assert (N_FLOOD + 0, N_FLOOD + 1) in expected
