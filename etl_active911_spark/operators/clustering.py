@@ -185,6 +185,17 @@ def connected_components_star(
     * small-star: its smaller-or-equal neighbors and itself attach to the
       minimum of that smaller set.
     At the fixpoint every non-root points directly at its component min.
+
+    Convergence detection (r5): both star steps emit only child > parent
+    edges and preserve the connectivity of the original graph, so when NO
+    parent also appears as a child (the forest is FLAT), the edge set is
+    a disjoint union of stars whose roots are exactly the component
+    minima — i.e. flat ⇒ fixpoint. One semi-join LIMIT-1 probe per round
+    detects that IN the round it happens — one round (and the old
+    two-sided anti-join diff) cheaper than comparing successive edge
+    sets. Per-round cost: two keyed aggregates, two equi-joins, ONE
+    distinct (duplicates are tolerated inside a round — the min
+    aggregates ignore them — and collapsed once before the checkpoint).
     """
     sym = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -203,7 +214,6 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("child"), m.alias("parent"))
             .filter(F.col("child") != F.col("parent"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -214,44 +224,34 @@ def connected_components_star(
             .select(F.col("v").alias("child"), F.col("m").alias("parent"))
         )
         attach_self = mins.select(F.col("u").alias("child"), F.col("m").alias("parent"))
-        return (
-            attach_nb.union(attach_self)
-            .filter(F.col("child") != F.col("parent"))
-            .distinct()
-        )
+        return attach_nb.union(attach_self).filter(F.col("child") != F.col("parent"))
 
     def _resym(directed: DataFrame) -> DataFrame:
         # each star step consumes the UNDIRECTED view of the previous output
-        return (
-            directed.select(F.col("child").alias("u"), F.col("parent").alias("v"))
-            .union(directed.select(F.col("parent").alias("u"), F.col("child").alias("v")))
-            .distinct()
-        )
+        return directed.select(
+            F.col("child").alias("u"), F.col("parent").alias("v")
+        ).union(directed.select(F.col("parent").alias("u"), F.col("child").alias("v")))
 
-    prev = None
     for _ in range(max_iter):
         stars = _small_star(_resym(_large_star(edges)))  # directed child → parent
-        stars = stars.localCheckpoint(eager=True)
-        if prev is not None:
-            diff = (
-                stars.join(prev, ["child", "parent"], "left_anti")
-                .union(prev.join(stars, ["child", "parent"], "left_anti"))
-                .limit(1)
-                .count()
+        stars = stars.distinct().localCheckpoint(eager=True)
+        not_flat = (
+            stars.select(F.col("parent").alias("x"))
+            .join(stars.select(F.col("child").alias("x")), "x", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if not_flat == 0:
+            comp = stars.select(
+                F.col("child").alias("doc_id"), F.col("parent").alias("component")
             )
-            if diff == 0:
-                comp = stars.select(
-                    F.col("child").alias("doc_id"), F.col("parent").alias("component")
-                )
-                roots = (
-                    stars.select(F.col("parent").alias("doc_id"))
-                    .distinct()
-                    .join(stars.select(F.col("child").alias("doc_id")), "doc_id", "left_anti")
-                    .withColumn("component", F.col("doc_id"))
-                )
-                return comp.union(roots)
-        prev = stars
-        edges = _resym(stars)
+            roots = (
+                stars.select(F.col("parent").alias("doc_id"))
+                .distinct()
+                .withColumn("component", F.col("doc_id"))
+            )
+            return comp.union(roots)
+        edges = _resym(stars).distinct()
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds "
         "(theoretical bound is O(log n) — raise max_iter for truly enormous "

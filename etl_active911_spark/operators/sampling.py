@@ -166,12 +166,21 @@ def x8_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph), not the document, so two near-duplicates can never straddle
     train and holdout (the classic eval-contamination bug that doc-level
     splits like x8_train_holdout_split cannot prevent). Singletons key by
-    their own doc_id. Composes x2_dup_clusters; the no-straddle property
-    is asserted in tests/test_extensions.py."""
-    from etl_active911_spark.operators.clustering import x2_dup_clusters
+    their own doc_id. The no-straddle property is asserted in
+    tests/test_extensions.py.
+
+    Components come from the O(log n) star-contraction engine
+    (``connected_components_star`` — r5, VERDICT r04 item 4; previously
+    the O(diameter) label propagator via x2_dup_clusters), applied to the
+    verified MinHash pairs directly: the split needs (doc_id, component)
+    only, so the keeper join x2_dup_clusters performs is skipped too.
+    Both components engines remain equivalence-tested against the same
+    recursive-closure oracle (x2_dup_clusters / x2_dup_clusters_star)."""
+    from etl_active911_spark.operators.clustering import connected_components_star
+    from etl_active911_spark.operators.dedup import x2_minhash_lsh
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    comp = x2_dup_clusters(spark, sf_dir).select("doc_id", "component")
+    comp = connected_components_star(x2_minhash_lsh(spark, sf_dir))
     key = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         docs.join(comp, "doc_id", "left")
