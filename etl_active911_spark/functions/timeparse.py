@@ -26,12 +26,24 @@ Semantics (pinned by golden tests):
   while out-of-range components (month 13, hour 99) yield NULL exactly as
   moment's overflow check does.
 - unparseable input → NULL timestamp (moment emits a null ISO string).
+- MISSING YEAR (r5, VERDICT r04 item 6): moment defaults it to the
+  current year — non-deterministic unless the reference instant is
+  pinned. Every parse entry point accepts ``now_year``: when set, a
+  month/day-only input (exactly two digit runs — ``LENIENT_PAT_MD``)
+  parses as that year at midnight, reproducing moment's default against
+  an injected now; when None (the default, and what every REGISTERED
+  query uses) such inputs stay NULL so oracle results remain
+  deterministic.
+- TWO-DIGIT YEAR (r5, ADVICE r04): moment routes an exactly-2-digit
+  year through ``parseTwoDigitYear`` — ≤ 68 → 2000s, else 1900s
+  ('25' → 2025, '69' → 1969). Replicated in both engines (1/3/4-digit
+  years still cast literally).
   Remaining documented divergences (CLAUDE.md rule 8), both outside any
-  reachable input shape: (a) moment defaults a MISSING year to the
-  current year — non-deterministic, we return NULL; (b) strings whose
-  digit runs can be re-split by regex backtracking (e.g. '123' → moment
-  NULL, we parse month 1/day 2/year 3); (c) year 0 renders as a BC date
-  in the DuckDB oracle, so fixtures avoid it.
+  reachable input shape: (b) strings whose digit runs can be re-split by
+  regex backtracking (e.g. '123' → moment NULL, we parse month 1/day
+  2/year 3 — ``LENIENT_PAT_MD`` deliberately requires a non-digit
+  separator so '123' does not month/day-parse either); (c) year 0
+  renders as a BC date in the DuckDB oracle, so fixtures avoid it.
 - DST-ambiguous local times resolve to the earlier offset (java.time);
   moment-timezone agrees for US zones. Golden fixtures avoid the 2am
   transition window entirely (SURVEY.md §7 hard-part #1).
@@ -83,25 +95,58 @@ LENIENT_PAT = (
     r"(?:\D*?(\d{1,2})(?:\D*?(\d{1,2})(?:\D*?(\d{1,2}))?)?)?"
 )
 
+#: Month/day-only shape for the pinned-``now`` missing-year default:
+#: exactly TWO digit runs with a mandatory non-digit separator (so a bare
+#: run like '123' stays unparseable, matching moment — divergence (b)).
+LENIENT_PAT_MD = r"^\D*(\d{1,2})\D+(\d{1,2})\D*$"
 
-def _lenient_wall(col: Column) -> Column:
+
+def _two_digit_year(raw: Column) -> Column:
+    """moment ``parseTwoDigitYear``: an exactly-2-digit year maps ≤ 68 →
+    2000s, else 1900s; other widths cast literally."""
+    y = raw.cast("int")
+    return F.when(
+        F.length(raw) == 2, F.when(y <= 68, y + 2000).otherwise(y + 1900)
+    ).otherwise(y)
+
+
+def _lenient_wall(col: Column, now_year: int | None = None) -> Column:
     """moment-non-strict parse → LOCAL wall clock as TIMESTAMP_NTZ (NULL
     when month/day/year can't be extracted or any component overflows —
     ``try_make_timestamp_ntz`` applies exactly moment's overflow rule).
+    ``now_year`` pins moment's missing-year default (module docstring).
 
     Hot-path note: a strict-format fast path runs first — one parse
     attempt instead of six regex extractions. When it succeeds the
     lenient extraction would produce the identical components (an exact
-    'MM/dd/yyyy HH:mm:ss' match IS six separator-delimited digit runs),
-    so only malformed rows — a sliver at 100 TB — pay the regex fan-out.
-    ``to_timestamp_ntz`` is guarded behind the try-probe because it
-    throws on malformed input under ANSI mode."""
+    'MM/dd/yyyy HH:mm:ss' match IS six separator-delimited digit runs
+    with a 4-digit year — the strict 'yyyy' token never accepts the
+    2-digit shape, so parseTwoDigitYear rows always reach the lenient
+    branch), so only malformed rows — a sliver at 100 TB — pay the regex
+    fan-out. ``to_timestamp_ntz`` is guarded behind the try-probe
+    because it throws on malformed input under ANSI mode."""
     strict_ok = F.try_to_timestamp(col, F.lit(ALERT_TIME_FORMAT)).isNotNull()
     g = lambda i: F.nullif(F.regexp_extract(col, LENIENT_PAT, i), F.lit(""))  # noqa: E731
     opt = lambda i: F.coalesce(g(i).cast("int"), F.lit(0))  # noqa: E731
     lenient = F.try_make_timestamp_ntz(
-        g(3).cast("int"), g(1).cast("int"), g(2).cast("int"), opt(4), opt(5), opt(6)
+        _two_digit_year(g(3)), g(1).cast("int"), g(2).cast("int"), opt(4), opt(5), opt(6)
     )
+    if now_year is not None:
+        # checked FIRST: on a 2-run input the 6-run pattern would
+        # backtrack-SPLIT the second run into day+year ('02/30' → day 3,
+        # year 0) — moment instead leaves the year token empty and
+        # defaults it, so an MD-shaped string is always the MD parse
+        # (including its overflow NULLs: Feb 30 stays invalid)
+        md = lambda i: F.nullif(F.regexp_extract(col, LENIENT_PAT_MD, i), F.lit(""))  # noqa: E731
+        md_ts = F.try_make_timestamp_ntz(
+            F.lit(int(now_year)),
+            md(1).cast("int"),
+            md(2).cast("int"),
+            F.lit(0),
+            F.lit(0),
+            F.lit(0),
+        )
+        lenient = F.when(md(1).isNotNull(), md_ts).otherwise(lenient)
     return F.when(strict_ok, F.to_timestamp_ntz(col, F.lit(ALERT_TIME_FORMAT))).otherwise(lenient)
 
 
@@ -113,7 +158,7 @@ def _split_parts(col: Column) -> tuple[Column, Column, Column]:
     return date_part, abbr, trimmed
 
 
-def _wall_and_zone(col: Column) -> tuple[Column, Column]:
+def _wall_and_zone(col: Column, now_year: int | None = None) -> tuple[Column, Column]:
     """(local wall clock NTZ, IANA zone) per the reference's dispatch:
     known trailing abbreviation → parse only the string minus that token
     in the mapped zone (task.ts:70-73); otherwise parse the WHOLE string
@@ -121,32 +166,36 @@ def _wall_and_zone(col: Column) -> tuple[Column, Column]:
     lenient parser skips a trailing unknown token as junk anyway)."""
     date_part, abbr, trimmed = _split_parts(col)
     tz = F.try_element_at(_tz_map_lit(), abbr)
-    wall = F.when(tz.isNotNull(), _lenient_wall(date_part)).otherwise(_lenient_wall(trimmed))
+    wall = F.when(tz.isNotNull(), _lenient_wall(date_part, now_year)).otherwise(
+        _lenient_wall(trimmed, now_year)
+    )
     return wall, F.coalesce(tz, F.lit("UTC"))
 
 
-def parse_alert_time(col: Column) -> Column:
+def parse_alert_time(col: Column, now_year: int | None = None) -> Column:
     """'MM/DD/YYYY HH:mm:ss ABBR' string → UTC-instant timestamp Column.
 
     Session-timezone independent: the NTZ→timestamp cast renders the wall
     clock in the session zone and ``to_utc_timestamp`` reinterprets that
     same wall clock in the mapped zone, so the session zone cancels out.
+    ``now_year`` (optional) pins moment's missing-year default — the year
+    of the reference instant 'now' in the input's zone frame.
     """
-    wall, zone = _wall_and_zone(col)
+    wall, zone = _wall_and_zone(col, now_year)
     return F.to_utc_timestamp(wall.cast("timestamp"), zone)
 
 
-def parse_alert_time_ntz(col: Column) -> Column:
+def parse_alert_time_ntz(col: Column, now_year: int | None = None) -> Column:
     """Same parse, returning the UTC wall clock as TIMESTAMP_NTZ — fully
     session-independent representation for oracle-checked queries."""
-    wall, zone = _wall_and_zone(col)
+    wall, zone = _wall_and_zone(col, now_year)
     return F.convert_timezone(zone, F.lit("UTC"), wall)
 
 
-def parse_alert_time_iso(col: Column) -> Column:
+def parse_alert_time_iso(col: Column, now_year: int | None = None) -> Column:
     """The reference's exact output shape: ISO-8601 'yyyy-MM-ddTHH:mm:ss.SSSZ'
     UTC string (moment ``toISOString``, task.ts:72,75), NULL when invalid."""
-    return F.date_format(parse_alert_time_ntz(col), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    return F.date_format(parse_alert_time_ntz(col, now_year), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
 
 def tz_case_sql(ts_expr: str) -> str:

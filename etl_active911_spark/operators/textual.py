@@ -1203,13 +1203,13 @@ def x4_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
         SELECT doc_id, lang,
                ROUND(CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                     / LENGTH(text), 6) AS score
+                     / NULLIF(LENGTH(text), 0), 6) AS score
         FROM documents
     ),
     d AS (
         SELECT lang, score,
                NTILE(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS decile
-        FROM q
+        FROM q WHERE score IS NOT NULL
     )
     SELECT lang, CAST(decile AS INT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1226,16 +1226,21 @@ def x4_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic with the (score, doc_id) tie-break (canonical policy 4),
     and both engines share the SQL-standard larger-buckets-first NTILE
     definition. Per-language windows partition the shuffle; no global
-    sort."""
+    sort. Division by NULLIF(len, 0) + a NULL-score filter on BOTH sides
+    (ADVICE r04): an empty document would otherwise be NULL here but
+    ±inf/NaN in IEEE-division DuckDB builds, and NULL ordering inside
+    NTILE differs between the engines (Spark NULLS FIRST, DuckDB NULLS
+    LAST)."""
     docs = read_table(spark, sf_dir, "documents")
     score = F.round(
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
-        / F.length("text"),
+        / F.nullif(F.length("text"), F.lit(0)),
         6,
     )
     w = Window.partitionBy("lang").orderBy("score", "doc_id")
     return (
         docs.select("doc_id", "lang", score.alias("score"))
+        .filter(F.col("score").isNotNull())
         .withColumn("decile", F.ntile(10).over(w).cast("int"))
         .groupBy("lang", "decile")
         .agg(

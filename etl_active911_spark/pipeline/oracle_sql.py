@@ -38,22 +38,49 @@ _TZ_CASE = "CASE abbr " + " ".join(
     f"WHEN '{k}' THEN '{v}'" for k, v in TIMEZONE_MAPPINGS.items()
 ) + " ELSE NULL END"
 
-def _lenient_wall_sql(s: str) -> str:
+def _lenient_wall_sql(s: str, now_year: int | None = None) -> str:
     """moment-non-strict parse of string expr ``s`` → naive TIMESTAMP (the
     local wall clock), NULL on missing month/day/year or component
-    overflow. Mirrors ``timeparse._lenient_wall`` exactly — shared regex,
-    same defaulting, same overflow semantics."""
-    from etl_active911_spark.functions.timeparse import LENIENT_PAT
+    overflow. Mirrors ``timeparse._lenient_wall`` exactly — shared
+    regexes, same two-digit-year rule (parseTwoDigitYear, ≤ 68 → 2000s),
+    same defaulting, same overflow semantics, same opt-in pinned-``now``
+    missing-year default."""
+    from etl_active911_spark.functions.timeparse import LENIENT_PAT, LENIENT_PAT_MD
 
-    g = lambda i: f"TRY_CAST(NULLIF(regexp_extract({s}, '{LENIENT_PAT}', {i}), '') AS INT)"  # noqa: E731
-    yr, mo, dy = g(3), g(1), g(2)
+    raw = lambda i: f"NULLIF(regexp_extract({s}, '{LENIENT_PAT}', {i}), '')"  # noqa: E731
+    g = lambda i: f"TRY_CAST({raw(i)} AS INT)"  # noqa: E731
+    yraw = raw(3)
+    yr = (
+        f"CASE WHEN length({yraw}) = 2 THEN "
+        f"CASE WHEN TRY_CAST({yraw} AS INT) <= 68 THEN TRY_CAST({yraw} AS INT) + 2000 "
+        f"ELSE TRY_CAST({yraw} AS INT) + 1900 END "
+        f"ELSE TRY_CAST({yraw} AS INT) END"
+    )
+    mo, dy = g(1), g(2)
     hh, mi, ss = (f"COALESCE({g(i)}, 0)" for i in (4, 5, 6))
     mo_clamped = f"CASE WHEN {mo} BETWEEN 1 AND 12 THEN {mo} ELSE 1 END"
     valid = (
-        f"{yr} IS NOT NULL AND {mo} BETWEEN 1 AND 12 AND {hh} <= 23 AND {mi} <= 59 "
+        f"({yr}) IS NOT NULL AND {mo} BETWEEN 1 AND 12 AND {hh} <= 23 AND {mi} <= 59 "
         f"AND {ss} <= 59 AND {dy} BETWEEN 1 AND day(last_day(make_date({yr}, {mo_clamped}, 1)))"
     )
-    return f"CASE WHEN {valid} THEN make_timestamp({yr}, {mo}, {dy}, {hh}, {mi}, {ss}) END"
+    full = f"CASE WHEN {valid} THEN make_timestamp({yr}, {mo}, {dy}, {hh}, {mi}, {ss}) END"
+    if now_year is None:
+        return full
+    mraw = lambda i: f"NULLIF(regexp_extract({s}, '{LENIENT_PAT_MD}', {i}), '')"  # noqa: E731
+    mg = lambda i: f"TRY_CAST({mraw(i)} AS INT)"  # noqa: E731
+    mmo, mdy = mg(1), mg(2)
+    mmo_clamped = f"CASE WHEN {mmo} BETWEEN 1 AND 12 THEN {mmo} ELSE 1 END"
+    mvalid = (
+        f"{mmo} BETWEEN 1 AND 12 AND {mdy} BETWEEN 1 AND "
+        f"day(last_day(make_date({int(now_year)}, {mmo_clamped}, 1)))"
+    )
+    md = (
+        f"CASE WHEN {mvalid} THEN "
+        f"make_timestamp({int(now_year)}, {mmo}, {mdy}, 0, 0, 0) END"
+    )
+    # MD-shaped input wins outright (mirrors _lenient_wall: the 6-run
+    # pattern would backtrack-split a 2-run input's second run)
+    return f"CASE WHEN {mraw(1)} IS NOT NULL THEN {md} ELSE {full} END"
 
 
 # parseTime (task.ts:66-76) in DuckDB: split off the trailing abbreviation,
@@ -61,15 +88,16 @@ def _lenient_wall_sql(s: str) -> str:
 # timezone('UTC', timezone(tz, ts)) is session-TimeZone-independent.
 # Unknown/absent abbreviation: moment parses the whole string ('z' is a
 # parse no-op; the lenient parser treats a trailing token as junk) in UTC.
-def parse_iso_sql(tz: str, dp: str, full: str) -> str:
+def parse_iso_sql(tz: str, dp: str, full: str, now_year: int | None = None) -> str:
     """ISO-UTC text for reference ``parseTime`` given SQL exprs for the
     mapped-zone lookup, the string minus its last token, and the full
     trimmed string. A function, not a ``.format`` template: the lenient
-    regex contains ``{1,2}`` quantifiers that str.format would eat."""
+    regex contains ``{1,2}`` quantifiers that str.format would eat.
+    ``now_year`` pins moment's missing-year default (timeparse.py)."""
     return (
         f"strftime(CASE WHEN {tz} IS NOT NULL"
-        f"  THEN timezone('UTC', timezone({tz}, {_lenient_wall_sql(dp)}))"
-        f"  ELSE {_lenient_wall_sql(full)} END,"
+        f"  THEN timezone('UTC', timezone({tz}, {_lenient_wall_sql(dp, now_year)}))"
+        f"  ELSE {_lenient_wall_sql(full, now_year)} END,"
         " '%Y-%m-%dT%H:%M:%S.%gZ')"
     )
 

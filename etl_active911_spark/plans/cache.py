@@ -37,7 +37,19 @@ def scoped_register(key: str, df: DataFrame) -> DataFrame:
     """Track an ALREADY-persisted DataFrame under ``key`` (e.g. the final
     labels of an iterative loop that manages its own per-iteration
     persist/unpersist): the previous holder of the key is unpersisted, so
-    repeat invocations cannot accumulate CacheManager entries."""
+    repeat invocations cannot accumulate CacheManager entries.
+
+    SEQUENTIAL-EVALUATION ASSUMPTION (ADVICE r04): for a
+    ``localCheckpoint``-ed DataFrame, unpersisting deletes the only copy
+    of the data — there is no lineage to recompute. A reference to the
+    PREVIOUS holder that is re-collected AFTER a later call registered a
+    new one fails with 'checkpoint block not found' instead of
+    recomputing. That is safe under the engine's build-then-evaluate
+    usage (the driver sweep and the parity replica evaluate each query's
+    result before building the next), and deliberate: keeping dead
+    checkpoint blocks alive is exactly the unbounded growth this module
+    exists to prevent. Callers that need a returned plan to outlive the
+    next invocation must re-persist a plain copy themselves."""
     prev = _LIVE.pop(key, None)
     if prev is not None and prev is not df:
         try:

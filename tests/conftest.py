@@ -9,6 +9,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+#: The bench-scale fixture dir; tests that compare growth across scale
+#: factors should reference this (with ``skip_if_no_bench_sf``) instead of
+#: hard-coding the path (ADVICE r04).
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+def skip_if_no_bench_sf():
+    if not os.path.isdir(SF_BENCH):
+        pytest.skip(f"bench-scale fixtures not present at {SF_BENCH}")
 
 
 @pytest.fixture(scope="session")

@@ -99,6 +99,66 @@ def test_parse_time_golden(spark, raw, expected):
     assert got == expected, f"{raw!r}: got {got!r}, want {expected!r}"
 
 
+# --- pinned-`now` missing-year default + parseTwoDigitYear (r5) -----------
+
+NOW_YEAR_CASES = [
+    # (input, now_year, expected ISO) — moment('12/08', 'MM/DD/YYYY') with
+    # a pinned now = Dec 8 of now's year, midnight local (task.ts:66-76
+    # via moment's missing-token defaulting)
+    ("12/08 EST", 2025, "2025-12-08T05:00:00.000Z"),
+    ("7/4 PDT", 2024, "2024-07-04T07:00:00.000Z"),  # summer: PDT = -7
+    ("12/08", 2025, "2025-12-08T00:00:00.000Z"),  # no abbr → UTC wall
+    ("02/30 EST", 2025, None),  # overflow under the pinned year
+    # with a year present, the pin must be IGNORED
+    ("12/08/2019 EST", 2025, "2019-12-08T05:00:00.000Z"),
+    # two-digit year: moment parseTwoDigitYear (<=68 -> 2000s)
+    ("12/08/25 18:27:47 UTC", 2025, "2025-12-08T18:27:47.000Z"),
+    ("12/08/69 00:00:00 UTC", 2025, "1969-12-08T00:00:00.000Z"),
+    ("12/08/68 00:00:00 UTC", None, "2068-12-08T00:00:00.000Z"),
+    ("1/8/99 3:27:47 EST", None, "1999-01-08T08:27:47.000Z"),
+]
+
+
+@pytest.mark.parametrize("raw,now_year,expected", NOW_YEAR_CASES)
+def test_parse_time_pinned_now_golden(spark, raw, now_year, expected):
+    got = (
+        spark.range(1)
+        .select(parse_alert_time_iso(F.lit(raw), now_year=now_year).alias("iso"))
+        .first()["iso"]
+    )
+    assert got == expected, f"{raw!r}: got {got!r}, want {expected!r}"
+
+
+def test_parse_time_pinned_now_cross_engine(spark):
+    """The DuckDB replica (oracle_sql.parse_iso_sql with now_year) must
+    agree with the Spark parse on every pinned-now and two-digit-year
+    case — the same contract the o15 oracle enforces for the default
+    path."""
+    import duckdb
+
+    from etl_active911_spark.pipeline.oracle_sql import _TZ_CASE, parse_iso_sql
+
+    con = duckdb.connect()
+    for raw, now_year, expected in NOW_YEAR_CASES:
+        sql = parse_iso_sql(
+            tz="(" + _TZ_CASE + ")", dp="dp", full="fullp", now_year=now_year
+        )
+        got = con.execute(
+            f"""
+            WITH t AS (SELECT TRIM(?) AS fullp),
+            p AS (
+                SELECT fullp,
+                       regexp_extract(fullp, '(\\S+)$', 1) AS abbr,
+                       TRIM(REGEXP_REPLACE(fullp, '\\s*\\S+$', '')) AS dp
+                FROM t
+            )
+            SELECT {sql} FROM p
+            """,
+            [raw],
+        ).fetchone()[0]
+        assert got == expected, f"duckdb {raw!r}: got {got!r}, want {expected!r}"
+
+
 # --- O-10 coordinate fallback (task.ts:172-185) ---------------------------
 
 

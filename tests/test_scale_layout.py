@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table
 from etl_active911_spark.plans.skew import salted_agg, salted_join
-from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.conftest import SF_BENCH, SF_ORACLE, SF_SMOKE, skip_if_no_bench_sf
 
 
 def test_salted_agg_matches_plain(spark):
@@ -385,14 +385,15 @@ def test_fuzzy_linkage_candidates_grow_sublinearly(spark):
     from etl_active911_spark.operators.dedup import fuzzy_candidate_name_pairs
 
     counts = {}
-    for sf in (SF_ORACLE, "/root/testdata/sf0.1"):
+    skip_if_no_bench_sf()
+    for sf in (SF_ORACLE, SF_BENCH):
         classes = (
             read_table(spark, sf, "part")
             .select(F.col("p_brand").alias("brand"), F.col("p_name").alias("name"))
             .distinct()
         )
         counts[sf] = fuzzy_candidate_name_pairs(classes).count()
-    assert counts["/root/testdata/sf0.1"] < 5 * counts[SF_ORACLE], counts
+    assert counts[SF_BENCH] < 5 * counts[SF_ORACLE], counts
 
 
 def test_reservoir_sample_uses_window_group_limit(spark):
