@@ -496,11 +496,18 @@ def test_upsert_sink_survives_crash_and_restart(spark, tmp_path):
         assert got == want, (crash_point, got)
 
 
-def test_asof_stream_matches_registered_body(spark, tmp_path):
+@pytest.mark.parametrize("session_tz", ["UTC", "Asia/Tokyo"])
+def test_asof_stream_matches_registered_body(spark, tmp_path, session_tz):
     """Streaming N-17 (applyInPandasWithState, state = latest purchase per
     user) must reproduce the registered batch as-of join when micro-batches
-    arrive in time order."""
+    arrive in time order — under a hostile session timezone too (r5,
+    VERDICT r04 item 8: the streaming forms join the TZ sweep; the NTZ→
+    timestamp cast at the stream edge shifts both batch and stream
+    uniformly and the output carries no timestamps)."""
     import time as _time
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", session_tz)
 
     from etl_active911_spark.io import read_table
     from etl_active911_spark.operators.asof import n17_asof_join
@@ -512,7 +519,7 @@ def test_asof_stream_matches_registered_body(spark, tmp_path):
     )
     lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
     tsmid = lo + (hi - lo) / 2
-    d = str(tmp_path / "asof_src")
+    d = str(tmp_path / f"asof_src_{session_tz.replace(chr(47), chr(95))}")
     events.filter(F.col("ts") <= F.lit(tsmid)).coalesce(1).write.parquet(d + "/b1")
     _time.sleep(1.1)
     events.filter(F.col("ts") > F.lit(tsmid)).coalesce(1).write.parquet(d + "/b2")
@@ -528,7 +535,7 @@ def test_asof_stream_matches_registered_body(spark, tmp_path):
     (
         asof_join_stream(src)
         .writeStream.format("memory")
-        .queryName("asof_stream")
+        .queryName(f"asof_stream_{session_tz.replace(chr(47), chr(95))}")
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
@@ -536,10 +543,114 @@ def test_asof_stream_matches_registered_body(spark, tmp_path):
     )
     got = {
         (r["user_id"], r["click_id"], r["purchase_id"], r["last_value"])
-        for r in spark.table("asof_stream").collect()
+        for r in spark.table(f"asof_stream_{session_tz.replace(chr(47), chr(95))}").collect()
     }
     want = {
         (r["user_id"], r["click_id"], r["purchase_id"], r["last_value"])
         for r in n17_asof_join(spark, SF_ORACLE).collect()
     }
+    spark.conf.set("spark.sql.session.timeZone", prev_tz)
     assert got == want and len(want) > 0
+
+
+@pytest.mark.parametrize("session_tz", ["UTC", "Asia/Tokyo"])
+def test_stream_stream_join_evicts_late_rows(spark, tmp_path, session_tz):
+    """N-14 range-join STATE EVICTION (VERDICT r04 item 8): once the
+    watermark passes click_ts + attribution window, the click's state row
+    is evicted (observable in the progress metrics) — a late matching
+    purchase arriving in a LATER micro-batch finds no state and the pair
+    is never emitted, while the batch join over the union attributes it.
+    Eviction runs at micro-batch END, and late input is NOT input-filtered
+    by Spark's stream-stream join (verified empirically — the watermark
+    contract there is state cleanup, not input drop), so the late row
+    must arrive ≥ 2 batches after the watermark advance. Also swept under
+    a hostile session timezone: the output carries no timestamps, and
+    both watermarking and the join range shift with the session
+    uniformly, so the attributed pair set must not change."""
+    import time as _time
+
+    from etl_active911_spark.streaming.joins import _split_roles, attribution_stream
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", session_tz)
+    try:
+        in_schema = "user_id long, ts string, event_id long, event_type string, value double"
+
+        def mk(rows):
+            return spark.createDataFrame(rows, in_schema).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+
+        batch1 = mk([
+            (1, "2024-01-01 10:00:00", 100, "click", 0.0, ),
+            (1, "2024-01-01 10:10:00", 200, "purchase", 9.99),
+            # fillers advance BOTH sides' event time to 12:00: the global
+            # watermark is the MIN across the two watermark operators
+            # (click_ts, purchase_ts), so each leg needs a 12:00 row for
+            # the batch-2 horizon to reach 11:30
+            (2, "2024-01-01 12:00:00", 101, "click", 0.0),
+            (3, "2024-01-01 12:00:00", 300, "purchase", 2.0),
+        ])
+        batch2 = mk([
+            # on-time rows; this batch's END applies the 11:30 horizon to
+            # state → click 100 (evictable since 10:00 + 30 min < 11:30)
+            # is removed here
+            (2, "2024-01-01 12:10:00", 202, "purchase", 1.00),
+        ])
+        batch3 = mk([
+            # late purchase: within 30 min of click 100, but that click's
+            # state is gone — the pair must NOT be emitted
+            (1, "2024-01-01 10:20:00", 201, "purchase", 5.00),
+        ])
+        d = str(tmp_path / f"ssj_late_{session_tz.replace('/', '_')}")
+        batch1.coalesce(1).write.parquet(d + "/b1")
+        _time.sleep(1.1)  # file-stream orders by modification time
+        batch2.coalesce(1).write.parquet(d + "/b2")
+        _time.sleep(1.1)
+        batch3.coalesce(1).write.parquet(d + "/b3")
+
+        src = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d + "/*")
+        )
+        clicks, purchases = _split_roles(src)
+        qname = f"ssj_late_{session_tz.replace('/', '_').replace('-', '_')}"
+        q = (
+            attribution_stream(clicks, purchases, watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+            for r in spark.table(qname).collect()
+        }
+        # eviction must be OBSERVABLE: join-state row count shrinks after
+        # the watermark advances past the old rows' eviction bounds
+        state_rows = [
+            s["numRowsTotal"]
+            for p in q.recentProgress
+            for s in (p.get("stateOperators") or [])
+        ]
+        assert state_rows and min(state_rows) < max(state_rows), state_rows
+        # batch semantics over the union WOULD include the late pair
+        union = batch1.unionByName(batch2).unionByName(batch3)
+        bclicks, bpurch = _split_roles(union)
+        from etl_active911_spark.streaming.joins import _attribution_join
+
+        batch_pairs = {
+            (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+            for r in _attribution_join(bclicks, bpurch).collect()
+        }
+        assert (1, 100, 201, 5.0) in batch_pairs
+        assert got == batch_pairs - {(1, 100, 201, 5.0)}
+        assert (1, 100, 200, 9.99) in got and (2, 101, 202, 1.0) in got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
