@@ -332,6 +332,8 @@ def _lenient_wall_py(s: str):
         return None
     g = m.groups()
     mo, dy, yr = int(g[0]), int(g[1]), int(g[2])
+    if len(g[2]) == 2:  # moment parseTwoDigitYear (r5): <=68 -> 2000s
+        yr = 2000 + yr if yr <= 68 else 1900 + yr
     hh = int(g[3]) if g[3] else 0
     mi = int(g[4]) if g[4] else 0
     ss = int(g[5]) if g[5] else 0

@@ -471,3 +471,15 @@ def test_minhash_candidates_are_join_free(spark):
     plan = lsh_candidate_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, (op, plan[:2000])
+
+
+def test_partial_topk_plans_windowgrouplimit_partial(spark):
+    """partial_topk relies on Spark's rank-limit pushdown for its partial
+    phase: the plan must contain a map-side WindowGroupLimit (Partial)
+    BEFORE the final window's exchange, so only partitions x queries x k
+    rows ever shuffle (r5 — replaced the Arrow mapInPandas prune)."""
+    from etl_active911_spark.operators.similarity import x3_cosine_topk
+
+    plan = x3_cosine_topk(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "row_number(), 5, Partial" in plan, plan[:2000]
+    assert "row_number(), 5, Final" in plan
