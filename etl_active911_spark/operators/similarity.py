@@ -1203,3 +1203,118 @@ def x3_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2m (r5): semantic dedup — embedding-cluster near-dup drop (SemDeDup)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.45  # within-cell cosine threshold for "semantic duplicate"
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, ee AS se, nrm AS snrm
+        FROM n WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    sc AS (
+        SELECT n.vec_id, s.cell, list_dot_product(n.ee, s.se) / (n.nrm * s.snrm) AS cos
+        FROM n CROSS JOIN seeds s
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM sc
+        ) t WHERE rn = 1
+    ),
+    m AS (
+        SELECT c.vec_id, c.cell, n.ee, n.nrm FROM cells c JOIN n USING (vec_id)
+    ),
+    dups AS (
+        SELECT DISTINCT a.vec_id
+        FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE ROUND(list_dot_product(a.ee, b.ee) / (a.nrm * b.nrm), 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, m.cell, d.vec_id IS NULL AS is_kept
+    FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
+    """
+
+
+@query("x2_semantic_dedup", _SEMANTIC_DEDUP_ORACLE)
+def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2m: SEMANTIC dedup — the embedding-space complement to the
+    token-level near-dup family (SemDeDup: Abbas, Tirumala, Simig,
+    Ganguli & Morcos, arXiv:2303.09540 — public literature): paraphrases
+    and re-renderings share no shingles but sit close in embedding
+    space. Vectors are assigned to coarse cells (the deterministic
+    seeded quantizer shared with ``x3_ann_ivf_seeded``, so the whole
+    pipeline stays DuckDB-replicable); within each cell, a vector is a
+    semantic duplicate if a LOWER-id member sits within cosine ≥ τ —
+    keepers are the id-minimal representatives. Returns
+    (vec_id, cell, is_kept).
+
+    Scale shape: pairwise work is blocked BY CELL (never an unblocked
+    cross join, SCALE.md invariant 2); cost is O(Σ|cell|²·d) and the
+    cell count is the dial — SemDeDup at corpus scale runs k ∝ n/1000
+    clusters so cells stay ~constant-sized (the fixture uses the 16
+    seeded cells its oracle can replicate). The assignment subtree is
+    scoped-persisted: the self-join's two sides reuse one computation
+    instead of re-running the seed crossJoin + window per side."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    seeds = (
+        emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS))
+        .select(
+            F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
+            F.col("embedding").alias("se"),
+            l2norm(F.col("embedding")).alias("snrm"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cell",
+            (dot(F.col("embedding"), F.col("se")) / (F.col("nrm") * F.col("snrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    m = scoped_persist(
+        "x2_semantic_dedup.m",
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding", "nrm"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            )
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("a.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        m.join(dups, F.col("vec_id") == F.col("dup_id"), "left")
+        .select("vec_id", "cell", F.col("dup_id").isNull().alias("is_kept"))
+    )
