@@ -494,3 +494,70 @@ def _token_packing_oracle() -> str:
 
 
 _registry.ORACLES["x8_token_packing"] = _token_packing_oracle()
+
+
+@query(
+    "x8_interleave_sources",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+                   AS src_rank
+        FROM documents
+    ),
+    srcs AS (
+        SELECT source,
+               ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx,
+               COUNT(*) OVER () AS n_sources
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
+           CAST((r.src_rank - 1) * s.n_sources + s.src_idx AS BIGINT) AS global_pos
+    FROM ranked r JOIN srcs s ON s.source = r.source
+    """,
+)
+def x8_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r5): deterministic SOURCE INTERLEAVING — the training-order
+    mixer: each source's documents get a reproducible pseudo-random rank
+    (md5 hash order, the same coin as the sampling family), and the
+    global training position round-robins across sources
+    (``(rank−1)·n_sources + source_index``). Complements
+    ``x8_mixture_weights`` (which says how MUCH of each source): this
+    emits the actual interleaved order a sequential trainer consumes,
+    with no epoch boundary where one source ends early.
+
+    Scale shape: one shuffle on source for the per-source ranks (at
+    100 TB the per-source window would use the same WindowGroupLimit /
+    two-phase trick as the reservoir when only a prefix is needed); the
+    global position is a CLOSED FORM over (rank, source index) — no
+    global single-partition window anywhere. The source table (a
+    handful of rows) broadcasts."""
+    docs = read_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("src_rank")
+    )
+    w_idx = Window.orderBy("source")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(w_idx) - 1).alias("src_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("src_rank").cast("bigint").alias("src_rank"),
+            ((F.col("src_rank") - 1) * F.col("n_sources") + F.col("src_idx"))
+            .cast("bigint")
+            .alias("global_pos"),
+        )
+    )

@@ -1249,3 +1249,80 @@ def x4_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("score"), 6).alias("max_score"),
         )
     )
+
+
+@query(
+    "x4_bigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, UNNEST(t) AS tok FROM toks
+    ),
+    big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM toks)
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1 FROM pos GROUP BY tok
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12 FROM big GROUP BY w1, w2
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((bc.c12 + 0.5) / (u.c1 + 0.5 * vocab.v))), 6) AS avg_neg_logprob
+    FROM big b
+    JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN uni u ON u.tok = b.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def x4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r5): add-k-smoothed BIGRAM negative log-probability per
+    document under the corpus's own bigram LM — one order up from
+    ``x4_unigram_logprob``, the standard next rung of the CCNet-style
+    quality ladder (repetitive boilerplate scores LOW because its
+    transitions are common; garbled text scores HIGH because its
+    transitions are unseen). p(w2|w1) = (c12 + 0.5) / (c1 + 0.5·V).
+
+    Scale ledger: bigrams are built ARRAY-SIDE (codegen element_at over
+    an exploded index — no positions self-join); shuffles are keyed by
+    (w1, w2) for bigram counts, token for unigram counts, and doc_id for
+    the roll-up; the count rejoin keys are tokens (broadcast below
+    threshold, SMJ above). AVG + ROUND(6) absorbs libm ulp drift, same
+    as the unigram scorer."""
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    pos = toks.select("doc_id", F.explode("t").alias("tok"))
+    big = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )

