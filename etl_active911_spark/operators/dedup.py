@@ -1179,3 +1179,121 @@ def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2n (r5): ExactSubstr-style span SCRUBBING (remove + reconstruct)
+# ---------------------------------------------------------------------------
+
+SCRUB_K = 5  # token-window width for cross-doc duplicated spans
+
+
+@query(
+    "x2_substr_scrub",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, UNNEST(t) AS tok, UNNEST(range(1, len(t) + 1)) AS p FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               md5(array_to_string(t[i:i+{SCRUB_K - 1}], ' ')) AS gh
+        FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - {SCRUB_K - 2})) AS i
+              FROM toks WHERE len(t) >= {SCRUB_K})
+    ),
+    dup AS (
+        SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    removed AS (
+        SELECT DISTINCT g.doc_id, g.i + off.o AS p
+        FROM grams g JOIN dup USING (gh),
+             (SELECT UNNEST(range({SCRUB_K})) AS o) off
+    ),
+    kept AS (
+        SELECT pos.doc_id, pos.tok, pos.p
+        FROM pos LEFT JOIN removed r ON r.doc_id = pos.doc_id AND r.p = pos.p
+        WHERE r.p IS NULL
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(COUNT(k.p), 0) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+    FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, len(t.t)
+    """,
+)
+def x2_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2n: substring-level dedup with RECONSTRUCTION (the ExactSubstr
+    flavor of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" — public literature): any {SCRUB_K}-token window
+    occurring in ≥ 2 distinct documents is removed from EVERY document,
+    and the surviving tokens are re-joined into the cleaned text the
+    trainer actually consumes — ``x2_substring_spans`` measures the
+    duplication, this one repairs it.
+
+    Scale shape: token windows travel as md5 hashes (the text never
+    keys a shuffle); duplicated-window detection is one hash-keyed
+    aggregate; the removed-position set is a bounded explode (window ×
+    {SCRUB_K} offsets) anti-joined against the position rows; document
+    reassembly sorts each doc's surviving (pos, tok) pairs in one
+    bounded per-doc array. At 100 TB add the document-frequency cut on
+    hot windows (boilerplate) exactly as in ngram_jaccard_with_df_cut.
+    """
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    k = SCRUB_K
+    grams = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - (k - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("t"), F.col("i") + j) for j in range(k)]
+                )
+            ).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("ddf"))
+        .filter(F.col("ddf") >= 2)
+        .select("gh")
+    )
+    removed = (
+        grams.join(dup, "gh")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"))
+        .distinct()
+    )
+    kept = pos.join(removed, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
