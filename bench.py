@@ -63,6 +63,12 @@ HEADLINE = [
     # round-4 additions (same shared-subset rule)
     "x2_fuzzy_linkage",
     "x5_media_decode_real",
+    # round-5 additions (same shared-subset rule)
+    "x2_semantic_dedup",
+    "x2_substr_scrub",
+    "x4_bigram_logprob",
+    "x6_ts_decompose",
+    "x8_interleave_sources",
 ]
 
 

@@ -659,14 +659,25 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # bucket-and-explode, NOT a self-join (rule 18): the chunk self-join
+    # evaluated the whole simhash pipeline once PER SIDE when AQE chose a
+    # broadcast build (no shuffle-to-shuffle exchange reuse). Grouping on
+    # the chunk key computes signatures ONCE; the (doc_id, simhash)
+    # structs of a bucket explode into ordered pairs in place. Same
+    # hot-bucket guard as MinHash (LSH_MAX_BUCKET, VERDICT r04 item 2):
+    # a flood of identical texts means identical simhashes in every
+    # chunk bucket — exact pre-collapse (near_dup_dedup) is the real
+    # fix, the cap bounds the n² explode for near-identical floods.
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= LSH_MAX_BUCKET))
+        .select("ms")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
