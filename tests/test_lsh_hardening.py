@@ -103,3 +103,59 @@ def test_exact_precollapse_is_the_real_fix(spark):
     )
     assert _pairs(rep_pairs) == expected
     assert (N_FLOOD + 0, N_FLOOD + 1) in expected
+
+
+def test_precollapse_components_compose_to_full_corpus_components(spark):
+    """The docstring claim that makes pre-collapse SOUND, verified:
+    connected components over rep-level pairs, expanded through the
+    exact-class mapping, must equal components computed directly over
+    the uncollapsed corpus (exact duplicates share their rep's
+    component; representatives' components agree)."""
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.operators.clustering import connected_components_star
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = []
+    # two near-dup families with exact-dup members sprinkled in
+    for i in range(6):
+        rows.append((i, base))                     # exact dups of family A's root
+    rows.append((6, base + " lambda"))             # near-dup of A
+    rows.append((7, base + " lambda"))             # exact dup of 6
+    other = "one two three four five six seven eight nine ten " * 6
+    rows.append((8, other))
+    rows.append((9, other + " eleven"))            # near-dup of B
+    for i in range(10, 20):                        # unique fillers
+        rows.append((i, f"unique doc number {i} " + "x" * i))
+    docs = spread(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id"
+    )
+
+    # direct: verified pairs over ALL docs -> components
+    direct_pairs = verified_near_dup_pairs(docs, persist_key="t.compose.direct")
+    direct = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_star(direct_pairs).collect()
+    }
+
+    # composed: pre-collapse -> rep components -> expand through mapping
+    mapping, rep_pairs = near_dup_dedup(docs)
+    rep_comp = connected_components_star(rep_pairs).withColumnRenamed(
+        "doc_id", "rep_id"
+    )
+    composed_df = mapping.join(rep_comp, "rep_id", "left").select(
+        "doc_id", F.coalesce("component", "rep_id").alias("component")
+    )
+    composed = {(r["doc_id"], r["component"]) for r in composed_df.collect()}
+
+    # direct components only cover docs that appear in a pair; composed
+    # covers everything — compare on the direct support, and singletons
+    # (no pair anywhere) must map to their own exact-class rep
+    direct_docs = {d for d, _ in direct}
+    assert {t for t in composed if t[0] in direct_docs} == direct
+    # docs outside the direct support are pair-free: their component must
+    # be their exact-class representative (self for true singletons)
+    rep_of = {r["doc_id"]: r["rep_id"] for r in mapping.collect()}
+    assert all(c == rep_of[d] for d, c in composed if d not in direct_docs)
+    # every doc is covered exactly once
+    assert len(composed) == len(rows)
