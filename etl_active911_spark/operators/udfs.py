@@ -151,3 +151,46 @@ def n13_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL installments_udtf(o.o_orderkey, o.o_totalprice) i
         """
     )
+
+
+@query(
+    "n13_map_in_arrow",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_arrow,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_fields
+    FROM documents
+    """,
+)
+def n13_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-13 (r5, mapInArrow): the LOWEST-overhead Python boundary — raw
+    Arrow RecordBatches in and out, no pandas materialization at all
+    (``mapInPandas`` converts every batch to pandas and back; for
+    columnar-native work like pyarrow.compute kernels that conversion is
+    pure overhead). Computes codepoint length and single-space field
+    count per document with vectorized Arrow kernels; integer outputs,
+    so the SQL oracle matches bit-for-bit. Completes the Python-function
+    ladder: scalar pandas_udf → grouped agg → applyInPandas →
+    mapInPandas → mapInArrow → UDTF."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def measure(batches):
+        for b in batches:
+            text = b.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_chars_arrow", "n_fields"],
+            )
+
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInArrow(measure, "doc_id long, n_chars_arrow long, n_fields long")
+    )
