@@ -1318,3 +1318,201 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.join(dups, F.col("vec_id") == F.col("dup_id"), "left")
         .select("vec_id", "cell", F.col("dup_id").isNull().alias("is_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3h (r5): MMR diversity re-ranking (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 8  # relevance shortlist per query; MMR selects TOP_K of them
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE greedy MMR: sel1 = argmax relevance; sel_i = argmax of
+    λ·rel − (1−λ)·max-sim-to-selected over the remainder. k is a constant
+    so the greedy loop unrolls to TOP_K CTE stages; every comparison uses
+    ROUND(·, 6) + vec_id tie-breaks (canonical policy 4)."""
+    head = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS ee,
+               ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS rel
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id, ee, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM scored
+        ) t WHERE rn <= {MMR_SHORTLIST}
+    ),
+    pairs AS (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               ROUND(list_dot_product(a.ee, b.ee)
+                 / (sqrt(list_dot_product(a.ee, a.ee))
+                    * sqrt(list_dot_product(b.ee, b.ee))), 6) AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    ),
+    sel1 AS (
+        SELECT query_id, vec_id, 1 AS mmr_rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM cand
+        ) t WHERE rn = 1
+    )"""
+    steps = []
+    for i in range(2, TOP_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f""",
+    rem{i} AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM ({prev_union}) s
+                          WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)
+    ),
+    ms{i} AS (
+        SELECT r.query_id, r.vec_id, r.rel, MAX(p.sim) AS maxsim
+        FROM rem{i} r
+        JOIN pairs p ON p.query_id = r.query_id AND p.va = r.vec_id
+        JOIN ({prev_union}) s ON s.query_id = p.query_id AND s.vec_id = p.vb
+        GROUP BY r.query_id, r.vec_id, r.rel
+    ),
+    sel{i} AS (
+        SELECT query_id, vec_id, {i} AS mmr_rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND({MMR_LAMBDA} * rel
+                                                     - {round(1 - MMR_LAMBDA, 6)} * maxsim, 6) DESC,
+                                               vec_id) AS rn
+            FROM ms{i}
+        ) t WHERE rn = 1
+    )""")
+    tail_union = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, mmr_rank FROM sel{j}" for j in range(1, TOP_K + 1)
+    )
+    return head + "".join(steps) + f"\n    SELECT query_id, vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM ({tail_union})"
+
+
+@query("x3_mmr_rerank", _mmr_oracle())
+def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3h: MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — public literature): after ANN retrieval, greedily pick
+    TOP_K results balancing relevance against redundancy — sel_i = argmax
+    over remaining candidates of λ·rel − (1−λ)·max(sim to already
+    selected). The diversity step every RAG retriever runs after its
+    similarity search; near-duplicate hits (which embedding corpora are
+    full of — see x2_semantic_dedup) stop crowding out distinct results.
+
+    Scale shape: the greedy loop runs over the per-query SHORTLIST
+    (MMR_SHORTLIST rows/query from the relevance top-k, which rides
+    WindowGroupLimit), never the corpus — candidate and pairwise-sim
+    tables are queries × shortlist(²) rows, broadcast-sized by
+    construction; k is constant so the loop is a fixed plan, not an
+    iteration over data. Every argmax compares ROUND(·,6) with vec_id
+    tie-breaks, so the greedy trajectory — not just the final set — is
+    bit-reproducible in the oracle's unrolled CTE chain."""
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    corpus = emb.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qnrm"),
+    )
+    scored = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.round(
+            dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("rel"),
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    # coalesce(1): the shortlist is queries × MMR_SHORTLIST rows — keeping
+    # it (and the pair table) single-partition makes every greedy-step
+    # stage a single task instead of 32 near-empty ones (the steps are
+    # data-tiny but stage-many; measured ~5 s → ~2 s at sf0.1)
+    cand = scoped_persist(
+        "x3_mmr.cand",
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .select("query_id", "vec_id", "embedding", "nrm", "rel")
+        .coalesce(1),
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = scoped_persist(
+        "x3_mmr.pairs",
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("sim"),
+        ).coalesce(1),
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", F.lit(1).alias("mmr_rank"))
+    )
+    for i in range(2, TOP_K + 1):
+        prev = sel.select("query_id", "vec_id")
+        # distinct column names per side: rem/pairs/prev all descend from
+        # the persisted cand lineage, so qualified F.col refs are ambiguous
+        rem = (
+            cand.join(prev, ["query_id", "vec_id"], "left_anti")
+            .select(
+                F.col("query_id").alias("rqid"),
+                F.col("vec_id").alias("rvid"),
+                "rel",
+            )
+        )
+        p = pairs.select(
+            F.col("query_id").alias("pqid"), "va", "vb", "sim"
+        )
+        s = prev.select(F.col("query_id").alias("sqid"), F.col("vec_id").alias("svid"))
+        ms = (
+            rem.join(p, (F.col("pqid") == F.col("rqid")) & (F.col("va") == F.col("rvid")))
+            .join(s, (F.col("sqid") == F.col("rqid")) & (F.col("vb") == F.col("svid")))
+            .groupBy(
+                F.col("rqid").alias("query_id"), F.col("rvid").alias("vec_id"), F.col("rel")
+            )
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            F.round(
+                MMR_LAMBDA * F.col("rel") - round(1 - MMR_LAMBDA, 6) * F.col("maxsim"), 6
+            ).desc(),
+            F.col("vec_id"),
+        )
+        pick = (
+            ms.withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "vec_id", F.lit(i).alias("mmr_rank"))
+        )
+        # iterative loop ⇒ lineage truncation (rule 17): without the
+        # eager checkpoint each step's plan embeds every previous step's
+        # window+join tree and Catalyst re-optimization dominates
+        # (measured 13-15 s → ~2 s at sf0.1); the checkpointed set is
+        # ≤ queries × k rows
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("query_id", "vec_id", F.col("mmr_rank").cast("int").alias("mmr_rank"))
