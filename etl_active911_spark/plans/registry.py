@@ -124,7 +124,10 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: never-windowed: n6_unpivot, n17_asof_tolerance, n23_salted_agg/join,
 #: x2_graph_pagerank, x6_resample_ffill, x8_reservoir_sample,
 #: x4_tfidf_topterms/heavy_hitters/pii_redact/char_entropy/pmi_bigrams,
-#: x3_ann_ivf_seeded/lloyd1, tpch q2/q5/q6/q9/q11/q15/q16/q19/q20.
+#: x3_ann_ivf_seeded/lloyd1, tpch q2/q5/q6/q9/q11/q15/q16/q19/q20, and
+#: the r5 additions: x2_semantic_dedup, x2_substr_scrub,
+#: x4_bigram_logprob, x6_ts_decompose, x8_interleave_sources,
+#: n13_map_in_arrow, x3_mmr_rerank.
 #: Last scored r1/r2: n2_join_semi/anti/full_outer/correlated,
 #: n4_percentiles, n6_rollup/cube/pivot, n7_window_lag/distribution,
 #: n9_intersect/except_all, n10_scalar_suite, x2_substring_spans,

@@ -129,3 +129,59 @@ def enrichment_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@query(
+    "n14_stream_stream_left_join",
+    """
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           ROUND(b.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+)
+def n14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-14c batch body: LEFT OUTER click→purchase attribution — clicks
+    with no purchase inside the window survive with NULL purchase
+    columns (the conversion-funnel denominator an inner join silently
+    drops). In the streaming form this is the semantically interesting
+    outer join: Spark can only emit the NULL row once the watermark
+    proves no matching purchase can still arrive — the null side of an
+    outer stream-stream join is generated AT STATE EVICTION, so outer
+    results trail the watermark horizon (asserted end-to-end in
+    tests/test_streaming.py)."""
+    clicks, purchases = _split_roles(read_table(spark, sf_dir, "events"))
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+    return clicks.join(purchases, cond, "left").select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.round("value", 2).alias("purchase_value"),
+    )
+
+
+def attribution_stream_outer(clicks: DataFrame, purchases: DataFrame,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Streaming form of the LEFT OUTER attribution join: both sides
+    watermarked; unmatched clicks are emitted with NULLs only when the
+    purchase-side watermark passes click_ts + window (state eviction is
+    what generates the null row)."""
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.round("value", 2).alias("purchase_value"),
+    )

@@ -654,3 +654,76 @@ def test_stream_stream_join_evicts_late_rows(spark, tmp_path, session_tz):
         assert (1, 100, 200, 9.99) in got and (2, 101, 202, 1.0) in got
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_stream_stream_left_join_emits_nulls_at_eviction(spark, tmp_path):
+    """N-14c outer stream-stream join: a click with NO matching purchase
+    is emitted with NULL purchase columns only once the watermark proves
+    no match can still arrive (null generation happens at state
+    eviction); matched clicks join normally. Batch parity on the same
+    data pins the value semantics."""
+    import time as _time
+
+    from etl_active911_spark.streaming.joins import (
+        _split_roles,
+        attribution_stream_outer,
+    )
+
+    in_schema = "user_id long, ts string, event_id long, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, in_schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    batch1 = mk([
+        (1, "2024-01-01 10:00:00", 100, "click", 0.0),   # will match
+        (1, "2024-01-01 10:10:00", 200, "purchase", 9.99),
+        (2, "2024-01-01 10:01:00", 101, "click", 0.0),   # never matches
+        (3, "2024-01-01 10:02:00", 300, "purchase", 1.0),  # purchase-side filler
+    ])
+    batch2 = mk([
+        # advance BOTH watermark operators far past 10:31 + 30min horizon
+        (4, "2024-01-01 13:00:00", 102, "click", 0.0),
+        (5, "2024-01-01 13:00:00", 301, "purchase", 2.0),
+    ])
+    batch3 = mk([
+        # one more batch so eviction (end of batch 2) results flush
+        (6, "2024-01-01 13:30:00", 103, "click", 0.0),
+        (7, "2024-01-01 13:30:00", 302, "purchase", 3.0),
+    ])
+    d = str(tmp_path / "ssj_outer")
+    batch1.coalesce(1).write.parquet(d + "/b1")
+    _time.sleep(1.1)
+    batch2.coalesce(1).write.parquet(d + "/b2")
+    _time.sleep(1.1)
+    batch3.coalesce(1).write.parquet(d + "/b3")
+
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    clicks, purchases = _split_roles(src)
+    (
+        attribution_stream_outer(clicks, purchases, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.table("ssj_outer").collect()
+    }
+    # the unmatched click MUST surface as a null row after eviction,
+    # and the matched one with its purchase
+    assert (2, 101, None, None) in got
+    assert (1, 100, 200, 9.99) in got
+    # no spurious inner results for the filler purchase
+    assert not any(p == 300 for _, _, p, _ in got)
