@@ -421,3 +421,53 @@ def test_compression_ratio_properties(spark):
         " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))
     )
     assert rep < var / 2  # repetition detector actually separates
+
+
+def test_substr_scrub_kept_tokens_are_a_subsequence(spark):
+    """x2_substr_scrub reconstruction invariants at sf0.001: token
+    accounting adds up, and every cleaned text is a subsequence of the
+    original token stream (scrubbing deletes, never reorders)."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.dedup import normalized_text, x2_substr_scrub
+
+    rows = x2_substr_scrub(spark, SF_SMOKE).collect()
+    originals = {
+        r["doc_id"]: r["norm"].split(" ")
+        for r in read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", normalized_text(F.col("text")).alias("norm"))
+        .collect()
+    }
+    assert len(rows) == len(originals)
+    for r in rows:
+        orig = originals[r["doc_id"]]
+        clean = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert r["n_tokens"] == len(orig)
+        assert r["n_removed"] == len(orig) - len(clean)
+        it = iter(orig)
+        assert all(tok in it for tok in clean), f"doc {r['doc_id']}: not a subsequence"
+
+
+def test_mmr_rerank_trades_relevance_for_diversity(spark):
+    """x3_mmr_rerank sanity at sf0.01: rank 1 equals the pure-relevance
+    winner, each query yields TOP_K distinct picks, and every pick is
+    drawn from the relevance shortlist."""
+    from etl_active911_spark.operators.similarity import (
+        MMR_SHORTLIST,
+        TOP_K,
+        x3_cosine_topk,
+        x3_mmr_rerank,
+    )
+
+    mmr = x3_mmr_rerank(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], {})[r["mmr_rank"]] = r["vec_id"]
+    rel = {}
+    for r in x3_cosine_topk(spark, SF_ORACLE).collect():
+        rel.setdefault(r["query_id"], {})[r["rnk"]] = r["vec_id"]
+    assert set(by_q) == set(rel) and len(by_q) > 0
+    for q, picks in by_q.items():
+        assert sorted(picks) == list(range(1, TOP_K + 1))
+        assert len(set(picks.values())) == TOP_K
+        # rank 1 = argmax relevance (λ-weighting can't change the first pick)
+        assert picks[1] == rel[q][1]
