@@ -368,3 +368,109 @@ def x2_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.join(deg.withColumnRenamed("src", "doc_id"), "doc_id")
         .select("doc_id", F.col("d").alias("degree"), F.round("r", 6).alias("pagerank"))
     )
+
+
+def _triangles_oracle() -> str:
+    """Shared MinHash CTE chain → ordered three-way self-join (a<b<c) —
+    the exact triangle count; per-node degree from the symmetric edges."""
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM prs e1
+        JOIN prs e2 ON e2.doc_a = e1.doc_b
+        JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    nodes AS (
+        SELECT doc_a AS doc_id FROM prs UNION SELECT doc_b FROM prs
+    ),
+    deg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT doc_a AS doc_id FROM prs UNION ALL SELECT doc_b FROM prs
+        ) GROUP BY doc_id
+    ),
+    pernode AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY doc_id
+    )
+    SELECT n.doc_id, d.degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(2.0 * COALESCE(p.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coef
+    FROM nodes n
+    JOIN deg d USING (doc_id)
+    LEFT JOIN pernode p USING (doc_id)
+    """
+
+
+@query("x2_graph_triangles", _triangles_oracle())
+def x2_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2o (r5): exact TRIANGLE COUNT + local clustering coefficient per
+    node of the verified near-dup graph — the density diagnostic that
+    separates true duplicate CLIQUES (coefficient ≈ 1: safe to keep one
+    representative) from weakly-chained components (coefficient ≈ 0:
+    transitive closure over-merges, review before dropping). Classic
+    ordered-wedge algorithm: with edges kept as (small < large) pairs,
+    a triangle a<b<c is counted exactly once by joining wedge
+    (a-b, b-c) against closing edge (a-c) — two equi-joins on the pair
+    list, work proportional to Σ wedge counts, never all pairs. The
+    pair list is localCheckpoint-ed once and reused by all three join
+    legs (shared-subtree rule does not apply: three consumers in ONE
+    action still re-evaluate the upstream MinHash pipeline per leg
+    without materialization)."""
+    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+
+    prs = (
+        x2_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = prs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        prs.select(F.col("doc_a").alias("doc_id"))
+        .union(prs.select("doc_b"))
+        .distinct()
+    )
+    deg = (
+        prs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(prs.select("doc_b"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    pernode = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        nodes.join(deg, "doc_id")
+        .join(pernode, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coef"),
+        )
+    )

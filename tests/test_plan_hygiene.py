@@ -1,0 +1,53 @@
+"""Sweep-level physical-plan hygiene over the driver's scoring window.
+
+SCALE.md invariant 2 says "no unblocked cross join in the tree" — this
+test makes that claim mechanical for every query the driver scores:
+zero ``CartesianProduct`` anywhere, and ``BroadcastNestedLoopJoin`` only
+where a BOUNDED side makes it the correct plan (scalar thresholds,
+1-row dimension arrays, replicated query blocks), each with its bound
+documented here. A new query that accidentally plans an unbounded
+nested loop fails this sweep before it ever reaches the driver.
+
+Plans are built at sf0.001 — physical operator choice for these shapes
+is scale-independent (broadcast sides are constant-bounded by
+construction, not by statistics), and the iterative builders stay cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_active911_spark.plans import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+#: query -> (max BNLJ occurrences, the bounded side that justifies them)
+BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
+    "x7_nearest_station": (1, "stations collapsed to ONE broadcast array-of-structs row"),
+    "x3_pandas_matmul": (1, "query block replicated per corpus block id (N_QUERIES x MATMUL_BLOCKS rows)"),
+    "x3_range_search": (1, "broadcast N_QUERIES-row query block, != self-pair condition"),
+    "n19_bloom_prefilter_join": (1, "1-row broadcast bloom bitset probed by bit tests"),
+    "n21_funnel": (2, "scalar funnel-stage thresholds as 1-row cross joins"),
+    "n22_dq_checks": (2, "scalar expectation bounds as 1-row cross joins"),
+    "x8_mixture_weights": (6, "per-source totals and temperature normalizers: one scalar cross join per mixture term"),
+    "x3_ann_ivf_partitioned": (4, "queries x broadcast 16-row centroid table (distributive probe derivation); subtree appears once per rerank consumer pre-materialization"),
+}
+
+
+@pytest.mark.parametrize("name", registry.PRIORITY + registry.LAST)
+def test_windowed_query_plan_hygiene(spark, name):
+    plan = (
+        registry.QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product planned"
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    cap, _why = BNLJ_ALLOWED.get(name, (0, ""))
+    assert bnlj <= cap, (
+        f"{name}: {bnlj} BroadcastNestedLoopJoin(s) planned, allowlist permits {cap} "
+        f"— if the new nested loop has a constant-bounded side, extend BNLJ_ALLOWED "
+        f"with its justification"
+    )
