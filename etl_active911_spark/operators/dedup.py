@@ -1199,10 +1199,9 @@ def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCRUB_K = 5  # token-window width for cross-doc duplicated spans
 
 
-@query(
-    "x2_substr_scrub",
-    f"""
-    WITH toks AS (
+#: Shared scrub CTE chain (toks → pos → grams → dup → removed → kept) —
+#: reused by x9_curation_v4's composed oracle.
+SCRUB_CTES = f"""toks AS (
         SELECT doc_id,
                string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
         FROM documents
@@ -1228,14 +1227,23 @@ SCRUB_K = 5  # token-window width for cross-doc duplicated spans
         SELECT pos.doc_id, pos.tok, pos.p
         FROM pos LEFT JOIN removed r ON r.doc_id = pos.doc_id AND r.p = pos.p
         WHERE r.p IS NULL
-    )
-    SELECT t.doc_id,
-           CAST(len(t.t) AS BIGINT) AS n_tokens,
-           CAST(len(t.t) - COALESCE(COUNT(k.p), 0) AS BIGINT) AS n_removed,
-           COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
-    FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
-    GROUP BY t.doc_id, len(t.t)
-    """,
+    ),
+    scrubbed AS (
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(t.t) - COALESCE(COUNT(k.p), 0) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+        FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        GROUP BY t.doc_id, len(t.t)
+    )"""
+
+
+@query(
+    "x2_substr_scrub",
+    f"""
+    WITH {{SCRUB_CTES}}
+    SELECT doc_id, n_tokens, n_removed, clean_text FROM scrubbed
+    """.format(SCRUB_CTES=SCRUB_CTES),
 )
 def x2_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2n: substring-level dedup with RECONSTRUCTION (the ExactSubstr

@@ -1326,3 +1326,103 @@ def x4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def _curation_v4_oracle() -> str:
+    """Composed oracle: the shared scrub CTE chain (dedup.SCRUB_CTES) →
+    post-scrub quality gate → exact dedup ON THE CLEANED TEXT →
+    deterministic source-interleaved training order."""
+    from etl_active911_spark.operators.dedup import SCRUB_CTES
+
+    return f"""
+    WITH {SCRUB_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    gated AS (
+        SELECT s.doc_id, d.source, s.n_removed, s.clean_text
+        FROM scrubbed s JOIN src d USING (doc_id)
+        WHERE (s.n_tokens - s.n_removed) >= 10
+          AND CAST(LENGTH(regexp_replace(s.clean_text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / NULLIF(LENGTH(s.clean_text), 0) > 0.5
+    ),
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(clean_text)
+    ),
+    surv AS (SELECT g.* FROM gated g JOIN keepers k USING (doc_id)),
+    ranked AS (
+        SELECT doc_id, source, n_removed,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+                   AS src_rank
+        FROM surv
+    ),
+    srcs AS (
+        SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx,
+               COUNT(*) OVER () AS n_sources
+        FROM (SELECT DISTINCT source FROM surv)
+    )
+    SELECT r.doc_id, r.source, r.n_removed,
+           CAST((r.src_rank - 1) * s.n_sources + s.src_idx AS BIGINT) AS global_pos
+    FROM ranked r JOIN srcs s ON s.source = r.source
+    """
+
+
+@query("x9_curation_v4", _curation_v4_oracle())
+def x9_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r5 capstone): curation pipeline v4, composing this round's new
+    operators end-to-end the way a modern pretraining pipeline chains
+    them — (1) ExactSubstr SPAN SCRUBBING (x2_substr_scrub: cross-doc
+    duplicated windows removed, text reconstructed), (2) quality gate ON
+    THE CLEANED TEXT (≥ 10 surviving tokens, alpha ratio > 0.5 — gating
+    before scrubbing would grade boilerplate the scrubber deletes),
+    (3) exact dedup on the cleaned text (documents that differed only in
+    scrubbed boilerplate collapse to one keeper — dedup AFTER scrubbing
+    catches what dedup-first misses), and (4) the deterministic
+    source-interleaved training order (x8_interleave_sources' closed
+    form) over the survivors. One composed DuckDB oracle certifies the
+    whole chain; each stage's scale shape is its standalone operator's.
+    Returns (doc_id, source, n_removed, global_pos)."""
+    from etl_active911_spark.operators.dedup import x2_substr_scrub
+
+    scrub = x2_substr_scrub(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clean_len = F.length("clean_text")
+    alpha = (
+        F.length(F.regexp_replace("clean_text", "[^a-zA-Z]", "")).cast("double")
+        / F.nullif(clean_len, F.lit(0))
+    )
+    gated = (
+        scrub.join(src, "doc_id")
+        .filter((F.col("n_tokens") - F.col("n_removed")) >= 10)
+        .filter(alpha > 0.5)
+        .select("doc_id", "source", "n_removed", "clean_text")
+    )
+    keepers = (
+        gated.groupBy(F.md5("clean_text").alias("ch"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = gated.join(keepers, "doc_id", "left_semi")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = surv.select(
+        "doc_id", "source", "n_removed", F.row_number().over(w_src).alias("src_rank")
+    )
+    w_idx = Window.orderBy("source")
+    srcs = (
+        surv.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(w_idx) - 1).alias("src_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+        )
+    )
+    return ranked.join(F.broadcast(srcs), "source").select(
+        "doc_id",
+        "source",
+        "n_removed",
+        ((F.col("src_rank") - 1) * F.col("n_sources") + F.col("src_idx"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )
