@@ -1241,9 +1241,9 @@ SCRUB_CTES = f"""toks AS (
 @query(
     "x2_substr_scrub",
     f"""
-    WITH {{SCRUB_CTES}}
+    WITH {SCRUB_CTES}
     SELECT doc_id, n_tokens, n_removed, clean_text FROM scrubbed
-    """.format(SCRUB_CTES=SCRUB_CTES),
+    """,
 )
 def x2_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2n: substring-level dedup with RECONSTRUCTION (the ExactSubstr
