@@ -123,8 +123,13 @@ def _lenient_wall(col: Column, now_year: int | None = None) -> Column:
     with a 4-digit year — the strict 'yyyy' token never accepts the
     2-digit shape, so parseTwoDigitYear rows always reach the lenient
     branch), so only malformed rows — a sliver at 100 TB — pay the regex
-    fan-out. ``to_timestamp_ntz`` is guarded behind the try-probe
-    because it throws on malformed input under ANSI mode."""
+    fan-out. Measured r5, do not "optimize": collapsing the six
+    ``regexp_extract`` calls into ONE ``(?s)^.*?PAT.*$`` regexp_replace
+    emitting all groups + split is ~70% SLOWER (0.53 s vs 0.31 s per
+    200k malformed-heavy rows) — the anchored wrapper backtracks harder
+    than six cached-pattern extracts. ``to_timestamp_ntz`` is guarded
+    behind the try-probe because it throws on malformed input under
+    ANSI mode."""
     strict_ok = F.try_to_timestamp(col, F.lit(ALERT_TIME_FORMAT)).isNotNull()
     g = lambda i: F.nullif(F.regexp_extract(col, LENIENT_PAT, i), F.lit(""))  # noqa: E731
     opt = lambda i: F.coalesce(g(i).cast("int"), F.lit(0))  # noqa: E731
