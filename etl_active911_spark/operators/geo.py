@@ -233,3 +233,90 @@ def x7_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist_km") <= PAIR_RADIUS_KM)
         .select("id_a", "id_b", "dist_km")
     )
+
+
+QUAD_Z = 12  # quadkey zoom: ~10 km tiles at mid-latitudes
+
+
+def _quadkey_digits_sql(x: str, y: str) -> str:
+    """Bing-maps quadkey string from tile indices: digit i (most
+    significant first) = bit i of y, doubled, plus bit i of x."""
+    return " || ".join(
+        f"CAST((({y} >> {i}) & 1) * 2 + (({x} >> {i}) & 1) AS VARCHAR)"
+        for i in range(QUAD_Z - 1, -1, -1)
+    )
+
+
+@query(
+    "x7_quadkey_rollup",
+    f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    tiles AS (
+        SELECT id,
+               lat_d, lon_d,
+               GREATEST(0, LEAST({2**QUAD_Z - 1},
+                   CAST(FLOOR((lon_d + 180.0) / 360.0 * {2**QUAD_Z}) AS BIGINT))) AS tx,
+               GREATEST(0, LEAST({2**QUAD_Z - 1},
+                   CAST(FLOOR((90.0 - lat_d) / 180.0 * {2**QUAD_Z}) AS BIGINT))) AS ty
+        FROM resolved WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
+    ),
+    keyed AS (
+        SELECT id, lat_d, lon_d, {_quadkey_digits_sql("tx", "ty")} AS quadkey
+        FROM tiles
+    )
+    SELECT quadkey,
+           CAST(COUNT(*) AS BIGINT) AS n_alerts,
+           ROUND(MIN(lat_d), 6) AS min_lat, ROUND(MAX(lat_d), 6) AS max_lat,
+           ROUND(MIN(lon_d), 6) AS min_lon, ROUND(MAX(lon_d), 6) AS max_lon
+    FROM keyed GROUP BY quadkey
+    """,
+)
+def x7_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r5): QUADKEY tile rollup — the web-map tiling aggregate
+    (Bing quadkey, public spec): resolved alert coordinates bin into
+    level-{QUAD_Z} quadtree tiles whose keys are bit-interleaved tile
+    indices rendered as base-4 digit strings; per-tile counts + exact
+    coordinate envelopes feed heatmap/cluster layers directly (each
+    key's PREFIX is its ancestor tile, so coarser zooms are a substring
+    groupBy away — no re-binning).
+
+    Engine-exactness: binning is LINEAR (no Mercator ln/tan — libm
+    differs across engines in the last ulp and a tile boundary would
+    flip), so tile index = floor of identical IEEE multiply/divide on
+    identical doubles; envelope stats are MIN/MAX (order-independent),
+    never AVG. One shuffle keyed by the 12-char quadkey; at 100 TB the
+    quadkey doubles as the storage partition prefix (the x3 partitioned-
+    index pattern applied to space)."""
+    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    n = 2**QUAD_Z
+    tx = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1), F.floor((F.col("lon_d") + 180.0) / 360.0 * n).cast("long")),
+    )
+    ty = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1), F.floor((90.0 - F.col("lat_d")) / 180.0 * n).cast("long")),
+    )
+    tiles = resolved.filter(
+        F.col("lat_d").isNotNull() & F.col("lon_d").isNotNull()
+    ).select("id", "lat_d", "lon_d", tx.alias("tx"), ty.alias("ty"))
+    quadkey = F.concat(
+        *[
+            (
+                (F.shiftright(F.col("ty"), i).bitwiseAND(F.lit(1)) * 2
+                 + F.shiftright(F.col("tx"), i).bitwiseAND(F.lit(1)))
+            ).cast("string")
+            for i in range(QUAD_Z - 1, -1, -1)
+        ]
+    )
+    return (
+        tiles.select("lat_d", "lon_d", quadkey.alias("quadkey"))
+        .groupBy("quadkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_alerts"),
+            F.round(F.min("lat_d"), 6).alias("min_lat"),
+            F.round(F.max("lat_d"), 6).alias("max_lat"),
+            F.round(F.min("lon_d"), 6).alias("min_lon"),
+            F.round(F.max("lon_d"), 6).alias("max_lon"),
+        )
+    )
