@@ -573,3 +573,89 @@ def x6_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("residual"),
     )
+
+
+@query(
+    "x6_ts_changepoint",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    tot AS (
+        SELECT user_id, SUM(sv) AS total_sv, COUNT(*) AS cnt
+        FROM base GROUP BY user_id
+    ),
+    pref AS (
+        SELECT b.user_id, b.event_id, b.rn, t.cnt,
+               SUM(b.sv) OVER (PARTITION BY b.user_id ORDER BY b.rn
+                               ROWS UNBOUNDED PRECEDING) * t.cnt
+                 - b.rn * t.total_sv AS cusum_num
+        FROM base b JOIN tot t ON t.user_id = b.user_id
+    ),
+    picked AS (
+        SELECT user_id, event_id, rn, cnt, cusum_num,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ABS(cusum_num) DESC, rn) AS pk
+        FROM pref WHERE cnt >= 4
+    )
+    SELECT user_id, event_id,
+           CAST(rn AS BIGINT) AS change_idx,
+           ROUND(CAST(cusum_num AS DOUBLE) / ({_DECOMP_SCALE} * cnt), 6) AS cusum
+    FROM picked WHERE pk = 1
+    """,
+)
+def x6_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r5): CUSUM change-point estimate per user series — the index
+    maximizing |Σ_{{i≤k}}(vᵢ − mean)|, the classical single-change-point
+    locator (a mean shift at k makes the cumulative deviation peak
+    there). Complements the POINT anomaly detectors (z-score, robust
+    MAD): those flag single outliers, CUSUM finds where the LEVEL moved.
+
+    Same exact-arithmetic discipline as x6_ts_decompose: values in 3dp
+    fixed-point, cusum numerator = prefix·n − k·total as pure BIGINT
+    (running-frame integer sums are exact AND order-deterministic),
+    argmax on the integer numerator with an rn tie-break, ONE terminal
+    IEEE division for display — bit-identical across engines. Shape:
+    one shuffle on user_id shared by the row-number, prefix and argmax
+    windows, plus a tiny per-user aggregate broadcast back."""
+    events = read_table(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * _DECOMP_SCALE).cast("long").alias("sv"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    tot = base.groupBy("user_id").agg(
+        F.sum("sv").alias("total_sv"), F.count(F.lit(1)).alias("cnt")
+    )
+    w_pref = (
+        Window.partitionBy("user_id").orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = (
+        base.join(tot, "user_id")
+        .withColumn(
+            "cusum_num",
+            F.sum("sv").over(w_pref) * F.col("cnt") - F.col("rn") * F.col("total_sv"),
+        )
+        .filter(F.col("cnt") >= 4)
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum_num")).desc(), F.col("rn")
+    )
+    return (
+        pref.withColumn("pk", F.row_number().over(w_pick))
+        .filter(F.col("pk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("rn").cast("bigint").alias("change_idx"),
+            F.round(
+                F.col("cusum_num").cast("double") / (_DECOMP_SCALE * F.col("cnt")), 6
+            ).alias("cusum"),
+        )
+    )
