@@ -561,3 +561,49 @@ def x8_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_pos"),
         )
     )
+
+
+@query(
+    "x8_dedup_report",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS ch
+        FROM documents
+    ),
+    keep AS (
+        SELECT source, ch, COUNT(*) AS n, MIN(doc_id) AS keeper
+        FROM h GROUP BY source, ch
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_exact_dups,
+           ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate
+    FROM keep GROUP BY source
+    """,
+)
+def x8_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r5): per-source DEDUPLICATION REPORT — the corpus-health
+    rollup an operator reads before choosing mixture weights (a source
+    with dup_rate 0.4 contributes less unique signal than its row count
+    suggests). Within-source exact-dup accounting via the X-1 content
+    hash; two keyed aggregates (hash then source), text never shuffles."""
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep = (
+        docs.select(
+            "source", F.sha2(normalized_text(F.col("text")), 256).alias("ch")
+        )
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return keep.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_exact_dups"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
+        ).alias("dup_rate"),
+    )

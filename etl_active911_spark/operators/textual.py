@@ -1426,3 +1426,59 @@ def x9_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("global_pos"),
     )
+
+
+@query(
+    "x4_langid_confusion",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang AS labeled_lang,
+               string_split_regex(TRIM(LOWER(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, labeled_lang,
+               {", ".join(f"CAST({_score_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
+        FROM t
+    ),
+    p AS (
+        SELECT labeled_lang, {_LANG_PRED_SQL} AS predicted_lang FROM s
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang), 6) AS row_frac
+    FROM p GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r5): language-ID CONFUSION MATRIX — the evaluation rollup for
+    the classifier x4_lang_id wraps: per (labeled, predicted) cell, doc
+    count and the row-normalized fraction (each labeled language's
+    recall lives on the diagonal). Classifier-eval-as-a-query: the same
+    single-scan scoring as x4_lang_id feeding one grouped aggregate plus
+    a per-label window for the normalizer; no extra scan, no collect."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+
+    def hits(lang: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).cast("bigint")
+
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        *[hits(l).alias(f"s_{l}") for l in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
+    pred = F.coalesce(
+        *[F.when(F.col(f"s_{l}") >= best, F.lit(l)) for l in _LANG_ORDER]
+    )
+    w = Window.partitionBy("labeled_lang")
+    return (
+        scored.select("labeled_lang", pred.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "row_frac",
+            F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6),
+        )
+    )
