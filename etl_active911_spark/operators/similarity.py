@@ -1516,3 +1516,45 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ≤ queries × k rows
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select("query_id", "vec_id", F.col("mmr_rank").cast("int").alias("mmr_rank"))
+
+
+@query(
+    "x3_ann_recall_eval",
+    f"""
+    WITH exact AS ({_EXACT_TOPK_ORACLE}),
+    approx AS ({_IVF_SEEDED_ORACLE})
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(a.vec_id) / {TOP_K}.0, 6) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def x3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r5): ANN EVALUATION AS A QUERY — per-query recall@k of the
+    fully-oracled seeded IVF against the exact cosine top-k ground
+    truth, computed inside the engine (the recall floor the pytest
+    suite asserts as a scalar becomes an inspectable per-query table:
+    'which queries does the index fail?'). Because BOTH sides are
+    bit-replicable pipelines, the evaluation itself carries a hard
+    oracle — the composed SQL embeds the exact and IVF chains verbatim.
+    Shape: two bounded result tables (queries × k rows each) joined on
+    (query_id, vec_id) and rolled up; cost is the two underlying
+    pipelines, both already scale-shaped."""
+    exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = x3_ann_ivf_seeded(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("aq") == F.col("query_id")) & (F.col("av") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("av").cast("bigint").alias("n_hits"),
+            F.round(F.count("av") / float(TOP_K), 6).alias("recall_at_k"),
+        )
+    )
