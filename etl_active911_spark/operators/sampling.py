@@ -607,3 +607,74 @@ def x8_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
         ).alias("dup_rate"),
     )
+
+
+WRES_K = 50  # weighted-sample size
+_H60_MAX = float(2**60)
+
+
+def _wres_oracle() -> str:
+    from etl_active911_spark.operators.dedup import sql_hash60
+
+    h60 = sql_hash60("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               (({h60}) + 1) / {_H60_MAX!r} AS unif
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ROUND(-ln(unif) / NULLIF(CAST(n_chars AS DOUBLE), 0), 6) AS skey
+        FROM u WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, skey, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rk FROM keyed
+    ) t WHERE rk <= {WRES_K}
+    """
+
+
+_WRES_ORACLE = _wres_oracle()
+
+
+@query(
+    "x8_weighted_reservoir",
+    _WRES_ORACLE,
+)
+def x8_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r5): WEIGHTED sampling WITHOUT replacement (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+    public literature; exponential-jumps form): each document draws a
+    deterministic uniform from its md5 hash, keys by −ln(u)/w with
+    w = n_chars, and the k SMALLEST keys are an exact weighted sample —
+    the 'sample tokens, not documents' correction (long documents
+    proportionally likelier) the plain hash sample can't express.
+
+    Determinism: u = (hash60 + 1)/2⁶⁰ is identical IEEE arithmetic in
+    both engines; ln() differs in the last ulp across libm builds, so
+    ranking compares ROUND(key, 6) with the doc_id tie-break (canonical
+    policy 3/4 — same discipline as the geo distances). Global top-k by
+    smallest key rides the WindowGroupLimit pushdown: per-partition
+    k-smallest survive map-side, the final window sees partitions × k
+    rows (the one empty-partitionBy window in the engine that is NOT a
+    single-partition bottleneck for that reason)."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    unif = (token_hash60(F.col("doc_id").cast("string")) + 1) / F.lit(_H60_MAX)
+    keyed = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                -F.log(unif) / F.nullif(F.col("n_chars").cast("double"), F.lit(0)), 6
+            ).alias("skey"),
+        )
+    )
+    w = Window.orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= WRES_K)
+    )
