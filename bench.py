@@ -107,11 +107,26 @@ ANCHOR_SECONDS: dict[str, float] = {
 }
 
 
+#: Anchors below this are noise-dominated (a 0.12 s anchor moves 2× under
+#: ambient load alone — VERDICT r05 item 4): they get median-of-9 timing
+#: and REPORT ratio breaches without GATING on them.
+GATE_MIN_ANCHOR_SEC = 0.3
+
+
+def _n_runs(name: str) -> int:
+    if name in ANCHOR_17:
+        if ANCHOR_SECONDS.get(name, 1.0) < GATE_MIN_ANCHOR_SEC:
+            return 2 * N_RUNS_ANCHOR - 1  # median-of-9 for noise-dominated anchors
+        return N_RUNS_ANCHOR
+    return N_RUNS
+
+
 def time_query(spark, name: str) -> float:
     """Median of timed executions (BASELINE.md Part B protocol): 5 runs for
-    the frozen 17-query anchor subset, N_RUNS for later additions."""
+    the frozen 17-query anchor subset (9 for sub-0.3 s anchors), N_RUNS
+    for later additions."""
     times = []
-    for _ in range(N_RUNS_ANCHOR if name in ANCHOR_17 else N_RUNS):
+    for _ in range(_n_runs(name)):
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, SF_DIR).count()
         times.append(time.perf_counter() - t0)
@@ -149,7 +164,21 @@ def main() -> None:
         "anchor_sum_ratio": round(anchor_sum / frozen_sum, 3) if frozen_sum else None,
         "anchor_median_ratio": srt[len(srt) // 2] if srt else None,
         "flagship_ratio": ratios.get("flagship_revenue_by_nation"),
-        "gate_2x_breaches": sorted(n for n, r in ratios.items() if r > 2.0),
+        # >= (not >) so an exactly-2.0 reading cannot ride the boundary
+        # (VERDICT r05 item 4); sub-0.3 s anchors report separately
+        # instead of gating — their ratios are ambient noise by
+        # construction, and they already ran median-of-9
+        "gate_2x_breaches": sorted(
+            n
+            for n, r in ratios.items()
+            if r >= 2.0 and ANCHOR_SECONDS[n] >= GATE_MIN_ANCHOR_SEC
+        ),
+        "small_anchor_2x_flags": sorted(
+            n
+            for n, r in ratios.items()
+            if r >= 2.0 and ANCHOR_SECONDS[n] < GATE_MIN_ANCHOR_SEC
+        ),
+        "gate_min_anchor_sec": GATE_MIN_ANCHOR_SEC,
     }
     print(
         json.dumps(

@@ -145,9 +145,9 @@ def x2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification (≥ 0.5) → connected components → one keeper per cluster.
     Returns (doc_id, component, is_keeper); downstream drops
     ``is_keeper = false`` rows."""
-    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
 
-    pairs = x2_minhash_lsh(spark, sf_dir)
+    pairs = shared_verified_pairs(spark, sf_dir)
     comp = connected_components(pairs)
     keepers = comp.groupBy("component").agg(F.min("doc_id").alias("keeper_id"))
     return (
@@ -186,15 +186,23 @@ def connected_components_star(
       minimum of that smaller set.
     At the fixpoint every non-root points directly at its component min.
 
-    Convergence detection (r5): both star steps emit only child > parent
-    edges and preserve the connectivity of the original graph, so when NO
-    parent also appears as a child (the forest is FLAT), the edge set is
-    a disjoint union of stars whose roots are exactly the component
-    minima — i.e. flat ⇒ fixpoint. One semi-join LIMIT-1 probe per round
-    detects that IN the round it happens — one round (and the old
-    two-sided anti-join diff) cheaper than comparing successive edge
-    sets. Per-round cost: two keyed aggregates, two equi-joins, ONE
-    distinct (duplicates are tolerated inside a round — the min
+    Convergence detection (r5, tightened r6 per ADVICE r05): both star
+    steps emit only child > parent edges and preserve the connectivity of
+    the original graph, so the edge set is a converged disjoint union of
+    stars (roots = component minima) when BOTH hold:
+
+    * FLAT — no parent also appears as a child, and
+    * FUNCTIONAL — no child holds two distinct parents. Flatness alone is
+      NOT sufficient: on the path graph {(3,6),(5,6),(5,7),(4,7)} a round
+      can emit {5→3, 5→4, 6→3, 7→4} — flat, but doc 5 has two parents and
+      the single component {3,4,5,6,7} would be returned split in two
+      (the ADVICE r05 counterexample, pinned in
+      tests/test_extensions.py::test_star_components_path_counterexample).
+
+    Two LIMIT-1 probes per round (a semi-join for flatness, a keyed count
+    for functionality) — still cheaper than the old two-sided anti-join
+    edge-set diff. Per-round cost: two keyed aggregates, two equi-joins,
+    ONE distinct (duplicates are tolerated inside a round — the min
     aggregates ignore them — and collapsed once before the checkpoint).
     """
     sym = (
@@ -241,7 +249,15 @@ def connected_components_star(
             .limit(1)
             .count()
         )
-        if not_flat == 0:
+        # stars is distinct, so count(*) per child == distinct parents
+        not_functional = (
+            stars.groupBy("child")
+            .agg(F.count(F.lit(1)).alias("np"))
+            .filter(F.col("np") > 1)
+            .limit(1)
+            .count()
+        )
+        if not_flat == 0 and not_functional == 0:
             comp = stars.select(
                 F.col("child").alias("doc_id"), F.col("parent").alias("component")
             )
@@ -266,9 +282,9 @@ def x2_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``x2_dup_clusters`` — same oracle — via the O(log n)-round algorithm,
     so both components engines carry independent hard correctness
     evidence on real pair data."""
-    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
 
-    pairs = x2_minhash_lsh(spark, sf_dir)
+    pairs = shared_verified_pairs(spark, sf_dir)
     comp = connected_components_star(pairs)
     keepers = comp.groupBy("component").agg(F.min("doc_id").alias("keeper_id"))
     return (
@@ -340,9 +356,9 @@ def x2_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`0.15 / n + 0.85 * Σ r/d`), rounded 6dp after the final iteration
     only (rule 4/11).
     """
-    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
 
-    pairs = x2_minhash_lsh(spark, sf_dir)
+    pairs = shared_verified_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -426,13 +442,9 @@ def x2_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs (shared-subtree rule does not apply: three consumers in ONE
     action still re-evaluate the upstream MinHash pipeline per leg
     without materialization)."""
-    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
 
-    prs = (
-        x2_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    prs = shared_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     e1 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = prs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))

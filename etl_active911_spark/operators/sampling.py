@@ -177,10 +177,10 @@ def x8_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both components engines remain equivalence-tested against the same
     recursive-closure oracle (x2_dup_clusters / x2_dup_clusters_star)."""
     from etl_active911_spark.operators.clustering import connected_components_star
-    from etl_active911_spark.operators.dedup import x2_minhash_lsh
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    comp = connected_components_star(x2_minhash_lsh(spark, sf_dir))
+    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
     key = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         docs.join(comp, "doc_id", "left")
@@ -232,7 +232,75 @@ def x8_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TARGET_SHARD_BYTES = 1 << 16  # 64 KiB over the fixture corpus; prod knob
-_SHARD_RANGES = 8  # range partitions for the two-phase prefix sum
+_SHARD_RANGES = 8  # key ranges for the two-phase prefix sum
+
+
+def _with_range_id(d: DataFrame, key: str = "doc_id", n_ranges: int = _SHARD_RANGES) -> DataFrame:
+    """Stamp a DETERMINISTIC contiguous range id ``pid`` in [0, n_ranges)
+    derived purely from the data: uniform split of the key's [min, max]
+    span (tiny bounds aggregate, broadcast back).
+
+    This replaced ``repartitionByRange + spark_partition_id`` after the r5
+    driver run proved that shape wrong (CORRECTNESS_r05: x8_shard_assign /
+    x8_token_packing / x9_curation_v3 hash mismatches): spark_partition_id
+    is nondeterministic, and when the range exchange is NOT reused between
+    the offsets aggregate and the probe join (AQE re-plan, exchange reuse
+    off, recomputation re-sampling range boundaries), the two consumers
+    see DIFFERENT pids and every downstream shard id shifts. A pid that is
+    a pure function of the row can never disagree with itself, whatever
+    the physical plan does (SCALE.md invariant; regression:
+    tests/test_prefix_sum.py runs with spark.sql.exchange.reuse=false).
+
+    Balance note: uniform key-span split assumes roughly uniform key
+    density (true for sequential doc_ids). Correctness never depends on
+    balance — any contiguous monotone assignment yields the same global
+    prefix sums — so a skewed id space only costs parallelism; production
+    would swap in precomputed quantile boundaries (still data-derived and
+    deterministic), never physical-partition state."""
+    bounds = d.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+    span = F.col("_hi") - F.col("_lo") + 1
+    pid = F.floor(((F.col(key) - F.col("_lo")) * n_ranges) / span).cast("int")
+    return d.crossJoin(F.broadcast(bounds)).withColumn("pid", pid).drop("_lo", "_hi")
+
+
+def _two_phase_prefix_sum(d: DataFrame, weight: str, key: str = "doc_id") -> DataFrame:
+    """Add ``start_off`` = EXCLUSIVE global running sum of ``weight`` in
+    ``key`` order — the distributed prefix sum:
+
+    1. deterministic range id per row (``_with_range_id`` — no
+       physical-partition state anywhere in the computation);
+    2. per-range running sums with a window PARTITIONED by range id
+       (parallel, no single-task stage);
+    3. per-range totals (one row per range, aggregated straight from the
+       weights — NOT from the window output, so a recomputed subtree
+       cannot diverge) → cumulative offsets over the bounded table,
+       broadcast back and added."""
+    d = _with_range_id(d, key)
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = d.withColumn("local_cum", F.sum(weight).over(w_local))
+    # the ONLY single-partition window in the plan runs over this
+    # n_ranges-row table
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        d.groupBy("pid")
+        .agg(F.sum(weight).alias("range_total"))
+        .withColumn("offset", F.sum("range_total").over(w_off) - F.col("range_total"))
+        .select("pid", "offset")
+    )
+    # exclusive prefix: range offset + everything before this row within
+    # its range
+    start = F.col("offset") + F.col("local_cum") - F.col(weight)
+    return (
+        part.join(F.broadcast(offsets), "pid")
+        .withColumn("start_off", start)
+        .drop("pid", "local_cum", "offset")
+    )
 
 
 def assign_shards(docs: DataFrame, target: int = TARGET_SHARD_BYTES) -> DataFrame:
@@ -242,44 +310,20 @@ def assign_shards(docs: DataFrame, target: int = TARGET_SHARD_BYTES) -> DataFram
     streaming-packing rule, so a shard overflows by at most one doc).
 
     100 TB shape: shard id = running byte offset ``div`` target, i.e. a
-    GLOBAL prefix sum — and the naive formulation (one window with a
-    global ORDER BY) funnels the entire corpus through a single task.
-    This is the two-phase distributed prefix sum instead:
-
-    1. ``repartitionByRange(doc_id)`` — contiguous, ordered key ranges;
-    2. per-range running sums with a window PARTITIONED by range id
-       (parallel, no single-task stage);
-    3. per-range totals (tiny: one row per range) → cumulative offsets on
-       the driver-side-sized table, broadcast back and added.
+    GLOBAL prefix sum — the naive formulation (one window with a global
+    ORDER BY) funnels the entire corpus through a single task; this is
+    the two-phase distributed prefix sum (``_two_phase_prefix_sum``),
+    with range ids derived deterministically from the data rather than
+    from physical partition state (see ``_with_range_id`` for the r5
+    driver postmortem).
 
     Returns (doc_id, n_bytes, shard_id)."""
     d = docs.select("doc_id", F.octet_length("text").cast("bigint").alias("n_bytes"))
-    d = d.repartitionByRange(_SHARD_RANGES, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    part = d.withColumn("local_cum", F.sum("n_bytes").over(w_local))
-    # per-range totals: one row per range — the ONLY single-partition
-    # window in the plan runs over this bounded table
-    w_off = (
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = (
-        part.groupBy("pid")
-        .agg(F.max("local_cum").alias("range_total"))
-        .withColumn("offset", F.sum("range_total").over(w_off) - F.col("range_total"))
-        .select("pid", "offset")
-    )
-    out = part.join(F.broadcast(offsets), "pid")
+    out = _two_phase_prefix_sum(d, "n_bytes")
     # byte offset where this doc STARTS; exact bigint division (DIV), not
     # float `/` — cumulative byte offsets overflow double precision long
     # before they overflow int64
-    start = F.col("offset") + F.col("local_cum") - F.col("n_bytes")
-    return out.withColumn("start_off", start).select(
+    return out.select(
         "doc_id",
         "n_bytes",
         F.expr(f"CAST(start_off DIV {target} AS BIGINT)").alias("shard_id"),
@@ -426,36 +470,19 @@ def x8_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count, token total, and the contiguous [first_doc, last_doc]
     span — what a pretraining loader needs to seek into the corpus.
 
-    Same two-phase distributed prefix-sum shape as ``assign_shards``
-    (range partitions → per-range running sums → broadcast offsets), with
-    the token count from x4's BPE-ish pre-tokenizer regex instead of
-    byte length. No global-ORDER-BY window anywhere near the corpus."""
+    Same two-phase distributed prefix-sum core as ``assign_shards``
+    (``_two_phase_prefix_sum``: deterministic range ids → per-range
+    running sums → broadcast offsets), with the token count from x4's
+    BPE-ish pre-tokenizer regex instead of byte length. No
+    global-ORDER-BY window anywhere near the corpus."""
     from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
 
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)).cast("bigint").alias("n_tokens"),
     )
-    d = docs.repartitionByRange(_SHARD_RANGES, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    part = d.withColumn("local_cum", F.sum("n_tokens").over(w_local))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    offsets = (
-        part.groupBy("pid")
-        .agg(F.max("local_cum").alias("range_total"))
-        .withColumn("offset", F.sum("range_total").over(w_off) - F.col("range_total"))
-        .select("pid", "offset")
-    )
-    packed = (
-        part.join(F.broadcast(offsets), "pid")
-        .withColumn("start_tok", F.col("offset") + F.col("local_cum") - F.col("n_tokens"))
-        .withColumn("pack_id", F.expr(f"CAST(start_tok DIV {PACK_TOKEN_BUDGET} AS BIGINT)"))
+    packed = _two_phase_prefix_sum(docs, "n_tokens").withColumn(
+        "pack_id", F.expr(f"CAST(start_off DIV {PACK_TOKEN_BUDGET} AS BIGINT)")
     )
     return (
         packed.groupBy("pack_id")

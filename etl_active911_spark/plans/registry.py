@@ -44,19 +44,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration index 49 both times). This list curates that scoring window.
 #
 # ROTATION POLICY (since r4, VERDICT r03 item 3): the window = CORE +
-# ROTATION. CORE (30 slots) keeps every SURVEY §2 family and the full
-# reference pipeline surface (O-*/a911) on a hard driver row EVERY round.
-# ROTATION (20 slots) swaps each round to the queries whose last driver row
-# is oldest — r5 rotates in the never-windowed beyond-survey relational set
-# (n17-n22), the sampling/packing family (x8_shard_assign/mixture_weights/
-# token_packing/cluster_split), the x2 entity-resolution/incremental/star/
-# embedding near-dup variants, x6 ewma/robust-outliers, x4_quality_deciles,
-# x2_ngram_jaccard, x3_range_search, and x9_curation_v3; the r4 rotation
-# (N-1..N-10, TPC-H q8/q10/q21, x2/x3 sketches — all driver-green in r4)
-# returns to local-replica guardianship (tests/parity.py + the Asia/Tokyo
-# timezone sweep). Queries that run iterative jobs sit late in the window
-# so an abort there cannot un-score the rest of the sweep;
-# ``x3_ann_ivf_partitioned`` (writes a parquet index) is pinned dead last.
+# ROTATION. CORE keeps every SURVEY §2 family and the full reference
+# pipeline surface (O-*/a911) on a hard driver row EVERY round. ROTATION
+# swaps each round to the queries whose last driver row is oldest.
+#
+# r6 (VERDICT r05 items 1 and 3): CORE shrinks 30 → 26 for one round —
+# x8_stratified_sample, x8_train_holdout_split, x6_ts_dtw, and
+# n13_python_udtf (multi-round driver-green, replica + TZ-sweep guarded;
+# their families stay covered by other windowed rows) hand their slots to
+# ROTATION (24) so the window can BOTH hold the three r5 red rows
+# (x8_shard_assign / x8_token_packing / x9_curation_v3 — a wrong answer is
+# never rotated out of sight) + x8_cluster_split (perf evidence wanted
+# with its oracle row green) AND still give ≥20 slots to never-scored
+# queries — all 15 r5 additions plus n6_unpivot, n17_asof_tolerance,
+# x6_resample_ffill, n14_stream_stream_left_join, x2_graph_pagerank.
+# Queries that run iterative jobs sit late in the window so an abort there
+# cannot un-score the rest of the sweep; ``x3_ann_ivf_partitioned``
+# (writes a parquet index) is pinned dead last.
 CORE: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "o5_base64_roundtrip",
@@ -71,7 +75,6 @@ CORE: tuple[str, ...] = (
     "n12_session_window",
     "n14_stream_stream_join",
     "n13_pandas_scalar",
-    "n13_python_udtf",
     "n15_sql_api",
     "n16_recursive_cte",
     "x4_token_stats",
@@ -80,60 +83,59 @@ CORE: tuple[str, ...] = (
     "x5_media_decode",
     "x5_media_decode_real",
     "x6_ts_pattern_match",
-    "x6_ts_dtw",
     "x7_nearest_station",
-    "x8_stratified_sample",
-    "x8_train_holdout_split",
     "x3_pandas_matmul",
     "x2_dup_clusters",
     "o2_source_roundtrip",
     "x1_exact_dedup",
 )
 
-#: r5 rotation (VERDICT r04 item 3): never-windowed queries first —
-#: beyond-survey relational (n17-n22), sampling/packing, the x2/x3/x4/x6
-#: variants whose only evidence so far is the local replica. Iterative /
-#: composed-pipeline entries (x2_incremental_neardup, x2_embedding_neardup,
-#: x9_curation_v3, x8_cluster_split) sit at the tail of the window.
+#: r6 rotation: 20 never-scored queries (every r5 addition + the oldest
+#: never-windowed stragglers) and the four deliberately-held r5 rows (the
+#: three prefix-sum red rows + x8_cluster_split). Iterative /
+#: composed-pipeline entries sit at the tail of the window.
 ROTATION: tuple[str, ...] = (
-    "n17_asof_join",
-    "n18_scd2_intervals",
-    "n19_bloom_prefilter_join",
-    "n20_data_profile",
-    "n21_funnel",
-    "n22_dq_checks",
-    "x6_ts_ewma",
-    "x6_ts_outliers_robust",
-    "x4_quality_deciles",
-    "x2_ngram_jaccard",
-    "x3_range_search",
+    "n6_unpivot",
+    "n17_asof_tolerance",
+    "x6_resample_ffill",
+    "n14_stream_stream_left_join",
+    "n13_map_in_arrow",
+    "x8_weighted_reservoir",
+    "x8_dedup_report",
+    "x8_interleave_sources",
+    "x4_langid_confusion",
+    "x4_bigram_logprob",
+    "x6_ts_decompose",
+    "x6_ts_changepoint",
+    "x7_quadkey_rollup",
+    "x2_substr_scrub",
+    "x3_mmr_rerank",
+    "x3_ann_recall_eval",
+    "x2_semantic_dedup",
     "x8_shard_assign",
-    "x8_mixture_weights",
     "x8_token_packing",
-    "x2_entity_resolution",
-    "x2_dup_clusters_star",
-    "x2_embedding_neardup",
-    "x2_incremental_neardup",
+    "x2_graph_triangles",
+    "x2_graph_pagerank",
     "x9_curation_v3",
+    "x9_curation_v4",
     "x8_cluster_split",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: Round-6 rotation queue (oldest driver evidence first). Still
-#: never-windowed: n6_unpivot, n17_asof_tolerance, n23_salted_agg/join,
-#: x2_graph_pagerank, x6_resample_ffill, x8_reservoir_sample,
+#: Round-7 rotation queue (oldest driver evidence first). Still
+#: never-windowed after r6: n23_salted_agg/join, x8_reservoir_sample,
 #: x4_tfidf_topterms/heavy_hitters/pii_redact/char_entropy/pmi_bigrams,
-#: x3_ann_ivf_seeded/lloyd1, tpch q2/q5/q6/q9/q11/q15/q16/q19/q20, and
-#: the r5 additions: x2_semantic_dedup, x2_substr_scrub,
-#: x4_bigram_logprob, x6_ts_decompose, x8_interleave_sources,
-#: n13_map_in_arrow, x3_mmr_rerank.
+#: x3_ann_ivf_seeded/lloyd1, tpch q2/q5/q6/q9/q11/q15/q16/q19/q20
+#: (rows-only by design: x3_ann_pq/brp/ivf_partitioned,
+#: x4_compression_ratio).
 #: Last scored r1/r2: n2_join_semi/anti/full_outer/correlated,
-#: n4_percentiles, n6_rollup/cube/pivot, n7_window_lag/distribution,
+#: n4_percentiles/approx_percentiles, n5_approx_count_distinct,
+#: n6_rollup/cube/pivot, n7_window_lag/distribution,
 #: n9_intersect/except_all, n10_scalar_suite, x2_substring_spans,
 #: tpch q3/q4/q7/q12/q13/q14/q17/q18/q22, x3_ann_ivf. Move ~20 into
-#: ROTATION next round and update tests/test_registry_order.py's
-#: previous-window pin to the r5 window.
+#: ROTATION next round (restore CORE to 30 first) and update
+#: tests/test_registry_order.py's previous-window pin to the r6 window.
 
 LAST: tuple[str, ...] = ("x3_ann_ivf_partitioned",)
 

@@ -398,6 +398,27 @@ def test_star_components_match_label_propagation(spark):
     assert set(comp.values()) == {0} and len(comp) == 31
 
 
+def test_star_components_path_counterexample(spark):
+    """ADVICE r05 (high): on the path graph {(3,6),(5,6),(5,7),(4,7)} —
+    ONE connected component, min 3 — a star round can emit the FLAT but
+    NON-FUNCTIONAL forest {5→3, 5→4, 6→3, 7→4}: no parent is a child, yet
+    doc 5 holds two parents, so the r5 flatness-only convergence check
+    returned early with the component split in two (docs {4,7} under 4)
+    and doc 5 emitted twice. Convergence must also require the child →
+    parent edge set to be a FUNCTION."""
+    from etl_active911_spark.operators.clustering import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(3, 6), (5, 6), (5, 7), (4, 7)], "doc_a long, doc_b long"
+    )
+    rows = connected_components_star(pairs).collect()
+    # every vertex exactly once (functional output — no duplicate doc_id)
+    assert sorted(r["doc_id"] for r in rows) == [3, 4, 5, 6, 7]
+    assert {(r["doc_id"], r["component"]) for r in rows} == {
+        (3, 3), (4, 3), (5, 3), (6, 3), (7, 3)
+    }
+
+
 def test_compression_ratio_properties(spark):
     """x4_compression_ratio (rows-only, zlib not SQL-expressible):
     deterministic across runs, ratios in a sane band, and repetitive text

@@ -28,10 +28,12 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-4 scoring window (CORRECTNESS_r04.json keys): the rotation
+# The round-5 scoring window (CORRECTNESS_r05.json keys): the rotation
 # policy requires each round's window to re-earn driver rows for queries
-# this set did NOT score.
-R4_WINDOW = {
+# this set did NOT score — EXCEPT the deliberately-held r5 red rows
+# (VERDICT r05 item 1: never rotate a wrong answer out of sight) and
+# x8_cluster_split (perf evidence wanted alongside its oracle row).
+R5_WINDOW = {
     "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
     "o13_response_extract", "o15_time_parse", "o19_links_dedup",
     "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
@@ -42,13 +44,19 @@ R4_WINDOW = {
     "x6_ts_pattern_match", "x6_ts_dtw", "x7_nearest_station",
     "x8_stratified_sample", "x8_train_holdout_split", "x3_pandas_matmul",
     "x2_dup_clusters", "o2_source_roundtrip", "x1_exact_dedup",
-    "n1_filter_project", "n2_join_broadcast_agg", "n3_range_join",
-    "n4_agg_pricing_summary", "n5_count_distinct", "n6_grouping_sets",
-    "n7_window_range_frame", "n7_window_rank", "n8_global_topk",
-    "n9_set_ops", "n10_json_struct", "tpch_q8_market_share",
-    "tpch_q10_returned_items", "tpch_q21_waiting_suppliers", "x3_ann_lsh",
-    "x3_cosine_topk", "x2_simhash", "x2_decontaminate", "x2_minhash_lsh",
-    "x2_fuzzy_linkage",
+    "n17_asof_join", "n18_scd2_intervals", "n19_bloom_prefilter_join",
+    "n20_data_profile", "n21_funnel", "n22_dq_checks", "x6_ts_ewma",
+    "x6_ts_outliers_robust", "x4_quality_deciles", "x2_ngram_jaccard",
+    "x3_range_search", "x8_shard_assign", "x8_mixture_weights",
+    "x8_token_packing", "x2_entity_resolution", "x2_dup_clusters_star",
+    "x2_embedding_neardup", "x2_incremental_neardup", "x9_curation_v3",
+    "x8_cluster_split",
+}
+
+#: r5 rows deliberately kept in the r6 window despite having been scored.
+HELD_FROM_R5 = {
+    "x8_shard_assign", "x8_token_packing", "x9_curation_v3",
+    "x8_cluster_split",
 }
 
 
@@ -108,14 +116,17 @@ def test_priority_window_is_exactly_the_window_size():
 
 
 def test_rotation_reearns_driver_rows():
-    """Rotation policy (VERDICT r03 item 3): at least 15 of the window's
-    slots must go to queries the PREVIOUS round's window did not score, so
-    hard driver evidence cycles through the whole registry over rounds."""
+    """Rotation policy (VERDICT r03 item 3; r6 target per VERDICT r05
+    item 3): at least 20 of the window's slots must go to queries the
+    PREVIOUS round's window did not score, so hard driver evidence cycles
+    through the whole registry over rounds — while the r5 red rows stay
+    pinned in-window until driver-green."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R4_WINDOW
-    assert len(fresh) >= 15, sorted(fresh)
-    # and the rotation bench itself must consist of newly-scored queries
-    assert set(registry.ROTATION).isdisjoint(R4_WINDOW)
+    fresh = window - R5_WINDOW
+    assert len(fresh) >= 20, sorted(fresh)
+    # the rotation consists of never-previously-scored queries plus
+    # EXACTLY the deliberately-held r5 rows
+    assert set(registry.ROTATION) & R5_WINDOW == HELD_FROM_R5
 
 
 def test_no_duplicate_registration_possible():

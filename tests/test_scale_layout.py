@@ -438,9 +438,16 @@ def test_shard_assign_two_phase_prefix_sum(spark):
     assert got == want
 
     plan = assign_shards(docs)._jdf.queryExecution().executedPlan().toString()
-    # exactly one SinglePartition exchange: the tiny offsets cumsum
-    assert plan.count("SinglePartition") <= 1, plan[:3000]
-    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    # SinglePartition exchanges may only feed O(1)-row subtrees: the two
+    # global min/max bounds aggregates (partials are 1 row per input
+    # partition) and the n_ranges-row offsets cumsum — never the corpus
+    assert plan.count("SinglePartition") <= 3, plan[:3000]
+    # the corpus-sized running-sum window must shuffle by HASH on the
+    # derived range id, not funnel into one task
+    assert "hashpartitioning(pid" in plan, plan[:3000]
+    # r6: range ids must be DATA-derived — physical-partition state in the
+    # plan is exactly the nondeterminism that broke r5's driver rows
+    assert "spark_partition_id" not in plan.lower(), plan[:3000]
 
 
 def test_scoped_persist_bounds_cache_entries(spark):

@@ -504,10 +504,18 @@ def test_asof_stream_matches_registered_body(spark, tmp_path, session_tz):
     VERDICT r04 item 8: the streaming forms join the TZ sweep; the NTZ→
     timestamp cast at the stream edge shifts both batch and stream
     uniformly and the output carries no timestamps)."""
-    import time as _time
-
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", session_tz)
+    try:
+        _asof_stream_body(spark, tmp_path, session_tz)
+    finally:
+        # always restore: a failure here must not leak the hostile tz into
+        # the session-scoped fixture (ADVICE r05)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _asof_stream_body(spark, tmp_path, session_tz):
+    import time as _time
 
     from etl_active911_spark.io import read_table
     from etl_active911_spark.operators.asof import n17_asof_join
@@ -549,7 +557,6 @@ def test_asof_stream_matches_registered_body(spark, tmp_path, session_tz):
         (r["user_id"], r["click_id"], r["purchase_id"], r["last_value"])
         for r in n17_asof_join(spark, SF_ORACLE).collect()
     }
-    spark.conf.set("spark.sql.session.timeZone", prev_tz)
     assert got == want and len(want) > 0
 
 
