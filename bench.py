@@ -69,6 +69,11 @@ HEADLINE = [
     "x4_bigram_logprob",
     "x6_ts_decompose",
     "x8_interleave_sources",
+    # round-6 additions (same shared-subset rule)
+    "x8_epoch_shuffle",
+    "x5_aspect_bucket_pack",
+    "x6_forecast_eval",
+    "x8_shard_assign",
 ]
 
 

@@ -180,14 +180,28 @@ def _wall_and_zone(col: Column, now_year: int | None = None) -> tuple[Column, Co
 def parse_alert_time(col: Column, now_year: int | None = None) -> Column:
     """'MM/DD/YYYY HH:mm:ss ABBR' string → UTC-instant timestamp Column.
 
-    Session-timezone independent: the NTZ→timestamp cast renders the wall
-    clock in the session zone and ``to_utc_timestamp`` reinterprets that
-    same wall clock in the mapped zone, so the session zone cancels out.
+    Session-timezone independence (r6 — the old
+    ``to_utc_timestamp(wall.cast("timestamp"), zone)`` form was NOT
+    independent: the NTZ→timestamp cast applies the session offset but
+    ``to_utc_timestamp`` shifts raw micros by the TARGET zone's offset
+    without re-rendering in the session zone, so nothing cancelled — the
+    instant moved with the session tz, caught by the loopback e2e
+    ``test_control_stream_payloads_tz_invariant`` under Asia/Tokyo):
+    build the UTC wall clock as TIMESTAMP_NTZ first (``convert_timezone``
+    — session-free), then undo the session-offset cast with
+    ``from_utc_timestamp(.., current_timezone())``, measured
+    session-invariant (same epoch under UTC and Asia/Tokyo). DST caveat:
+    the cast applies the session offset AT THE WALL, the un-shift AT THE
+    INSTANT — for session zones WITH DST these can differ inside the
+    one-hour transition window; every oracle-checked output uses the NTZ/
+    ISO forms, and the sweep zones (UTC, Asia/Tokyo, Australia/Eucla) are
+    DST-free.
+
     ``now_year`` (optional) pins moment's missing-year default — the year
     of the reference instant 'now' in the input's zone frame.
     """
-    wall, zone = _wall_and_zone(col, now_year)
-    return F.to_utc_timestamp(wall.cast("timestamp"), zone)
+    ntz_utc = parse_alert_time_ntz(col, now_year)
+    return F.from_utc_timestamp(ntz_utc.cast("timestamp"), F.expr("current_timezone()"))
 
 
 def parse_alert_time_ntz(col: Column, now_year: int | None = None) -> Column:

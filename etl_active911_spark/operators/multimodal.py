@@ -464,3 +464,105 @@ def x5_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-left-pixel outputs specifically pin bottom-up row indexing."""
     media = media_table(spark, sf_dir)
     return decode_bmp_features(bmp_media_table(media))
+
+
+# ---------------------------------------------------------------------------
+# X-5c (r6): aspect-ratio bucketing + pixel-budget batch packing
+# ---------------------------------------------------------------------------
+
+PACK_PIXEL_BUDGET = 1 << 20  # ~1 Mpixel per packed training batch
+
+#: ratio ladder on r = (100·w) DIV h — pure integer arithmetic so both
+#: engines agree exactly; the ladder is the standard 5-band bucketing
+#: (portrait ... landscape) an SDXL-style trainer uses.
+_AR_BANDS = [(63, "tall"), (88, "3:4"), (117, "1:1"), (160, "4:3")]
+_AR_ELSE = "wide"
+
+
+def _ar_bucket_sql(r: str) -> str:
+    whens = " ".join(f"WHEN {r} < {lim} THEN '{name}'" for lim, name in _AR_BANDS)
+    return f"CASE {whens} ELSE '{_AR_ELSE}' END"
+
+
+def _ar_bucket_col(r):
+    out = None
+    for lim, name in _AR_BANDS:
+        out = F.when(r < lim, name) if out is None else out.when(r < lim, name)
+    return out.otherwise(_AR_ELSE)
+
+
+@query(
+    "x5_aspect_bucket_pack",
+    f"""
+    WITH m AS (
+        SELECT doc_id, sha256(text) AS sha FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+        SELECT doc_id,
+               (16 + {_hexbyte('sha', 0)} % 240) AS w,
+               (16 + {_hexbyte('sha', 1)} % 240) AS h
+        FROM m
+    ),
+    b AS (
+        SELECT doc_id, {_ar_bucket_sql('((100 * w) // h)')} AS bucket,
+               CAST(w * h AS BIGINT) AS px
+        FROM dims
+    ),
+    c AS (
+        SELECT doc_id, bucket, px,
+               SUM(px) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM b
+    )
+    SELECT bucket, (cum - px) // {PACK_PIXEL_BUDGET} AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(px) AS BIGINT) AS pack_pixels,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def x5_aspect_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5c (r6): ASPECT-RATIO BUCKETING + pixel-budget batch packing —
+    the multimodal trainer's batch builder: images are grouped into
+    aspect-ratio bands (so a batch shares one target shape and no image
+    is destructively cropped), then packed WITHIN each band into batches
+    of ~PACK_PIXEL_BUDGET pixels in deterministic doc_id order (the
+    streaming-packing rule: an image belongs to the pack where its first
+    pixel lands, so packs overflow by at most one image). Output per
+    (bucket, pack_id): image count, pixel total, contiguous doc span —
+    what the loader needs to seek a shape-consistent batch.
+
+    Built entirely from engine-exact integer arithmetic: dimensions come
+    from the stub codec's digest bytes (same spec as x5_media_meta — the
+    parse happens JVM-side here: sha2 hex → conv, no Python), the ratio
+    band compares (100·w) DIV h against an integer ladder, and the
+    per-band packing is the GROUPED two-phase distributed prefix sum
+    (``_two_phase_prefix_sum(group_cols=('bucket',))`` — per-(band,
+    range) counting windows, a bounded bands × ranges offsets table, no
+    global-ORDER-BY window; range ids are data-derived per SCALE.md
+    invariant 9)."""
+    from etl_active911_spark.operators.sampling import _two_phase_prefix_sum
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    sha = F.sha2(F.encode("text", "utf-8"), 256)
+    imgs = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (16 + F.conv(F.substring(sha, 1, 2), 16, 10).cast("int") % 240).alias("w"),
+        (16 + F.conv(F.substring(sha, 3, 2), 16, 10).cast("int") % 240).alias("h"),
+    )
+    r = F.expr("CAST((100 * w) DIV h AS INT)")
+    b = imgs.select(
+        "doc_id",
+        _ar_bucket_col(r).alias("bucket"),
+        (F.col("w").cast("bigint") * F.col("h")).alias("px"),
+    )
+    packed = _two_phase_prefix_sum(b, "px", group_cols=("bucket",)).withColumn(
+        "pack_id", F.expr(f"CAST(start_off DIV {PACK_PIXEL_BUDGET} AS BIGINT)")
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px").cast("bigint").alias("pack_pixels"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

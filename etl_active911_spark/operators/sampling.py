@@ -263,41 +263,60 @@ def _with_range_id(d: DataFrame, key: str = "doc_id", n_ranges: int = _SHARD_RAN
     return d.crossJoin(F.broadcast(bounds)).withColumn("pid", pid).drop("_lo", "_hi")
 
 
-def _two_phase_prefix_sum(d: DataFrame, weight: str, key: str = "doc_id") -> DataFrame:
-    """Add ``start_off`` = EXCLUSIVE global running sum of ``weight`` in
-    ``key`` order — the distributed prefix sum:
+def _two_phase_prefix_sum(
+    d: DataFrame,
+    weight: str,
+    key: str = "doc_id",
+    group_cols: tuple[str, ...] = (),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Add ``start_off`` = EXCLUSIVE running sum of ``weight`` in ``key``
+    order — GLOBAL by default, PER GROUP when ``group_cols`` are given
+    (each group gets its own independent prefix sum; the packing use case
+    is per-aspect-bucket sequence packing). The distributed shape:
 
     1. deterministic range id per row (``_with_range_id`` — no
-       physical-partition state anywhere in the computation);
-    2. per-range running sums with a window PARTITIONED by range id
-       (parallel, no single-task stage);
-    3. per-range totals (one row per range, aggregated straight from the
-       weights — NOT from the window output, so a recomputed subtree
-       cannot diverge) → cumulative offsets over the bounded table,
-       broadcast back and added."""
+       physical-partition state anywhere in the computation); with groups
+       the range split still uses the GLOBAL key span — any contiguous
+       monotone split is correct per group too, since group rows keep
+       their relative key order within and across ranges;
+    2. per-(group, range) running sums with a window PARTITIONED by
+       (group, range id) — parallel, no single-task stage;
+    3. per-(group, range) totals (one row each, aggregated straight from
+       the weights — NOT from the window output, so a recomputed subtree
+       cannot diverge) → cumulative offsets per group over the bounded
+       (groups × ranges)-row table, broadcast back and added.
+
+    ``tiebreak`` (optional) disambiguates the within-range window order
+    when ``key`` is not unique (e.g. a derived hash); per-range totals
+    are order-insensitive, so only the window's ORDER BY needs it."""
+    g = list(group_cols)
     d = _with_range_id(d, key)
+    order = [key] + ([tiebreak] if tiebreak else [])
     w_local = (
-        Window.partitionBy("pid")
-        .orderBy(key)
+        Window.partitionBy(*g, "pid")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     part = d.withColumn("local_cum", F.sum(weight).over(w_local))
-    # the ONLY single-partition window in the plan runs over this
-    # n_ranges-row table
+    # bounded offsets table: groups × n_ranges rows; the global form's
+    # single-partition window becomes one tiny window per group
     w_off = (
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (Window.partitionBy(*g) if g else Window.partitionBy())
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = (
-        d.groupBy("pid")
+        d.groupBy(*g, "pid")
         .agg(F.sum(weight).alias("range_total"))
         .withColumn("offset", F.sum("range_total").over(w_off) - F.col("range_total"))
-        .select("pid", "offset")
+        .select(*g, "pid", "offset")
     )
     # exclusive prefix: range offset + everything before this row within
     # its range
     start = F.col("offset") + F.col("local_cum") - F.col(weight)
     return (
-        part.join(F.broadcast(offsets), "pid")
+        part.join(F.broadcast(offsets), [*g, "pid"])
         .withColumn("start_off", start)
         .drop("pid", "local_cum", "offset")
     )
@@ -704,4 +723,72 @@ def x8_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keyed.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= WRES_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-8j (r6): deterministic per-epoch corpus shuffle
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2
+
+
+def _epoch_shuffle_oracle() -> str:
+    from etl_active911_spark.operators.dedup import sql_hash60
+
+    h60 = sql_hash60("CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH e AS (
+        SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch
+    ),
+    keyed AS (
+        SELECT e.epoch, d.doc_id, ({h60}) AS h
+        FROM documents d CROSS JOIN e
+    )
+    SELECT CAST(epoch AS INT) AS epoch, doc_id,
+           CAST(SUM(1) OVER (PARTITION BY epoch ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - 1 AS BIGINT) AS pos
+    FROM keyed
+    """
+
+
+@query("x8_epoch_shuffle", _epoch_shuffle_oracle())
+def x8_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8j (r6): deterministic PER-EPOCH corpus shuffle — every epoch
+    gets an independent, reproducible pseudo-random training order
+    (rank by md5-hash of ``epoch:doc_id``), the standard 'reshuffle each
+    epoch, identically on every re-run / resumed job' contract a
+    pretraining loader needs. Same content-addressed-coin discipline as
+    the rest of X-8: no RNG state, order is a pure function of
+    (epoch, doc_id).
+
+    Scale shape — this is a GLOBAL order statistic per epoch (naively a
+    global-sort window: one task per epoch at 100 TB). Instead the rank
+    is computed as an exclusive prefix COUNT over the hash-ordered key
+    space via the grouped two-phase prefix sum (``_two_phase_prefix_sum``
+    with weight 1, key = hash, group = epoch): deterministic hash-span
+    ranges (uniform by construction — the key IS a 60-bit hash), a
+    per-(epoch, range) counting window, and a bounded offsets table.
+    ``doc_id`` is the tie-break for the astronomically-unlikely 60-bit
+    collision, mirrored in the oracle's ORDER BY."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))
+    ).alias("epoch")
+    keyed = docs.select("doc_id", epochs).select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        token_hash60(
+            F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+        F.lit(1).alias("one"),
+    )
+    ranked = _two_phase_prefix_sum(
+        keyed, "one", key="h", group_cols=("epoch",), tiebreak="doc_id"
+    )
+    return ranked.select(
+        "epoch", "doc_id", F.col("start_off").cast("bigint").alias("pos")
     )

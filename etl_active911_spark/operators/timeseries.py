@@ -659,3 +659,92 @@ def x6_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6i (r6): seasonal-naive forecast + MASE evaluation
+# ---------------------------------------------------------------------------
+
+FC_PERIOD = 4  # seasonal-naive lag
+FC_HOLDOUT = 4  # last rows per user scored as the forecast horizon
+
+
+@query(
+    "x6_forecast_eval",
+    f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               LAG(CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT), {FC_PERIOD}) OVER w AS sn,
+               LAG(CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT), 1) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    agg AS (
+        SELECT user_id, MAX(n) AS n,
+               SUM(CASE WHEN rn > n - {FC_HOLDOUT} THEN ABS(sv - sn) END) AS e_sum,
+               SUM(CASE WHEN rn BETWEEN 2 AND n - {FC_HOLDOUT} THEN ABS(sv - prev) END) AS d_sum,
+               SUM(CASE WHEN rn BETWEEN 2 AND n - {FC_HOLDOUT} THEN 1 ELSE 0 END) AS d_cnt
+        FROM base
+        GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           ROUND(CAST(e_sum AS DOUBLE) / ({FC_HOLDOUT} * {_DECOMP_SCALE}), 6) AS mae_fc,
+           ROUND(CAST(e_sum * d_cnt AS DOUBLE) / ({FC_HOLDOUT} * d_sum), 6) AS mase
+    FROM agg
+    WHERE n >= {FC_PERIOD + FC_HOLDOUT + 2} AND d_sum > 0
+    """,
+)
+def x6_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6i (r6): SEASONAL-NAIVE forecast + MASE evaluation per user
+    series — the baseline every forecasting pipeline must report:
+    ŷ_t = y_{t−P} (period P=4), scored on the last
+    H=4 observations per user with MASE (Hyndman & Koehler,
+    "Another look at measures of forecast accuracy", IJF 2006 — public
+    literature): holdout MAE scaled by the in-sample MAE of the 1-step
+    naive, so the score is unit-free and comparable across users.
+
+    Numerics follow the x6_ts_decompose fixed-point rule (CLAUDE.md 11):
+    values quantize to 3dp BIGINTs, both MAEs stay INTEGER sums
+    (Σ|sv_t − sv_{t−P}| over the horizon, Σ|sv_t − sv_{t−1}| over the
+    train span), and each output is ONE terminal IEEE division of
+    identical integers — MASE = (Σe · n_d) / (H · Σd) exactly, in both
+    engines. Shape: ONE shuffle on user_id (row-number + both lags + the
+    count share the window spec), then a keyed aggregate; no horizon
+    materialization, no per-user collect."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    base = events.select(
+        "user_id",
+        sv.alias("sv"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+        F.lag(sv, FC_PERIOD).over(w).alias("sn"),
+        F.lag(sv, 1).over(w).alias("prev"),
+    )
+    hold = F.col("rn") > F.col("n") - FC_HOLDOUT
+    train = (F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - FC_HOLDOUT)
+    agg = base.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(hold, F.abs(F.col("sv") - F.col("sn")))).alias("e_sum"),
+        F.sum(F.when(train, F.abs(F.col("sv") - F.col("prev")))).alias("d_sum"),
+        F.sum(F.when(train, 1).otherwise(0)).alias("d_cnt"),
+    )
+    return (
+        agg.filter((F.col("n") >= FC_PERIOD + FC_HOLDOUT + 2) & (F.col("d_sum") > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(
+                F.col("e_sum").cast("double") / (FC_HOLDOUT * _DECOMP_SCALE), 6
+            ).alias("mae_fc"),
+            F.round(
+                (F.col("e_sum") * F.col("d_cnt")).cast("double")
+                / (FC_HOLDOUT * F.col("d_sum")),
+                6,
+            ).alias("mase"),
+        )
+    )

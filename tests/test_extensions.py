@@ -492,3 +492,56 @@ def test_mmr_rerank_trades_relevance_for_diversity(spark):
         assert len(set(picks.values())) == TOP_K
         # rank 1 = argmax relevance (λ-weighting can't change the first pick)
         assert picks[1] == rel[q][1]
+
+
+def test_epoch_shuffle_is_per_epoch_permutation(spark):
+    """x8_epoch_shuffle (r6): each epoch's pos must be a permutation of
+    0..n-1, the two epochs must order the corpus DIFFERENTLY, and the
+    whole thing must be deterministic across invocations (content-
+    addressed, no RNG state)."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    q = registry.QUERIES["x8_epoch_shuffle"]
+    rows = q(spark, SF_SMOKE).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    assert set(by_epoch) == {0, 1}
+    n = len(by_epoch[0])
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(n)), f"epoch {e} not a permutation"
+    assert by_epoch[0] != by_epoch[1], "epochs must shuffle differently"
+    again = {(r["epoch"], r["doc_id"]): r["pos"] for r in q(spark, SF_SMOKE).collect()}
+    assert again == {(e, d): p for e, m in by_epoch.items() for d, p in m.items()}
+
+
+def test_aspect_bucket_pack_budget_and_bands(spark):
+    """x5_aspect_bucket_pack (r6): every pack except a band's last is
+    full enough that adding its successor's first image would overflow
+    (streaming-packing invariant: overflow by at most one image —
+    equivalently every pack STARTS below the budget boundary), pack ids
+    are dense per bucket, and pixel totals are conserved."""
+    from etl_active911_spark.operators.multimodal import PACK_PIXEL_BUDGET
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x5_aspect_bucket_pack"](spark, SF_ORACLE).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) <= {"tall", "3:4", "1:1", "4:3", "wide"}
+    for bucket, packs in by_bucket.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        assert [p["pack_id"] for p in packs] == list(range(len(packs))), bucket
+        # cumulative starts: pack p starts at sum of previous pack_pixels,
+        # which must be < (pack_id + 1) * budget (the docs that START in
+        # pack p begin before its boundary)
+        cum = 0
+        for p in packs:
+            assert cum < (p["pack_id"] + 1) * PACK_PIXEL_BUDGET, (bucket, p)
+            cum += p["pack_pixels"]
+        # doc spans are non-overlapping and ordered
+        for a, b in zip(packs, packs[1:]):
+            assert a["last_doc"] < b["first_doc"], (bucket, a, b)

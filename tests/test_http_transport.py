@@ -100,6 +100,7 @@ class _SubmitHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self.server.raw_posts.append(body)
         self.server.posts.append(json.loads(body))
         self.send_response(200)
         self.send_header("Content-Length", "2")
@@ -120,7 +121,7 @@ def interface_server():
 @pytest.fixture()
 def submit_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _SubmitHandler)
-    srv.posts = []
+    srv.posts, srv.raw_posts = [], []
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv, f"http://127.0.0.1:{srv.server_address[1]}/api/etl"
@@ -261,3 +262,53 @@ def test_control_stream_end_to_end(spark, submit_server, tmp_path):
         assert len(ids) == len(set(ids)), "features must be deduped per batch"
     # the dead-letter agency is routed, never POSTed
     assert all(not f["id"].endswith("-None") for p in srv.posts for f in p["features"])
+
+
+def test_control_stream_payloads_tz_invariant(spark, submit_server, tmp_path):
+    """VERDICT r05 item 7: the FULL source → transform → HTTP-sink loop
+    (Trigger.AvailableNow foreachBatch POSTs) must emit BYTE-IDENTICAL
+    feature payloads whatever the session timezone — the reference's
+    FeatureCollection carries moment-style UTC ISO strings (task.ts:
+    214-231), so a hostile session TZ leaking into the serialized start
+    timestamp would corrupt every downstream consumer. Runs the loopback
+    e2e under UTC and again under Asia/Tokyo and compares the POSTed
+    feature bytes (sorted per-feature: POST chunking order is partition
+    order, which is not part of the contract)."""
+    from etl_active911_spark.streaming.jobs import run_control_stream
+    from tests.test_source import ALERT
+
+    d = tmp_path / "wire_tz"
+    d.mkdir()
+    (d / "agency_1.jsonp").write_text(
+        encode_wire_payload([ALERT, {**ALERT, "id": "52"}])
+    )
+
+    srv, url = submit_server
+
+    def one_run(tag: str) -> list[bytes]:
+        srv.posts.clear()
+        srv.raw_posts.clear()
+        run_control_stream(
+            spark,
+            url,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            source_options={"fixture_dir": str(d), "max_pulls": "1"},
+        )
+        feats = sorted(
+            json.dumps(f, sort_keys=True).encode() for p in srv.posts for f in p["features"]
+        )
+        assert feats, "e2e run must POST features"
+        return feats
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base = one_run("utc")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo = one_run("tokyo")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert base == tokyo
+    # and the serialized timestamps are the reference's UTC ISO form
+    starts = [json.loads(f)["properties"]["start"] for f in base]
+    assert starts and all(s.endswith("Z") for s in starts)

@@ -32,6 +32,19 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "n22_dq_checks": (2, "scalar expectation bounds as 1-row cross joins"),
     "x8_mixture_weights": (6, "per-source totals and temperature normalizers: one scalar cross join per mixture term"),
     "x3_ann_ivf_partitioned": (4, "queries x broadcast 16-row centroid table (distributive probe derivation); subtree appears once per rerank consumer pre-materialization"),
+    # r6: the two-phase prefix sum derives range ids from a 1-ROW broadcast
+    # (min, max) bounds table crossJoined into both the window subtree and
+    # the offsets subtree (SCALE.md invariant 9 — the data-derived
+    # replacement for spark_partition_id); each BNLJ's build side is one row
+    "x8_shard_assign": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree"),
+    "x8_token_packing": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree"),
+    "x9_curation_v3": (2, "composes assign_shards: 1-row broadcast bounds table per prefix-sum subtree"),
+    # first-time-windowed r5 queries (rotation r6): both ride the seeded-IVF
+    # scaffold, whose probe/assignment legs crossJoin a broadcast 16-row
+    # seed centroid table (same bounded side as x3_ann_ivf_partitioned)
+    "x3_ann_recall_eval": (3, "broadcast 16-row seed-centroid table per IVF leg; exact/approx legs join bounded queries x k tables"),
+    "x4_bigram_logprob": (1, "1-row broadcast vocabulary-size scalar crossJoined into the smoothing denominator"),
+    "x2_semantic_dedup": (3, "broadcast 16-row seed-centroid table per assignment/probe leg (cells scoped-persisted)"),
 }
 
 
