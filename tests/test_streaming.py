@@ -734,3 +734,61 @@ def test_stream_stream_left_join_emits_nulls_at_eviction(spark, tmp_path):
     assert (1, 100, 200, 9.99) in got
     # no spurious inner results for the filler purchase
     assert not any(p == 300 for _, _, p, _ in got)
+
+
+def test_shard_assign_stream_matches_batch_prefix_sum(spark, tmp_path):
+    """Streaming X-8 packing (applyInPandasWithState, state = one running
+    byte offset per source) must reproduce the batch grouped two-phase
+    prefix sum exactly when micro-batches arrive in doc_id order — and the
+    assignments emitted by batch 1 must be final (append-only manifest:
+    batch 2 extends, never rewrites)."""
+    import time as _time
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.sampling import (
+        TARGET_SHARD_BYTES,
+        _two_phase_prefix_sum,
+    )
+    from etl_active911_spark.streaming.packing import shard_assign_stream
+
+    docs = read_table(spark, SF_ORACLE, "documents").select("source", "doc_id", "text")
+    mid = docs.selectExpr("percentile_approx(doc_id, 0.5)").first()[0]
+    d = str(tmp_path / "pack_src")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(d + "/b1")
+    _time.sleep(1.1)  # file-source batch order follows modification time
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(d + "/b2")
+
+    src = (
+        spark.readStream.schema("source string, doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    (
+        shard_assign_stream(src)
+        .writeStream.format("memory")
+        .queryName("pack_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["n_bytes"], r["start_off"], r["shard_id"])
+        for r in spark.table("pack_stream").collect()
+    }
+
+    sized = docs.select(
+        "source", "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    want = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_bytes"],
+            r["start_off"],
+            r["start_off"] // TARGET_SHARD_BYTES,
+        )
+        for r in _two_phase_prefix_sum(sized, "n_bytes", group_cols=("source",)).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
