@@ -48,7 +48,17 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
 }
 
 
-@pytest.mark.parametrize("name", registry.PRIORITY + registry.LAST)
+#: beyond-window queries that still get plan-hygiene coverage (new in r6;
+#: they enter the scoring window in a later rotation)
+EXTRA_CHECKED = ("x8_epoch_shuffle", "x5_aspect_bucket_pack", "x6_forecast_eval")
+
+BNLJ_ALLOWED.update({
+    "x8_epoch_shuffle": (2, "1-row broadcast hash-bounds table, once per prefix-sum subtree"),
+    "x5_aspect_bucket_pack": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree"),
+})
+
+
+@pytest.mark.parametrize("name", registry.PRIORITY + registry.LAST + EXTRA_CHECKED)
 def test_windowed_query_plan_hygiene(spark, name):
     plan = (
         registry.QUERIES[name](spark, SF_SMOKE)
