@@ -1482,3 +1482,178 @@ def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r6): vocabulary growth (Heaps' law) + BPE merge-pair counting
+# ---------------------------------------------------------------------------
+
+VOCAB_DECILES = 10
+
+
+@query(
+    "x4_vocab_growth",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk,
+               COUNT(*) OVER () AS n
+        FROM documents
+    ),
+    dd AS (
+        SELECT doc_id, t, CAST((rk * {VOCAB_DECILES}) // n + 1 AS INT) AS decile,
+               CAST(len(t) AS BIGINT) AS n_toks
+        FROM d
+    ),
+    occ AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS docs_d,
+               CAST(SUM(n_toks) AS BIGINT) AS occ_d
+        FROM dd GROUP BY decile
+    ),
+    exploded AS (
+        SELECT UNNEST(t) AS tok, decile FROM dd
+    ),
+    firsts AS (
+        SELECT tok, MIN(decile) AS fd FROM exploded GROUP BY tok
+    ),
+    vocab AS (
+        SELECT fd AS decile, CAST(COUNT(*) AS BIGINT) AS vocab_d FROM firsts GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(1, {VOCAB_DECILES} + 1)) AS decile)
+    SELECT CAST(s.decile AS INT) AS decile,
+           CAST(SUM(COALESCE(o.docs_d, 0)) OVER w AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(o.occ_d, 0)) OVER w AS BIGINT) AS n_token_occurrences,
+           CAST(SUM(COALESCE(v.vocab_d, 0)) OVER w AS BIGINT) AS vocab_size
+    FROM spine s
+    LEFT JOIN occ o ON o.decile = s.decile
+    LEFT JOIN vocab v ON v.decile = s.decile
+    WINDOW w AS (ORDER BY s.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def x4_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r6): VOCABULARY GROWTH CURVE (Heaps' law observable) — for
+    each corpus decile (docs in doc_id order), the cumulative doc count,
+    token-occurrence count, and DISTINCT-vocabulary size. The corpus-
+    health curve an operator reads before sizing a tokenizer vocabulary
+    or diagnosing a stagnating source (flat vocab growth = duplication).
+
+    Distributed shape: the only global order statistic (doc rank) is the
+    two-phase prefix COUNT (``_two_phase_prefix_sum`` weight 1 — no
+    global-sort window over the corpus); the vocabulary never re-scans —
+    each token's FIRST decile is one keyed MIN aggregate, and the curve
+    itself is a cumulative window over a 10-row table. Everything is
+    integer arithmetic (bucket = (rank·10) DIV n) — engine-exact with no
+    rounding policy needed."""
+    from etl_active911_spark.operators.dedup import tokens
+    from etl_active911_spark.operators.sampling import _two_phase_prefix_sum
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"), F.lit(1).alias("one"))
+    ranked = _two_phase_prefix_sum(base, "one")  # start_off = 0-based doc rank
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    # shared subtree (CLAUDE.md rule 17): BOTH the per-decile occurrence
+    # aggregate and the vocabulary first-seen aggregate consume dd — persist
+    # so the scan + prefix sum evaluate once, not per consumer
+    dd = scoped_persist(
+        "x4_vocab_growth.dd",
+        ranked.crossJoin(F.broadcast(n)).select(
+            "doc_id",
+            "t",
+            F.expr(f"CAST((start_off * {VOCAB_DECILES}) DIV n + 1 AS INT)").alias("decile"),
+            F.size("t").cast("bigint").alias("n_toks"),
+        ),
+    )
+    occ = dd.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_d"),
+        F.sum("n_toks").cast("bigint").alias("occ_d"),
+    )
+    firsts = (
+        dd.select(F.explode("t").alias("tok"), "decile")
+        .groupBy("tok")
+        .agg(F.min("decile").alias("fd"))
+    )
+    vocab = firsts.groupBy(F.col("fd").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_d")
+    )
+    spine = spark.range(1, VOCAB_DECILES + 1).select(F.col("id").cast("int").alias("decile"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(occ, "decile", "left")
+        .join(vocab, "decile", "left")
+        .select(
+            "decile",
+            F.sum(F.coalesce("docs_d", F.lit(0))).over(w).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("occ_d", F.lit(0))).over(w).cast("bigint").alias("n_token_occurrences"),
+            F.sum(F.coalesce("vocab_d", F.lit(0))).over(w).cast("bigint").alias("vocab_size"),
+        )
+    )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "x4_bpe_merge_count",
+    f"""
+    WITH w AS (
+        SELECT UNNEST(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    ),
+    freq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM w
+        WHERE LENGTH(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, f
+        FROM (SELECT word, f, unnest(range(1, LENGTH(word))) AS i FROM freq)
+    ),
+    agg AS (
+        SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+    )
+    SELECT CAST(rk AS INT) AS rank, pair, pair_count FROM (
+        SELECT pair, pair_count,
+               ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rk
+        FROM agg
+    ) t WHERE rk <= {BPE_TOP_PAIRS}
+    """,
+)
+def x4_bpe_merge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r6): BPE MERGE-PAIR COUNTING — the inner loop of byte-pair-
+    encoding tokenizer training (Sennrich, Haddow & Birch, "Neural
+    machine translation of rare words with subword units", ACL 2016 —
+    public literature), distributed: count every adjacent character pair
+    across the corpus weighted by word frequency; the top pair is the
+    next merge a BPE trainer would apply. Emits the top-{BPE_TOP_PAIRS}
+    merge candidates with exact counts.
+
+    Scale ledger: work is proportional to the DISTINCT word vocabulary,
+    not the corpus — the word-frequency aggregate collapses occurrences
+    FIRST (a Zipf corpus's vocab ≪ its token count), then each distinct
+    word fans out len−1 pair rows weighted by its count. Shuffles are
+    keyed by word then by 2-char pair; the global top-20 rides the
+    WindowGroupLimit rank-limit pushdown (map-side partial top-k —
+    CLAUDE.md rule 19). Exact integer counts, deterministic
+    (count DESC, pair) tie-break — no rounding policy needed."""
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    freq = (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    pairs = freq.select(
+        "word",
+        "f",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "f")
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("bigint").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("rank", "pair", "pair_count")
+    )

@@ -50,11 +50,18 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
 
 #: beyond-window queries that still get plan-hygiene coverage (new in r6;
 #: they enter the scoring window in a later rotation)
-EXTRA_CHECKED = ("x8_epoch_shuffle", "x5_aspect_bucket_pack", "x6_forecast_eval")
+EXTRA_CHECKED = (
+    "x8_epoch_shuffle",
+    "x5_aspect_bucket_pack",
+    "x6_forecast_eval",
+    "x4_vocab_growth",
+    "x4_bpe_merge_count",
+)
 
 BNLJ_ALLOWED.update({
     "x8_epoch_shuffle": (2, "1-row broadcast hash-bounds table, once per prefix-sum subtree"),
     "x5_aspect_bucket_pack": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree"),
+    "x4_vocab_growth": (6, "prefix-sum bounds rows + 1-row corpus-count scalar (3 one-row BNLJs); the scoped_persist'd subtree EXECUTES once but its InMemoryRelation plan text repeats per consumer"),
 })
 
 

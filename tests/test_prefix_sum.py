@@ -68,6 +68,28 @@ def test_prefix_sum_queries_oracle_parity_under_hostile_plans(spark, duck, name,
         _restore_confs(spark, prev)
 
 
+@pytest.mark.parametrize("name", ["n23_salted_agg", "n23_salted_join"])
+def test_salted_queries_oracle_parity_with_exchange_reuse_off(spark, duck, name):
+    """The salt column (spark_partition_id + monotonically_increasing_id)
+    is nondeterministic BY DESIGN — correctness must come from salt-
+    invariance (two-phase agg collapses salts; the join explodes ALL
+    salts on the build side), not from exchange reuse. Pin that under the
+    same hostile configuration that exposed the prefix-sum bug."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    prev = _set_confs(
+        spark,
+        {"spark.sql.exchange.reuse": "false", "spark.sql.adaptive.enabled": "false"},
+    )
+    try:
+        got = registry.QUERIES[name](spark, SF_ORACLE)
+        want = duck.execute(registry.ORACLES[name]).df()
+        assert compare(got, want) == []
+    finally:
+        _restore_confs(spark, prev)
+
+
 def test_two_phase_prefix_sum_matches_naive_on_skewed_ids(spark):
     """Unit: _two_phase_prefix_sum == naive global window on a synthetic
     frame whose ids are heavily NON-uniform (clustered at both ends of the
