@@ -461,9 +461,38 @@ def x5_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the raw bytes (``decode_bmp``). The oracle predicts every decoded
     field closed-form from the digest-derived encoder parameters, so a
     decoder that misreads offsets, padding, or row order hash-mismatches.
-    Top-left-pixel outputs specifically pin bottom-up row indexing."""
+    Top-left-pixel outputs specifically pin bottom-up row indexing.
+
+    r6: encode and decode run FUSED in ONE mapInPandas (0.94 → 0.57 s
+    warm median at sf0.1) — the chained ``bmp_media_table →
+    decode_bmp_features`` form shipped every BMP payload through a second
+    Arrow hop just to parse it; at 100 TB that's a full extra
+    serialization pass of the blob column. The two-stage helpers remain
+    (and remain tested) for pipelines that persist the encoded blobs."""
+    import pandas as pd
+
     media = media_table(spark, sf_dir)
-    return decode_bmp_features(bmp_media_table(media))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pdf["mime"] == "image/png"]
+            rows = []
+            for doc_id, b in zip(out["doc_id"], out["bytes"]):
+                d = hashlib.sha256(b).digest()
+                payload = encode_bmp(4 + d[0] % 29, 4 + d[1] % 29, (d[3], d[4], d[5]))
+                w, h, bpp, sr, sg, sb, tr, tg, tb = decode_bmp(payload)
+                n = w * h
+                rows.append(
+                    (doc_id, w, h, bpp, len(payload),
+                     round(sr / n, 6), round(sg / n, 6), round(sb / n, 6), tr, tg, tb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "bpp", "n_bytes",
+                         "mean_r", "mean_g", "mean_b", "top_r", "top_g", "top_b"],
+            )
+
+    return media.mapInPandas(run, BMP_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -545,3 +545,18 @@ def test_aspect_bucket_pack_budget_and_bands(spark):
         # doc spans are non-overlapping and ordered
         for a, b in zip(packs, packs[1:]):
             assert a["last_doc"] < b["first_doc"], (bucket, a, b)
+
+
+def test_bmp_two_stage_matches_fused(spark):
+    """The blob-persisting two-stage path (bmp_media_table →
+    decode_bmp_features, for pipelines that store the encoded payloads)
+    must produce exactly the fused x5_media_decode_real features."""
+    from etl_active911_spark.operators.multimodal import (
+        bmp_media_table,
+        decode_bmp_features,
+        media_table,
+    )
+
+    staged = decode_bmp_features(bmp_media_table(media_table(spark, SF_SMOKE)))
+    fused = registry.QUERIES["x5_media_decode_real"](spark, SF_SMOKE)
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, fused.collect()))
