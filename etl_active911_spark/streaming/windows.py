@@ -155,3 +155,67 @@ def n12_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+TRENDING_K = 3
+
+
+def trending_counts(events: DataFrame) -> DataFrame:
+    """Shared batch/stream BODY of the trending operator: 1-hour tumbling
+    counts per (window, event_type). This aggregation is the streaming
+    half — the per-window rank happens AFTER window finalization (rank is
+    not a streaming-supported operator, and semantically a window's
+    trending list is only meaningful once the watermark closes it)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def rank_trending(counts: DataFrame, k: int = TRENDING_K) -> DataFrame:
+    """Finalized window counts → top-k per window with the canonical
+    deterministic tie-break (count DESC, event_type ASC). In streaming
+    this runs per finalized batch (foreachBatch / on the sink table)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+@query(
+    "n11_trending_topk",
+    f"""
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type) AS rnk
+        FROM c
+    ) t WHERE rnk <= {TRENDING_K}
+    """,
+)
+def n11_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-11 (r6): per-window TRENDING top-k — the classic streaming
+    analytics shape (dashboard 'top event types this hour'): tumbling
+    window counts, then top-{TRENDING_K} per window. The windowed count
+    is the watermark-able streaming aggregation (``trending_counts``,
+    shared body); the rank runs on finalized windows (``rank_trending``)
+    — batch ≡ stream parity asserted in tests/test_streaming.py with an
+    append-mode AvailableNow run. Per-window rank rides the
+    WindowGroupLimit pushdown; window keys are bounded (hours × types),
+    so the final rank never funnels the corpus."""
+    ev = read_table(spark, sf_dir, "events")
+    return rank_trending(
+        trending_counts(ev).withColumn(
+            "n_events", F.col("n_events").cast("bigint")
+        )
+    )

@@ -792,3 +792,43 @@ def test_shard_assign_stream_matches_batch_prefix_sum(spark, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_trending_topk_batch_stream_parity(spark, events_dir):
+    """N-11 trending (r6): the watermarked windowed count streams in
+    append mode (only watermark-finalized windows emit); ranking the sink
+    table must equal the registered batch query on those windows — and
+    with AvailableNow over bounded input, every window except the last
+    open one finalizes."""
+    from etl_active911_spark.streaming.windows import (
+        n11_trending_topk,
+        rank_trending,
+        trending_counts,
+    )
+
+    stream = trending_counts(
+        jobs.read_events_stream(spark, events_dir).withWatermark("ts", "30 minutes")
+    )
+    (
+        stream.writeStream.format("memory")
+        .queryName("trending_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    finalized = spark.table("trending_stream")
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["rnk"])
+        for r in rank_trending(finalized).collect()
+    }
+    batch_rows = n11_trending_topk.__wrapped__(spark, SF_ORACLE) if hasattr(
+        n11_trending_topk, "__wrapped__"
+    ) else n11_trending_topk(spark, SF_ORACLE)
+    finalized_windows = {r["window_start"] for r in finalized.collect()}
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], r["rnk"])
+        for r in batch_rows.collect()
+        if r["window_start"] in finalized_windows
+    }
+    assert got == want and len(got) > 0
