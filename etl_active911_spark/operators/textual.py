@@ -1657,3 +1657,165 @@ def x4_bpe_merge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BPE_TOP_PAIRS)
         .select("rank", "pair", "pair_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9e (r6): curation v5 — the full build, ending in the training ORDER
+# ---------------------------------------------------------------------------
+
+
+def _curation_v5_oracle() -> str:
+    """Chained oracle: the v3 stages through exact-hash dedup, then
+    tempered (α=1/2) mixture membership over the SURVIVORS and the
+    epoch-0 deterministic shuffle position — each fragment reused from
+    the standalone query that pins it (x9_curation_v3,
+    x8_mixture_weights, x8_epoch_shuffle)."""
+    from etl_active911_spark.operators.dedup import MINHASH_CTES, sql_hash60
+
+    stop_in = _STOPWORDS
+    h60 = sql_hash60("'0:' || CAST(s.doc_id AS VARCHAR)")
+    bucket = "(('0x' || substr(md5(CAST(s.doc_id AS STRING)), 1, 8))::BIGINT) % 1000000"
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM cedges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN cedges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM cedges
+    ),
+    comp AS (SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id),
+    dup_drop AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    qtoks AS (
+        SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    qstats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_word_len,
+               ROUND(CAST(SUM(CASE WHEN tok IN {stop_in} THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS stop_frac
+        FROM qtoks GROUP BY doc_id
+    ),
+    qt2 AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    qbi AS (
+        SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS g,
+               len(t) - 1 AS n_bi
+        FROM qt2 WHERE len(t) >= 2
+    ),
+    qbc AS (SELECT doc_id, g, n_bi, COUNT(*) AS c FROM qbi GROUP BY doc_id, g, n_bi),
+    qtop AS (
+        SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / ANY_VALUE(n_bi), 6) AS tb
+        FROM qbc GROUP BY doc_id
+    ),
+    quality AS (
+        SELECT s.doc_id FROM qstats s LEFT JOIN qtop t ON s.doc_id = t.doc_id
+        WHERE s.n_words BETWEEN 50 AND 100000
+          AND s.mean_word_len BETWEEN 3.0 AND 10.0
+          AND s.stop_frac >= 0.005
+          AND COALESCE(t.tb, 0.0) <= 0.2
+    ),
+    stage AS (
+        SELECT q.doc_id FROM quality q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM dup_drop)
+    ),
+    hashes AS (
+        SELECT s.doc_id, sha256({_NORM_SQL}) AS content_hash
+        FROM stage s JOIN documents USING (doc_id)
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM hashes GROUP BY content_hash
+    ),
+    surv AS (
+        SELECT d.doc_id, d.source FROM exact_keep k JOIN documents d USING (doc_id)
+    ),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM surv GROUP BY source),
+    wsh AS (
+        SELECT source,
+               SQRT(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM per)) AS wr
+        FROM per
+    ),
+    p AS (
+        SELECT source, ROUND(wr / (SELECT SUM(wr) FROM wsh), 6) AS share FROM wsh
+    ),
+    sampled AS (
+        SELECT s.doc_id, s.source FROM surv s JOIN p USING (source)
+        WHERE {bucket} < CAST(FLOOR(p.share * 1000000) AS BIGINT)
+    ),
+    keyed AS (
+        SELECT s.doc_id, s.source, ({h60}) AS h FROM sampled s
+    )
+    SELECT doc_id, source,
+           CAST(SUM(1) OVER (ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - 1 AS BIGINT) AS pos
+    FROM keyed
+    """
+
+
+@query("x9_curation_v5", _curation_v5_oracle())
+def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9e (r6): the COMPLETE pretraining data build, ending where a
+    trainer actually starts — the shuffled training ORDER: Gopher quality
+    gate → near-dup CLUSTER drop → exact dedup → tempered (α=1/2) source
+    mixture membership over the survivors → deterministic epoch-0 shuffle
+    position. Composes five standalone pinned operators; a v5 mismatch
+    localizes to whichever fragment broke.
+
+    Scale shape inherits each stage's: shared verified-pairs memo for the
+    cluster drop, keyed aggregates for quality/dedup, 1-row broadcast
+    normalizers for the mixture, and the grouped two-phase prefix COUNT
+    for the global shuffle rank (no global-sort window anywhere)."""
+    from etl_active911_spark.operators.clustering import x2_dup_clusters
+    from etl_active911_spark.operators.dedup import normalized_text, token_hash60
+    from etl_active911_spark.operators.sampling import (
+        _two_phase_prefix_sum,
+        hash_bucket,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    quality = x4_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    non_keepers = (
+        x2_dup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
+    )
+    stage = docs.join(quality, "doc_id").join(non_keepers, "doc_id", "left_anti")
+    hashes = stage.select(
+        "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("content_hash")
+    )
+    exact_keep = hashes.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    surv = docs.join(exact_keep.select("doc_id"), "doc_id").select("doc_id", "source")
+    per = surv.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    wsh = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wr", F.sqrt(F.col("n_docs").cast("double") / F.col("n_total"))
+    )
+    z = wsh.agg(F.sum("wr").alias("z"))
+    p = wsh.crossJoin(F.broadcast(z)).select(
+        "source", F.round(F.col("wr") / F.col("z"), 6).alias("share")
+    )
+    thr = F.floor(F.col("share") * 1_000_000).cast("bigint")
+    sampled = (
+        surv.join(F.broadcast(p), "source")
+        .filter(hash_bucket(F.col("doc_id"), 1_000_000) < thr)
+        .select("doc_id", "source")
+    )
+    keyed = sampled.select(
+        "doc_id",
+        "source",
+        token_hash60(F.concat(F.lit("0:"), F.col("doc_id").cast("string"))).alias("h"),
+        F.lit(1).alias("one"),
+    )
+    ranked = _two_phase_prefix_sum(keyed, "one", key="h", tiebreak="doc_id")
+    return ranked.select(
+        "doc_id", "source", F.col("start_off").cast("bigint").alias("pos")
+    )

@@ -27,6 +27,11 @@ TIME_SENSITIVE = [
     "o15_time_parse",
     "o13_response_extract",
     "a911_pipeline_flat",
+    # r6: features_nested serializes parse_alert_time output (the instant
+    # construction changed this round); the two new event-time queries
+    "a911_features_nested",
+    "x6_forecast_eval",
+    "n11_trending_topk",
 ]
 
 
