@@ -1793,7 +1793,14 @@ def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("content_hash")
     )
     exact_keep = hashes.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    surv = docs.join(exact_keep.select("doc_id"), "doc_id").select("doc_id", "source")
+    # the full quality+dedup chain feeds BOTH the mixture-count aggregate
+    # and the membership filter — persist so it evaluates once (rule 17)
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    surv = scoped_persist(
+        "x9_curation_v5.surv",
+        docs.join(exact_keep.select("doc_id"), "doc_id").select("doc_id", "source"),
+    )
     per = surv.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     tot = per.agg(F.sum("n_docs").alias("n_total"))
     wsh = per.crossJoin(F.broadcast(tot)).withColumn(
@@ -1818,4 +1825,79 @@ def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _two_phase_prefix_sum(keyed, "one", key="h", tiebreak="doc_id")
     return ranked.select(
         "doc_id", "source", F.col("start_off").cast("bigint").alias("pos")
+    )
+
+
+@query(
+    "x4_ngram_novelty",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split({_NORM_SQL}, ' ') AS t,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, rk,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                      i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM d
+    ),
+    e AS (SELECT doc_id, rk, UNNEST(gs) AS gram FROM g),
+    firsts AS (SELECT gram, MIN(rk) AS first_rk FROM e GROUP BY gram)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_rk = e.rk THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_rk = e.rk THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM e JOIN firsts f ON e.gram = f.gram
+    GROUP BY e.doc_id
+    """,
+)
+def x4_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r6): per-document N-GRAM NOVELTY — the fraction of a doc's
+    distinct word 3-grams whose FIRST corpus appearance (in doc_id order)
+    is this document. The curriculum/curation signal the dedup family
+    can't give: a doc can be no one's duplicate yet contribute almost
+    nothing new (low novelty = boilerplate recombination; high novelty =
+    fresh content worth upweighting).
+
+    Shape: doc rank via the two-phase prefix COUNT (no global-sort
+    window); grams come from the CODEGEN ``shingle_rows`` explode
+    (SCALE.md invariant 3 — no interpreted lambdas on a corpus-sized
+    path) deduped per doc with one keyed distinct; the gram's first rank
+    is ONE keyed MIN over the exploded rows; the per-doc roll-up re-keys
+    by doc_id. Shuffle keys: gram hash, doc_id — the text never
+    shuffles. The shared exploded subtree feeds the firsts aggregate and
+    the roll-up → scoped_persist (CLAUDE.md rule 17)."""
+    from etl_active911_spark.operators.dedup import shingle_rows
+    from etl_active911_spark.operators.sampling import _two_phase_prefix_sum
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select("doc_id", F.col("text"), F.lit(1).alias("one"))
+    ranked = _two_phase_prefix_sum(base, "one").withColumnRenamed("start_off", "rk")
+    # grams explode straight off the (doc_id-pruned) scan — only the
+    # tiny (doc_id, rk) projection consumes the prefix-sum subtree
+    grams = (
+        shingle_rows(docs, k=3)
+        .withColumnRenamed("shingle", "gram")
+        .distinct()
+    )
+    e = scoped_persist(
+        "x4_ngram_novelty.e",
+        grams.join(ranked.select("doc_id", "rk"), "doc_id"),
+    )
+    firsts = e.groupBy("gram").agg(F.min("rk").alias("first_rk"))
+    novel = F.when(F.col("first_rk") == F.col("rk"), 1).otherwise(0)
+    return (
+        e.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
     )
