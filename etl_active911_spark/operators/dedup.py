@@ -1360,3 +1360,93 @@ def x2_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r6): asymmetric containment (quote/expansion detection)
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8
+
+
+@query(
+    "x2_containment",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                      i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM toks
+    ),
+    postings AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
+    sizes AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE) / sa.n, 6) AS containment_a,
+           ROUND(CAST(p.n_shared AS DOUBLE) / sb.n, 6) AS containment_b
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE GREATEST(CAST(p.n_shared AS DOUBLE) / sa.n,
+                   CAST(p.n_shared AS DOUBLE) / sb.n) >= {CONTAIN_THRESHOLD}
+    """,
+)
+def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r6): asymmetric CONTAINMENT detection — |A∩B| / |A| over
+    distinct word 3-gram sets, per direction. Catches what symmetric
+    Jaccard structurally cannot: a short document QUOTED inside a much
+    longer one scores jaccard ≈ |A|/|B| ≈ 0 but containment_a ≈ 1 — the
+    quote-expansion / boilerplate-inclusion case (Broder's containment
+    coefficient, "On the resemblance and containment of documents",
+    SEQUENCES 1997 — public literature). Emits pairs where EITHER
+    direction ≥ 0.8 (CONTAIN_THRESHOLD).
+
+    Scale shape: same posting-list discipline as x2_ngram_jaccard —
+    grams shuffle as small derived keys, candidate pairs come from a
+    bucket-and-explode on the gram key (one computation, zero join
+    operators upstream — rule 18), intersections are one keyed COUNT,
+    and set sizes join back on doc_id. At 100 TB the documented df-cut
+    knob (``ngram_jaccard_with_df_cut``) bounds ultra-common-gram
+    fan-out; the oracle-matched registration runs uncapped, the
+    x2_minhash_lsh convention."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    postings = shingle_rows(docs, k=3).withColumnRenamed("shingle", "g").distinct()
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    buckets = (
+        postings.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select("ids")
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ca = F.col("n_shared").cast("double") / F.col("na")
+    cb = F.col("n_shared").cast("double") / F.col("nb")
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(F.greatest(ca, cb) >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )

@@ -1558,3 +1558,83 @@ def x3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("av") / float(TOP_K), 6).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r6): metadata-FILTERED vector search
+# ---------------------------------------------------------------------------
+
+FILTER_LANG = "en"
+
+
+@query(
+    "x3_filtered_topk",
+    f"""
+    WITH keep AS (
+        SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}'
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        FROM q, embeddings e
+        JOIN keep k ON k.doc_id = e.vec_id
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r6): metadata-FILTERED vector search — top-k over only the
+    corpus vectors whose DOCUMENT passes a metadata predicate
+    (lang = 'en', FILTER_LANG): the RAG/retrieval shape every production
+    vector store needs (filtered search), which naive ANN indexes get
+    wrong by filtering AFTER retrieval (k shrinks or vanishes under
+    selective predicates). Here the predicate SEMI-JOINS the embedding
+    scan BEFORE any scoring — pre-filtering, the correct semantics: the
+    returned k are the true top-k of the filtered corpus.
+
+    Scale shape: the metadata side prunes to (doc_id) only (column-pruned
+    scan, pushdown-friendly predicate), the semi-join keys on vec_id, and
+    scoring + top-k ride the same codegen + WindowGroupLimit path as
+    x3_cosine_topk. With an IVF layout the same semi-join applies per
+    probed cell (partition pruning composes with the filter — the
+    x3_ann_ivf_partitioned layout needs no change)."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    keep = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = (
+        emb.join(keep, "vec_id", "left_semi")
+        .select("vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qnrm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return partial_topk(scored, TOP_K)
