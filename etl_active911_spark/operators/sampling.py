@@ -792,3 +792,102 @@ def x8_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "epoch", "doc_id", F.col("start_off").cast("bigint").alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8k (r6): curriculum ordering — quality bands, shuffled within band
+# ---------------------------------------------------------------------------
+
+CURRICULUM_BANDS = 4
+
+
+def _curriculum_oracle() -> str:
+    from etl_active911_spark.operators.dedup import sql_hash60
+
+    h60 = sql_hash60("CAST(b.doc_id AS VARCHAR)")
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+               ROUND(CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / LENGTH(text), 6) AS score
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS rk,
+               COUNT(*) OVER () AS n
+        FROM s
+    ),
+    b AS (SELECT doc_id, CAST((rk * {CURRICULUM_BANDS}) // n AS INT) AS band FROM r),
+    h AS (SELECT b.doc_id, b.band, ({h60}) AS hh FROM b),
+    ranked AS (
+        SELECT doc_id, band,
+               ROW_NUMBER() OVER (PARTITION BY band ORDER BY hh, doc_id) - 1 AS ib
+        FROM h
+    ),
+    sizes AS (SELECT band, COUNT(*) AS c FROM b GROUP BY band),
+    offs AS (
+        SELECT band,
+               SUM(c) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS off
+        FROM sizes
+    )
+    SELECT r.doc_id, r.band, CAST(o.off + r.ib AS BIGINT) AS pos
+    FROM ranked r JOIN offs o USING (band)
+    """
+
+
+@query("x8_curriculum_order", _curriculum_oracle())
+def x8_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8k (r6): CURRICULUM ordering — documents ranked into quality
+    BANDS (alpha-ratio quality proxy, highest band first: the classic
+    easy/clean-first curriculum), deterministically SHUFFLED within each
+    band (md5 hash order — band membership is curriculum signal, order
+    within a band must not correlate with anything). ``pos`` is the
+    global training position: band offset + in-band shuffle rank.
+
+    Scale shape: THREE global order statistics, zero global-sort
+    windows — the quality rank and the in-band shuffle rank are both
+    two-phase prefix COUNTS (key = −score for the descending rank; key =
+    60-bit hash grouped by band for the shuffle), and the band offsets
+    are a cumulative window over a 4-row (CURRICULUM_BANDS) table. Rank
+    keys are ROUNDED scores with doc_id tie-breaks (canonical policy), so
+    both engines order identically."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    score = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    s = docs.select("doc_id", (-score).alias("negscore"), F.lit(1).alias("one"))
+    r = _two_phase_prefix_sum(s, "one", key="negscore", tiebreak="doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    # shared subtree (rule 17): band assignment feeds both the shuffle
+    # rank and the band-size offsets
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    b = scoped_persist(
+        "x8_curriculum_order.bands",
+        r.crossJoin(F.broadcast(n)).select(
+            "doc_id",
+            F.expr(f"CAST((start_off * {CURRICULUM_BANDS}) DIV n AS INT)").alias("band"),
+        ),
+    )
+    keyed = b.select(
+        "doc_id",
+        "band",
+        token_hash60(F.col("doc_id").cast("string")).alias("hh"),
+        F.lit(1).alias("one"),
+    )
+    ranked = _two_phase_prefix_sum(
+        keyed, "one", key="hh", group_cols=("band",), tiebreak="doc_id"
+    ).withColumnRenamed("start_off", "ib")
+    sizes = b.groupBy("band").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offs = sizes.withColumn("off", F.sum("c").over(w_off) - F.col("c")).select("band", "off")
+    return (
+        ranked.join(F.broadcast(offs), "band")
+        .select("doc_id", "band", (F.col("off") + F.col("ib")).cast("bigint").alias("pos"))
+    )
