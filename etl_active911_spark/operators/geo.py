@@ -320,3 +320,74 @@ def x7_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("lon_d"), 6).alias("max_lon"),
         )
     )
+
+
+def _geo_cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    prs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM resolved a JOIN resolved b ON a.id < b.id
+        WHERE ROUND({_haversine_sql('a.lat_d', 'a.lon_d', 'b.lat_d', 'b.lon_d')}, 3)
+              <= {PAIR_RADIUS_KM}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION
+        SELECT id_b, id_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS id, dst FROM walk
+        UNION
+        SELECT src, src FROM edges
+    ),
+    comp AS (SELECT id, MIN(dst) AS component FROM reach GROUP BY id),
+    assigned AS (
+        SELECT r.id, COALESCE(c.component, r.id) AS incident_id
+        FROM resolved r LEFT JOIN comp c ON r.id = c.id
+    ),
+    sizes AS (
+        SELECT incident_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM assigned GROUP BY incident_id
+    )
+    SELECT a.id, a.incident_id, s.n_members
+    FROM assigned a JOIN sizes s USING (incident_id)
+    """
+
+
+@query("x7_geo_cluster", _geo_cluster_oracle())
+def x7_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r6): INCIDENT CLUSTERING — connected components over the
+    co-located pair graph (``x7_geo_bucket_join``: grid-bucketed,
+    recall-exact ≤ 20 m pairs), the spatial twin of near-dup clustering:
+    one physical incident reported through several alerts becomes ONE
+    cluster keyed by its lexicographically-smallest alert id; singleton
+    alerts key by themselves. Emits every resolved alert with its
+    incident id and the incident's member count — the dedup-for-dispatch
+    rollup the reference's downstream consumers would want.
+
+    Engine reuse is the point: the SAME O(log n) star-contraction engine
+    that clusters near-dup documents (``connected_components_star``,
+    SoCC'14; flatness + functionality convergence per ADVICE r05) runs
+    unchanged on string alert ids (min = lexicographic), fed by the
+    grid-bucket candidate generator instead of MinHash bands. Oracle =
+    brute-force pair join + recursive closure."""
+    from etl_active911_spark.operators.clustering import connected_components_star
+
+    pairs = x7_geo_bucket_join(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components_star(pairs, a="id_a", b="id_b").withColumnRenamed(
+        "doc_id", "id"
+    )
+    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir)).select("id")
+    assigned = resolved.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("incident_id")
+    )
+    sizes = assigned.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return assigned.join(sizes, "incident_id").select("id", "incident_id", "n_members")
