@@ -595,3 +595,93 @@ def x5_aspect_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+SCENE_HAMMING_THRESHOLD = 26  # of 60 bits; random-hash mean is 30
+
+
+@query(
+    "x5_scene_change",
+    f"""
+    WITH {_MEDIA_CTE},
+    v AS (
+        SELECT doc_id, text, 1000 * (1 + n_bytes % 60) AS dur
+        FROM m WHERE mime = 'video/mp4'
+    ),
+    fr AS (
+        SELECT v.doc_id, CAST(f.i AS INT) AS frame_idx,
+               ('0x' || substr(sha256(v.text || CAST(CAST(f.i * v.dur / 4 AS BIGINT) AS STRING)), 1, 15))::BIGINT AS vh
+        FROM v CROSS JOIN generate_series(0, 3) AS f(i)
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, vh,
+               LAG(vh) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pv
+        FROM fr
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                          AND bit_count(xor(vh, pv)) >= {SCENE_HAMMING_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes,
+           CAST(SUM(CASE WHEN pv IS NOT NULL THEN bit_count(xor(vh, pv)) END) AS BIGINT)
+               AS total_hamming
+    FROM d GROUP BY doc_id
+    """,
+)
+def x5_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r6): SCENE-CHANGE detection over sampled video frames — the
+    standard shot-boundary heuristic: a 60-bit per-frame visual hash
+    (here the stub codec's digest prefix — a real pipeline would plug a
+    pHash/dHash here; the Spark shape is identical), consecutive-frame
+    Hamming distance via one lag window + ``bit_count(xor)``, boundary
+    when distance ≥ 26/60 bits. Emits per video: frame count, scene-
+    change count, and the total inter-frame Hamming (an overall motion/
+    cut-rate proxy). Everything is integer bit arithmetic in codegen —
+    engine-exact, no rounding policy; one shuffle on doc_id shared by
+    the lag window and the roll-up."""
+    from pyspark.sql import Window as W
+
+    media = media_table(spark, sf_dir)
+    v = media.filter(F.col("mime") == "video/mp4").select(
+        "doc_id",
+        F.decode("bytes", "utf-8").alias("text"),
+        (1000 * (1 + F.octet_length("bytes") % 60)).alias("dur"),
+    )
+    fr = v.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+        "text",
+        "dur",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col("text"),
+                        (F.col("frame_idx") * F.col("dur") / 4).cast("bigint").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("vh"),
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    d = fr.withColumn("pv", F.lag("vh").over(w))
+    ham = F.bit_count(F.expr("vh ^ pv"))
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(
+            F.when(F.col("pv").isNotNull() & (ham >= SCENE_HAMMING_THRESHOLD), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_scene_changes"),
+        F.sum(F.when(F.col("pv").isNotNull(), ham)).cast("bigint").alias("total_hamming"),
+    )
