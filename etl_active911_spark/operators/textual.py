@@ -1901,3 +1901,107 @@ def x4_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+JS_SMOOTH_K = 0.5
+
+
+@query(
+    "x4_source_js_divergence",
+    f"""
+    WITH toks AS (
+        SELECT source, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY source),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    grid AS (
+        SELECT p.source_a, p.source_b, w.tok,
+               COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        FROM pairs p
+        CROSS JOIN (SELECT DISTINCT tok FROM cnt) w
+        LEFT JOIN cnt ca ON ca.source = p.source_a AND ca.tok = w.tok
+        LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.tok = w.tok
+    ),
+    probs AS (
+        SELECT g.source_a, g.source_b,
+               (g.ca + {JS_SMOOTH_K}) / (ta.t + {JS_SMOOTH_K} * v.v) AS p,
+               (g.cb + {JS_SMOOTH_K}) / (tb.t + {JS_SMOOTH_K} * v.v) AS q
+        FROM grid g
+        JOIN tot ta ON ta.source = g.source_a
+        JOIN tot tb ON tb.source = g.source_b
+        CROSS JOIN vocab v
+    )
+    SELECT source_a, source_b,
+           ROUND(SUM(0.5 * (p * ln(p / ((p + q) * 0.5))
+                            + q * ln(q / ((p + q) * 0.5)))), 6) AS js_divergence
+    FROM probs GROUP BY 1, 2
+    """,
+)
+def x4_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r6): pairwise JENSEN-SHANNON divergence between the unigram
+    distributions of every source pair — the mixture diagnostic behind
+    x8_mixture_weights: two sources with JS ≈ 0 are redundant (their
+    tempered shares double-count the same distribution); a high-JS source
+    adds coverage. Add-k smoothing (k=0.5) over the shared vocabulary
+    keeps every term finite.
+
+    Scale ledger: work ∝ vocabulary × source-pairs (both ≪ corpus —
+    counts collapse occurrences FIRST); shuffles key on (source, token)
+    then token; per-source totals and the vocab size ride broadcast
+    1-row/`|sources|`-row tables. Float policy: the log terms sum per
+    pair and ROUND(6) absorbs accumulation-order ulp (same discipline as
+    the LM scorers); the IEEE op ORDER inside each term is replicated
+    exactly — `p * ln(p / ((p + q) * 0.5))` — in both engines."""
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = cnt.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    pairs = (
+        tot.select(F.col("source").alias("source_a"), F.col("t").alias("ta"))
+        .join(
+            tot.select(F.col("source").alias("source_b"), F.col("t").alias("tb")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    grid = (
+        pairs.join(vocab)  # cross: |pairs| × |vocab| — both bounded
+        .join(
+            cnt.select(F.col("source").alias("source_a"), "tok", F.col("c").alias("ca")),
+            ["source_a", "tok"],
+            "left",
+        )
+        .join(
+            cnt.select(F.col("source").alias("source_b"), "tok", F.col("c").alias("cb")),
+            ["source_b", "tok"],
+            "left",
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source_a",
+            "source_b",
+            (
+                (F.coalesce("ca", F.lit(0)) + JS_SMOOTH_K)
+                / (F.col("ta") + JS_SMOOTH_K * F.col("v"))
+            ).alias("p"),
+            (
+                (F.coalesce("cb", F.lit(0)) + JS_SMOOTH_K)
+                / (F.col("tb") + JS_SMOOTH_K * F.col("v"))
+            ).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) * 0.5
+    term = 0.5 * (
+        F.col("p") * F.log(F.col("p") / m) + F.col("q") * F.log(F.col("q") / m)
+    )
+    return grid.groupBy("source_a", "source_b").agg(
+        F.round(F.sum(term), 6).alias("js_divergence")
+    )

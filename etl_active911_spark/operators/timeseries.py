@@ -748,3 +748,98 @@ def x6_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mase"),
         )
     )
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def _acf_oracle() -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"""        SELECT user_id, {k} AS lag, sv AS x,
+               LAG(sv, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        FROM base"""
+        for k in ACF_LAGS
+    )
+    return f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv
+        FROM events
+    ),
+    legs AS (
+{legs}
+    ),
+    sums AS (
+        SELECT user_id, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM legs WHERE y IS NOT NULL
+        GROUP BY user_id, lag
+    )
+    SELECT user_id, CAST(lag AS INT) AS lag, n AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM sums
+    WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """
+
+
+@query("x6_ts_acf", _acf_oracle())
+def x6_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r6): AUTOCORRELATION function per user series at lags 1-3 —
+    the seasonality/memory diagnostic that tells an operator which lag
+    the seasonal-naive forecast (x6_forecast_eval) should use and whether
+    x6_ts_decompose's period is real.
+
+    Numerics: Pearson via the COMPUTATIONAL formula over 3dp FIXED-POINT
+    integers — every inner sum (Σx, Σy, Σx², Σy², Σxy) is an exact
+    BIGINT, so aggregation ORDER cannot perturb them (the usual float-SUM
+    nondeterminism is structurally absent); the one float expression is
+    the terminal (n·Σxy − ΣxΣy)/√(...) with identical IEEE op order in
+    both engines, rounded 6dp (rule 11 applied to correlations).
+    Magnitudes: n·Σxy ≤ 2e14 ≪ 2⁶³. Shape: ONE shuffle on user_id
+    (row-order window computes all three lags), a lag-exploded stack
+    (3× rows, narrow), one keyed aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    base = events.select("user_id", sv.alias("x"), *[
+        F.lag(sv, k).over(w).alias(f"y{k}") for k in ACF_LAGS
+    ])
+    stacked = base.select(
+        "user_id",
+        "x",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("lag"), F.col(f"y{k}").alias("y"))
+                for k in ACF_LAGS
+            ])
+        ).alias("s"),
+    ).select("user_id", F.col("s.lag").alias("lag"), "x", F.col("s.y").alias("y"))
+    sums = (
+        stacked.filter(F.col("y").isNotNull())
+        .groupBy("user_id", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        sums.filter((F.col("n") >= 3) & (dx > 0) & (dy > 0))
+        .select(
+            "user_id",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.round(num / F.sqrt(dx.cast("double") * dy.cast("double")), 6).alias("acf"),
+        )
+    )

@@ -128,7 +128,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: x5_aspect_bucket_pack, x6_forecast_eval, x4_vocab_growth,
 #: x4_bpe_merge_count, n11_trending_topk, x9_curation_v5,
 #: x4_ngram_novelty, x2_containment, x3_filtered_topk,
-#: x8_curriculum_order, x7_geo_cluster, x5_scene_change), n23_salted_agg/join, x8_reservoir_sample,
+#: x8_curriculum_order, x7_geo_cluster, x5_scene_change, x6_ts_acf,
+#: x4_source_js_divergence), n23_salted_agg/join, x8_reservoir_sample,
 #: x4_tfidf_topterms/heavy_hitters/pii_redact/char_entropy/pmi_bigrams,
 #: x3_ann_ivf_seeded/lloyd1, tpch q2/q5/q6/q9/q11/q15/q16/q19/q20
 #: (rows-only by design: x3_ann_pq/brp/ivf_partitioned,

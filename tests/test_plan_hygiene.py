@@ -62,6 +62,8 @@ EXTRA_CHECKED = (
     "x2_containment",
     "x3_filtered_topk",
     "x8_curriculum_order",
+    "x6_ts_acf",
+    "x4_source_js_divergence",
 )
 
 BNLJ_ALLOWED.update({
@@ -69,6 +71,7 @@ BNLJ_ALLOWED.update({
     "x5_aspect_bucket_pack": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree"),
     "x4_vocab_growth": (6, "prefix-sum bounds rows + 1-row corpus-count scalar (3 one-row BNLJs); the scoped_persist'd subtree EXECUTES once but its InMemoryRelation plan text repeats per consumer"),
     "x4_ngram_novelty": (4, "prefix-sum 1-row bounds rows (2); persisted exploded subtree repeats them in plan text per consumer"),
+    "x4_source_js_divergence": (3, "|sources|-squared pair table replicated over the vocab (bounded build side) + 1-row totals/vocab scalars"),
     "x8_curriculum_order": (17, "every build side is a 1-row bounds/count scalar (2 prefix sums + corpus count); the persisted band subtree's InMemoryRelation text repeats them per consumer — execution is once"),
     "x3_filtered_topk": (1, "broadcast N_QUERIES-row query block, != self-pair condition (x3_range_search shape)"),
     "x9_curation_v5": (14, "every BNLJ is a 1-row scalar build (mixture total/normalizer, prefix-sum bounds); scoped_persist'd stages EXECUTE once but InMemoryRelation plan text repeats them per consumer"),
