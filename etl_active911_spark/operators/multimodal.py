@@ -543,7 +543,7 @@ def _ar_bucket_col(r):
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM b
     )
-    SELECT bucket, (cum - px) // {PACK_PIXEL_BUDGET} AS pack_id,
+    SELECT bucket, CAST((cum - px) // {PACK_PIXEL_BUDGET} AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_images,
            CAST(SUM(px) AS BIGINT) AS pack_pixels,
            MIN(doc_id) AS first_doc,

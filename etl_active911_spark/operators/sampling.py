@@ -240,16 +240,22 @@ def _with_range_id(d: DataFrame, key: str = "doc_id", n_ranges: int = _SHARD_RAN
     derived purely from the data: uniform split of the key's [min, max]
     span (tiny bounds aggregate, broadcast back).
 
-    This replaced ``repartitionByRange + spark_partition_id`` after the r5
-    driver run proved that shape wrong (CORRECTNESS_r05: x8_shard_assign /
-    x8_token_packing / x9_curation_v3 hash mismatches): spark_partition_id
-    is nondeterministic, and when the range exchange is NOT reused between
-    the offsets aggregate and the probe join (AQE re-plan, exchange reuse
-    off, recomputation re-sampling range boundaries), the two consumers
-    see DIFFERENT pids and every downstream shard id shifts. A pid that is
-    a pure function of the row can never disagree with itself, whatever
-    the physical plan does (SCALE.md invariant; regression:
-    tests/test_prefix_sum.py runs with spark.sql.exchange.reuse=false).
+    This replaced ``repartitionByRange + spark_partition_id`` in r6:
+    spark_partition_id is physical-plan state, and when the range exchange
+    is NOT reused between the offsets aggregate and the probe join (AQE
+    re-plan, exchange reuse off, recomputation re-sampling range
+    boundaries), the two consumers see DIFFERENT pids and every downstream
+    shard id shifts — a real cluster-scale hazard, hostile-conf-reproduced
+    in tests/test_prefix_sum.py (spark.sql.exchange.reuse=false). A pid
+    that is a pure function of the row can never disagree with itself,
+    whatever the physical plan does (SCALE.md invariant 9).
+
+    NOTE (r7 postmortem correction, VERDICT r06 #1): the r4-r6 DRIVER
+    hash mismatches on x8_shard_assign / x8_token_packing / x9_curation_v3
+    were NOT this hazard — they were deterministic ORACLE output-type bugs
+    (DuckDB windowed SUM → HUGEINT → pandas float64 vs Spark int64),
+    fixed by CAST(... AS BIGINT) in the oracle SQL and guarded by
+    tests/test_oracle_types.py + the type-strict tests/parity.py.
 
     Balance note: uniform key-span split assumes roughly uniform key
     density (true for sequential doc_ids). Correctness never depends on
@@ -362,7 +368,7 @@ def assign_shards(docs: DataFrame, target: int = TARGET_SHARD_BYTES) -> DataFram
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM d
     )
-    SELECT (cum - n_bytes) // {TARGET_SHARD_BYTES} AS shard_id,
+    SELECT CAST((cum - n_bytes) // {TARGET_SHARD_BYTES} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
            MIN(doc_id) AS first_doc,
@@ -530,7 +536,7 @@ def _token_packing_oracle() -> str:
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM d
     )
-    SELECT (cum - n_tokens) // {PACK_TOKEN_BUDGET} AS pack_id,
+    SELECT CAST((cum - n_tokens) // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc,

@@ -1110,7 +1110,7 @@ def _curation_v3_oracle() -> str:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
         FROM surv
     )
-    SELECT (cumb - n_bytes) // {TARGET_SHARD_BYTES} AS shard_id,
+    SELECT CAST((cumb - n_bytes) // {TARGET_SHARD_BYTES} AS BIGINT) AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
            MIN(doc_id) AS first_doc,

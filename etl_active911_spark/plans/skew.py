@@ -15,6 +15,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _data_salt(df: DataFrame, n_salts: int, seed: int = 0x5A17) -> Column:
+    """Deterministic per-row salt derived from the DATA (SCALE.md
+    invariant 9: no physical-plan-state columns — `spark_partition_id`/
+    `monotonically_increasing_id` give each consumer of a recomputed or
+    AQE-re-planned subtree DIFFERENT values). Hashing every column makes
+    rows of the same hot key spread across salts while staying a pure
+    function of the row: recomputation always reproduces the same salt.
+    Fully-duplicate rows share a salt bucket — correct, just less spread
+    on degenerate all-duplicate corpora."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
@@ -29,7 +41,7 @@ def salted_agg(
     """
     mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     firsts = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)))
+    salted = df.withColumn("__salt", _data_salt(df, n_salts))
     phase1 = salted.groupBy(key, "__salt").agg(
         *[firsts[fn](c).alias(f"__p_{c}_{fn}") for c, fn in agg_exprs.items()]
     )
@@ -48,9 +60,7 @@ def salted_join(
     ``n_salts``× so every salted key finds its match. Use when the small
     side is too big to broadcast but the key distribution is pathological
     (otherwise prefer broadcast or AQE skew-join)."""
-    salted_big = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    salted_big = skewed.withColumn("__salt", _data_salt(skewed, n_salts))
     exploded_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )

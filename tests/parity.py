@@ -4,41 +4,70 @@ Compares a Spark DataFrame result against a DuckDB SQL result:
 row count, sorted column names, and order-insensitive exact values.
 Exact (not tolerance-based) float comparison — if this passes, the driver's
 value-hash comparison will pass too.
+
+TYPE-STRICT (r7): the driver hashes the *string form* of every cell, so
+``0.0`` and ``0`` are different answers even though Python ``0.0 == 0``.
+The r4-r6 HUGEINT incident (VERDICT r6 #1-2): DuckDB's ``SUM(BIGINT) OVER``
+widens to int128, pandas cannot hold int128 so the column arrives as
+float64, and the driver saw ``"0.0" != "0"`` on every row — while this
+replica's ``==`` comparison silently passed for three rounds. Cells are now
+canonicalized as ``(kind, value)`` pairs (int / float / bool / str /
+datetime / null), so a cross-engine numeric-kind divergence is a replica
+failure, exactly as it is a driver failure.
 """
 
 from __future__ import annotations
 
 import math
 from datetime import date, datetime
+from decimal import Decimal
 
 import pandas as pd
 
 
 def _norm_cell(v):
+    """Canonicalize one cell as a (kind, value) pair.
+
+    Kinds mirror what the driver's stringification distinguishes: an int64
+    cell prints ``0`` and a float64 cell prints ``0.0``, so they must NOT
+    compare equal here even though Python ``0 == 0.0``. NaN/NaT fold to
+    null (both engines surface missing data that way after the pandas
+    boundary). bool is tagged separately from int (``True`` vs ``1``).
+    """
     if v is None:
-        return None
+        return ("null", None)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return None
-        return v
+            return ("null", None)
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        return ("d", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if v is pd.NaT:
+        return ("null", None)
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
+        return ("t", v.to_pydatetime())
     if isinstance(v, datetime):
-        return v
+        return ("t", v)
     if isinstance(v, date):
-        return datetime(v.year, v.month, v.day)
+        return ("t", datetime(v.year, v.month, v.day))
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        return ("a", tuple(_norm_cell(x) for x in v))
     try:
         import numpy as np
 
         if isinstance(v, np.generic):
             return _norm_cell(v.item())
         if isinstance(v, np.ndarray):
-            return tuple(_norm_cell(x) for x in v.tolist())
+            return ("a", tuple(_norm_cell(x) for x in v.tolist()))
     except ImportError:
         pass
-    return v
+    return (type(v).__name__, v)
 
 
 def _canon(df: pd.DataFrame) -> list[tuple]:

@@ -28,35 +28,36 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-5 scoring window (CORRECTNESS_r05.json keys): the rotation
+# The round-6 scoring window (CORRECTNESS_r06.json keys): the rotation
 # policy requires each round's window to re-earn driver rows for queries
-# this set did NOT score — EXCEPT the deliberately-held r5 red rows
-# (VERDICT r05 item 1: never rotate a wrong answer out of sight) and
-# x8_cluster_split (perf evidence wanted alongside its oracle row).
-R5_WINDOW = {
+# this set did NOT score — EXCEPT the deliberately-held r6 red rows
+# (VERDICT r06 item 1: never rotate a wrong answer out of sight; they
+# carry the HUGEINT→BIGINT oracle fix this round).
+R6_WINDOW = {
     "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
     "o13_response_extract", "o15_time_parse", "o19_links_dedup",
     "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
     "n11_tumbling_window", "n12_session_window", "n14_stream_stream_join",
-    "n13_pandas_scalar", "n13_python_udtf", "n15_sql_api",
-    "n16_recursive_cte", "x4_token_stats", "x4_lang_id",
-    "x9_curation_pipeline", "x5_media_decode", "x5_media_decode_real",
-    "x6_ts_pattern_match", "x6_ts_dtw", "x7_nearest_station",
-    "x8_stratified_sample", "x8_train_holdout_split", "x3_pandas_matmul",
-    "x2_dup_clusters", "o2_source_roundtrip", "x1_exact_dedup",
-    "n17_asof_join", "n18_scd2_intervals", "n19_bloom_prefilter_join",
-    "n20_data_profile", "n21_funnel", "n22_dq_checks", "x6_ts_ewma",
-    "x6_ts_outliers_robust", "x4_quality_deciles", "x2_ngram_jaccard",
-    "x3_range_search", "x8_shard_assign", "x8_mixture_weights",
-    "x8_token_packing", "x2_entity_resolution", "x2_dup_clusters_star",
-    "x2_embedding_neardup", "x2_incremental_neardup", "x9_curation_v3",
+    "n13_pandas_scalar", "n15_sql_api", "n16_recursive_cte",
+    "x4_token_stats", "x4_lang_id", "x9_curation_pipeline",
+    "x5_media_decode", "x5_media_decode_real", "x6_ts_pattern_match",
+    "x7_nearest_station", "x3_pandas_matmul", "x2_dup_clusters",
+    "o2_source_roundtrip", "x1_exact_dedup",
+    "n6_unpivot", "n17_asof_tolerance", "x6_resample_ffill",
+    "n14_stream_stream_left_join", "n13_map_in_arrow",
+    "x8_weighted_reservoir", "x8_dedup_report", "x8_interleave_sources",
+    "x4_langid_confusion", "x4_bigram_logprob", "x6_ts_decompose",
+    "x6_ts_changepoint", "x7_quadkey_rollup", "x2_substr_scrub",
+    "x3_mmr_rerank", "x3_ann_recall_eval", "x2_semantic_dedup",
+    "x8_shard_assign", "x8_token_packing", "x2_graph_triangles",
+    "x2_graph_pagerank", "x9_curation_v3", "x9_curation_v4",
     "x8_cluster_split",
 }
 
-#: r5 rows deliberately kept in the r6 window despite having been scored.
-HELD_FROM_R5 = {
+#: r6 rows deliberately kept in the r7 window despite having been scored
+#: (the three hash-red rows — never rotate a wrong answer out of sight).
+HELD_FROM_R6 = {
     "x8_shard_assign", "x8_token_packing", "x9_curation_v3",
-    "x8_cluster_split",
 }
 
 
@@ -116,17 +117,17 @@ def test_priority_window_is_exactly_the_window_size():
 
 
 def test_rotation_reearns_driver_rows():
-    """Rotation policy (VERDICT r03 item 3; r6 target per VERDICT r05
-    item 3): at least 20 of the window's slots must go to queries the
+    """Rotation policy (VERDICT r03 item 3; r7 target per VERDICT r06
+    item 4): at least 20 of the window's slots must go to queries the
     PREVIOUS round's window did not score, so hard driver evidence cycles
-    through the whole registry over rounds — while the r5 red rows stay
+    through the whole registry over rounds — while the r6 red rows stay
     pinned in-window until driver-green."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R5_WINDOW
+    fresh = window - R6_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
     # the rotation consists of never-previously-scored queries plus
-    # EXACTLY the deliberately-held r5 rows
-    assert set(registry.ROTATION) & R5_WINDOW == HELD_FROM_R5
+    # EXACTLY the deliberately-held r6 rows
+    assert set(registry.ROTATION) & R6_WINDOW == HELD_FROM_R6
 
 
 def test_no_duplicate_registration_possible():
