@@ -180,28 +180,31 @@ def _wall_and_zone(col: Column, now_year: int | None = None) -> tuple[Column, Co
 def parse_alert_time(col: Column, now_year: int | None = None) -> Column:
     """'MM/DD/YYYY HH:mm:ss ABBR' string → UTC-instant timestamp Column.
 
-    Session-timezone independence (r6 — the old
-    ``to_utc_timestamp(wall.cast("timestamp"), zone)`` form was NOT
-    independent: the NTZ→timestamp cast applies the session offset but
-    ``to_utc_timestamp`` shifts raw micros by the TARGET zone's offset
-    without re-rendering in the session zone, so nothing cancelled — the
-    instant moved with the session tz, caught by the loopback e2e
-    ``test_control_stream_payloads_tz_invariant`` under Asia/Tokyo):
-    build the UTC wall clock as TIMESTAMP_NTZ first (``convert_timezone``
-    — session-free), then undo the session-offset cast with
-    ``from_utc_timestamp(.., current_timezone())``, measured
-    session-invariant (same epoch under UTC and Asia/Tokyo). DST caveat:
-    the cast applies the session offset AT THE WALL, the un-shift AT THE
-    INSTANT — for session zones WITH DST these can differ inside the
-    one-hour transition window; every oracle-checked output uses the NTZ/
-    ISO forms, and the sweep zones (UTC, Asia/Tokyo, Australia/Eucla) are
-    DST-free.
+    Session-timezone independence (r7, ADVICE r06): the instant is built
+    with ``make_timestamp(fields..., 'UTC')`` from the UTC wall clock's
+    own fields — the session zone never touches the value, so the result
+    is exact for EVERY session zone including ones with DST. (The r6 form
+    ``from_utc_timestamp(ntz.cast(timestamp), current_timezone())``
+    round-tripped through the session zone: the cast applies the session
+    offset at the WALL, the un-shift at the INSTANT — equal for
+    fixed-offset zones but off by an hour inside a DST transition window
+    of a DST session zone, and the driver's session zone is unknown.)
+    ``extract(SECOND)`` carries the fractional part (DECIMAL(8,6)), so
+    millisecond precision survives.
 
     ``now_year`` (optional) pins moment's missing-year default — the year
     of the reference instant 'now' in the input's zone frame.
     """
     ntz_utc = parse_alert_time_ntz(col, now_year)
-    return F.from_utc_timestamp(ntz_utc.cast("timestamp"), F.expr("current_timezone()"))
+    return F.make_timestamp(
+        F.year(ntz_utc),
+        F.month(ntz_utc),
+        F.dayofmonth(ntz_utc),
+        F.hour(ntz_utc),
+        F.minute(ntz_utc),
+        F.extract(F.lit("SECOND"), ntz_utc),
+        F.lit("UTC"),
+    )
 
 
 def parse_alert_time_ntz(col: Column, now_year: int | None = None) -> Column:

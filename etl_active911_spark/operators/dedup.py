@@ -537,21 +537,55 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: localCheckpoint (not persist): every consumer is an iterative loop or a
 #: multi-leg join that needs LINEAGE TRUNCATION (CLAUDE.md rule 17), and
 #: the materialized pair list is tiny (near-dup pairs ≪ corpus).
-_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+#: Value = (fixture fingerprint, checkpointed DataFrame) — see
+#: shared_verified_pairs for the invalidation contract.
+_PAIRS_MEMO: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 
 
 def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``x2_minhash_lsh`` result, materialized once per (session, sf_dir)
     and reused across queries — the cross-query analogue of
-    ``scoped_persist`` for the dedup family's common subexpression."""
+    ``scoped_persist`` for the dedup family's common subexpression.
+
+    ASSUMES IMMUTABLE FIXTURES (ADVICE r06): the memo key carries the
+    parquet file list + mtimes as a cheap fingerprint, so rewriting the
+    data at ``sf_dir`` within one session invalidates the entry instead
+    of silently serving stale pairs to the five consumer queries. The
+    checkpoint blocks of an invalidated entry are unpersisted. Tests can
+    call :func:`clear_pairs_memo` for a hard reset."""
     import os
 
+    fp_dir = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        if os.path.isdir(fp_dir):
+            files = sorted(
+                (f, os.path.getmtime(os.path.join(fp_dir, f)))
+                for f in os.listdir(fp_dir)
+            )
+            fingerprint = tuple(files)
+        else:
+            fingerprint = (("", os.path.getmtime(fp_dir)),)
+    except OSError:
+        fingerprint = ()
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     got = _PAIRS_MEMO.get(key)
+    if got is not None and got[0] != fingerprint:
+        got[1].unpersist()
+        got = None
     if got is None:
-        got = x2_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+        got = (fingerprint, x2_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True))
         _PAIRS_MEMO[key] = got
-    return got
+    return got[1]
+
+
+def clear_pairs_memo() -> None:
+    """Drop all memoized pair lists and release their checkpoint blocks."""
+    for _, df in _PAIRS_MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PAIRS_MEMO.clear()
 
 
 def near_dup_dedup(
@@ -1367,6 +1401,13 @@ def x2_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CONTAIN_THRESHOLD = 0.8
+#: stop-gram document-frequency cut (ADVICE r06): raw 3-gram buckets are
+#: Zipf-headed — one boilerplate gram shared by the whole corpus would
+#: materialize a corpus-sized collect_list row plus quadratic pair fan-out.
+#: Grams with df > CUT are treated as stop-grams and removed from BOTH the
+#: intersection and the set sizes (standard stop-shingle containment); the
+#: cut is mirrored in the oracle, so it is semantics, not a silent cap.
+CONTAIN_DF_CUT = 100
 
 
 @query(
@@ -1385,8 +1426,13 @@ CONTAIN_THRESHOLD = 0.8
                     ELSE [array_to_string(t, ' ')] END AS gs
         FROM toks
     ),
-    postings AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
-    sizes AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n FROM sh),
+    postings0 AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM postings0 GROUP BY g),
+    postings AS (
+        SELECT p.doc_id, p.g FROM postings0 p JOIN dfreq USING (g)
+        WHERE dfreq.df <= {CONTAIN_DF_CUT}
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM postings GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1416,19 +1462,28 @@ def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams shuffle as small derived keys, candidate pairs come from a
     bucket-and-explode on the gram key (one computation, zero join
     operators upstream — rule 18), intersections are one keyed COUNT,
-    and set sizes join back on doc_id. At 100 TB the documented df-cut
-    knob (``ngram_jaccard_with_df_cut``) bounds ultra-common-gram
-    fan-out; the oracle-matched registration runs uncapped, the
-    x2_minhash_lsh convention."""
+    and set sizes join back on doc_id. Since r7 (ADVICE r06) the
+    registered semantics INCLUDE the df-cut: grams with document
+    frequency > CONTAIN_DF_CUT are stop-grams, excluded from both the
+    intersection and |A| — unlike MinHash bands (statistically bounded),
+    raw 3-gram buckets are Zipf-headed, so the uncapped form degrades
+    far earlier; the cut is mirrored in the oracle so it is checked
+    semantics, not a silent cap. Set sizes are derived from the SAME
+    grouped bucket table the pairs explode from (one shuffle feeds
+    both)."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     postings = shingle_rows(docs, k=3).withColumnRenamed("shingle", "g").distinct()
-    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    buckets = (
+    grouped = (
         postings.groupBy("g")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select("ids")
+        .filter(F.size("ids") <= CONTAIN_DF_CUT)
     )
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    buckets = grouped.filter(F.size("ids") >= 2).select("ids")
     pairs = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))

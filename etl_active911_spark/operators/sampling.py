@@ -815,7 +815,7 @@ def _curriculum_oracle() -> str:
     WITH s AS (
         SELECT doc_id,
                ROUND(CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                     / LENGTH(text), 6) AS score
+                     / GREATEST(LENGTH(text), 1), 6) AS score
         FROM documents
     ),
     r AS (
@@ -862,9 +862,12 @@ def x8_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_active911_spark.operators.dedup import token_hash60
 
     docs = read_table(spark, sf_dir, "documents")
+    # GREATEST(len,1) guard (ADVICE r06): an empty doc must score 0.0, not
+    # NULL — NULL ordering diverges between engines (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST on ASC) and a NULL key poisons _with_range_id's pid
     score = F.round(
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
-        / F.length("text"),
+        / F.greatest(F.length("text"), F.lit(1)),
         6,
     )
     s = docs.select("doc_id", (-score).alias("negscore"), F.lit(1).alias("one"))

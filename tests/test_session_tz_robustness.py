@@ -1,7 +1,11 @@
 """The driver runs queries with ITS SparkSession, whose timezone we don't
 control. Every oracle-checked timestamp query must therefore be
 session-timezone-independent: this sweep re-checks the time-sensitive
-queries under a hostile non-UTC session zone."""
+queries under hostile non-UTC session zones — one DST-free offset zone
+(Asia/Tokyo) and, since r7 (ADVICE r06 on parse_alert_time's instant
+construction), one zone WITH daylight saving (America/New_York), so a
+session-offset round-trip that is only correct for fixed-offset zones
+cannot pass."""
 
 from __future__ import annotations
 
@@ -34,17 +38,20 @@ TIME_SENSITIVE = [
     "n11_trending_topk",
 ]
 
+ZONES = ["Asia/Tokyo", "America/New_York"]
 
-@pytest.fixture()
-def tokyo_session(spark):
+
+@pytest.fixture(params=ZONES)
+def hostile_session(request, spark):
     prev = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-    yield spark
+    spark.conf.set("spark.sql.session.timeZone", request.param)
+    yield spark, request.param
     spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 @pytest.mark.parametrize("name", TIME_SENSITIVE)
-def test_parity_under_non_utc_session(tokyo_session, duck, name):
-    spark_df = registry.QUERIES[name](tokyo_session, SF_ORACLE)
+def test_parity_under_non_utc_session(hostile_session, duck, name):
+    spark, zone = hostile_session
+    spark_df = registry.QUERIES[name](spark, SF_ORACLE)
     problems = compare(spark_df, duck.execute(registry.ORACLES[name]).df())
-    assert not problems, f"{name} under Asia/Tokyo: " + "; ".join(problems[:2])
+    assert not problems, f"{name} under {zone}: " + "; ".join(problems[:2])
