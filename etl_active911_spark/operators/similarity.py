@@ -1166,8 +1166,11 @@ def x3_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-sphere diameter, cos ≥ −1) so selection is purely bucket
     collision + per-query top-k window, like ``x3_ann_lsh``. Seeded, so the
     output is deterministic run-to-run (tested), but the projection matrix
-    is JVM-random — not SQL-replicable, hence rows-only with a measured
-    recall floor vs the exact oracle (tests/test_extensions.py). This
+    is JVM-random — not SQL-replicable, hence rows-only for the driver.
+    Hard evidence (r7): tests/test_brp_replica.py re-derives candidates,
+    scores, and top-k in single-process Python from the per-vector
+    buckets and matches every output cell exactly; a recall floor vs the
+    exact oracle also holds (tests/test_extensions.py). This
     variant exists alongside the hand-rolled ``x3_ann_lsh`` to cover the
     framework API surface a Spark shop would actually reach for first."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer

@@ -421,14 +421,37 @@ def test_star_components_path_counterexample(spark):
 
 def test_compression_ratio_properties(spark):
     """x4_compression_ratio (rows-only, zlib not SQL-expressible):
-    deterministic across runs, ratios in a sane band, and repetitive text
-    must compress materially below varied text."""
+    EXACT single-process replica (r7, VERDICT r06 item 6 — same zlib,
+    same level, Spark ROUND emulated by decimal HALF_UP quantize), plus
+    determinism, bound sanity, and repetitive ≪ varied ordering."""
     rows = registry.QUERIES["x4_compression_ratio"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert 0.0 < r["compression_ratio"] <= 1.2
     again = registry.QUERIES["x4_compression_ratio"](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # exact replica: every cell, no tolerance
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        raw = txt.encode("utf-8")
+        if not raw:
+            continue
+        zl = len(zlib.compress(raw, 6))
+        ratio = float(
+            Decimal(repr(zl / len(raw))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        want[int(i)] = (len(raw), zl, ratio)
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["zl_bytes"], r["compression_ratio"]) for r in rows
+    }
+    assert got == want
 
     probe = spark.createDataFrame(
         [(1, "spam " * 200), (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(200)))],

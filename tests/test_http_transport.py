@@ -312,3 +312,20 @@ def test_control_stream_payloads_tz_invariant(spark, submit_server, tmp_path):
     # and the serialized timestamps are the reference's UTC ISO form
     starts = [json.loads(f)["properties"]["start"] for f in base]
     assert starts and all(s.endswith("Z") for s in starts)
+    # ABSOLUTE golden (r7): relative UTC-vs-Tokyo equality cannot catch a
+    # serialization change that shifts BOTH runs the same way, so pin the
+    # exact POSTed bytes for feature 42 — byte-exact remarks template
+    # (task.ts:221-226), link extraction, coordinate order, and the
+    # moment-toISOString UTC instant (12/08 18:27:47 MST → 12/09 01:27 Z)
+    f42 = next(f for f in base if b"active911-42" in f)
+    assert f42 == (
+        b'{"geometry": {"coordinates": [-104.9, 39.7], "type": "Point"}, '
+        b'"id": "active911-42", "properties": {"callsign": "Structure Fire", '
+        b'"links": [{"callsign": "Nick", "production_time": '
+        b'"2025-12-09T01:28:20.000Z", "relation": "t-s", "remarks": "Respond"}], '
+        b'"remarks": "\\n                                Groups: E1'
+        b'\\n                                Author: CAD'
+        b'\\n                                det'
+        b'\\n                            ", '
+        b'"start": "2025-12-09T01:27:47.000Z"}, "type": "Feature"}'
+    )
