@@ -74,6 +74,12 @@ HEADLINE = [
     "x5_aspect_bucket_pack",
     "x6_forecast_eval",
     "x8_shard_assign",
+    # round-7 additions (same shared-subset rule): the windowed newcomers
+    # the judge asked first readings for (VERDICT r06 item 8)
+    "x9_curation_v5",
+    "x8_curriculum_order",
+    "x7_geo_cluster",
+    "x2_containment",
 ]
 
 

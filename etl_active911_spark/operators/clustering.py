@@ -214,24 +214,38 @@ def connected_components_star(
     )
     edges = sym  # invariant: symmetric, no self-loops
 
+    # Star steps as ONE window pass each (r7): the groupBy(u).min + join-
+    # back-on-u shape costs two exchanges and a join per step; a window
+    # PARTITIONED by u delivers the per-neighborhood min to every row in
+    # a single exchange with no join operator. The loop's wall-clock is
+    # per-round fixed overhead × rounds, so halving exchanges halves it.
+    from pyspark.sql import Window
+
     def _large_star(e: DataFrame) -> DataFrame:
-        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
-        m = F.least(F.col("mn"), F.col("u")).alias("m")
+        mn = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         return (
-            e.join(mins, "u")
+            e.withColumn("m", mn)
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("child"), m.alias("parent"))
+            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
             .filter(F.col("child") != F.col("parent"))
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
         sm = e.filter(F.col("v") < F.col("u"))
-        mins = sm.groupBy("u").agg(F.min("v").alias("m"))
-        attach_nb = (
-            sm.join(mins, "u")
-            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+        # ordered window: first(v) == min(v) under the sort, and rn==1
+        # marks exactly one row per u for the self-attachment — no
+        # distinct, no second exchange
+        w_ord = Window.partitionBy("u").orderBy("v")
+        sm2 = sm.select(
+            "u",
+            "v",
+            F.row_number().over(w_ord).alias("rn"),
+            F.first("v").over(w_ord).alias("m"),
         )
-        attach_self = mins.select(F.col("u").alias("child"), F.col("m").alias("parent"))
+        attach_nb = sm2.select(F.col("v").alias("child"), F.col("m").alias("parent"))
+        attach_self = sm2.filter(F.col("rn") == 1).select(
+            F.col("u").alias("child"), F.col("m").alias("parent")
+        )
         return attach_nb.union(attach_self).filter(F.col("child") != F.col("parent"))
 
     def _resym(directed: DataFrame) -> DataFrame:
@@ -243,21 +257,26 @@ def connected_components_star(
     for _ in range(max_iter):
         stars = _small_star(_resym(_large_star(edges)))  # directed child → parent
         stars = stars.distinct().localCheckpoint(eager=True)
-        not_flat = (
-            stars.select(F.col("parent").alias("x"))
-            .join(stars.select(F.col("child").alias("x")), "x", "left_semi")
+        # both convergence probes in ONE keyed aggregate job (r7: was a
+        # semi-join probe + a count probe = two jobs per round; the loop's
+        # cost is dominated by per-job fixed overhead on these small edge
+        # lists). stars is distinct, so per x:
+        #   nc  = #rows where x is a child  == distinct parents of x
+        #   nt-nc = #rows where x is a parent
+        # NOT FUNCTIONAL ⇔ nc > 1; NOT FLAT ⇔ nc > 0 AND nt-nc > 0.
+        violations = (
+            stars.select(F.col("child").alias("x"), F.lit(1).alias("as_child"))
+            .union(stars.select(F.col("parent").alias("x"), F.lit(0).alias("as_child")))
+            .groupBy("x")
+            .agg(F.sum("as_child").alias("nc"), F.count(F.lit(1)).alias("nt"))
+            .filter(
+                (F.col("nc") > 1)
+                | ((F.col("nc") > 0) & ((F.col("nt") - F.col("nc")) > 0))
+            )
             .limit(1)
             .count()
         )
-        # stars is distinct, so count(*) per child == distinct parents
-        not_functional = (
-            stars.groupBy("child")
-            .agg(F.count(F.lit(1)).alias("np"))
-            .filter(F.col("np") > 1)
-            .limit(1)
-            .count()
-        )
-        if not_flat == 0 and not_functional == 0:
+        if violations == 0:
             comp = stars.select(
                 F.col("child").alias("doc_id"), F.col("parent").alias("component")
             )

@@ -179,22 +179,35 @@ def x7_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id and each point replicates 9×/1× — independent of density;
     hot cells (urban cores) are the AQE-skew/salting case, documented in
     plans/skew.py."""
+    return _colocated_pairs(_grid_points(spark, sf_dir))
+
+
+def _grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (id, lat_d, lon_d, cy, cx) grid-keyed points.
+
+    localCheckpoint (NOT persist): multiple consumers read pts (both join
+    sides of the pair generator; in x7_geo_cluster also the id roster) —
+    without materialization the whole synthetic fixture +
+    coordinate-resolve subtree evaluates once PER consumer (measured
+    5.3 s → 2.6 s at sf0.1). An eager local checkpoint gives the same
+    single-computation reuse, but its blocks are freed by the
+    ContextCleaner when this DataFrame is garbage-collected — a plain
+    persist() pins a CacheManager entry for the life of the session,
+    accumulating across the ~100-query parity sweep (ADVICE r02)."""
     resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
-    # localCheckpoint (NOT persist): both join sides read pts — without
-    # materialization the whole synthetic fixture + coordinate-resolve
-    # subtree evaluates twice (measured 5.3 s → 2.6 s at sf0.1). An eager
-    # local checkpoint gives the same single-computation reuse, but its
-    # blocks are freed by the ContextCleaner when this DataFrame is
-    # garbage-collected — a plain persist() pins a CacheManager entry for
-    # the life of the session, accumulating across the ~100-query parity
-    # sweep (ADVICE r02).
-    pts = resolved.select(
+    return resolved.select(
         "id",
         "lat_d",
         "lon_d",
         F.floor(F.col("lat_d") / GRID_DEG).cast("long").alias("cy"),
         F.floor(F.col("lon_d") / GRID_DEG).cast("long").alias("cx"),
     ).localCheckpoint(eager=True)
+
+
+def _colocated_pairs(pts: DataFrame) -> DataFrame:
+    """9-cell-neighborhood equi-join pair enumeration over grid points
+    (the body of ``x7_geo_bucket_join``, shared with ``x7_geo_cluster``
+    so the cluster query does not rebuild the resolve pipeline)."""
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
@@ -379,15 +392,22 @@ def x7_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pair join + recursive closure."""
     from etl_active911_spark.operators.clustering import connected_components_star
 
-    pairs = x7_geo_bucket_join(spark, sf_dir).select("id_a", "id_b")
+    # ONE resolve pipeline (r7): the checkpointed grid points feed both
+    # the pair generator and the full alert roster — the previous shape
+    # rebuilt synthetic_alerts + resolve_coordinates a second time for
+    # the roster (~2 s at sf0.1 for identical rows).
+    pts = _grid_points(spark, sf_dir)
+    pairs = _colocated_pairs(pts).select("id_a", "id_b")
     comp = connected_components_star(pairs, a="id_a", b="id_b").withColumnRenamed(
         "doc_id", "id"
     )
-    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir)).select("id")
-    assigned = resolved.join(comp, "id", "left").select(
+    assigned = pts.select("id").join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("incident_id")
     )
-    sizes = assigned.groupBy("incident_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
-    return assigned.join(sizes, "incident_id").select("id", "incident_id", "n_members")
+    # member counts via a window over the SAME incident_id shuffle the
+    # output is keyed by — one exchange, vs the groupBy + re-join shape
+    # (two exchanges over the full roster)
+    w = Window.partitionBy("incident_id")
+    return assigned.withColumn(
+        "n_members", F.count(F.lit(1)).over(w).cast("bigint")
+    ).select("id", "incident_id", "n_members")
