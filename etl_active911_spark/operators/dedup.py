@@ -1505,3 +1505,106 @@ def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cb, 6).alias("containment_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r7): content-defined chunking (CDC) storage dedup
+# ---------------------------------------------------------------------------
+
+#: expected chunk length in tokens: a token is a chunk boundary when its
+#: 60-bit content hash ≡ 0 (mod CDC_MOD) — boundaries are a property of the
+#: CONTENT, so an insertion early in a document only perturbs chunking
+#: locally (the rsync/LBFS/FastCDC principle, public literature), unlike
+#: fixed-size blocks where one shifted byte re-chunks everything after it.
+CDC_MOD = 16
+
+_CDC_NORM = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "x2_cdc_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(ts) AS tok,
+               unnest(range(1, len(ts) + 1)) AS pos
+        FROM (SELECT doc_id, source, string_split({_CDC_NORM}, ' ') AS ts
+              FROM documents)
+    ),
+    cut AS (
+        SELECT doc_id, source, tok, pos,
+               CASE WHEN ({sql_hash60('tok')}) % {CDC_MOD} = 0 THEN 1 ELSE 0 END
+                   AS is_cut
+        FROM toks
+    ),
+    seg AS (
+        SELECT doc_id, source, tok, pos,
+               CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS sid
+        FROM cut
+    ),
+    chunks AS (
+        SELECT doc_id, ANY_VALUE(source) AS source, sid,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM seg GROUP BY doc_id, sid
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+           ROUND(1 - CAST(COUNT(DISTINCT chunk_hash) AS DOUBLE) / COUNT(*), 6)
+               AS dup_ratio,
+           ROUND(AVG(CAST(n_toks AS DOUBLE)), 6) AS mean_chunk_toks
+    FROM chunks GROUP BY source
+    """,
+)
+def x2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r7): CONTENT-DEFINED CHUNKING dedup report — per source, how
+    much of the corpus is re-used chunks: token stream → content-defined
+    segments (a token whose ``token_hash60 % CDC_MOD == 0`` becomes the
+    FIRST token of a new segment; expected segment ≈ CDC_MOD tokens) →
+    md5 chunk identity → distinct-vs-total chunk counts and the dup
+    ratio. This is the storage/transfer-level dedup view (rsync/LBFS/
+    FastCDC family) that exact-doc and near-dup dedup cannot give:
+    boilerplate PARAGRAPHS shared across otherwise-distinct documents
+    surface here, and chunk boundaries survive insertions because they
+    are content-anchored, not offset-anchored.
+
+    Scale shape: one token explode shuffled by doc_id; the running cut
+    count is a PER-DOC window (doc-keyed, never global); the chunk
+    aggregate reuses the same doc_id clustering (exchange-free after the
+    window — grouping on (doc_id, sid) is satisfied by the doc_id hash
+    partitioning); chunk text is rebuilt with ``listagg WITHIN GROUP``
+    (JVM-side ordered aggregate, no interpreted lambda) and immediately
+    collapsed to its md5, so nothing wider than a chunk string ever
+    shuffles. Final rollup is a tiny per-source aggregate."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    cut = toks.withColumn(
+        "is_cut",
+        (F.pmod(token_hash60(F.col("tok")), F.lit(CDC_MOD)) == 0).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = cut.withColumn("sid", F.sum("is_cut").over(w).cast("bigint"))
+    chunks = seg.groupBy("doc_id", "sid").agg(
+        F.first("source").alias("source"),
+        F.md5(F.expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)")).alias(
+            "chunk_hash"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("chunk_hash").cast("bigint").alias("n_distinct_chunks"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("chunk_hash").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+        F.round(F.avg(F.col("n_toks").cast("double")), 6).alias("mean_chunk_toks"),
+    )

@@ -2005,3 +2005,151 @@ def x4_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("source_a", "source_b").agg(
         F.round(F.sum(term), 6).alias("js_divergence")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r7): readability scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x4_readability",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+               len(string_split({_NORM_SQL}, ' ')) AS n_words,
+               len(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS n_syllables
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                     6) AS flesch
+        FROM s
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables, flesch,
+           CASE WHEN flesch >= 70 THEN 'easy'
+                WHEN flesch >= 50 THEN 'medium'
+                WHEN flesch >= 30 THEN 'hard'
+                ELSE 'very_hard' END AS band
+    FROM f
+    """,
+)
+def x4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r7): Flesch reading-ease per document — the classic curation
+    signal for difficulty bucketing (Flesch 1948; the formula and its
+    coefficients are public literature). Sentences = runs of ``[.!?]``
+    (floored at 1), words = whitespace tokens of the normalized text,
+    syllables = vowel-group count (``[aeiouy]+`` runs — the standard
+    dictionary-free approximation). The band CASE thresholds on the
+    ROUNDED score (canonical policy 4) so both engines bucket the
+    boundary documents identically.
+
+    Scale shape: three regexp counters + flat arithmetic in one
+    projection — single scan, zero shuffles, whole-stage codegen."""
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    n_words = F.size(F.split(normalized_text(F.col("text")), " ")).cast("bigint")
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    s = docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+        6,
+    )
+    f = s.withColumn("flesch", flesch)
+    band = (
+        F.when(F.col("flesch") >= 70, "easy")
+        .when(F.col("flesch") >= 50, "medium")
+        .when(F.col("flesch") >= 30, "hard")
+        .otherwise("very_hard")
+    )
+    return f.withColumn("band", band)
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r7): dataset report card
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x9_dataset_report",
+    f"""
+    WITH s AS (
+        SELECT source, lang,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_words,
+               sha256({_NORM_SQL}) AS h
+        FROM documents
+    )
+    SELECT COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words_total,
+           ROUND(AVG(CAST(n_words AS DOUBLE)), 6) AS mean_doc_words,
+           ROUND(quantile_cont(n_words, 0.5), 6) AS p50_doc_words,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(1 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6) AS exact_dup_rate
+    FROM s GROUP BY ROLLUP(source)
+    """,
+)
+def x9_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r7): the DATASET CARD — the per-source summary a data release
+    ships alongside the corpus (datasheet/model-card practice, Gebru et
+    al. 2018 — public literature): document and word volumes, central
+    tendency of document length, language coverage, and the exact-dup
+    rate (1 − distinct-content-hash / docs). ROLLUP adds the corpus-wide
+    'ALL' row in the same aggregate pass.
+
+    Scale shape: one scan → one partial+final rollup aggregate keyed by
+    the low-cardinality source column; the only wide value is the
+    content hash, and it collapses map-side. The p50 uses the exact
+    percentile (the n4 pairing: Spark ``percentile`` == DuckDB
+    ``quantile_cont`` at round-6) — at 100 TB swap for
+    ``percentile_approx`` (the documented sketch variant)."""
+    from etl_active911_spark.operators.dedup import normalized_text, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    stage = docs.select(
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.sha2(normalized_text(F.col("text")), 256).alias("h"),
+    )
+    return (
+        stage.rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words_total"),
+            F.round(F.avg(F.col("n_words").cast("double")), 6).alias("mean_doc_words"),
+            F.round(F.percentile("n_words", F.lit(0.5)), 6).alias("p50_doc_words"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("h").cast("double") / F.count(F.lit(1)), 6
+            ).alias("exact_dup_rate"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "n_words_total",
+            "mean_doc_words",
+            "p50_doc_words",
+            "n_langs",
+            "exact_dup_rate",
+        )
+    )

@@ -74,6 +74,8 @@ BNLJ_ALLOWED.update({
     "x4_source_js_divergence": (3, "|sources|-squared pair table replicated over the vocab (bounded build side) + 1-row totals/vocab scalars"),
     "x8_curriculum_order": (17, "every build side is a 1-row bounds/count scalar (2 prefix sums + corpus count); the persisted band subtree's InMemoryRelation text repeats them per consumer — execution is once"),
     "x3_filtered_topk": (1, "broadcast N_QUERIES-row query block, != self-pair condition (x3_range_search shape)"),
+    "x4_tfidf_topterms": (1, "1-row corpus-count scalar broadcast into the idf projection"),
+    "x3_ann_ivf_seeded": (2, "IVF_N_CELLS-row seed-centroid table broadcast into assignment and probe scoring (bounded build side)"),
     "x9_curation_v5": (14, "every BNLJ is a 1-row scalar build (mixture total/normalizer, prefix-sum bounds); scoped_persist'd stages EXECUTE once but InMemoryRelation plan text repeats them per consumer"),
 })
 
