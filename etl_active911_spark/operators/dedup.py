@@ -1521,6 +1521,33 @@ CDC_MOD = 16
 _CDC_NORM = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
 
 
+def cdc_chunk_table(docs: DataFrame) -> DataFrame:
+    """Per-chunk rows (doc_id, sid, source, chunk_hash, n_toks) of the
+    content-defined chunking pass — the reusable core of
+    ``x2_cdc_chunks`` (also driven directly by the insertion-stability
+    property test on synthetic documents)."""
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    cut = toks.withColumn(
+        "is_cut",
+        (F.pmod(token_hash60(F.col("tok")), F.lit(CDC_MOD)) == 0).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = cut.withColumn("sid", F.sum("is_cut").over(w).cast("bigint"))
+    return seg.groupBy("doc_id", "sid").agg(
+        F.first("source").alias("source"),
+        F.md5(F.expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)")).alias(
+            "chunk_hash"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+    )
+
+
 @query(
     "x2_cdc_chunks",
     f"""
@@ -1574,30 +1601,15 @@ def x2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a PER-DOC window (doc-keyed, never global); the chunk
     aggregate reuses the same doc_id clustering (exchange-free after the
     window — grouping on (doc_id, sid) is satisfied by the doc_id hash
-    partitioning); chunk text is rebuilt with ``listagg WITHIN GROUP``
-    (JVM-side ordered aggregate, no interpreted lambda) and immediately
-    collapsed to its md5, so nothing wider than a chunk string ever
-    shuffles. Final rollup is a tiny per-source aggregate."""
-    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id", "source", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-    )
-    cut = toks.withColumn(
-        "is_cut",
-        (F.pmod(token_hash60(F.col("tok")), F.lit(CDC_MOD)) == 0).cast("int"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    seg = cut.withColumn("sid", F.sum("is_cut").over(w).cast("bigint"))
-    chunks = seg.groupBy("doc_id", "sid").agg(
-        F.first("source").alias("source"),
-        F.md5(F.expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)")).alias(
-            "chunk_hash"
-        ),
-        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+    partitioning, plan-verified); chunk text is rebuilt with ``listagg
+    WITHIN GROUP`` (JVM-side ordered aggregate, no interpreted lambda)
+    and immediately collapsed to its md5, so nothing wider than a chunk
+    string ever shuffles. Final rollup is a tiny per-source aggregate.
+    The defining CDC property — an INSERTION perturbs only the chunk it
+    lands in, not every chunk after it — is pinned by
+    ``tests/test_extensions.py::test_cdc_chunks_insertion_stability``."""
+    chunks = cdc_chunk_table(
+        spread(read_table(spark, sf_dir, "documents"), "doc_id")
     )
     return chunks.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),

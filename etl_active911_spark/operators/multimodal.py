@@ -685,3 +685,137 @@ def x5_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_scene_changes"),
         F.sum(F.when(F.col("pv").isNotNull(), ham)).cast("bigint").alias("total_hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5d (r7): perceptual-hash image dedup (average hash)
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id long, width int, height int, h0 long, h1 long"
+
+
+def ahash64(payload: bytes) -> tuple[int, int, int, int]:
+    """64-bit AVERAGE HASH of a 24-bit BMP (the classic aHash perceptual
+    fingerprint, public literature): nearest-neighbor resample to 8×8
+    (sample at ``x = (gi·w)//8``, ``y = (gj·h)//8`` — exact for any
+    dimensions, no interpolation ties), integer luminance
+    ``299·R + 587·G + 114·B`` (the Rec.601 weights ×1000, kept integral),
+    bit k (= 8·gj + gi) set iff ``64·lum > Σlum`` — the strict-integer
+    form of "above the mean", so both engines make identical boundary
+    calls with no division anywhere. Returned as two 32-bit halves
+    (h0 = bits 0-31, h1 = bits 32-63): a single int64 would need bit 63
+    and overflow signed arithmetic in SQL."""
+    import numpy as np
+
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    _dib, width, height, _planes, _bpp, _comp = struct.unpack_from("<IiiHHI", payload, 14)
+    row_len = (3 * width + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_len * height, offset=pix_off
+    ).reshape(height, row_len)
+    img = rows[::-1, : 3 * width].reshape(height, width, 3)  # top-down BGR
+    xs = (np.arange(8) * width) // 8
+    ys = (np.arange(8) * height) // 8
+    sub = img[np.ix_(ys, xs)].astype(np.int64)  # (gj, gi, BGR)
+    lum = 299 * sub[:, :, 2] + 587 * sub[:, :, 1] + 114 * sub[:, :, 0]
+    tot = int(lum.sum())
+    h0 = h1 = 0
+    for k in range(64):
+        if 64 * int(lum[k // 8, k % 8]) > tot:
+            if k < 32:
+                h0 |= 1 << k
+            else:
+                h1 |= 1 << (k - 32)
+    return width, height, h0, h1
+
+
+@query(
+    "x5_phash_dedup",
+    f"""
+    WITH {_MEDIA_CTE},
+    img AS (
+        SELECT doc_id, {_BMP_W} AS w, {_BMP_H} AS h,
+               {_BMP_S0} AS s0, {_BMP_S1} AS s1, {_BMP_S2} AS s2
+        FROM m WHERE mime = 'image/png'
+    ),
+    grid AS (
+        SELECT doc_id, w, h, s0, s1, s2, unnest(range(64)) AS k FROM img
+    ),
+    samp AS (
+        SELECT doc_id, w, h, k,
+               ((k % 8) * w) // 8 AS x,
+               ((k // 8) * h) // 8 AS y,
+               s0, s1, s2
+        FROM grid
+    ),
+    lum AS (
+        SELECT doc_id, w, h, k,
+               299 * ((7 * x + 13 * y + s0) % 256)
+             + 587 * ((3 * x + 5 * y + s1) % 256)
+             + 114 * ((11 * x + 17 * y + s2) % 256) AS l
+        FROM samp
+    ),
+    tot AS (SELECT doc_id, SUM(l) AS t FROM lum GROUP BY doc_id),
+    bits AS (
+        SELECT lum.doc_id, lum.w, lum.h, lum.k,
+               CASE WHEN 64 * lum.l > tot.t THEN 1 ELSE 0 END AS b
+        FROM lum JOIN tot ON lum.doc_id = tot.doc_id
+    ),
+    hashes AS (
+        SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+               CAST(SUM(CASE WHEN k < 32
+                             THEN b * (CAST(1 AS BIGINT) << k)
+                             ELSE 0 END) AS BIGINT) AS h0,
+               CAST(SUM(CASE WHEN k >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (k - 32))
+                             ELSE 0 END) AS BIGINT) AS h1
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, h0, h1,
+           CAST(COUNT(*) OVER (PARTITION BY h0, h1) AS BIGINT) AS n_same_hash
+    FROM hashes
+    """,
+)
+def x5_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5d (r7): PERCEPTUAL-HASH image dedup — the multimodal twin of
+    exact text dedup: every image gets a 64-bit average hash computed
+    from its REAL decoded pixels (encode → parse → nearest-neighbor 8×8
+    resample → Rec.601 integer luminance → above-mean bits, all in one
+    fused Arrow pass like ``x5_media_decode_real``), and the output
+    tags each image with its hash and the size of its hash class —
+    identical source documents produce identical payloads, hence
+    identical hashes, so duplicate media collapse exactly. The oracle
+    re-derives every bit closed-form from the digest-derived encoder
+    pattern: a decoder that misreads row order, padding, the resample
+    anchor, or the threshold boundary flips bits and hash-mismatches.
+
+    Near-dup extension (documented, not registered): Hamming distance
+    between hashes is ``bit_count(h0 ^ h0') + bit_count(h1 ^ h1')`` —
+    band the 4 16-bit quarters for LSH candidates exactly like SimHash
+    chunks (``x2_simhash``); at fixture scale only exact classes exist,
+    so the registered output is the exact-class rollup.
+
+    Scale shape: blob bytes never shuffle (hash computed in the scan-side
+    Arrow pass; only (doc_id, 2×int64) rows move); the class count is one
+    window over the hash key — the same shuffle the downstream dedup
+    would group by."""
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pdf["mime"] == "image/png"]
+            rows = []
+            for doc_id, b in zip(out["doc_id"], out["bytes"]):
+                d = hashlib.sha256(b).digest()
+                payload = encode_bmp(4 + d[0] % 29, 4 + d[1] % 29, (d[3], d[4], d[5]))
+                w, h, h0, h1 = ahash64(payload)
+                rows.append((doc_id, w, h, h0, h1))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "h0", "h1"])
+
+    from pyspark.sql import Window
+
+    hashes = media.mapInPandas(run, AHASH_SCHEMA)
+    w = Window.partitionBy("h0", "h1")
+    return hashes.withColumn("n_same_hash", F.count(F.lit(1)).over(w).cast("bigint"))

@@ -583,3 +583,30 @@ def test_bmp_two_stage_matches_fused(spark):
     staged = decode_bmp_features(bmp_media_table(media_table(spark, SF_SMOKE)))
     fused = registry.QUERIES["x5_media_decode_real"](spark, SF_SMOKE)
     assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, fused.collect()))
+
+
+def test_cdc_chunks_insertion_stability(spark):
+    """The defining CDC property (rsync/LBFS/FastCDC): inserting one
+    token near the START of a document perturbs only the chunk the
+    insertion lands in — every later chunk hash survives, because
+    boundaries are anchored to CONTENT, not offsets. A fixed-size
+    chunker would re-chunk everything after the edit."""
+    from etl_active911_spark.operators.dedup import cdc_chunk_table
+
+    words = [f"w{i * 31 % 97}tok{i}" for i in range(400)]
+    base = " ".join(words)
+    edited = " ".join(words[:5] + ["INSERTED"] + words[5:])
+    docs = spark.createDataFrame(
+        [(1, base, "s"), (2, edited, "s")], "doc_id long, text string, source string"
+    )
+    rows = cdc_chunk_table(docs).collect()
+    a = [r["chunk_hash"] for r in rows if r["doc_id"] == 1]
+    b = [r["chunk_hash"] for r in rows if r["doc_id"] == 2]
+    assert len(a) > 5, "expected multiple chunks at this length"
+    from collections import Counter
+
+    shared = sum((Counter(a) & Counter(b)).values())
+    # only the chunk containing the insertion may change; with ~25 chunks
+    # that's >= len-1 shared (the edited chunk differs, all others match)
+    assert shared >= len(a) - 1, (shared, len(a), len(b))
+    assert a != b  # the edit IS visible — exactly one chunk changed
