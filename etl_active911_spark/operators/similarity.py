@@ -1641,3 +1641,207 @@ def x3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return partial_topk(scored, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r7): int8 scalar quantization (absmax) + reconstruction report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x3_scalar_quant",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, unnest(x) AS v, unnest(range(1, len(x) + 1)) AS d FROM e
+    ),
+    sc AS (
+        SELECT d, MAX(ABS(v)) / 127.0 AS s FROM ex GROUP BY d
+    ),
+    sa AS (SELECT list(s ORDER BY d) AS sl FROM sc),
+    qz AS (
+        SELECT vec_id, x,
+               list_transform(list_zip(x, sl),
+                   p -> CASE WHEN p[2] = 0 THEN 0.0
+                             ELSE ROUND(p[1] / p[2], 0) END) AS q,
+               sl
+        FROM e CROSS JOIN sa
+    ),
+    rec AS (
+        SELECT vec_id, x,
+               list_transform(list_zip(q, sl), p -> p[1] * p[2]) AS xq
+        FROM qz
+    ),
+    err AS (
+        SELECT vec_id, x, xq,
+               list_transform(list_zip(x, xq), p -> p[1] - p[2]) AS ev
+        FROM rec
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(x, xq)
+                 / (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(xq, xq))),
+                 6) AS cos_sim,
+           ROUND(list_dot_product(ev, ev) / {EMB_DIM}, 6) AS mse,
+           ROUND(list_max(list_transform(ev, t -> ABS(t))), 6) AS max_abs_err
+    FROM err
+    """,
+)
+def x3_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r7): INT8 SCALAR QUANTIZATION — the simplest embedding
+    compression an ANN index ships (absmax per-dimension symmetric int8,
+    the faiss SQ8 / vector-DB default, 4× over float32): per-dim scale =
+    corpus absmax / 127, code = round(x/s), and the per-vector
+    reconstruction report every quantization rollout needs — cosine
+    between original and reconstruction, MSE, max absolute error.
+    Complements PQ (``x3_ann_pq``, 32×, codebook-trained): SQ8 has no
+    training state, so it is the first-rung compression knob.
+
+    Cross-engine exactness: the per-dim scale is a MAX (aggregation-
+    order-proof); every per-vector sum runs SEQUENTIALLY over the array
+    (Spark ``aggregate``/``zip_with`` lambdas == DuckDB list ops — the
+    proven ``dot``/``list_dot_product`` pairing), so no double ever
+    depends on row order; code rounding is half-away-from-zero in both
+    engines (rule 11); the all-zero-dimension guard (s=0 → code 0)
+    avoids NaN poisoning.
+
+    Scale shape: one explode feeds the 64-row per-dim MAX (map-side
+    combined); the scale vector broadcasts back as ONE 64-element array
+    row (never a per-dim join against the corpus); quantize + report are
+    a single narrow projection per vector — dim-bounded lambdas, the
+    x3_cosine_topk norm precedent, NOT corpus-fan-out lambdas."""
+    emb = spread(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    sc = (
+        emb.select(F.posexplode("x").alias("d", "v"))
+        .groupBy("d")
+        .agg((F.max(F.abs("v")) / F.lit(127.0)).alias("s"))
+    )
+    sa = sc.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, s))), p -> p.s)").alias("sl")
+    )
+    qz = emb.crossJoin(F.broadcast(sa)).select(
+        "vec_id",
+        "x",
+        F.zip_with(
+            "x",
+            "sl",
+            lambda xv, sv: F.when(sv == 0, F.lit(0.0)).otherwise(F.round(xv / sv, 0)),
+        ).alias("q"),
+        "sl",
+    )
+    rec = qz.select(
+        "vec_id", "x", F.zip_with("q", "sl", lambda qv, sv: qv * sv).alias("xq")
+    )
+    err = rec.select(
+        "vec_id", "x", "xq", F.zip_with("x", "xq", lambda a, b: a - b).alias("ev")
+    )
+    return err.select(
+        "vec_id",
+        F.round(
+            dot(F.col("x"), F.col("xq"))
+            / (
+                F.sqrt(dot(F.col("x"), F.col("x")))
+                * F.sqrt(dot(F.col("xq"), F.col("xq")))
+            ),
+            6,
+        ).alias("cos_sim"),
+        F.round(dot(F.col("ev"), F.col("ev")) / F.lit(float(EMB_DIM)), 6).alias("mse"),
+        F.round(
+            F.array_max(F.transform("ev", lambda t: F.abs(t))), 6
+        ).alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r7): IVF + PQ composed (the FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+@query("x3_ann_ivf_pq")  # composed route+compress ANN — rows-only; exact replica in pytest
+def x3_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r7): IVF routing COMPOSED with PQ compression — the shape a
+    production vector index actually runs (FAISS ``IVFx,PQy``): the
+    coarse quantizer prunes WHICH rows are scanned (nprobe/n_cells of
+    the corpus), PQ prunes HOW MUCH of each row is read (8 B codes,
+    32×), so per-query cost drops multiplicatively — at 100 TB a probe
+    reads nprobe/16 of the partitions and only the code column within
+    them. This variant PQ-encodes raw vectors (IVF-Flat-PQ); FAISS's
+    residual encoding (PQ on x − centroid[cell]) drops in by replacing
+    the encode input and adding the centroid back in the LUT — same
+    plumbing, noted not implemented.
+
+    Stages, each already independently pinned: IVF centroids + cell
+    assignment (``x3_ann_ivf``'s fit, 256-row documented sample), PQ
+    codebooks + encode (``x3_ann_pq``'s fit, bit-level replica), probe
+    lists derived distributively (broadcast centroid join — no query
+    collect), per-CELL cogroup ADC (the LUT gather runs only on probed
+    cells' codes), global shortlist via WindowGroupLimit partial top-k,
+    exact re-rank on the shortlist. Correctness: rows-only for the
+    driver (numpy fits aren't SQL-expressible) + an end-to-end exact
+    replica (tests/test_ivfpq_replica.py, the PQ-replica pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    C = _fit_ivf_centroids(emb)
+    books = _fit_pq_codebooks(emb)
+    sub = EMB_DIM // PQ_M
+
+    codes = pq_encode(emb, books).join(_ivf_cells(emb, C), "vec_id")
+    probe = _ivf_probe_df(spark, emb, C)  # (query_id, cell), ≤ N_QUERIES × nprobe
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qside = probe.join(q, "query_id")
+    shortlist = 8 * TOP_K
+
+    def score_cell(key, cpdf, qpdf):
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []}).astype(
+                {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
+            )
+        Cc = np.array(cpdf["code"].tolist(), dtype=np.int64)
+        ids = cpdf["vec_id"].to_numpy()
+        q_ids = qpdf["query_id"].to_numpy()
+        Q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        lut = np.einsum("qms,mks->qmk", Q.reshape(len(Q), PQ_M, sub), books)
+        out = []
+        for qi in range(len(q_ids)):
+            s = lut[qi, np.arange(PQ_M)[None, :], Cc].sum(axis=1)
+            mask = ids != q_ids[qi]
+            cand_ids, cand = ids[mask], s[mask]
+            if len(cand) > shortlist:
+                thresh = np.partition(cand, -shortlist)[-shortlist] - 1e-6
+                keep = cand >= thresh
+                cand_ids, cand = cand_ids[keep], cand[keep]
+            out.append(
+                pd.DataFrame({"query_id": q_ids[qi], "vec_id": cand_ids, "cosine": cand})
+            )
+        return pd.concat(out)
+
+    adc = (
+        codes.groupBy("cell")
+        .cogroup(qside.groupBy("cell"))
+        .applyInPandas(score_cell, "query_id long, vec_id long, cosine double")
+    )
+    cand = partial_topk(adc, shortlist).select("query_id", "vec_id")
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    rescored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    return partial_topk(rescored, TOP_K)
