@@ -2153,3 +2153,127 @@ def x9_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_dup_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r7): BPE tokenizer — distributed fit + corpus encode
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 16
+BPE_FIT_VOCAB = 2048  # top words by frequency used for the fit (bounded collect)
+
+
+def fit_bpe_merges(docs: DataFrame) -> list[tuple[str, str]]:
+    """Fit BPE_N_MERGES byte-pair merges (Sennrich et al., ACL 2016) on
+    the corpus, distributed where it matters: the corpus-sized work is
+    ONE token explode + word-frequency aggregate (work ∝ corpus, shuffle
+    ∝ vocabulary); the iterative merge loop then runs driver-side over
+    the collected top-``BPE_FIT_VOCAB`` (word, freq) rows — a documented
+    BOUNDED collect (the 256-row IVF/PQ fit-sample convention; at 100 TB
+    the cut keeps the driver table at a few MB and captures virtually
+    all pair mass, Zipf-bounded). Deterministic: the vocabulary cut orders
+    by (freq DESC, word) and merge ties break to the lexicographically
+    smallest pair, so the same corpus always yields the same merges."""
+    from collections import Counter
+
+    from etl_active911_spark.operators.dedup import tokens
+
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), "w")
+        .limit(BPE_FIT_VOCAB)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in wf:
+        if r["w"]:
+            vocab[tuple(r["w"])] = vocab.get(tuple(r["w"]), 0) + int(r["f"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_N_MERGES):
+        pairs: Counter = Counter()
+        for seq, f in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {apply_bpe_merges(seq, [best]): f for seq, f in vocab.items()}
+    return merges
+
+
+def apply_bpe_merges(seq: tuple, merges: list[tuple[str, str]]) -> tuple:
+    """Greedy left-to-right application of each merge in priority order —
+    the standard BPE encode inner loop, shared by fit and encode."""
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = tuple(out)
+    return seq
+
+
+@query("x4_bpe_encode")  # iterative merge application — rows-only; exact replica + properties in pytest
+def x4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r7): BPE tokenizer ENCODE over the corpus — the step that
+    actually turns curated text into trainer input, composing the two
+    pieces already pinned (BPE-ish token counting; merge-pair counting):
+    fit ``BPE_N_MERGES`` merges (``fit_bpe_merges``), then encode.
+
+    Scale shape — the vocabulary-collapse trick from
+    ``x4_bpe_merge_count``: the Python merge loop runs ONCE PER DISTINCT
+    WORD (Arrow-batched mapInPandas over the vocabulary table, work ∝
+    vocab — Zipf ≪ corpus), and per-document piece counts come from a
+    broadcast-joinable (word → n_pieces) table against the token
+    explode — the corpus-sized path stays pure JVM aggregate. Output
+    per doc: word count, BPE piece count, pieces-per-word (the
+    fertility metric tokenizer evaluations report).
+
+    Rows-only by nature (iterative fit + encode are not
+    SQL-expressible); hard evidence: tests/test_bpe.py — independent
+    naive re-implementation matches the fit AND every word's encoding
+    exactly, concatenation invariant, partitioning invariance."""
+    import pandas as pd
+
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    merges = fit_bpe_merges(docs)
+
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = toks.select("w").distinct()
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_pieces": [
+                        len(apply_bpe_merges(tuple(w), merges)) if w else 0
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    enc = vocab.mapInPandas(encode, "w string, n_pieces long")
+    return (
+        toks.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+            ).alias("pieces_per_word"),
+        )
+    )
