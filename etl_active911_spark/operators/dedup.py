@@ -1620,3 +1620,60 @@ def x2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ratio"),
         F.round(F.avg(F.col("n_toks").cast("double")), 6).alias("mean_chunk_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r7): cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x2_cross_source_dups",
+    f"""
+    WITH {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b, jac FROM verified WHERE jac >= 0.5)
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           ROUND(MIN(prs.jac), 6) AS min_jaccard,
+           ROUND(MAX(prs.jac), 6) AS max_jaccard
+    FROM prs
+    JOIN documents da ON da.doc_id = prs.doc_a
+    JOIN documents db ON db.doc_id = prs.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def x2_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r7): the cross-source DUPLICATION MATRIX — which pairs of
+    sources share near-duplicate content, and how much: the diagnostic
+    behind mixture weighting and scrape-overlap triage (two crawls of
+    the same sites show up as an off-diagonal spike; within-source
+    boilerplate shows on the diagonal). Verified near-dup pairs (the
+    shared memoized graph — zero extra MinHash work in a sweep) join to
+    their documents' sources; the (unordered) source pair keys the
+    rollup. MIN/MAX jaccard per cell are aggregation-order-PROOF
+    statistics (an AVG of doubles would be last-ulp order-dependent,
+    canonical policy).
+
+    Scale shape: the pair list is near-dup-sized (≪ corpus); two
+    broadcast-able joins against the (doc_id, source) projection; the
+    rollup output is |sources|² rows max."""
+    pairs = shared_verified_pairs(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

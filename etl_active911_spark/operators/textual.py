@@ -2277,3 +2277,89 @@ def x4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pieces_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r7): corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x9_corpus_diff",
+    """
+    WITH v1 AS (
+        SELECT doc_id, text, md5(text) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 5 THEN text || ' [v2]' ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 7
+    ),
+    v2h AS (
+        SELECT doc_id, md5(text) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM v2
+    ),
+    d AS (
+        SELECT CASE WHEN v2h.doc_id IS NULL THEN 'removed'
+                    WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v1.h <> v2h.h THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(v2h.nb, v1.nb) AS nb
+        FROM v1 FULL OUTER JOIN v2h ON v1.doc_id = v2h.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes
+    FROM d GROUP BY status
+    """,
+)
+def x9_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r7): SNAPSHOT DIFF between two corpus versions — the release
+    audit every dataset refresh publishes (what changed since v1?):
+    full-outer join on doc_id, content compared by hash, rolled up to
+    added / removed / changed / unchanged counts and byte volumes. The
+    v2 snapshot is derived deterministically from the fixture (drops
+    ``doc_id % 17 = 3``, edits ``% 13 = 5``, adds re-keyed ``% 19 = 7``)
+    so both engines diff identical inputs; a real deployment feeds two
+    parquet snapshot paths into the same plan.
+
+    Scale shape: the diff is ONE full-outer SMJ/shuffle join on the id
+    (both sides id-partitioned; co-partitioned snapshots make it
+    exchange-light), content equality by hash so full text never feeds
+    the comparator twice, and a 4-row rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        "doc_id",
+        F.md5("text").alias("h1"),
+        F.octet_length("text").cast("bigint").alias("nb1"),
+    )
+    v2_base = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 5, F.concat("text", F.lit(" [v2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2_add = docs.filter(F.col("doc_id") % 19 == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    v2 = v2_base.unionByName(v2_add).select(
+        "doc_id",
+        F.md5("text").alias("h2"),
+        F.octet_length("text").cast("bigint").alias("nb2"),
+    )
+    d = v1.join(v2, "doc_id", "full_outer").select(
+        F.when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1").isNull(), "added")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("nb2", "nb1").alias("nb"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("total_bytes"),
+    )
