@@ -92,3 +92,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the fixture tables as temp views for spark.sql queries."""
     for name in TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED managed table: rows are hash-clustered
+    into ``n_buckets`` files by ``bucket_col`` (optionally sorted within
+    buckets), so every FUTURE equi-join or aggregation on that column
+    reads pre-clustered data and plans with NO shuffle exchange on the
+    bucketed side (SCALE.md "what changes at 1000 executors": bucketing
+    both join sides removes the exchange entirely). This is the repeated-
+    join amortization knob: pay one clustered write, join shuffle-free
+    forever after. Plan-asserted in tests/test_data_skipping.py.
+
+    Bucketing requires ``saveAsTable`` (the metastore records the bucket
+    spec); ``path`` pins the warehouse location when given."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)

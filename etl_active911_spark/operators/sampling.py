@@ -900,3 +900,87 @@ def x8_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(offs), "band")
         .select("doc_id", "band", (F.col("off") + F.col("ib")).cast("bigint").alias("pos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r7): length-bucketed batching (padding-efficiency manifest)
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = 8
+_LEN_BANDS_SQL = """CASE WHEN n_tokens < 64 THEN 'xs'
+                         WHEN n_tokens < 256 THEN 's'
+                         WHEN n_tokens < 1024 THEN 'm'
+                         ELSE 'l' END"""
+
+
+def _length_batching_oracle() -> str:
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(LOWER(text), '{pat}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    b AS (SELECT doc_id, n_tokens, {_LEN_BANDS_SQL} AS band FROM d),
+    r AS (
+        SELECT doc_id, n_tokens, band,
+               ROW_NUMBER() OVER (PARTITION BY band ORDER BY doc_id) - 1 AS rn
+        FROM b
+    )
+    SELECT band, CAST(rn // {BATCH_SIZE} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+           ROUND(1 - CAST(SUM(n_tokens) AS DOUBLE)
+                     / GREATEST(MAX(n_tokens) * COUNT(*), 1), 6) AS pad_frac
+    FROM r GROUP BY 1, 2
+    """
+
+
+@query("x8_length_batching", _length_batching_oracle())
+def x8_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r7): LENGTH-BUCKETED BATCHING — the PADDING strategy's
+    manifest, complementing ``x8_token_packing`` (the CONCAT strategy):
+    documents are banded by token length (so batchmates have similar
+    lengths), fixed-size batches of ``BATCH_SIZE`` form in deterministic
+    doc_id order within each band, and each batch reports its padding
+    waste ``1 − Σlen/(max_len·n)`` — the fraction of compute a padded
+    batch burns on pad tokens, i.e. exactly the number dynamic batching
+    exists to minimize. Fine-tuning stacks pad (this operator); 
+    pretraining stacks pack (``x8_token_packing``); an engine for LLM
+    data needs both manifests.
+
+    Scale shape: the within-band rank is the GROUPED two-phase prefix
+    COUNT (group = band, key = doc_id) — a per-band ROW_NUMBER window
+    would funnel each band (a quarter of the corpus) through one task;
+    the oracle may use the window because oracle scale is fixture scale.
+    Everything after the rank is a keyed (band, batch) aggregate."""
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    b = d.withColumn("band", F.expr(_LEN_BANDS_SQL)).withColumn(
+        "one", F.lit(1)
+    )
+    r = _two_phase_prefix_sum(b, "one", key="doc_id", group_cols=("band",))
+    return (
+        r.withColumn("batch_id", F.expr(f"CAST(start_off DIV {BATCH_SIZE} AS BIGINT)"))
+        .groupBy("band", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_len"),
+            F.sum("n_tokens").cast("bigint").alias("sum_len"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_tokens").cast("double")
+                / F.greatest(F.max("n_tokens") * F.count(F.lit(1)), F.lit(1)),
+                6,
+            ).alias("pad_frac"),
+        )
+    )

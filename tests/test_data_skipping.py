@@ -75,3 +75,47 @@ def test_sorted_layout_pushes_range_predicate(spark, tmp_path):
     pushed = plan.split("PushedFilters")[1][:200] if "PushedFilters" in plan else ""
     assert "GreaterThan(l_orderkey" in pushed, plan[:3000]
     assert got.count() == li.filter(F.col("l_orderkey") > hi - 10).count()
+
+
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    """io.write_bucketed: joining two tables bucketed on the same key with
+    the same bucket count must plan with ZERO shuffle exchanges on the
+    join (the repeated-join amortization story in SCALE.md) — and the
+    join result must equal the plain-parquet join."""
+    from etl_active911_spark.io import write_bucketed
+
+    orders = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed(
+            orders, "t_orders_b", "o_orderkey", 8, path=str(tmp_path / "ob")
+        )
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b",
+            "o_orderkey",
+            8,
+            path=str(tmp_path / "lb"),
+        )
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, "o_orderkey")
+        # at fixture size the planner prefers broadcast (which ignores the
+        # bucket spec); disable it to expose the shape a TB-scale join
+        # takes — the one bucketing exists for
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan[:3000]
+            assert "Exchange hashpartitioning" not in plan, plan[:3000]
+            assert "Bucketed: true" in plan, plan[:3000]
+            want = orders.join(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            ).count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
