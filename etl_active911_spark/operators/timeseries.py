@@ -843,3 +843,143 @@ def x6_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / F.sqrt(dx.cast("double") * dy.cast("double")), 6).alias("acf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r7): matrix profile (motif discovery)
+# ---------------------------------------------------------------------------
+
+
+def _mp_windows_sql() -> str:
+    return f"""
+    b AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {WINDOW - 1} PRECEDING AND CURRENT ROW) AS a,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN {WINDOW - 1} PRECEDING AND CURRENT ROW) AS m,
+               SUM(value * value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN {WINDOW - 1} PRECEDING AND CURRENT ROW) AS ssq,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN {WINDOW - 1} PRECEDING AND CURRENT ROW) AS n
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, rn, a, m,
+               sqrt(GREATEST(ssq / {WINDOW} - m * m, 0)) AS sd
+        FROM b WHERE n = {WINDOW}
+    ),
+    full_w AS (SELECT * FROM w WHERE sd > 0)
+    """
+
+
+def _mp_dist_sql(prefix_a: str = "x", prefix_b: str = "y") -> str:
+    """Σ_k ((a_k−ma)/sa − (b_k−mb)/sb)² unrolled over the fixed window —
+    identical term order in both engines."""
+    terms = " + ".join(
+        f"(({prefix_a}.a[{k}] - {prefix_a}.m) / {prefix_a}.sd"
+        f" - ({prefix_b}.a[{k}] - {prefix_b}.m) / {prefix_b}.sd)"
+        f" * (({prefix_a}.a[{k}] - {prefix_a}.m) / {prefix_a}.sd"
+        f" - ({prefix_b}.a[{k}] - {prefix_b}.m) / {prefix_b}.sd)"
+        for k in range(1, WINDOW + 1)
+    )
+    return f"sqrt({terms})"
+
+
+@query(
+    "x6_matrix_profile",
+    f"""
+    WITH {_mp_windows_sql()},
+    pairs AS (
+        SELECT x.user_id, x.event_id,
+               y.event_id AS nn_event_id,
+               ROUND({_mp_dist_sql()}, 6) AS d
+        FROM full_w x JOIN full_w y
+          ON x.user_id = y.user_id AND ABS(x.rn - y.rn) >= {WINDOW}
+    ),
+    ranked AS (
+        SELECT user_id, event_id, nn_event_id, d,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+                                  ORDER BY d, nn_event_id) AS k
+        FROM pairs
+    )
+    SELECT user_id, event_id, d AS mp, nn_event_id
+    FROM ranked WHERE k = 1
+    """,
+)
+def x6_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r7): the MATRIX PROFILE (Yeh et al., "Matrix Profile I",
+    ICDM 2016 — public literature): for every length-``WINDOW`` sliding
+    window of each user's series, the z-normalized euclidean distance to
+    its NEAREST non-trivial neighbor window (exclusion zone
+    ``|i−j| ≥ WINDOW``) plus that neighbor's id. Low profile values =
+    MOTIFS (repeated behavior); high values = DISCORDS (anomalies) —
+    the one structure that answers both queries at once, which the
+    existing pattern matcher (fixed query pattern) and robust-outlier
+    operators (pointwise) cannot.
+
+    Cross-engine exactness: windows, means, and sds come from the SAME
+    frame expressions as ``x6_ts_znorm_stats``; the pair distance is
+    the per-element unrolled sum (fixed term order, codegen `element_at`
+    — no interpreted lambda at pair fan-out); nearest-neighbor choice
+    ranks on the ROUNDED distance with event-id tie-break (canonical
+    policy 4); ``GREATEST(var, 0)`` guards fp-negative variances
+    identically in both engines.
+
+    Scale note: the registered form is the exact all-pairs join —
+    O(Σ_u n_u²) pairs, sound for per-user series that fit a task. At
+    real scale the published STOMP ordering computes each diagonal in
+    O(1) from its predecessor inside a per-user ``applyInPandas`` chunk
+    (the x6_ts_dtw chunking pattern); the SQL form here is what DuckDB
+    can replicate bit-for-bit, so it is the oracle-checked anchor."""
+    events = read_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(-(WINDOW - 1), Window.currentRow)
+    b = events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        F.collect_list("value").over(wf).alias("a"),
+        F.avg("value").over(wf).alias("m"),
+        F.sum(F.col("value") * F.col("value")).over(wf).alias("ssq"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    )
+    w = (
+        b.filter(F.col("n") == WINDOW)
+        .withColumn(
+            "sd",
+            F.sqrt(F.greatest(F.col("ssq") / WINDOW - F.col("m") * F.col("m"), F.lit(0.0))),
+        )
+        .filter(F.col("sd") > 0)
+        .select("user_id", "event_id", "rn", "a", "m", "sd")
+    )
+    x = w.alias("x")
+    y = w.alias("y")
+
+    def z(side: str, k: int):
+        return (F.element_at(f"{side}.a", k) - F.col(f"{side}.m")) / F.col(f"{side}.sd")
+
+    dist2 = None
+    for k in range(1, WINDOW + 1):
+        t = (z("x", k) - z("y", k)) * (z("x", k) - z("y", k))
+        dist2 = t if dist2 is None else dist2 + t
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.abs(F.col("x.rn") - F.col("y.rn")) >= WINDOW),
+        )
+        .select(
+            F.col("x.user_id").alias("user_id"),
+            F.col("x.event_id").alias("event_id"),
+            F.col("y.event_id").alias("nn_event_id"),
+            F.round(F.sqrt(dist2), 6).alias("d"),
+        )
+    )
+    wr = Window.partitionBy("user_id", "event_id").orderBy("d", "nn_event_id")
+    return (
+        pairs.withColumn("k", F.row_number().over(wr))
+        .filter(F.col("k") == 1)
+        .select("user_id", "event_id", F.col("d").alias("mp"), "nn_event_id")
+    )
