@@ -983,3 +983,60 @@ def x6_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") == 1)
         .select("user_id", "event_id", F.col("d").alias("mp"), "nn_event_id")
     )
+
+
+def matrix_profile_chunked(events: DataFrame) -> DataFrame:
+    """The SCALE path for ``x6_matrix_profile``: per-user Arrow chunks
+    (``applyInPandas`` — the x6_ts_dtw pattern) computing the same
+    z-normalized nearest-neighbor profile with vectorized numpy instead
+    of the all-pairs SQL join. Per-user work is still O(n²) pairwise
+    float ops but with NO pair-row materialization or shuffle — the pair
+    matrix lives only inside one task's numpy arena, so the shuffled
+    data volume is the series itself, not its square. (The published
+    STOMP recurrence would drop the per-pair cost to O(1) amortized;
+    the vectorized form here is already memory-safe and keeps the
+    arithmetic ORDER identical to the SQL anchor, which the equivalence
+    test pins: same windows, same mean/sd formula, same per-element
+    term order, same round-half-up-6 + id tie-break.)"""
+    import pandas as pd
+
+    def prof(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        ev = pdf["event_id"].to_numpy()
+        n = len(v)
+        if n < WINDOW:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "mp": [], "nn_event_id": []}
+            ).astype({"user_id": "int64", "event_id": "int64", "mp": "float64", "nn_event_id": "int64"})
+        wins = np.lib.stride_tricks.sliding_window_view(v, WINDOW)  # (nw, W)
+        m = wins.sum(axis=1) / WINDOW
+        ssq = (wins * wins).sum(axis=1)
+        sd = np.sqrt(np.maximum(ssq / WINDOW - m * m, 0.0))
+        valid = sd > 0
+        z = np.where(
+            valid[:, None], (wins - m[:, None]) / np.where(valid, sd, 1.0)[:, None], 0.0
+        )
+        # window i ends at series index i+W-1 -> event_id of that row
+        end_ev = ev[WINDOW - 1 :]
+        idx = np.arange(len(wins))
+        uid = int(pdf["user_id"].iloc[0])
+        rows = []
+        for i in idx[valid]:
+            mask = valid & (np.abs(idx - i) >= WINDOW)
+            if not mask.any():
+                continue
+            diff = z[mask] - z[i]
+            d = np.sqrt((diff * diff).sum(axis=1))
+            d6 = np.sign(d) * np.floor(np.abs(d) * 1e6 + 0.5) / 1e6
+            cand_ev = end_ev[mask]
+            order = np.lexsort((cand_ev, d6))
+            j = order[0]
+            rows.append((uid, int(end_ev[i]), float(d6[j]), int(cand_ev[j])))
+        return pd.DataFrame(rows, columns=["user_id", "event_id", "mp", "nn_event_id"])
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy("user_id").applyInPandas(
+        prof, "user_id long, event_id long, mp double, nn_event_id long"
+    )

@@ -388,3 +388,25 @@ def test_lenient_wall_triple_engine_agreement(spark, raws):
     for r, w, g in zip(raws, want, got_duck):
         g = g.replace(tzinfo=None) if g is not None and g.tzinfo else g
         assert g == w, f"duckdb: {r!r} -> {g} want {w}"
+
+
+def test_matrix_profile_chunked_equals_sql_anchor(spark):
+    """The applyInPandas scale path of the matrix profile must reproduce
+    the oracle-checked SQL anchor exactly: same windows, same mean/sd
+    formula, same term order, same rounded distance and tie-break."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.timeseries import (
+        matrix_profile_chunked,
+        x6_matrix_profile,
+    )
+    from tests.conftest import SF_SMOKE
+
+    sql_rows = {
+        (r["user_id"], r["event_id"]): (r["nn_event_id"], r["mp"])
+        for r in x6_matrix_profile(spark, SF_SMOKE).collect()
+    }
+    np_rows = {
+        (r["user_id"], r["event_id"]): (r["nn_event_id"], r["mp"])
+        for r in matrix_profile_chunked(read_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert sql_rows == np_rows
