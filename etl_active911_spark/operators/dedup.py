@@ -1677,3 +1677,71 @@ def x2_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r7): LSH banding S-curve (design/tuning table)
+# ---------------------------------------------------------------------------
+
+#: (bands, rows) configurations with bands × rows = 64 (our signature size)
+_LSH_CONFIGS = ((32, 2), (16, 4), (8, 8))
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """x^n via explicit squaring chain (n ∈ {2,4,8,16,32}) — identical
+    multiply order in both engines, no libm pow involved."""
+    assert n in (2, 4, 8, 16, 32)
+    out = expr
+    k = 1
+    while k < n:
+        out = f"({out} * {out})"
+        k *= 2
+    return out
+
+
+def _lsh_tuning_sql_for(b: int, r: int, src: str) -> str:
+    # CAST keeps everything DOUBLE end-to-end: a bare 20.0 literal parses
+    # as DECIMAL in Spark (decimal arithmetic diverges from the oracle's
+    # float path — caught by the type-strict replica)
+    sr = _pow_chain("s", r)
+    miss = _pow_chain(f"(1 - {sr})", b)
+    thr = repr((1.0 / b) ** (1.0 / r))  # python-computed literal, shared verbatim
+    return f"""
+        SELECT {b} AS bands, {r} AS rows_per_band,
+               ROUND(s, 6) AS s,
+               ROUND(1 - {miss}, 6) AS collision_prob,
+               CAST({thr} AS DOUBLE) AS threshold_s
+        FROM (SELECT CAST(i AS DOUBLE) / CAST(20 AS DOUBLE) AS s FROM {src})
+    """
+
+
+@query(
+    "x2_lsh_tuning",
+    " UNION ALL ".join(
+        _lsh_tuning_sql_for(b, r, "(SELECT unnest(range(1, 20)) AS i)")
+        for b, r in _LSH_CONFIGS
+    ),
+)
+def x2_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r7): the LSH BANDING S-CURVE — the design table behind every
+    (bands × rows) choice in this engine (MMDS ch.3, public literature):
+    for each 64-hash split and each similarity s on a 0.05 grid, the
+    candidate-collision probability ``1 − (1 − s^r)^b``, plus the curve's
+    threshold ``(1/b)^(1/r)`` (where collision probability crosses ~½).
+    This is how x2_minhash_lsh's (16, 4) ≈ 0.5-threshold configuration
+    was chosen; publishing the table as an operator makes the tuning
+    decision reproducible and auditable next to the operator it tuned.
+
+    Cross-engine exactness: powers are explicit SQUARING CHAINS (no
+    libm ``pow``, whose last ulp differs across engines); the fractional
+    threshold is a Python-computed literal injected verbatim into both
+    engines. Pure generated table — no input scan at all."""
+    out = None
+    for b, r in _LSH_CONFIGS:
+        # identical SQL text as the oracle fragment, run through Spark SQL
+        part = spark.range(1, 20).selectExpr("id AS i")
+        part.createOrReplaceTempView(f"_lsh_grid_{b}_{r}")
+        sql = _lsh_tuning_sql_for(b, r, f"_lsh_grid_{b}_{r}")
+        part = spark.sql(sql)
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -819,3 +819,159 @@ def x5_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = media.mapInPandas(run, AHASH_SCHEMA)
     w = Window.partitionBy("h0", "h1")
     return hashes.withColumn("n_same_hash", F.count(F.lit(1)).over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# X-5e (r7): real WAV audio codec (encode + decode, analytic oracle)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(n_samples: int, rate: int, a: int, b: int) -> bytes:
+    """A real 16-bit mono PCM WAV: 44-byte RIFF/WAVE/fmt/data header and
+    little-endian samples from the integer sawtooth
+    ``s[i] = (a·i + b) % 65536 − 32768`` — pure int arithmetic so every
+    decoded statistic is closed-form predictable (the audio twin of
+    ``encode_bmp``'s pixel pattern)."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((a * i + b) % 65536 - 32768).astype("<i2")
+    data = s.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a 16-bit mono PCM WAV: (n_samples, rate, sum_sq, n_zero_cross,
+    peak) — every value from the byte stream itself (RIFF/fmt/data chunk
+    walk; samples as little-endian int16). sum_sq and crossings are exact
+    integers, so downstream stats carry no float ambiguity."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt_tag, channels, rate = struct.unpack_from("<HHI", payload, 20)
+    bits = struct.unpack_from("<H", payload, 34)[0]
+    if fmt_tag != 1 or channels != 1 or bits != 16 or payload[36:40] != b"data":
+        raise ValueError("unsupported WAV variant")
+    (data_len,) = struct.unpack_from("<I", payload, 40)
+    s = np.frombuffer(payload, dtype="<i2", count=data_len // 2, offset=44).astype(
+        np.int64
+    )
+    sum_sq = int((s * s).sum())
+    zc = int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+    peak = int(np.abs(s).max()) if len(s) else 0
+    return len(s), rate, sum_sq, zc, peak
+
+
+# digest-derived encoder parameters (audio rows: doc_id % 3 = 1)
+_WAV_N = f"(500 + ({_hexbyte('sha', 0)} * 256 + {_hexbyte('sha', 1)}) % 2000)"
+_WAV_RATE = f"(8000 + 1000 * ({_hexbyte('sha', 2)} % 5))"
+_WAV_A = f"(1 + {_hexbyte('sha', 3)})"
+_WAV_B = f"({_hexbyte('sha', 4)} * 256 + {_hexbyte('sha', 5)})"
+
+
+@query(
+    "x5_audio_decode_real",
+    f"""
+    WITH {_MEDIA_CTE},
+    au AS (
+        SELECT doc_id, {_WAV_N} AS n, {_WAV_RATE} AS rate,
+               {_WAV_A} AS a, {_WAV_B} AS b
+        FROM m WHERE mime = 'audio/wav'
+    ),
+    sm AS (
+        SELECT doc_id, n, rate, a, b, unnest(range(n)) AS i FROM au
+    ),
+    sv AS (
+        SELECT doc_id, n, rate, i, ((a * i + b) % 65536 - 32768) AS s FROM sm
+    ),
+    ag AS (
+        SELECT doc_id, ANY_VALUE(n) AS n, ANY_VALUE(rate) AS rate,
+               CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN i > 0 AND s * lag_s < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero_cross,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        FROM (
+            SELECT doc_id, n, rate, i, s,
+                   LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS lag_s
+            FROM sv
+        ) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           ROUND(sqrt(CAST(sum_sq AS DOUBLE) / n), 6) AS rms,
+           n_zero_cross, peak
+    FROM ag
+    """,
+)
+def x5_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5e (r7): REAL audio decode — the WAV twin of
+    ``x5_media_decode_real``: genuine RIFF/PCM bytes are encoded on the
+    executors (parameters derived from the payload digest), then parsed
+    back out of the raw byte stream — header chunk walk, little-endian
+    int16 samples — into the features an audio-curation pipeline gates
+    on: duration, RMS energy, zero-crossing rate (the classic
+    speech/noise discriminator), and peak amplitude. The oracle predicts
+    every value closed-form from the integer sample formula, so a
+    decoder that misreads the header layout, sample width, or
+    endianness hash-mismatches. Sums and crossings are exact INTEGERS
+    (no float until the final RMS), so no aggregation-order ambiguity
+    exists anywhere.
+
+    Production swap: ``soundfile.read``/ffmpeg behind the same
+    mapInPandas signature — the Spark-side plumbing (Arrow batching,
+    fused encode+decode, schema) is the real, tested part.
+
+    Scale shape: one fused Arrow pass, blob bytes never shuffle, output
+    is 6 scalars per asset."""
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pdf["mime"] == "audio/wav"]
+            rows = []
+            import math
+
+            for doc_id, bts in zip(out["doc_id"], out["bytes"]):
+                d = hashlib.sha256(bts).digest()
+                n = 500 + (d[0] * 256 + d[1]) % 2000
+                rate = 8000 + 1000 * (d[2] % 5)
+                payload = encode_wav(n, rate, 1 + d[3], d[4] * 256 + d[5])
+                ns, rt, sum_sq, zc, peak = decode_wav(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        ns,
+                        rt,
+                        ns * 1000 // rt,
+                        round(math.sqrt(sum_sq / ns), 6),
+                        zc,
+                        peak,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "duration_ms",
+                    "rms", "n_zero_cross", "peak",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, duration_ms long, "
+        "rms double, n_zero_cross long, peak long",
+    )
