@@ -984,3 +984,137 @@ def x8_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r7): token-budget allocation across sources (exact water-filling)
+# ---------------------------------------------------------------------------
+
+
+def _budget_alloc_oracle() -> str:
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH caps AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(LOWER(text), '{pat}'))) AS BIGINT) AS cap
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(cap) / 2 AS BIGINT) AS budget, COUNT(*) AS n FROM caps),
+    r AS (
+        SELECT source, cap,
+               ROW_NUMBER() OVER (ORDER BY cap, source) AS k,
+               CAST(SUM(cap) OVER (ORDER BY cap, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap
+                    AS BIGINT) AS pfx
+        FROM caps
+    ),
+    s AS (
+        SELECT r.*, t.budget, t.n,
+               CASE WHEN r.pfx + r.cap * (t.n - r.k + 1) <= t.budget
+                    THEN 1 ELSE 0 END AS sat
+        FROM r CROSS JOIN t
+    ),
+    agg AS (
+        SELECT CAST(SUM(sat) AS BIGINT) AS n_sat,
+               CAST(SUM(CASE WHEN sat = 1 THEN cap ELSE 0 END) AS BIGINT) AS used
+        FROM s
+    ),
+    lvl AS (
+        SELECT s.*, agg.n_sat, agg.used,
+               (s.budget - agg.used) // (s.n - agg.n_sat) AS level,
+               (s.budget - agg.used) % (s.n - agg.n_sat) AS extra,
+               CASE WHEN s.sat = 0
+                    THEN ROW_NUMBER() OVER (PARTITION BY s.sat ORDER BY s.cap, s.source)
+                    ELSE 0 END AS uj
+        FROM s CROSS JOIN agg
+    )
+    SELECT source, cap AS capacity,
+           CAST(CASE WHEN sat = 1 THEN cap
+                     ELSE level + CASE WHEN uj <= extra THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocation,
+           CAST(sat AS INT) AS saturated
+    FROM lvl
+    """
+
+
+@query("x8_budget_allocation", _budget_alloc_oracle())
+def x8_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r7): TOKEN-BUDGET ALLOCATION across sources by exact integer
+    WATER-FILLING: given a total training budget (here derived as 50% of
+    corpus tokens, deterministic) and per-source capacities, small
+    sources are taken whole (saturated) and the remaining budget splits
+    EQUALLY across the rest — the max-min fair allocation behind "cap
+    the big crawls, keep all of the good small corpora" curation plans.
+    A source is saturated iff funding every source from its sorted
+    position onward at its own capacity still fits (monotone predicate,
+    provably the water-filling cut); the division remainder goes to the
+    smallest unsaturated sources, one unit each, so Σ allocation ==
+    budget EXACTLY and every quantity stays an int64 end-to-end — no
+    float enters the computation at any point.
+
+    Scale shape: one corpus scan for per-source token caps; everything
+    after runs on the |sources|-row table (windows over ≤ |sources|
+    rows, 1-row scalar broadcasts)."""
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    caps = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)))
+            .cast("bigint")
+            .alias("cap")
+        )
+    )
+    t = caps.agg(
+        (F.sum("cap") / 2).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return water_fill(caps, t)
+
+
+def water_fill(caps: DataFrame, t: DataFrame) -> DataFrame:
+    """Exact integer water-filling core of ``x8_budget_allocation``:
+    ``caps`` = (source, cap), ``t`` = 1-row (budget, n). Exposed so the
+    saturation branch (skewed capacities) is pinned by its own synthetic
+    test — the near-uniform fixture never saturates at a 50% budget."""
+    wo = Window.orderBy("cap", "source")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(wo).alias("k"),
+        (F.sum("cap").over(wf) - F.col("cap")).cast("bigint").alias("pfx"),
+    )
+    s = r.crossJoin(F.broadcast(t)).withColumn(
+        "sat",
+        F.when(
+            F.col("pfx") + F.col("cap") * (F.col("n") - F.col("k") + 1) <= F.col("budget"),
+            1,
+        ).otherwise(0),
+    )
+    agg = s.agg(
+        F.sum("sat").cast("bigint").alias("n_sat"),
+        F.sum(F.when(F.col("sat") == 1, F.col("cap")).otherwise(0)).cast("bigint").alias("used"),
+    )
+    wu = Window.partitionBy("sat").orderBy("cap", "source")
+    lvl = (
+        s.crossJoin(F.broadcast(agg))
+        .withColumn("level", F.expr("(budget - used) DIV (n - n_sat)"))
+        .withColumn("extra", F.expr("(budget - used) % (n - n_sat)"))
+        .withColumn(
+            "uj",
+            F.when(F.col("sat") == 0, F.row_number().over(wu)).otherwise(F.lit(0)),
+        )
+    )
+    return lvl.select(
+        "source",
+        F.col("cap").alias("capacity"),
+        F.when(F.col("sat") == 1, F.col("cap"))
+        .otherwise(F.col("level") + F.when(F.col("uj") <= F.col("extra"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("allocation"),
+        F.col("sat").cast("int").alias("saturated"),
+    )

@@ -410,3 +410,30 @@ def test_matrix_profile_chunked_equals_sql_anchor(spark):
         for r in matrix_profile_chunked(read_table(spark, SF_SMOKE, "events")).collect()
     }
     assert sql_rows == np_rows
+
+
+def test_water_fill_saturation_branch(spark):
+    """Skewed capacities must exercise BOTH branches: tiny sources taken
+    whole (saturated), the rest split equally with the remainder going
+    one unit each to the smallest unsaturated — and the total must equal
+    the budget exactly."""
+    import pyspark.sql.functions as F
+
+    from etl_active911_spark.operators.sampling import water_fill
+
+    caps = spark.createDataFrame(
+        [("tiny", 10), ("small", 50), ("big", 100000), ("huge", 200000), ("mid", 7000)],
+        "source string, cap long",
+    )
+    t = spark.createDataFrame([(20063, 5)], "budget long, n long")
+    rows = {r["source"]: r for r in water_fill(caps, t).collect()}
+    # tiny, small fully funded; mid? 10+50 + 7000*3 = 21060 > 20063 -> mid unsat
+    assert rows["tiny"]["saturated"] == 1 and rows["tiny"]["allocation"] == 10
+    assert rows["small"]["saturated"] == 1 and rows["small"]["allocation"] == 50
+    for s in ("mid", "big", "huge"):
+        assert rows[s]["saturated"] == 0
+    # (20063 - 60) / 3 = 6667 r 2 -> mid, big get +1 (smallest unsat first)
+    assert rows["mid"]["allocation"] == 6668
+    assert rows["big"]["allocation"] == 6668
+    assert rows["huge"]["allocation"] == 6667
+    assert sum(r["allocation"] for r in rows.values()) == 20063
