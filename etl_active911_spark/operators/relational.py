@@ -1593,3 +1593,86 @@ def n22_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return orphans.crossJoin(dups).crossJoin(scans)
+
+
+# ---------------------------------------------------------------------------
+# N-25 (r7): interval overlap join (grid-bucketed)
+# ---------------------------------------------------------------------------
+
+_IV_GRID = 135  # bucket width > max interval length (30 + 6*15 = 120)
+_IV_SQL = """
+    iv AS (
+        SELECT user_id, event_id,
+               CAST((event_id * 37) % 100000 AS BIGINT) AS s,
+               CAST((event_id * 37) % 100000 + 30 + (event_id % 7) * 15 AS BIGINT) AS e
+        FROM events
+    )
+"""
+
+
+@query(
+    "n25_interval_join",
+    f"""
+    WITH {_IV_SQL},
+    a AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+    SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_s
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def n25_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-25 (r7): INTERVAL OVERLAP JOIN — pair up overlapping intervals
+    (half-open [s, e)) across two sets, with the overlap length: the
+    shape behind session/visit correlation, downtime attribution, and
+    any "which A intervals intersect which B intervals" question. The
+    oracle is the naive theta join; the engine plans the SCALABLE form —
+    the 1-D twin of the geo grid-bucket join (``x7_geo_bucket_join``):
+    with bucket width ≥ the maximum interval length, every interval
+    covers ≤ 2 buckets, so expanding both sides to covered buckets and
+    EQUI-joining on (user, bucket) enumerates a superset of overlapping
+    pairs with ≤ 2× fan-out and ZERO theta-join operators; a distinct
+    collapses double-bucket matches and the exact predicate filters.
+    Intervals here derive deterministically from event ids (pure int
+    axis) so both engines join identical inputs.
+
+    At 100 TB: shuffle keys are (user, bucket) ints; fan-out is bounded
+    by interval-length/bucket-width, never data volume; a long-tail
+    interval set picks the bucket width per the documented max-duration
+    rule (or splits oversized intervals into per-bucket fragments —
+    same join, still exact)."""
+    iv = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ((F.col("event_id") * 37) % 100000).cast("bigint").alias("s"),
+        ((F.col("event_id") * 37) % 100000 + 30 + (F.col("event_id") % 7) * 15)
+        .cast("bigint")
+        .alias("e"),
+    )
+    cells = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.floor(F.col("s") / _IV_GRID), F.floor((F.col("e") - 1) / _IV_GRID))
+        ).alias("cell"),
+    )
+    a = cells.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "cell", F.col("event_id").alias("event_a"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = cells.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "cell", F.col("event_id").alias("event_b"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, ["user_id", "cell"])
+        .filter((F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+        .select(
+            "user_id", "event_a", "event_b",
+            (F.least("ea", "eb") - F.greatest("sa", "sb")).cast("bigint").alias("overlap_s"),
+        )
+        .distinct()
+    )
