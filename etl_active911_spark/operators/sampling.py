@@ -1118,3 +1118,156 @@ def water_fill(caps: DataFrame, t: DataFrame) -> DataFrame:
         .alias("allocation"),
         F.col("sat").cast("int").alias("saturated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r7): temperature-annealed mixture schedule (exact powers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x8_mixture_schedule",
+    """
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS n FROM per),
+    frac AS (
+        SELECT source, n_docs, CAST(n_docs AS DOUBLE) / n AS p
+        FROM per CROSS JOIN tot
+    ),
+    powed AS (
+        SELECT source, n_docs, e,
+               CASE e WHEN 0 THEN sqrt(p)
+                      WHEN 1 THEN sqrt(p) * sqrt(sqrt(p))
+                      ELSE p END AS w
+        FROM frac CROSS JOIN (SELECT unnest(range(3)) AS e)
+    ),
+    z AS (SELECT e, SUM(w) AS zz FROM powed GROUP BY e)
+    SELECT p.e AS epoch, p.source, p.n_docs,
+           ROUND(p.w / z.zz, 6) AS share
+    FROM powed p JOIN z ON p.e = z.e
+    """,
+)
+def x8_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r7): temperature-ANNEALED mixture schedule — the multi-epoch
+    curriculum over source weights: epoch 0 trains near-uniform
+    (α = 1/2, small sources upweighted), later epochs anneal toward the
+    natural distribution (α: 1/2 → 3/4 → 1), the standard multilingual/
+    multi-source schedule. Per (epoch, source): tempered share
+    ``p^α / Σ p^α``.
+
+    Exactness: α is restricted to {1/2, 3/4, 1} ON PURPOSE — those
+    powers compose from sqrt (``sqrt(p)``, ``sqrt(p)·sqrt(sqrt(p))``,
+    ``p``), and sqrt is IEEE-correctly-rounded in every engine, where a
+    general ``pow(p, α)`` differs in the last ulp across libms (the
+    x8_mixture_weights α=1/2 rationale, extended to a schedule). The
+    per-epoch normalizer sums |sources| doubles in an aggregate — at 5
+    sources and round-6 output, order effects are below visibility; the
+    grid is (sources × epochs) rows.
+
+    Scale shape: one corpus scan for per-source counts; the schedule is
+    pure arithmetic over a |sources|×3 table."""
+    per = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = per.agg(F.sum("n_docs").alias("n"))
+    frac = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", (F.col("n_docs").cast("double") / F.col("n")).alias("p")
+    )
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("e"))
+    w = (
+        F.when(F.col("e") == 0, F.sqrt("p"))
+        .when(F.col("e") == 1, F.sqrt("p") * F.sqrt(F.sqrt("p")))
+        .otherwise(F.col("p"))
+    )
+    powed = frac.crossJoin(F.broadcast(epochs)).select(
+        "source", "n_docs", "e", w.alias("w")
+    )
+    z = powed.groupBy("e").agg(F.sum("w").alias("zz"))
+    return powed.join(z, "e").select(
+        F.col("e").alias("epoch"),
+        "source",
+        "n_docs",
+        F.round(F.col("w") / F.col("zz"), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r7): release manifest with shard checksums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x9_release_manifest",
+    f"""
+    WITH d AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_bytes, h,
+               SUM(n_bytes) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    ),
+    sh AS (
+        SELECT doc_id, n_bytes, h,
+               CAST((cum - n_bytes) // {TARGET_SHARD_BYTES} AS BIGINT) AS shard_id
+        FROM c
+    )
+    SELECT shard_id,
+           'shard-' || LPAD(CAST(shard_id AS STRING), 5, '0') || '.parquet' AS shard_name,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           md5(string_agg(h, '' ORDER BY doc_id)) AS content_checksum
+    FROM sh GROUP BY shard_id
+    """,
+)
+def x9_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r7): the RELEASE MANIFEST — what a dataset publisher ships
+    next to the shards: per shard, a stable file name, document and byte
+    counts, and a CONTENT CHECKSUM (md5 over the per-document content
+    hashes concatenated in doc order — the chain any consumer can
+    recompute to verify an undamaged, untampered, correctly-ordered
+    shard). Composes ``assign_shards``' distributed prefix sum; the
+    checksum chain uses the ordered ``listagg`` collapse (the
+    x2_cdc_chunks discipline), so per-doc hashes — 32 bytes each, never
+    the text — are the only thing the shard aggregate carries.
+
+    Scale shape: the prefix sum is the two-phase distributed form; the
+    per-shard aggregate groups by shard_id (hash-partitioned); the
+    concatenated hash string per shard is bounded by docs-per-shard ×
+    32 B (the 64 KiB fixture shard ≈ tens of docs; a production 1 GB
+    shard ≈ a few MB of hex — one aggregate buffer, not a corpus)."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("h"),
+    )
+    sh = _two_phase_prefix_sum(d, "n_bytes").withColumn(
+        "shard_id", F.expr(f"CAST(start_off DIV {TARGET_SHARD_BYTES} AS BIGINT)")
+    )
+    return (
+        sh.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.md5(F.expr("listagg(h, '') WITHIN GROUP (ORDER BY doc_id)")).alias(
+                "content_checksum"
+            ),
+        )
+        .select(
+            "shard_id",
+            F.concat(
+                F.lit("shard-"), F.lpad(F.col("shard_id").cast("string"), 5, "0"), F.lit(".parquet")
+            ).alias("shard_name"),
+            "n_docs",
+            "shard_bytes",
+            "content_checksum",
+        )
+    )
