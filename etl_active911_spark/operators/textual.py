@@ -501,6 +501,22 @@ def x4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``x4_gopher_rules`` output, materialized once per (session,
+    sf_dir) and reused across queries — the quality gate is the shared
+    upstream of THREE registered curation builds (x9_curation_v3/v4/v5),
+    each of which re-ran the full two-explode token/bigram pipeline
+    (~2.5-3.5 s at sf0.1) before r7. Same contract as
+    ``dedup.shared_verified_pairs``: fixture-fingerprint invalidation,
+    localCheckpoint materialization (consumers compose with iterative
+    cluster drops — rule 17), tiny result (one row per doc, no text)."""
+    from etl_active911_spark.plans.cache import fixture_memo
+
+    return fixture_memo(
+        "textual.gopher_rules", spark, sf_dir, lambda: x4_gopher_rules(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # X-9b: the round-2 curation pipeline (Gopher gate → decontaminate → dedup)
 # ---------------------------------------------------------------------------
@@ -597,7 +613,7 @@ def x9_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         x2_decontaminate,
     )
 
-    gr = x4_gopher_rules(spark, sf_dir).select("doc_id", "keep", "n_words")
+    gr = shared_gopher_rules(spark, sf_dir).select("doc_id", "keep", "n_words")
     contaminated = x2_decontaminate(spark, sf_dir).select("doc_id")
     docs = read_table(spark, sf_dir, "documents")
     kept = (
@@ -1134,7 +1150,7 @@ def x9_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_active911_spark.operators.sampling import assign_shards
 
     docs = read_table(spark, sf_dir, "documents")
-    quality = x4_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
     non_keepers = (
         x2_dup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
     )
@@ -1784,7 +1800,7 @@ def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    quality = x4_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
     non_keepers = (
         x2_dup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
     )

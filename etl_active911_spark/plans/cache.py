@@ -58,3 +58,57 @@ def scoped_register(key: str, df: DataFrame) -> DataFrame:
             pass  # owning SparkSession already stopped — nothing to free
     _LIVE[key] = df
     return df
+
+
+_MEMO: dict[tuple, tuple[tuple, DataFrame]] = {}
+
+
+def _fixture_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """Cheap change-detection for a fixture table: parquet file list +
+    mtimes (the shared_verified_pairs invalidation contract, ADVICE r06)."""
+    import os
+
+    p = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            return tuple(sorted((f, os.path.getmtime(os.path.join(p, f))) for f in os.listdir(p)))
+        return (("", os.path.getmtime(p)),)
+    except OSError:
+        return ()
+
+
+def fixture_memo(name, spark, sf_dir, builder, table: str = "documents") -> DataFrame:
+    """Session-scoped memo of a small derived DataFrame shared by SEVERAL
+    registered queries (the cross-query analogue of ``scoped_persist``;
+    pattern established by ``dedup.shared_verified_pairs``): built once
+    per (application, sf_dir), materialized with an eager
+    ``localCheckpoint`` (consumers include iterative loops — lineage
+    truncation, CLAUDE.md rule 17), and invalidated when the backing
+    fixture parquet changes (file list + mtimes). ``clear_fixture_memos``
+    gives tests a hard reset. Only use for results that are SMALL
+    (≪ corpus — keep lists, pair graphs): the blocks pin executor memory
+    for the session."""
+    import os
+
+    fp = _fixture_fingerprint(sf_dir, table)
+    key = (name, spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    got = _MEMO.get(key)
+    if got is not None and got[0] != fp:
+        try:
+            got[1].unpersist()
+        except Exception:
+            pass
+        got = None
+    if got is None:
+        got = (fp, builder().localCheckpoint(eager=True))
+        _MEMO[key] = got
+    return got[1]
+
+
+def clear_fixture_memos() -> None:
+    for _, df in _MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _MEMO.clear()
