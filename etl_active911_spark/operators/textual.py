@@ -1145,14 +1145,24 @@ def x9_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract and replicated exactly in the oracle: cluster-drop runs
     BEFORE exact dedup so hash keepers are chosen among quality-kept,
     non-near-dup docs only."""
-    from etl_active911_spark.operators.clustering import x2_dup_clusters
     from etl_active911_spark.operators.dedup import normalized_text
     from etl_active911_spark.operators.sampling import assign_shards
 
     docs = read_table(spark, sf_dir, "documents")
     quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    # non-keepers straight from the star components over the shared pair
+    # graph (the x8_cluster_split shortcut, r7): a doc is dropped iff it is
+    # in a cluster and not its min — x2_dup_clusters' keeper groupBy+join
+    # adds nothing the component labels don't already say, and the
+    # O(log n) star engine is the faster of the two equivalence-tested
+    # components engines
+    from etl_active911_spark.operators.clustering import connected_components_star
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
     non_keepers = (
-        x2_dup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
+        connected_components_star(shared_verified_pairs(spark, sf_dir))
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
     )
     stage = docs.join(quality, "doc_id").join(non_keepers, "doc_id", "left_anti")
     hashes = stage.select(
@@ -1792,7 +1802,6 @@ def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster drop, keyed aggregates for quality/dedup, 1-row broadcast
     normalizers for the mixture, and the grouped two-phase prefix COUNT
     for the global shuffle rank (no global-sort window anywhere)."""
-    from etl_active911_spark.operators.clustering import x2_dup_clusters
     from etl_active911_spark.operators.dedup import normalized_text, token_hash60
     from etl_active911_spark.operators.sampling import (
         _two_phase_prefix_sum,
@@ -1801,8 +1810,19 @@ def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    # non-keepers straight from the star components over the shared pair
+    # graph (the x8_cluster_split shortcut, r7): a doc is dropped iff it is
+    # in a cluster and not its min — x2_dup_clusters' keeper groupBy+join
+    # adds nothing the component labels don't already say, and the
+    # O(log n) star engine is the faster of the two equivalence-tested
+    # components engines
+    from etl_active911_spark.operators.clustering import connected_components_star
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
     non_keepers = (
-        x2_dup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
+        connected_components_star(shared_verified_pairs(spark, sf_dir))
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
     )
     stage = docs.join(quality, "doc_id").join(non_keepers, "doc_id", "left_anti")
     hashes = stage.select(
