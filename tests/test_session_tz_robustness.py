@@ -36,6 +36,10 @@ TIME_SENSITIVE = [
     "a911_features_nested",
     "x6_forecast_eval",
     "n11_trending_topk",
+    # r7: event-time-ordered additions (NTZ ordering should be
+    # session-independent by construction — this pins it)
+    "x6_ts_acf",
+    "x6_matrix_profile",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
