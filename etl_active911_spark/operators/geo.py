@@ -55,6 +55,24 @@ FROM region
 from etl_active911_spark.pipeline.oracle_sql import _COORDS_CTE  # noqa: E402
 
 
+def _resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved synthetic alerts, materialized once per (session, sf_dir)
+    and shared by the WHOLE geo family (radius, nearest-station, quadkey
+    rollup, bucket join, cluster) — each re-ran the full synthetic-
+    fixture + coordinate-resolve pipeline (~2 s at sf0.1) before r7.
+    fixture_memo contract: localCheckpoint blocks, fingerprint
+    invalidation on the backing orders parquet, clear hook for tests."""
+    from etl_active911_spark.plans.cache import fixture_memo
+
+    return fixture_memo(
+        "geo.resolved",
+        spark,
+        sf_dir,
+        lambda: a911.resolve_coordinates(synthetic_alerts(spark, sf_dir)),
+        table="orders",
+    )
+
+
 @query(
     "x7_geo_radius",
     f"""
@@ -67,7 +85,7 @@ from etl_active911_spark.pipeline.oracle_sql import _COORDS_CTE  # noqa: E402
 def x7_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo: alerts within 60 km of the dispatch center (haversine),
     filtered on the rounded distance for cross-engine determinism."""
-    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    resolved = _resolved(spark, sf_dir)
     dist = F.round(
         haversine_km(F.lit(CENTER_LAT), F.lit(CENTER_LON), F.col("lat_d"), F.col("lon_d")), 3
     )
@@ -107,7 +125,7 @@ def x7_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE.md invariant 3 does not apply)."""
     from etl_active911_spark.io import read_table
 
-    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    resolved = _resolved(spark, sf_dir)
     stations = read_table(spark, sf_dir, "region").select(
         F.col("r_regionkey").alias("station_id"),
         (F.lit(39.0) + F.col("r_regionkey").cast("double") * 0.3).alias("s_lat"),
@@ -194,7 +212,7 @@ def _grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ContextCleaner when this DataFrame is garbage-collected — a plain
     persist() pins a CacheManager entry for the life of the session,
     accumulating across the ~100-query parity sweep (ADVICE r02)."""
-    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    resolved = _resolved(spark, sf_dir)
     return resolved.select(
         "id",
         "lat_d",
@@ -300,7 +318,7 @@ def x7_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never AVG. One shuffle keyed by the 12-char quadkey; at 100 TB the
     quadkey doubles as the storage partition prefix (the x3 partitioned-
     index pattern applied to space)."""
-    resolved = a911.resolve_coordinates(synthetic_alerts(spark, sf_dir))
+    resolved = _resolved(spark, sf_dir)
     n = 2**QUAD_Z
     tx = F.greatest(
         F.lit(0),
