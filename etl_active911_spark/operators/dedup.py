@@ -1745,3 +1745,66 @@ def x2_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = spark.sql(sql)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r7): dedup-aware token accounting ("effective tokens")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x2_effective_tokens",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS h,
+               CAST(len(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    k AS (
+        SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h
+    )
+    SELECT d.source,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN d.n_tokens ELSE 0 END)
+                AS BIGINT) AS effective_tokens,
+           ROUND(1 - CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN d.n_tokens ELSE 0 END)
+                          AS DOUBLE) / SUM(d.n_tokens), 6) AS dup_token_frac
+    FROM d JOIN k ON d.h = k.h
+    GROUP BY d.source
+    """,
+)
+def x2_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r7): EFFECTIVE-TOKEN accounting — the number every training
+    plan actually budgets against: per source, raw token volume vs the
+    volume surviving exact dedup (keeper = min doc_id per content hash),
+    and the duplicated-token fraction. Token-level, not doc-level,
+    because a corpus where the duplicates are the LONG documents loses
+    far more training signal than doc counts suggest (x8_dedup_report
+    counts docs; this counts what the trainer consumes).
+
+    Scale shape: one scan computes hash + token count per doc; keeper
+    choice is a hash-keyed aggregate; the rollup re-keys by source.
+    Nothing wider than (hash, count) shuffles."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.sha2(normalized_text(F.col("text")), 256).alias("h"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    k = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    eff = F.sum(
+        F.when(F.col("doc_id") == F.col("keeper"), F.col("n_tokens")).otherwise(0)
+    )
+    return (
+        d.join(k, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+            eff.cast("bigint").alias("effective_tokens"),
+            F.round(
+                F.lit(1.0) - eff.cast("double") / F.sum("n_tokens"), 6
+            ).alias("dup_token_frac"),
+        )
+    )

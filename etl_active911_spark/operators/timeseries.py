@@ -1040,3 +1040,32 @@ def matrix_profile_chunked(events: DataFrame) -> DataFrame:
     return events.select("user_id", "ts", "event_id", "value").groupBy("user_id").applyInPandas(
         prof, "user_id long, event_id long, mp double, nn_event_id long"
     )
+
+
+@query(
+    "x6_discord_topk",
+    None,  # oracle injected below (reuses the matrix-profile oracle text)
+)
+def x6_discord_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r7): top-5 DISCORDS — the corpus's most anomalous windows,
+    read straight off the matrix profile (the window with the LARGEST
+    nearest-neighbor distance is, by definition, the subsequence least
+    like anything else — Matrix Profile I's discord definition). Global
+    rank orders by (mp DESC, user_id, event_id) so ties are
+    deterministic; the plan is a ``TakeOrderedAndProject`` over the
+    profile — per-partition heaps, no global sort."""
+    return (
+        x6_matrix_profile(spark, sf_dir)
+        .orderBy(F.col("mp").desc(), "user_id", "event_id")
+        .limit(5)
+    )
+
+
+# the discord oracle nests the full profile oracle as a CTE body, so the
+# two stay in lockstep by construction
+from etl_active911_spark.plans import registry as _registry  # noqa: E402
+
+_registry.ORACLES["x6_discord_topk"] = f"""
+    SELECT * FROM ({_registry.ORACLES["x6_matrix_profile"]})
+    ORDER BY mp DESC, user_id, event_id LIMIT 5
+"""
