@@ -957,7 +957,9 @@ def x5_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ns,
                         rt,
                         ns * 1000 // rt,
-                        round(math.sqrt(sum_sq / ns), 6),
+                        # half-up, not banker's: mirrors SQL ROUND
+                        # (CLAUDE.md rule 11; ADVICE r07)
+                        math.floor(math.sqrt(sum_sq / ns) * 1e6 + 0.5) / 1e6,
                         zc,
                         peak,
                     )

@@ -1001,7 +1001,7 @@ def _budget_alloc_oracle() -> str:
                CAST(SUM(len(regexp_extract_all(LOWER(text), '{pat}'))) AS BIGINT) AS cap
         FROM documents GROUP BY source
     ),
-    t AS (SELECT CAST(SUM(cap) / 2 AS BIGINT) AS budget, COUNT(*) AS n FROM caps),
+    t AS (SELECT CAST(SUM(cap) AS BIGINT) // 2 AS budget, COUNT(*) AS n FROM caps),
     r AS (
         SELECT source, cap,
                ROW_NUMBER() OVER (ORDER BY cap, source) AS k,
@@ -1069,7 +1069,11 @@ def x8_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = caps.agg(
-        (F.sum("cap") / 2).cast("bigint").alias("budget"),
+        # Integer division on BOTH engines (ADVICE r07): DuckDB's
+        # CAST(double AS BIGINT) rounds half-to-even while Spark's
+        # double->bigint cast truncates, so `SUM/2` diverges whenever the
+        # total is odd with an even floor. `DIV` keeps int64 end-to-end.
+        F.expr("CAST(sum(cap) DIV 2 AS BIGINT)").alias("budget"),
         F.count(F.lit(1)).alias("n"),
     )
     return water_fill(caps, t)

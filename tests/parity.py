@@ -25,6 +25,20 @@ from decimal import Decimal
 import pandas as pd
 
 
+def fetch_df(duck, sql: str) -> pd.DataFrame:
+    """Fetch a DuckDB oracle result for ``compare``.
+
+    Goes through Arrow (``date_as_object`` default) rather than ``.df()``:
+    the pandas boundary erases DATE into midnight ``Timestamp``s, which
+    would make a genuine DATE-vs-TIMESTAMP cross-engine divergence
+    invisible (ADVICE r07 item 3). Arrow hands DATE columns over as
+    ``datetime.date`` objects, matching how Spark's ``toPandas`` delivers
+    DateType — so the distinct ``date`` kind below is strict without
+    false-flagging driver-green DATE queries (tpch_q3, n10_scalar_suite).
+    """
+    return duck.execute(sql).arrow().to_pandas()
+
+
 def _norm_cell(v):
     """Canonicalize one cell as a (kind, value) pair.
 
@@ -55,7 +69,11 @@ def _norm_cell(v):
     if isinstance(v, datetime):
         return ("t", v)
     if isinstance(v, date):
-        return ("t", datetime(v.year, v.month, v.day))
+        # Own kind (ADVICE r07): the driver's string hash distinguishes
+        # DATE ("2024-01-01") from TIMESTAMP ("2024-01-01 00:00:00"), so
+        # promoting dates to midnight datetimes would hide a cross-engine
+        # DATE-vs-TIMESTAMP column divergence from this replica.
+        return ("date", v)
     if isinstance(v, (list, tuple)):
         return ("a", tuple(_norm_cell(x) for x in v))
     try:

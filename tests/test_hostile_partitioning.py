@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_ORACLE
-from tests.parity import compare
+from tests.parity import compare, fetch_df
 
 from etl_active911_spark.plans import registry
 
@@ -51,5 +51,5 @@ def hostile_partitions(spark):
 @pytest.mark.parametrize("name", R7_PARTITION_SENSITIVE)
 def test_r7_query_parity_under_hostile_partitioning(hostile_partitions, duck, name):
     spark_df = registry.QUERIES[name](hostile_partitions, SF_ORACLE)
-    problems = compare(spark_df, duck.execute(registry.ORACLES[name]).df())
+    problems = compare(spark_df, fetch_df(duck, registry.ORACLES[name]))
     assert not problems, f"{name} under 7 shuffle partitions: " + "; ".join(problems[:2])

@@ -8,7 +8,7 @@ import pytest
 
 from etl_active911_spark.plans import registry
 from tests.conftest import SF_ORACLE
-from tests.parity import compare
+from tests.parity import compare, fetch_df
 
 registry.load_all()
 
@@ -19,7 +19,7 @@ ROWS_ONLY_KEYS = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_parity(spark, duck, name):
     spark_df = registry.QUERIES[name](spark, SF_ORACLE)
-    duck_df = duck.execute(registry.ORACLES[name]).df()
+    duck_df = fetch_df(duck, registry.ORACLES[name])
     problems = compare(spark_df, duck_df)
     assert not problems, f"{name}: " + "; ".join(problems)
 

@@ -79,3 +79,31 @@ def test_replica_catches_hugeint_float_widening(duck):
         "FROM (VALUES (1::BIGINT), (2)) t(x)"
     ).df()
     assert _canon(duck_fixed) == _canon(spark_like)
+
+
+def test_replica_distinguishes_date_from_midnight_timestamp():
+    """ADVICE r07: a DATE column and a midnight-TIMESTAMP column are
+    different answers (the driver stringifies them differently), so the
+    replica's cell canonicalizer must NOT fold ``datetime.date`` into
+    ``datetime``. Paired with ``parity.fetch_df`` going through Arrow
+    (which preserves DuckDB DATE as ``date`` objects), this makes a
+    cross-engine DATE-vs-TIMESTAMP divergence a replica failure."""
+    from datetime import date, datetime
+
+    from tests.parity import _norm_cell
+
+    d = _norm_cell(date(2024, 1, 2))
+    t = _norm_cell(datetime(2024, 1, 2, 0, 0))
+    assert d != t
+    assert d == _norm_cell(date(2024, 1, 2))
+
+
+def test_fetch_df_preserves_duckdb_date_objects(duck):
+    """The ``.df()`` pandas boundary erases DATE into midnight
+    Timestamps; ``fetch_df`` (Arrow, date_as_object) must not."""
+    from datetime import date
+
+    from tests.parity import fetch_df
+
+    pdf = fetch_df(duck, "SELECT DATE '2024-01-02' AS d")
+    assert type(pdf["d"][0]) is date

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE
-from tests.parity import compare
+from tests.parity import compare, fetch_df
 
 #: (conf, hostile value) pairs — exchange reuse OFF is the configuration
 #: the judge named as reproducing the r5 driver failure; AQE both ways
@@ -62,7 +62,7 @@ def test_prefix_sum_queries_oracle_parity_under_hostile_plans(spark, duck, name,
     prev = _set_confs(spark, confs)
     try:
         got = registry.QUERIES[name](spark, SF_ORACLE)
-        want = duck.execute(registry.ORACLES[name]).df()
+        want = fetch_df(duck, registry.ORACLES[name])
         assert compare(got, want) == []
     finally:
         _restore_confs(spark, prev)
@@ -84,7 +84,7 @@ def test_salted_queries_oracle_parity_with_exchange_reuse_off(spark, duck, name)
     )
     try:
         got = registry.QUERIES[name](spark, SF_ORACLE)
-        want = duck.execute(registry.ORACLES[name]).df()
+        want = fetch_df(duck, registry.ORACLES[name])
         assert compare(got, want) == []
     finally:
         _restore_confs(spark, prev)

@@ -13,7 +13,7 @@ import pytest
 
 from etl_active911_spark.plans import registry
 from tests.conftest import SF_ORACLE
-from tests.parity import compare
+from tests.parity import compare, fetch_df
 
 registry.load_all()
 
@@ -57,5 +57,5 @@ def hostile_session(request, spark):
 def test_parity_under_non_utc_session(hostile_session, duck, name):
     spark, zone = hostile_session
     spark_df = registry.QUERIES[name](spark, SF_ORACLE)
-    problems = compare(spark_df, duck.execute(registry.ORACLES[name]).df())
+    problems = compare(spark_df, fetch_df(duck, registry.ORACLES[name]))
     assert not problems, f"{name} under {zone}: " + "; ".join(problems[:2])
