@@ -48,20 +48,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # pipeline surface (O-*/a911) on a hard driver row EVERY round. ROTATION
 # swaps each round to the queries whose last driver row is oldest.
 #
-# r7 (VERDICT r06 items 1 and 4): CORE stays at 26 for one more round.
-# The judge's two r7 asks are JOINTLY INFEASIBLE at window size 50:
-# restoring CORE to 30 while holding the three r6 red rows
-# (x8_shard_assign / x8_token_packing / x9_curation_v3 — now fixed by the
-# HUGEINT→BIGINT oracle CASTs, kept windowed until driver-green per the
-# never-rotate-a-wrong-answer rule) and windowing all 15 r6 additions
-# leaves only 2 slots → 15 never-scored rows, violating the same
-# verdict's "Done = ≥20 never-scored". We keep the measurable criterion:
-# CORE 26 + ROTATION 24 = 3 held red + 15 r6 additions + 5 never-scored
-# from the queue + n10_scalar_suite (the r1-stale relational pick) →
-# 21 rows the r6 window did not score, ≥20 ✓. The four benched CORE
-# members (x8_stratified_sample, x8_train_holdout_split, x6_ts_dtw,
-# n13_python_udtf) remain multi-round driver-green and replica +
-# TZ-sweep guarded; they return to CORE in r8 when the red rows retire.
+# r8: CORRECTNESS_r07 came back 50/50 green, so the three held red rows
+# retire and CORE is restored to 30 (the plan recorded in the r7 queue
+# note): the four benched members (x8_stratified_sample,
+# x8_train_holdout_split, x6_ts_dtw, n13_python_udtf) return. ROTATION's
+# 20 slots all go to NEVER-driver-scored queries — the r7 operator
+# additions (CDC chunking, cross-source dup matrix, LSH tuning curve,
+# effective tokens, interval join, length batching, water-filling budget,
+# annealed mixture, release manifest, dataset report, corpus diff,
+# readability, pHash dedup, WAV codec, matrix profile + discord) plus
+# x4_heavy_hitters / x4_pii_redact / x3_scalar_quant / tpch_q9 from the
+# older never-windowed set. ≥20 never-scored ✓ (all 20).
 # Queries that run iterative jobs sit late in the window so an abort there
 # cannot un-score the rest of the sweep; ``x3_ann_ivf_partitioned``
 # (writes a parquet index) is pinned dead last.
@@ -92,57 +89,53 @@ CORE: tuple[str, ...] = (
     "x2_dup_clusters",
     "o2_source_roundtrip",
     "x1_exact_dedup",
+    "x8_stratified_sample",
+    "x8_train_holdout_split",
+    "x6_ts_dtw",
+    "n13_python_udtf",
 )
 
-#: r7 rotation: all 15 r6 additions (never scored), 5 more never-scored
-#: from the queue (both n23 salting shapes, reservoir, tf-idf, seeded
-#: IVF), n10_scalar_suite (r1-stale relational), and the three
-#: deliberately-held red rows now carrying the HUGEINT oracle fix.
-#: Iterative / composed-pipeline entries sit at the tail of the window.
+#: r8 rotation: 20 never-driver-scored queries — 16 r7 operator
+#: additions plus x4_heavy_hitters / x4_pii_redact / x3_scalar_quant /
+#: tpch_q9 from the older never-windowed queue. Composed-pipeline /
+#: heavier entries sit at the tail of the window.
 ROTATION: tuple[str, ...] = (
-    "x8_epoch_shuffle",
-    "x5_aspect_bucket_pack",
-    "x6_forecast_eval",
-    "x4_vocab_growth",
-    "x4_bpe_merge_count",
-    "n11_trending_topk",
-    "x4_ngram_novelty",
-    "x3_filtered_topk",
-    "x8_curriculum_order",
-    "x5_scene_change",
-    "x6_ts_acf",
-    "x4_source_js_divergence",
-    "n23_salted_agg",
-    "n23_salted_join",
-    "x8_reservoir_sample",
-    "x4_tfidf_topterms",
-    "n10_scalar_suite",
-    "x8_shard_assign",
-    "x8_token_packing",
-    "x9_curation_v3",
-    "x2_containment",
-    "x3_ann_ivf_seeded",
-    "x7_geo_cluster",
-    "x9_curation_v5",
+    "x4_readability",
+    "x4_heavy_hitters",
+    "x4_pii_redact",
+    "x2_effective_tokens",
+    "n25_interval_join",
+    "x8_length_batching",
+    "x8_budget_allocation",
+    "x8_mixture_schedule",
+    "x3_scalar_quant",
+    "tpch_q9_product_profit",
+    "x5_phash_dedup",
+    "x5_audio_decode_real",
+    "x2_lsh_tuning",
+    "x2_cdc_chunks",
+    "x2_cross_source_dups",
+    "x9_dataset_report",
+    "x9_corpus_diff",
+    "x9_release_manifest",
+    "x6_matrix_profile",
+    "x6_discord_topk",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: Round-8 rotation queue (oldest driver evidence first). Restore CORE to
-#: 30 (x8_stratified_sample, x8_train_holdout_split, x6_ts_dtw,
-#: n13_python_udtf return) once the three held red rows go driver-green
-#: and retire — that frees ~7 slots net. Still never-windowed after r7:
-#: x4_heavy_hitters/pii_redact/char_entropy/pmi_bigrams,
-#: x3_ann_ivf_lloyd1, tpch q2/q5/q6/q9/q11/q15/q16/q19/q20
-#: (rows-only by design: x3_ann_pq/brp/ivf_partitioned,
-#: x4_compression_ratio).
+#: Round-9 rotation queue (oldest driver evidence first). Still
+#: never-windowed after r8: x4_char_entropy, x4_pmi_bigrams,
+#: x3_ann_ivf_lloyd1, tpch q2/q5/q6/q11/q15/q16/q19/q20
+#: (rows-only by design: x3_ann_pq/brp/ivf_pq/ivf_partitioned,
+#: x4_compression_ratio, x4_bpe_encode).
 #: Last scored r1/r2: n2_join_semi/anti/full_outer/correlated,
 #: n4_percentiles/approx_percentiles, n5_approx_count_distinct,
 #: n6_rollup/cube/pivot, n7_window_lag/distribution,
 #: n9_intersect/except_all, x2_substring_spans,
 #: tpch q3/q4/q7/q12/q13/q14/q17/q18/q22, x3_ann_ivf. Move ~20 into
 #: ROTATION next round and update tests/test_registry_order.py's
-#: previous-window pin to the r7 window.
+#: previous-window pin to the r8 window.
 
 LAST: tuple[str, ...] = ("x3_ann_ivf_partitioned",)
 

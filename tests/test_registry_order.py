@@ -28,12 +28,11 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-6 scoring window (CORRECTNESS_r06.json keys): the rotation
+# The round-7 scoring window (CORRECTNESS_r07.json keys — 50/50 green, so
+# the r6-held red rows retire and nothing carries over): the rotation
 # policy requires each round's window to re-earn driver rows for queries
-# this set did NOT score — EXCEPT the deliberately-held r6 red rows
-# (VERDICT r06 item 1: never rotate a wrong answer out of sight; they
-# carry the HUGEINT→BIGINT oracle fix this round).
-R6_WINDOW = {
+# this set did NOT score.
+R7_WINDOW = {
     "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
     "o13_response_extract", "o15_time_parse", "o19_links_dedup",
     "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
@@ -42,22 +41,15 @@ R6_WINDOW = {
     "x4_token_stats", "x4_lang_id", "x9_curation_pipeline",
     "x5_media_decode", "x5_media_decode_real", "x6_ts_pattern_match",
     "x7_nearest_station", "x3_pandas_matmul", "x2_dup_clusters",
-    "o2_source_roundtrip", "x1_exact_dedup",
-    "n6_unpivot", "n17_asof_tolerance", "x6_resample_ffill",
-    "n14_stream_stream_left_join", "n13_map_in_arrow",
-    "x8_weighted_reservoir", "x8_dedup_report", "x8_interleave_sources",
-    "x4_langid_confusion", "x4_bigram_logprob", "x6_ts_decompose",
-    "x6_ts_changepoint", "x7_quadkey_rollup", "x2_substr_scrub",
-    "x3_mmr_rerank", "x3_ann_recall_eval", "x2_semantic_dedup",
-    "x8_shard_assign", "x8_token_packing", "x2_graph_triangles",
-    "x2_graph_pagerank", "x9_curation_v3", "x9_curation_v4",
-    "x8_cluster_split",
-}
-
-#: r6 rows deliberately kept in the r7 window despite having been scored
-#: (the three hash-red rows — never rotate a wrong answer out of sight).
-HELD_FROM_R6 = {
-    "x8_shard_assign", "x8_token_packing", "x9_curation_v3",
+    "o2_source_roundtrip", "x1_exact_dedup", "x8_epoch_shuffle",
+    "x5_aspect_bucket_pack", "x6_forecast_eval", "x4_vocab_growth",
+    "x4_bpe_merge_count", "n11_trending_topk", "x4_ngram_novelty",
+    "x3_filtered_topk", "x8_curriculum_order", "x5_scene_change",
+    "x6_ts_acf", "x4_source_js_divergence", "n23_salted_agg",
+    "n23_salted_join", "x8_reservoir_sample", "x4_tfidf_topterms",
+    "n10_scalar_suite", "x8_shard_assign", "x8_token_packing",
+    "x9_curation_v3", "x2_containment", "x3_ann_ivf_seeded",
+    "x7_geo_cluster", "x9_curation_v5",
 }
 
 
@@ -117,17 +109,15 @@ def test_priority_window_is_exactly_the_window_size():
 
 
 def test_rotation_reearns_driver_rows():
-    """Rotation policy (VERDICT r03 item 3; r7 target per VERDICT r06
-    item 4): at least 20 of the window's slots must go to queries the
-    PREVIOUS round's window did not score, so hard driver evidence cycles
-    through the whole registry over rounds — while the r6 red rows stay
-    pinned in-window until driver-green."""
+    """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
+    slots must go to queries the PREVIOUS round's window did not score,
+    so hard driver evidence cycles through the whole registry over
+    rounds. r8: all 50 r7 rows were green, so no red row carries over and
+    the whole ROTATION is fresh (all 20 never driver-scored)."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R6_WINDOW
+    fresh = window - R7_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    # the rotation consists of never-previously-scored queries plus
-    # EXACTLY the deliberately-held r6 rows
-    assert set(registry.ROTATION) & R6_WINDOW == HELD_FROM_R6
+    assert set(registry.ROTATION) & R7_WINDOW == set()
 
 
 def test_no_duplicate_registration_possible():

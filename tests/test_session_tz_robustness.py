@@ -40,6 +40,8 @@ TIME_SENSITIVE = [
     # session-independent by construction — this pins it)
     "x6_ts_acf",
     "x6_matrix_profile",
+    # r8: windowed derived query (reuses the profile; ordering only)
+    "x6_discord_topk",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
