@@ -59,6 +59,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # readability, pHash dedup, WAV codec, matrix profile + discord) plus
 # x4_heavy_hitters / x4_pii_redact / x3_scalar_quant / tpch_q9 from the
 # older never-windowed set. ≥20 never-scored ✓ (all 20).
+#
+# r9: CORRECTNESS_r08 came back 50/50 green, so CORE stays at these 30
+# and ROTATION turns over entirely to the 20 oldest-evidence queries
+# (every member last driver-scored in r1/r2 — the queue recorded below
+# in r8). The r10 queue (never-scored remainder) is recorded after
+# ROTATION.
 # Queries that run iterative jobs sit late in the window so an abort there
 # cannot un-score the rest of the sweep; ``x3_ann_ivf_partitioned``
 # (writes a parquet index) is pinned dead last.
@@ -95,47 +101,48 @@ CORE: tuple[str, ...] = (
     "n13_python_udtf",
 )
 
-#: r8 rotation: 20 never-driver-scored queries — 16 r7 operator
-#: additions plus x4_heavy_hitters / x4_pii_redact / x3_scalar_quant /
-#: tpch_q9 from the older never-windowed queue. Composed-pipeline /
-#: heavier entries sit at the tail of the window.
+#: r9 rotation (VERDICT r08 item 3): 20 oldest-driver-evidence queries —
+#: every one last scored in r1/r2. 21 were queued; tpch_q22_idle_customers
+#: defers to r10 to fit the 20 slots. Heavier TPC-H joins sit at the tail.
 ROTATION: tuple[str, ...] = (
-    "x4_readability",
-    "x4_heavy_hitters",
-    "x4_pii_redact",
-    "x2_effective_tokens",
-    "n25_interval_join",
-    "x8_length_batching",
-    "x8_budget_allocation",
-    "x8_mixture_schedule",
-    "x3_scalar_quant",
-    "tpch_q9_product_profit",
-    "x5_phash_dedup",
-    "x5_audio_decode_real",
-    "x2_lsh_tuning",
-    "x2_cdc_chunks",
-    "x2_cross_source_dups",
-    "x9_dataset_report",
-    "x9_corpus_diff",
-    "x9_release_manifest",
-    "x6_matrix_profile",
-    "x6_discord_topk",
+    "n2_join_semi",
+    "n2_join_anti",
+    "n2_join_full_outer",
+    "n4_percentiles",
+    "n6_rollup",
+    "n6_cube",
+    "n6_pivot",
+    "n7_window_lag",
+    "n7_window_distribution",
+    "n9_intersect",
+    "n9_except_all",
+    "x2_substring_spans",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q12_priority_by_status",
+    "tpch_q13_order_histogram",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: Round-9 rotation queue (oldest driver evidence first). Still
-#: never-windowed after r8: x4_char_entropy, x4_pmi_bigrams,
-#: x3_ann_ivf_lloyd1, tpch q2/q5/q6/q11/q15/q16/q19/q20
-#: (rows-only by design: x3_ann_pq/brp/ivf_pq/ivf_partitioned,
-#: x4_compression_ratio, x4_bpe_encode).
-#: Last scored r1/r2: n2_join_semi/anti/full_outer/correlated,
-#: n4_percentiles/approx_percentiles, n5_approx_count_distinct,
-#: n6_rollup/cube/pivot, n7_window_lag/distribution,
-#: n9_intersect/except_all, x2_substring_spans,
-#: tpch q3/q4/q7/q12/q13/q14/q17/q18/q22, x3_ann_ivf. Move ~20 into
-#: ROTATION next round and update tests/test_registry_order.py's
-#: previous-window pin to the r8 window.
+#: Round-10 rotation queue (VERDICT r08 item 4 — recorded here so the
+#: window math is auditable). 20 slots planned:
+#:   11 NEVER driver-scored oracle queries: x4_char_entropy,
+#:   x4_pmi_bigrams, x3_ann_ivf_lloyd1, tpch_q2_min_cost_supplier,
+#:   tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
+#:   tpch_q11_important_parts, tpch_q15_top_supplier,
+#:   tpch_q16_part_supplier_counts, tpch_q19_discounted_revenue,
+#:   tpch_q20_promotion_suppliers;
+#:   + tpch_q22_idle_customers (deferred from the r9 window, last r1/r2);
+#:   + oldest remaining r1/r2 evidence: n2_correlated_subquery,
+#:   n4_approx_percentiles, n5_approx_count_distinct, x3_ann_ivf;
+#:   + any new r9 operators (never scored).
+#: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
+#: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 
 LAST: tuple[str, ...] = ("x3_ann_ivf_partitioned",)
 

@@ -45,6 +45,13 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x3_ann_recall_eval": (3, "broadcast 16-row seed-centroid table per IVF leg; exact/approx legs join bounded queries x k tables"),
     "x4_bigram_logprob": (1, "1-row broadcast vocabulary-size scalar crossJoined into the smoothing denominator"),
     "x2_semantic_dedup": (3, "broadcast 16-row seed-centroid table per assignment/probe leg (cells scoped-persisted)"),
+    # r9: the five queries the r8 rotation moved into PRIORITY (VERDICT r08
+    # item 1) — each BNLJ build side verified constant-bounded at HEAD:
+    "x8_length_batching": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree (x8_shard_assign shape)"),
+    "x8_budget_allocation": (3, "water_fill's 1-row (budget, n) scalar (sampling.py:1095, repeated in the saturation subtree) + 1-row (n_sat, used) aggregate (sampling.py:1108)"),
+    "x8_mixture_schedule": (4, "1-row corpus-total scalar + 3-row epochs grid (sampling.py:1181,1190); powed subtree feeds both the normalizer and the final join, so plan text repeats each once"),
+    "x3_scalar_quant": (1, "1-row broadcast 64-element per-dim scale array (similarity.py:1725)"),
+    "x9_release_manifest": (2, "1-row broadcast n_bytes-bounds table, once per prefix-sum subtree"),
 }
 
 

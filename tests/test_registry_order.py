@@ -28,11 +28,10 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-7 scoring window (CORRECTNESS_r07.json keys — 50/50 green, so
-# the r6-held red rows retire and nothing carries over): the rotation
-# policy requires each round's window to re-earn driver rows for queries
-# this set did NOT score.
-R7_WINDOW = {
+# The round-8 scoring window (CORRECTNESS_r08.json keys — 50/50 green, so
+# nothing carries over): the rotation policy requires each round's window
+# to re-earn driver rows for queries this set did NOT score.
+R8_WINDOW = {
     "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
     "o13_response_extract", "o15_time_parse", "o19_links_dedup",
     "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
@@ -41,15 +40,15 @@ R7_WINDOW = {
     "x4_token_stats", "x4_lang_id", "x9_curation_pipeline",
     "x5_media_decode", "x5_media_decode_real", "x6_ts_pattern_match",
     "x7_nearest_station", "x3_pandas_matmul", "x2_dup_clusters",
-    "o2_source_roundtrip", "x1_exact_dedup", "x8_epoch_shuffle",
-    "x5_aspect_bucket_pack", "x6_forecast_eval", "x4_vocab_growth",
-    "x4_bpe_merge_count", "n11_trending_topk", "x4_ngram_novelty",
-    "x3_filtered_topk", "x8_curriculum_order", "x5_scene_change",
-    "x6_ts_acf", "x4_source_js_divergence", "n23_salted_agg",
-    "n23_salted_join", "x8_reservoir_sample", "x4_tfidf_topterms",
-    "n10_scalar_suite", "x8_shard_assign", "x8_token_packing",
-    "x9_curation_v3", "x2_containment", "x3_ann_ivf_seeded",
-    "x7_geo_cluster", "x9_curation_v5",
+    "o2_source_roundtrip", "x1_exact_dedup", "x8_stratified_sample",
+    "x8_train_holdout_split", "x6_ts_dtw", "n13_python_udtf",
+    "x4_readability", "x4_heavy_hitters", "x4_pii_redact",
+    "x2_effective_tokens", "n25_interval_join", "x8_length_batching",
+    "x8_budget_allocation", "x8_mixture_schedule", "x3_scalar_quant",
+    "tpch_q9_product_profit", "x5_phash_dedup", "x5_audio_decode_real",
+    "x2_lsh_tuning", "x2_cdc_chunks", "x2_cross_source_dups",
+    "x9_dataset_report", "x9_corpus_diff", "x9_release_manifest",
+    "x6_matrix_profile", "x6_discord_topk",
 }
 
 
@@ -112,12 +111,12 @@ def test_rotation_reearns_driver_rows():
     """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
     slots must go to queries the PREVIOUS round's window did not score,
     so hard driver evidence cycles through the whole registry over
-    rounds. r8: all 50 r7 rows were green, so no red row carries over and
-    the whole ROTATION is fresh (all 20 never driver-scored)."""
+    rounds. r9: all 50 r8 rows were green, so no red row carries over and
+    the whole ROTATION is fresh (all 20 last driver-scored in r1/r2)."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R7_WINDOW
+    fresh = window - R8_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    assert set(registry.ROTATION) & R7_WINDOW == set()
+    assert set(registry.ROTATION) & R8_WINDOW == set()
 
 
 def test_no_duplicate_registration_possible():
