@@ -482,13 +482,20 @@ def verified_near_dup_pairs(
     # exact verification touches only docs that appear in a candidate pair
     # (semi-join first — shingle arrays for the other 99.9% of the corpus
     # are never materialized; at 100 TB candidates ≪ corpus by design)
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh = docs.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", shingles(F.col("text")).alias("gs")
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    # scoped_persist: sh feeds BOTH sides of the verification join, and
+    # broadcast joins never reuse exchanges (CLAUDE.md rule 18) — without
+    # materialization the semi-join + shingle subtree scans the corpus
+    # once PER SIDE (r9 A/B at sf0.1: 3.44 s → 2.34 s median-of-5,
+    # result-identical). The persisted set is candidate docs only (≪
+    # corpus by the LSH design), so the cache entry is bounded.
+    sh = scoped_persist(
+        persist_key + ".sh",
+        docs.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", shingles(F.col("text")).alias("gs")
+        ),
     )
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")
