@@ -16,6 +16,7 @@ and nothing else changes.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -404,7 +405,11 @@ def decode_bmp_features(bmps: DataFrame) -> DataFrame:
                 n = w * h
                 rows.append(
                     (doc_id, w, h, bpp, len(payload),
-                     round(sr / n, 6), round(sg / n, 6), round(sb / n, 6), tr, tg, tb)
+                     # half-up, not banker's: mirrors SQL ROUND
+                     # (CLAUDE.md rule 11; ADVICE r08)
+                     math.floor(sr / n * 1e6 + 0.5) / 1e6,
+                     math.floor(sg / n * 1e6 + 0.5) / 1e6,
+                     math.floor(sb / n * 1e6 + 0.5) / 1e6, tr, tg, tb)
                 )
             yield pd.DataFrame(
                 rows,
@@ -484,7 +489,11 @@ def x5_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = w * h
                 rows.append(
                     (doc_id, w, h, bpp, len(payload),
-                     round(sr / n, 6), round(sg / n, 6), round(sb / n, 6), tr, tg, tb)
+                     # half-up, not banker's: mirrors SQL ROUND
+                     # (CLAUDE.md rule 11; ADVICE r08)
+                     math.floor(sr / n * 1e6 + 0.5) / 1e6,
+                     math.floor(sg / n * 1e6 + 0.5) / 1e6,
+                     math.floor(sb / n * 1e6 + 0.5) / 1e6, tr, tg, tb)
                 )
             yield pd.DataFrame(
                 rows,

@@ -1083,7 +1083,15 @@ def water_fill(caps: DataFrame, t: DataFrame) -> DataFrame:
     """Exact integer water-filling core of ``x8_budget_allocation``:
     ``caps`` = (source, cap), ``t`` = 1-row (budget, n). Exposed so the
     saturation branch (skewed capacities) is pinned by its own synthetic
-    test — the near-uniform fixture never saturates at a 50% budget."""
+    test — the near-uniform fixture never saturates at a 50% budget.
+
+    NON-NEGATIVITY ASSUMPTION (ADVICE r08): cross-engine equivalence of
+    the residual division relies on Spark ``DIV`` (truncate toward zero)
+    and DuckDB ``//`` (floor) agreeing — true only for non-negative
+    operands. Holds here because caps are regexp counts (≥ 0) and
+    ``budget - used ≥ 0`` by the saturation predicate; do NOT reuse this
+    core with signed quantities without switching both engines to an
+    explicit floor."""
     wo = Window.orderBy("cap", "source")
     wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r = caps.select(
