@@ -204,6 +204,25 @@ def connected_components_star(
     edge-set diff. Per-round cost: two keyed aggregates, two equi-joins,
     ONE distinct (duplicates are tolerated inside a round — the min
     aggregates ignore them — and collapsed once before the checkpoint).
+
+    FRONTIER PRUNING: measured and rejected (r9, VERDICT r08 item 5).
+    The sound settle unit is a whole star (root plus ALL children clean —
+    "both endpoints clean" per edge is NOT sound: a clean root can share
+    a component with a smaller vertex through one bad child, which would
+    re-label its settled children later). Implemented that way and A/B'd
+    interleaved-warm on the 82k-edge geo graph: pruned 9.4 s vs plain
+    6.5 s median — WORSE, because this graph converges in TWO
+    materialization rounds, per-round cost is Spark job scheduling (not
+    data volume), and pruning adds jobs (bad-vertex materialization +
+    settled/frontier splits) while only round 1's input shrinks (~32%).
+    Also measured and rejected on the same graph: 3/4 star-pairs per
+    checkpoint (13.5 s / 50.7 s — unmaterialized window-chain lineage,
+    the rule-17 blowup regime), shuffle-partition cuts 32→4/8/16 (flat;
+    AQE already coalesces), and long-hashed ids (−0.4 s, eaten by the
+    rank-encode/decode joins an order-preserving mapping needs). Pruning
+    would pay on graphs with MANY rounds (per-round work tracking a
+    shrinking frontier at 100 TB); revisit only with a high-diameter
+    workload that actually runs >3 rounds.
     """
     sym = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
