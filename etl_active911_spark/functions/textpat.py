@@ -1,0 +1,13 @@
+"""Shared text-pattern constants (leaf module — no operator imports).
+
+Lives below the operator layer so both ``operators.textual`` and
+``operators.dedup`` can use the tokenizer regex at DECORATION time
+without a circular import (their ``@query`` oracle builders run at
+module import, and each module's oracles reference the other's CTEs).
+"""
+
+# BPE-ish pre-tokenization regex (GPT-2-style shape: contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs) restricted to the
+# RE2∩Java-regex common subset so Spark and DuckDB tokenize identically
+# (value-level extraction equality verified, not just counts).
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"

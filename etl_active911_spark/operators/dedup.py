@@ -837,6 +837,190 @@ def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKDECON_K = 8  # overlap window, in tokenizer tokens (eval-leakage audits
+#                 measure contamination in token space, not word space)
+_TOKDECON_SEP = "\x1f"  # unit separator — cannot appear in tokens
+
+
+def _tokdecon_oracle() -> str:
+    from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    k = TOKDECON_K
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, regexp_extract_all(LOWER(text), '{pat}') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, t, len(t) AS n,
+               unnest(range(1, GREATEST(len(t) - {k - 1}, 1) + 1)) AS i
+        FROM toks
+    ),
+    gr AS (
+        SELECT doc_id, source, n, CAST(i AS BIGINT) AS i,
+               CASE WHEN n >= {k}
+                    THEN array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {k - 1}], chr(31))
+                    ELSE array_to_string(t, chr(31)) END AS gm,
+               CAST(i + LEAST(n, {k}) - 1 AS BIGINT) AS e
+        FROM pos
+    ),
+    train AS (SELECT doc_id, n, i, e, gm FROM gr WHERE source <> '{EVAL_SOURCE}'),
+    ev AS (SELECT DISTINCT gm, doc_id AS eval_doc FROM gr WHERE source = '{EVAL_SOURCE}'),
+    hits AS (
+        SELECT t.doc_id, t.n, t.i, t.e, v.eval_doc
+        FROM train t JOIN ev v ON t.gm = v.gm
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT i) AS BIGINT) AS n_hit_windows,
+               CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs,
+               CAST(MAX(n) AS BIGINT) AS n_tokens
+        FROM hits GROUP BY doc_id
+    ),
+    iv AS (SELECT DISTINCT doc_id, i, e FROM hits),
+    pe AS (
+        SELECT doc_id, i, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM iv
+    ),
+    isl AS (
+        SELECT doc_id, i, e,
+               SUM(CASE WHEN i > COALESCE(prev_e, -1) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM pe
+    ),
+    cov AS (
+        SELECT doc_id, island, MAX(e) - MIN(i) + 1 AS len
+        FROM isl GROUP BY doc_id, island
+    ),
+    cov2 AS (
+        SELECT doc_id, CAST(SUM(len) AS BIGINT) AS contaminated_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_hit_windows, s.n_eval_docs, c.contaminated_tokens,
+           s.n_tokens,
+           ROUND(CAST(c.contaminated_tokens AS DOUBLE)
+                 / GREATEST(s.n_tokens, 1), 6) AS contaminated_frac
+    FROM stats s JOIN cov2 c ON s.doc_id = c.doc_id
+    """
+
+
+@query("x2_token_decontaminate", _tokdecon_oracle())
+def x2_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r9): TOKEN-LEVEL decontamination — ``x2_decontaminate``
+    re-measured in tokenizer space, the unit eval-leakage audits
+    actually report (VERDICT r08 item 6a). Tokens come from the BPE-ish
+    pre-tokenization regex (``textual.BPE_ISH_PATTERN`` — the learned
+    BPE merges are iterative and not SQL-expressible, so the
+    SQL-replicable pre-token layer is the oracle-checkable tokenizer
+    stage; value-level Spark==DuckDB extraction verified). A train doc
+    is contaminated where any ``TOKDECON_K``-token window also appears
+    in the held-out split; beyond the gram/eval-doc counts this emits
+    ``contaminated_tokens`` — the size of the UNION of its overlapping
+    windows (classic interval-island merge: cumulative-max of window
+    ends, island id = running count of gaps), i.e. exactly how many
+    tokens a span-level scrubber would cut, not just how many windows
+    matched.
+
+    Scale shape: the corpus-sized work is one codegen token explode +
+    posting-list equi-join on the gram (eval side distinct + broadcast
+    — benchmark splits ≪ corpus at 100 TB); the matched-hit table
+    (candidates only) is scoped_persist'd because both the stats
+    aggregate and the interval union consume it (rule 17); the island
+    windows run over per-doc hit positions (bounded by doc length),
+    never the corpus."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    return token_contamination(docs)
+
+
+def token_contamination(
+    docs: DataFrame, *, persist_key: str = "x2_token_decontaminate.hits"
+) -> DataFrame:
+    """Core of ``x2_token_decontaminate`` over an arbitrary (doc_id,
+    source, text) frame — split out so the interval-island merge (gaps,
+    overlaps, short-doc fallback) is pinned by synthetic corpora in
+    pytest, not just the fixture's two full-overlap docs."""
+    from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN
+
+    k = TOKDECON_K
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0).alias("t"),
+    ).withColumn("n", F.size("t"))
+    # codegen gram rows (shingle_rows discipline, SCALE.md invariant 3):
+    # explode(sequence) + element_at + concat_ws — no interpreted lambdas
+    # on the corpus-sized path
+    wp = base.select(
+        "doc_id",
+        "source",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("n") - (k - 1), F.lit(1)))).alias("i"),
+    )
+    gram = F.when(
+        F.col("n") >= k,
+        F.concat_ws(_TOKDECON_SEP, *[F.element_at("t", F.col("i") + j) for j in range(k)]),
+    ).otherwise(F.array_join("t", _TOKDECON_SEP))
+    rows = wp.select(
+        "doc_id",
+        "source",
+        "n",
+        F.col("i").cast("bigint").alias("i"),
+        gram.alias("gm"),
+        (F.col("i") + F.least(F.col("n"), F.lit(k)) - 1).cast("bigint").alias("e"),
+    )
+    train = rows.filter(F.col("source") != EVAL_SOURCE)
+    ev = (
+        rows.filter(F.col("source") == EVAL_SOURCE)
+        .select("gm", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    hits = scoped_persist(
+        persist_key,
+        train.join(F.broadcast(ev), "gm").select("doc_id", "n", "i", "e", "eval_doc"),
+    )
+    stats = hits.groupBy("doc_id").agg(
+        F.countDistinct("i").cast("bigint").alias("n_hit_windows"),
+        F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs"),
+        F.max("n").cast("bigint").alias("n_tokens"),
+    )
+    iv = hits.select("doc_id", "i", "e").distinct()
+    w_prev = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = iv.withColumn("prev_e", F.max("e").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("i") > F.coalesce(F.col("prev_e"), F.lit(-1)), 1).otherwise(0)
+        ).over(w_run),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("i") + 1).alias("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("len").cast("bigint").alias("contaminated_tokens"))
+    )
+    return stats.join(cov, "doc_id").select(
+        "doc_id",
+        "n_hit_windows",
+        "n_eval_docs",
+        "contaminated_tokens",
+        "n_tokens",
+        F.round(
+            F.col("contaminated_tokens").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("contaminated_frac"),
+    )
+
+
 SPAN_LEN, SPAN_STRIDE = 40, 10
 
 

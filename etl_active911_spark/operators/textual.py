@@ -101,10 +101,10 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# BPE-ish pre-tokenization regex (GPT-2-style shape: contractions, letter
-# runs, digit runs, punctuation runs, whitespace runs) restricted to the
-# RE2∩Java-regex common subset so Spark and DuckDB count identically.
-BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+# BPE-ish pre-tokenization regex: hoisted to functions/textpat.py (leaf
+# module) in r9 so dedup's decoration-time oracle builders can import it
+# without a circular import; re-exported here for existing call sites.
+from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN  # noqa: E402
 
 
 @query(

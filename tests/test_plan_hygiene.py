@@ -71,6 +71,9 @@ EXTRA_CHECKED = (
     "x8_curriculum_order",
     "x6_ts_acf",
     "x4_source_js_divergence",
+    # r9 additions (queued for the r10 scoring window)
+    "x2_token_decontaminate",
+    "x3_ann_ivf_add",
 )
 
 BNLJ_ALLOWED.update({
@@ -84,6 +87,7 @@ BNLJ_ALLOWED.update({
     "x4_tfidf_topterms": (1, "1-row corpus-count scalar broadcast into the idf projection"),
     "x3_ann_ivf_seeded": (2, "IVF_N_CELLS-row seed-centroid table broadcast into assignment and probe scoring (bounded build side)"),
     "x9_curation_v5": (14, "every BNLJ is a 1-row scalar build (mixture total/normalizer, prefix-sum bounds); scoped_persist'd stages EXECUTE once but InMemoryRelation plan text repeats them per consumer"),
+    "x3_ann_ivf_add": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape)"),
 })
 
 
