@@ -31,9 +31,12 @@ Semantics (pinned by golden tests):
   pinned. Every parse entry point accepts ``now_year``: when set, a
   month/day-only input (exactly two digit runs — ``LENIENT_PAT_MD``)
   parses as that year at midnight, reproducing moment's default against
-  an injected now; when None (the default, and what every REGISTERED
-  query uses) such inputs stay NULL so oracle results remain
-  deterministic.
+  an injected now; when None (the default for the production pipeline
+  queries) such inputs stay NULL so oracle results remain deterministic.
+  Since r9 the pinned-now path carries its own DRIVER-checkable
+  registered query (``o15_time_parse_pinned_now``, pipeline/queries.py:
+  literal ``PINNED_NOW_YEAR`` injected into BOTH engines), closing the
+  last O-15 fidelity sliver (VERDICT r08 item 7).
 - TWO-DIGIT YEAR (r5, ADVICE r04): moment routes an exactly-2-digit
   year through ``parseTwoDigitYear`` — ≤ 68 → 2000s, else 1900s
   ('25' → 2025, '69' → 1969). Replicated in both engines (1/3/4-digit

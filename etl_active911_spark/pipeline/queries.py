@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+from etl_active911_spark.io import read_table
 from etl_active911_spark.pipeline import active911 as a911
+from etl_active911_spark.pipeline import fixtures as _fx
 from etl_active911_spark.pipeline.fixtures import SYNTH_ALERTS_SQL, synthetic_alerts
 from etl_active911_spark.pipeline.oracle_sql import (
     _COORDS_CTE,
@@ -65,6 +67,64 @@ def o15_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the abbreviation-less whole-string fallback (ADVICE r01)."""
     return synthetic_alerts(spark, sf_dir).select(
         "id", "sent", parse_alert_time_iso(F.col("sent")).alias("start_iso")
+    )
+
+
+#: Pinned reference year for the moment missing-year default (module
+#: docstring of functions/timeparse.py): moment('12/08', 'MM/DD/YYYY
+#: HH:mm:ss') fills YEAR from the clock — deterministic only against an
+#: injected now, which this literal is.
+PINNED_NOW_YEAR = 2026
+
+#: Month/day-only fixture (shared SQL text, both engines): case 0 = MD +
+#: abbreviation (zone-mapped midnight), case 1 = unpadded MD, no
+#: abbreviation (whole-string fallback), case 2 = a full timestamp +
+#: abbreviation (proving the pinned now does NOT disturb complete
+#: inputs). Days ≤ 28 in the base fixture, so no Feb-overflow NULLs; the
+#: overflow path has its own golden tests.
+_MD_SENT = (
+    "CASE CAST(o_orderkey % 3 AS INT) "
+    f"WHEN 0 THEN {_fx._MM} || '/' || {_fx._DD} || ' ' || {_fx._ABBR_CASE} "
+    f"WHEN 1 THEN {_fx._MM_U} || '/' || {_fx._DD_U} "
+    f"ELSE {_fx._SENT_TS} || ' ' || {_fx._ABBR_CASE} END"
+)
+
+
+@query(
+    "o15_time_parse_pinned_now",
+    f"""
+    WITH md AS (
+        SELECT CAST(o_orderkey AS STRING) AS id, {_MD_SENT} AS sent FROM orders
+    ),
+    p AS (
+        SELECT id, sent,
+            TRIM(REGEXP_REPLACE(TRIM(sent), '\\s*\\S+$', '')) AS dp,
+            regexp_extract(TRIM(sent), '(\\S+)$', 1) AS abbr,
+            TRIM(sent) AS fullp
+        FROM md
+    )
+    SELECT id, sent,
+        {parse_iso_sql(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp", now_year=PINNED_NOW_YEAR)} AS start_iso
+    FROM p
+    """,
+)
+def o15_time_parse_pinned_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-15 (r9, VERDICT r08 item 7): the MISSING-YEAR default under a
+    pinned clock — moment fills an absent year from ``now``, which the
+    engine reproduces deterministically via the injected ``now_year``
+    (functions/timeparse.py, r5). This registered variant puts that
+    behavior under a DRIVER correctness row: month/day-only inputs (with
+    and without a tz abbreviation) parse as ``PINNED_NOW_YEAR`` at local
+    midnight, while complete timestamps in the same sweep are untouched.
+    The default-``now_year=None`` NULL behavior stays pinned by
+    ``o15_time_parse`` (whose fixture has no MD-only shape) and the
+    golden tests in tests/test_active911.py."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    md = spark.sql(f"SELECT CAST(o_orderkey AS STRING) AS id, {_MD_SENT} AS sent FROM orders")
+    return md.select(
+        "id",
+        "sent",
+        parse_alert_time_iso(F.col("sent"), now_year=PINNED_NOW_YEAR).alias("start_iso"),
     )
 
 

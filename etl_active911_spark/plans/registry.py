@@ -140,7 +140,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   + tpch_q22_idle_customers (deferred from the r9 window, last r1/r2);
 #:   + oldest remaining r1/r2 evidence: n2_correlated_subquery,
 #:   n4_approx_percentiles, n5_approx_count_distinct, x3_ann_ivf;
-#:   + any new r9 operators (never scored).
+#:   + the new r9 operators (never scored): x2_token_decontaminate,
+#:   x3_ann_ivf_add, o15_time_parse_pinned_now.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 

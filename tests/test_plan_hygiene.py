@@ -74,6 +74,7 @@ EXTRA_CHECKED = (
     # r9 additions (queued for the r10 scoring window)
     "x2_token_decontaminate",
     "x3_ann_ivf_add",
+    "o15_time_parse_pinned_now",
 )
 
 BNLJ_ALLOWED.update({
