@@ -458,6 +458,88 @@ _MINHASH_ORACLE = f"""
     """
 
 
+_MINHASH_EST_NEQ_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+_MINHASH_EST_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    vp AS (
+        SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+        FROM verified WHERE jac >= 0.5
+    ),
+    est AS (
+        SELECT v.doc_a, v.doc_b, v.jaccard,
+               ({_MINHASH_EST_NEQ_SQL}) AS n_eq
+        FROM vp v
+        JOIN sigs a ON a.doc_id = v.doc_a
+        JOIN sigs b ON b.doc_id = v.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard,
+           CAST(n_eq AS BIGINT) AS n_matching_hashes,
+           ROUND(CAST(n_eq AS DOUBLE) / {N_HASHES}, 6) AS est_jaccard,
+           ROUND(ABS(CAST(n_eq AS DOUBLE) / {N_HASHES} - jaccard), 6) AS abs_err
+    FROM est
+    """
+
+
+@query("x2_minhash_estimate", _MINHASH_EST_ORACLE)
+def x2_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r9): SKETCH-ACCURACY EVAL — the MinHash estimator itself
+    under test: for every verified near-dup pair, the signature-space
+    Jaccard estimate (fraction of the 64 minhashes that agree — the
+    textbook unbiased estimator, MMDS ch.3) next to the exact Jaccard,
+    with the absolute error. ``x2_lsh_tuning`` publishes the THEORETICAL
+    S-curve; this measures the sketch's EMPIRICAL accuracy on real
+    pairs — the number one consults before shrinking (or growing) the
+    signature budget at 100 TB, where signature width is a direct
+    storage/shuffle multiplier.
+
+    Exactness: the estimate is n_eq/64 (exact dyadic double), the exact
+    jaccard is the ROUNDED published value, and the error subtracts
+    those two — no raw-float boundary in any output (rule 4).
+
+    Scale shape: pairs come from the memoized cross-query pair graph
+    (``shared_verified_pairs`` — rule 25); signatures are computed ONLY
+    for pair members (semi-join first) and the small signature table is
+    scoped_persist'd because it joins once per pair side (rule 18 —
+    broadcast joins would otherwise evaluate the signature subtree
+    twice)."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = shared_verified_pairs(spark, sf_dir)
+    member_ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sigs = scoped_persist(
+        "x2_minhash_estimate.sigs",
+        minhash_signatures(docs.join(member_ids, "doc_id", "left_semi")),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)]
+    )
+    n_eq = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_eq = term if n_eq is None else n_eq + term
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_eq.cast("bigint").alias("n_matching_hashes"),
+            F.round(n_eq.cast("double") / N_HASHES, 6).alias("est_jaccard"),
+            F.round(
+                F.abs(n_eq.cast("double") / N_HASHES - F.col("jaccard")), 6
+            ).alias("abs_err"),
+        )
+    )
+
+
 def verified_near_dup_pairs(
     docs: DataFrame,
     *,

@@ -1989,3 +1989,89 @@ def x3_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return partial_topk(rescored, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r9): embedding-table QA report (per-dimension statistics)
+# ---------------------------------------------------------------------------
+
+_EMB_STATS_ORACLE = """
+    WITH x AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS d
+        FROM embeddings
+    ),
+    per AS (
+        SELECT CAST(d AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(v) AS sv, SUM(v * v) AS sv2,
+               MIN(v) AS mn, MAX(v) AS mx
+        FROM x GROUP BY d
+    ),
+    r AS (
+        SELECT dim, n,
+               ROUND(sv / n, 6) AS mean_v,
+               ROUND(sv2 / n - (sv / n) * (sv / n), 6) AS var_v,
+               ROUND(mn, 6) AS min_v, ROUND(mx, 6) AS max_v
+        FROM per
+    )
+    SELECT dim, n, mean_v, var_v, min_v, max_v,
+           ROUND(var_v / SUM(var_v) OVER (), 6) AS var_share
+    FROM r
+    """
+
+
+@query("x3_embedding_stats", _EMB_STATS_ORACLE)
+def x3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r9): EMBEDDING-TABLE QA — the per-dimension report one runs
+    before trusting any ANN structure over a new embedding column: mean
+    (mis-centering breaks cosine-vs-dot equivalences), variance (dead
+    dimensions waste index bits; dominant ones defeat PQ subspace
+    splits), min/max (clipping artifacts), and each dimension's share of
+    total variance (an isotropy proxy — a handful of dimensions carrying
+    most variance is the classic anisotropy failure that motivates
+    whitening before IVF/PQ). The x9_dataset_report discipline applied
+    to the vector modality.
+
+    Exactness: per-dim moments are raw-double sums (error ≪ 1e-9 at
+    fixture scale) rounded at the edge; var_share divides the ROUNDED
+    variances by their 64-term rounded sum, so no raw-float boundary
+    reaches the hash (rule 4). The variance expression mirrors the SQL
+    op order term-for-term (rule 11).
+
+    Scale shape: one posexplode → 64-group partial+final hash aggregate
+    (map-side combined; shuffle = 64 rows/partition); the var-share
+    window runs over the 64-row RESULT, never the corpus."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+    )
+    per = x.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    r = per.select(
+        F.col("d").cast("int").alias("dim"),
+        "n",
+        F.round(F.col("sv") / F.col("n"), 6).alias("mean_v"),
+        F.round(
+            F.col("sv2") / F.col("n")
+            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")),
+            6,
+        ).alias("var_v"),
+        F.round("mn", 6).alias("min_v"),
+        F.round("mx", 6).alias("max_v"),
+    )
+    w_all = Window.partitionBy()
+    return r.select(
+        "dim",
+        "n",
+        "mean_v",
+        "var_v",
+        "min_v",
+        "max_v",
+        F.round(F.col("var_v") / F.sum("var_v").over(w_all), 6).alias("var_share"),
+    )

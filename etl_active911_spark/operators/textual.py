@@ -2399,3 +2399,81 @@ def x9_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("nb").cast("bigint").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r9): blocklist gate (C4-style word filter)
+# ---------------------------------------------------------------------------
+
+#: Demo blocklist — the MECHANISM is the operator (C4 drops any document
+#: containing a blocklisted word; Dolma/RefinedWeb run rate-thresholded
+#: variants). Terms chosen to actually occur in the synthetic corpus so
+#: both gate branches are exercised; a deployment swaps in its list.
+BLOCKLIST = ("slow", "skew", "spill", "leak", "stale")
+
+_BLOCKLIST_SQL = ", ".join(f"'{w}'" for w in BLOCKLIST)
+
+_BLOCKLIST_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, source, len(t) AS n_words, unnest(t) AS w FROM toks
+    )
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN w IN ({_BLOCKLIST_SQL}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked,
+           CAST(COUNT(DISTINCT CASE WHEN w IN ({_BLOCKLIST_SQL}) THEN w END) AS BIGINT)
+               AS n_distinct_blocked,
+           ROUND(CAST(SUM(CASE WHEN w IN ({_BLOCKLIST_SQL}) THEN 1 ELSE 0 END) AS DOUBLE)
+                 / n_words, 6) AS block_rate,
+           CAST(CASE WHEN SUM(CASE WHEN w IN ({_BLOCKLIST_SQL}) THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS passes_gate
+    FROM f GROUP BY doc_id, source, n_words
+    """
+
+
+@query("x4_blocklist_gate", _BLOCKLIST_ORACLE)
+def x4_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r9): BLOCKLIST word-filter gate — the C4 cleaning rule (drop
+    any document containing a blocklisted word; Raffel et al. 2020) with
+    the rate-thresholded diagnostics its successors report: per doc,
+    exact-token blocklist hits (word-boundary semantics via the shared
+    normalized-token split — NOT substring matching, which flags
+    'class' for 'ass'), distinct blocked terms, hit rate, and the
+    C4-strict pass flag.
+
+    Scale shape: one codegen token explode over docs spread by doc_id —
+    narrow explode preserves the hash partitioning, so the per-doc
+    aggregate plans EXCHANGE-FREE (CLAUDE.md rule 20); the lexicon is a
+    literal IN-list (a deployment-sized list of a few thousand terms
+    would broadcast-join the exploded tokens instead — same shape as
+    x2_decontaminate's eval side)."""
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    t = docs.select("doc_id", "source", tokens(F.col("text")).alias("t")).select(
+        "doc_id", "source", F.size("t").alias("n_words"), F.explode("t").alias("w")
+    )
+    blocked = F.col("w").isin(*BLOCKLIST)
+    hit = F.when(blocked, 1).otherwise(0)
+    return t.groupBy("doc_id", "source", "n_words").agg(
+        F.sum(hit).cast("bigint").alias("n_blocked"),
+        F.countDistinct(F.when(blocked, F.col("w"))).cast("bigint").alias(
+            "n_distinct_blocked"
+        ),
+        F.round(
+            F.sum(hit).cast("double") / F.col("n_words"), 6
+        ).alias("block_rate"),
+        (F.sum(hit) == 0).cast("int").alias("passes_gate"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "n_blocked",
+        "n_distinct_blocked",
+        "block_rate",
+        "passes_gate",
+    )

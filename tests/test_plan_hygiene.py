@@ -75,6 +75,9 @@ EXTRA_CHECKED = (
     "x2_token_decontaminate",
     "x3_ann_ivf_add",
     "o15_time_parse_pinned_now",
+    "x2_minhash_estimate",
+    "x4_blocklist_gate",
+    "x3_embedding_stats",
 )
 
 BNLJ_ALLOWED.update({
