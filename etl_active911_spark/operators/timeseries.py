@@ -1069,3 +1069,103 @@ _registry.ORACLES["x6_discord_topk"] = f"""
     SELECT * FROM ({_registry.ORACLES["x6_matrix_profile"]})
     ORDER BY mp DESC, user_id, event_id LIMIT 5
 """
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r9): CUSUM changepoint / level-shift detection
+# ---------------------------------------------------------------------------
+
+CUSUM_K = 0.5  # slack, in per-series sigma units (textbook standardized CUSUM)
+CUSUM_H = 5.0  # alarm threshold, sigma units (ARL-motivated default)
+
+_CUSUM_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id, event_id, ts, value,
+               AVG(value) OVER (PARTITION BY user_id) AS mu,
+               STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, event_id,
+               SUM(CASE WHEN sd > 0 THEN (value - mu) / sd - {CUSUM_K} END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+        FROM base
+    ),
+    s AS (
+        SELECT user_id, event_id,
+               ROUND(pf - LEAST(0, MIN(pf) OVER (PARTITION BY user_id
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                   AS cusum
+        FROM p
+    ),
+    a AS (
+        SELECT user_id, event_id, cusum,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cusum DESC, event_id) AS rnk
+        FROM s WHERE cusum > CAST({CUSUM_H} AS DOUBLE)
+    )
+    SELECT user_id, event_id, cusum, CAST(rnk AS BIGINT) AS rnk FROM a
+    """
+
+
+@query("x6_cusum_changepoint", _CUSUM_ORACLE)
+def x6_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r9): CUSUM LEVEL-SHIFT DETECTION (Page 1954) — the standard
+    upward-changepoint alarm over each user's value series: standardized
+    deviations ``(x - mu)/sigma - K`` accumulate as
+    ``S_t = max(0, S_{t-1} + dev_t)`` and an alarm fires at
+    ``S_t > H``. The recursion is NOT directly SQL-expressible, but its
+    prefix closed form IS: ``S_t = P_t - min(0, min_{j<=t} P_j)`` with
+    ``P`` the plain prefix sum (induction: if P_t >= m_{t-1} the max()
+    branch is inactive and the running min is unchanged; otherwise
+    S_t = 0 and P_t becomes the new min — both cases preserve
+    S_t = P_t - min(0, min P));
+    that turns a stateful scan into two stock window frames — the same
+    flat-window discipline as x6_ts_pattern_match. Emits every alarm
+    point with its per-user severity rank.
+
+    Determinism: both engines accumulate the same per-row deviations;
+    cumulative-frame last-bit drift is absorbed by ROUND(.,6) BEFORE
+    the threshold comparison and the rank (canonical policy 4; the
+    comparison constant is CAST AS DOUBLE — rule 24's decimal trap).
+    A zero-variance series yields NULL deviations → NULL cusum →
+    filtered identically by both engines.
+
+    Scale shape: two per-series window frames + one whole-partition
+    moment window — every exchange keys on user_id (series-bounded, the
+    x6 family's partitioning); no joins, no corpus-wide window."""
+    ev = read_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_min = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(w_all).alias("mu"),
+        F.stddev_pop("value").over(w_all).alias("sd"),
+    )
+    dev = F.when(
+        F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd") - CUSUM_K
+    )
+    p = base.select("user_id", "event_id", F.sum(dev).over(w_ord).alias("pf"))
+    s = p.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("pf") - F.least(F.lit(0.0), F.min("pf").over(w_min)), 6
+        ).alias("cusum"),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("cusum").desc(), "event_id")
+    return (
+        s.filter(F.col("cusum") > F.lit(CUSUM_H))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .select("user_id", "event_id", "cusum", "rnk")
+    )

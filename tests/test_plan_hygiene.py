@@ -78,6 +78,7 @@ EXTRA_CHECKED = (
     "x2_minhash_estimate",
     "x4_blocklist_gate",
     "x3_embedding_stats",
+    "x6_cusum_changepoint",
 )
 
 BNLJ_ALLOWED.update({
