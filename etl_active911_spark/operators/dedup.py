@@ -924,13 +924,15 @@ TOKDECON_K = 8  # overlap window, in tokenizer tokens (eval-leakage audits
 _TOKDECON_SEP = "\x1f"  # unit separator — cannot appear in tokens
 
 
-def _tokdecon_oracle() -> str:
+def tokdecon_ctes() -> str:
+    """The CTE chain up through ``hits`` (train-doc token-gram matches
+    against the eval split) — shared by the x2_token_decontaminate oracle
+    and the composed x9_curation_v6 audit oracle."""
     from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN
 
     pat = BPE_ISH_PATTERN.replace("'", "''")
     k = TOKDECON_K
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, source, regexp_extract_all(LOWER(text), '{pat}') AS t
         FROM documents
     ),
@@ -952,7 +954,12 @@ def _tokdecon_oracle() -> str:
     hits AS (
         SELECT t.doc_id, t.n, t.i, t.e, v.eval_doc
         FROM train t JOIN ev v ON t.gm = v.gm
-    ),
+    )"""
+
+
+def _tokdecon_oracle() -> str:
+    return f"""
+    WITH {tokdecon_ctes()},
     stats AS (
         SELECT doc_id,
                CAST(COUNT(DISTINCT i) AS BIGINT) AS n_hit_windows,

@@ -2477,3 +2477,138 @@ def x4_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_rate",
         "passes_gate",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r9): curation v6 — the SAFETY-AUDIT funnel
+# ---------------------------------------------------------------------------
+
+
+def _curation_v6_oracle() -> str:
+    from etl_active911_spark.operators.dedup import EVAL_SOURCE, tokdecon_ctes
+
+    stop_in = _STOPWORDS
+    return f"""
+    WITH {tokdecon_ctes()},
+    contam AS (SELECT DISTINCT doc_id FROM hits),
+    qtoks AS (
+        SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    qstats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_word_len,
+               ROUND(CAST(SUM(CASE WHEN tok IN {stop_in} THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS stop_frac
+        FROM qtoks GROUP BY doc_id
+    ),
+    qt2 AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    qbi AS (
+        SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS g,
+               len(t) - 1 AS n_bi
+        FROM qt2 WHERE len(t) >= 2
+    ),
+    qbc AS (SELECT doc_id, g, n_bi, COUNT(*) AS c FROM qbi GROUP BY doc_id, g, n_bi),
+    qtop AS (
+        SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / ANY_VALUE(n_bi), 6) AS tb
+        FROM qbc GROUP BY doc_id
+    ),
+    quality AS (
+        SELECT s.doc_id FROM qstats s LEFT JOIN qtop t ON s.doc_id = t.doc_id
+        WHERE s.n_words BETWEEN 50 AND 100000
+          AND s.mean_word_len BETWEEN 3.0 AND 10.0
+          AND s.stop_frac >= 0.005
+          AND COALESCE(t.tb, 0.0) <= 0.2
+    ),
+    bl AS (
+        SELECT doc_id FROM qtoks
+        GROUP BY doc_id
+        HAVING SUM(CASE WHEN tok IN ({", ".join(f"'{w}'" for w in BLOCKLIST)})
+                        THEN 1 ELSE 0 END) = 0
+    ),
+    funnel AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fq,
+               CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fb,
+               CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS fc
+        FROM documents d
+        LEFT JOIN quality q ON d.doc_id = q.doc_id
+        LEFT JOIN bl b ON d.doc_id = b.doc_id
+        LEFT JOIN contam c ON d.doc_id = c.doc_id
+        WHERE d.source <> '{EVAL_SOURCE}'
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(fq) AS BIGINT) AS n_pass_quality,
+           CAST(SUM(fb) AS BIGINT) AS n_pass_blocklist,
+           CAST(SUM(fc) AS BIGINT) AS n_uncontaminated,
+           CAST(SUM(fq * fb * fc) AS BIGINT) AS n_final,
+           ROUND(CAST(SUM(fq * fb * fc) AS DOUBLE) / COUNT(*), 6) AS final_rate
+    FROM funnel GROUP BY source
+    """
+
+
+@query("x9_curation_v6", _curation_v6_oracle())
+def x9_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r9): the SAFETY-AUDIT FUNNEL — the per-source attrition
+    report a data-governance review asks for before a release: of each
+    source's train-side documents, how many pass the Gopher quality
+    gate, how many pass the C4 blocklist gate, how many are free of
+    token-level eval contamination, and how many survive ALL THREE —
+    composing the r9 safety operators (x4_blocklist_gate,
+    x2_token_decontaminate) with the established quality gate the same
+    way curation_v5 composes the dedup family. Eval-split documents are
+    excluded from the funnel (they are the contamination REFERENCE, not
+    candidates).
+
+    Scale shape inherits each stage's: the quality gate rides the
+    shared fixture memo (rule 25), blocklist is the exchange-free
+    explode aggregate, contamination is the broadcast posting join;
+    the funnel itself is three doc_id-keyed left joins of doc-id-only
+    sets followed by one |sources|-group aggregate."""
+    from etl_active911_spark.operators.dedup import (
+        EVAL_SOURCE,
+        token_contamination,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id", F.lit(1).alias("fq")
+    )
+    bl = (
+        x4_blocklist_gate(spark, sf_dir)
+        .filter(F.col("passes_gate") == 1)
+        .select("doc_id", F.lit(1).alias("fb"))
+    )
+    contam = (
+        token_contamination(docs, persist_key="x9_curation_v6.hits")
+        .select("doc_id")
+        .distinct()
+        .withColumn("fcx", F.lit(1))
+    )
+    funnel = (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", "source")
+        .join(quality, "doc_id", "left")
+        .join(bl, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("fq", F.lit(0)).alias("fq"),
+            F.coalesce("fb", F.lit(0)).alias("fb"),
+            F.when(F.col("fcx").isNull(), 1).otherwise(0).alias("fc"),
+        )
+    )
+    return funnel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("fq").cast("bigint").alias("n_pass_quality"),
+        F.sum("fb").cast("bigint").alias("n_pass_blocklist"),
+        F.sum("fc").cast("bigint").alias("n_uncontaminated"),
+        F.sum(F.col("fq") * F.col("fb") * F.col("fc")).cast("bigint").alias("n_final"),
+        F.round(
+            F.sum(F.col("fq") * F.col("fb") * F.col("fc")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("final_rate"),
+    )

@@ -79,6 +79,7 @@ EXTRA_CHECKED = (
     "x4_blocklist_gate",
     "x3_embedding_stats",
     "x6_cusum_changepoint",
+    "x9_curation_v6",
 )
 
 BNLJ_ALLOWED.update({
