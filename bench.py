@@ -80,6 +80,12 @@ HEADLINE = [
     "x8_curriculum_order",
     "x7_geo_cluster",
     "x2_containment",
+    # round-9 additions (same shared-subset rule): the r9 operator wave's
+    # bench-worthy representatives, one per touched family
+    "x2_token_decontaminate",
+    "x3_ann_ivf_add",
+    "x6_cusum_changepoint",
+    "x9_curation_v6",
 ]
 
 
