@@ -2612,3 +2612,104 @@ def x9_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("final_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r9): Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+    WITH toks AS (
+        SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ),
+    wf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks WHERE w <> '' GROUP BY w
+    ),
+    rk AS (
+        SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM wf
+    ),
+    xy AS (
+        SELECT ROUND(ln(CAST(r AS DOUBLE)), 6) AS x,
+               ROUND(ln(CAST(f AS DOUBLE)), 6) AS y
+        FROM rk
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM xy
+    )
+    SELECT n AS n_vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """
+
+
+@query("x4_zipf_fit", _ZIPF_ORACLE)
+def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r9): ZIPF RANK-FREQUENCY FIT — log-log OLS of word frequency
+    against frequency rank (slope ≈ −1 for natural language; a corpus
+    whose slope drifts far from −1 is boilerplate-flooded or
+    template-generated, and the fit's R² quantifies how Zipf-like the
+    vocabulary is at all). The corpus-health scalar a dataset report
+    quotes next to vocab size — closes the loop with x4_vocab_growth
+    (Heaps' law), its type-count dual.
+
+    Determinism: each term's ``ln`` is ROUNDED to 6dp BEFORE the sums
+    (libm log may differ in the last ulp across engines — the
+    x8_mixture_schedule concern — but agrees far beyond 6dp, so both
+    engines sum IDENTICAL values); the OLS closed form mirrors the SQL
+    op order term-for-term, and outputs round at the edge.
+
+    Scale shape: one token explode → vocabulary aggregate (map-side
+    combined, shuffle ∝ vocab ≪ corpus); the global frequency rank
+    rides the two-phase prefix COUNT keyed by (−f, w) — no global-sort
+    window (the oracle may use one: oracle scale is fixture scale).
+    Note the range split inherits the Zipf skew of the key (most words
+    are hapax), which is benign: ranges stay contiguous and the
+    per-range window is partition-parallel."""
+    from etl_active911_spark.operators.dedup import tokens
+    from etl_active911_spark.operators.sampling import _two_phase_prefix_sum
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = _two_phase_prefix_sum(
+        wf.withColumn("negf", -F.col("f")).withColumn("one", F.lit(1)),
+        "one",
+        key="negf",
+        tiebreak="w",
+    ).withColumn("r", F.col("start_off") + 1)
+    xy = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 6).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_vocab"),
+        F.round(slope_raw, 6).alias("zipf_slope"),
+        F.round((sy - slope_raw * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

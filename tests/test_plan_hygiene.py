@@ -80,6 +80,7 @@ EXTRA_CHECKED = (
     "x3_embedding_stats",
     "x6_cusum_changepoint",
     "x9_curation_v6",
+    "x4_zipf_fit",
 )
 
 BNLJ_ALLOWED.update({
