@@ -95,6 +95,7 @@ BNLJ_ALLOWED.update({
     "x3_ann_ivf_seeded": (2, "IVF_N_CELLS-row seed-centroid table broadcast into assignment and probe scoring (bounded build side)"),
     "x9_curation_v5": (14, "every BNLJ is a 1-row scalar build (mixture total/normalizer, prefix-sum bounds); scoped_persist'd stages EXECUTE once but InMemoryRelation plan text repeats them per consumer"),
     "x3_ann_ivf_add": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape)"),
+    "x4_zipf_fit": (2, "1-row broadcast (-f) key-bounds table, once per prefix-sum subtree (x8_shard_assign shape)"),
 })
 
 
