@@ -991,17 +991,10 @@ def x8_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _budget_alloc_oracle() -> str:
-    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
-
-    pat = BPE_ISH_PATTERN.replace("'", "''")
-    return f"""
-    WITH caps AS (
-        SELECT source,
-               CAST(SUM(len(regexp_extract_all(LOWER(text), '{pat}'))) AS BIGINT) AS cap
-        FROM documents GROUP BY source
-    ),
-    t AS (SELECT CAST(SUM(cap) AS BIGINT) // 2 AS budget, COUNT(*) AS n FROM caps),
+#: The water-filling CTE tail (everything downstream of ``caps``/``t``) —
+#: shared by x8_budget_allocation and the dedup-aware x8_budget_effective
+#: so the two oracles can never drift apart.
+_WATER_FILL_TAIL_SQL = """
     r AS (
         SELECT source, cap,
                ROW_NUMBER() OVER (ORDER BY cap, source) AS k,
@@ -1037,6 +1030,20 @@ def _budget_alloc_oracle() -> str:
            CAST(sat AS INT) AS saturated
     FROM lvl
     """
+
+
+def _budget_alloc_oracle() -> str:
+    from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH caps AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(LOWER(text), '{pat}'))) AS BIGINT) AS cap
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(cap) AS BIGINT) // 2 AS budget, COUNT(*) AS n FROM caps),
+    {_WATER_FILL_TAIL_SQL}"""
 
 
 @query("x8_budget_allocation", _budget_alloc_oracle())
@@ -1283,3 +1290,77 @@ def x9_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_checksum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r9): dedup-aware budget allocation (effective tokens + water-filling)
+# ---------------------------------------------------------------------------
+
+
+def _budget_effective_oracle() -> str:
+    from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS h,
+               CAST(len(regexp_extract_all(LOWER(text), '{pat}')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    kp AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h),
+    caps AS (
+        SELECT d.source,
+               CAST(SUM(CASE WHEN d.doc_id = kp.keeper THEN d.n_tok ELSE 0 END)
+                    AS BIGINT) AS cap
+        FROM d JOIN kp ON d.h = kp.h
+        GROUP BY d.source
+    ),
+    t AS (SELECT CAST(SUM(cap) AS BIGINT) // 2 AS budget, COUNT(*) AS n FROM caps),
+    {_WATER_FILL_TAIL_SQL}"""
+
+
+@query("x8_budget_effective", _budget_effective_oracle())
+def x8_budget_effective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r9): DEDUP-AWARE budget allocation — ``x8_budget_allocation``
+    re-based on EFFECTIVE capacities: each source's cap is its
+    post-exact-dedup BPE-ish token volume (keeper = min doc_id per
+    normalized content hash, the x2_effective_tokens accounting), so a
+    source whose bulk is duplicated text no longer crowds the water-fill
+    — allocating against RAW counts over-funds exactly the sources dedup
+    will later gut, the budget-planning bug this composition closes.
+    Water-fill core (and its non-negativity invariant: dedup'd token
+    sums are ≥ 0) shared verbatim with x8_budget_allocation; the oracle
+    shares the SQL tail via ``_WATER_FILL_TAIL_SQL``.
+
+    Scale shape: one scan computes (hash, token count) per doc; keeper
+    choice is a hash-keyed aggregate; the water-fill runs on the
+    |sources|-row capacity table with 1-row scalar broadcasts."""
+    from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.sha2(normalized_text(F.col("text")), 256).alias("h"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    kp = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    caps = (
+        d.join(kp, "h")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cap")
+        )
+    )
+    t = caps.agg(
+        F.expr("CAST(SUM(cap) AS BIGINT) DIV 2").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return water_fill(caps, t)

@@ -81,6 +81,7 @@ EXTRA_CHECKED = (
     "x6_cusum_changepoint",
     "x9_curation_v6",
     "x4_zipf_fit",
+    "x8_budget_effective",
 )
 
 BNLJ_ALLOWED.update({
@@ -96,6 +97,7 @@ BNLJ_ALLOWED.update({
     "x9_curation_v5": (14, "every BNLJ is a 1-row scalar build (mixture total/normalizer, prefix-sum bounds); scoped_persist'd stages EXECUTE once but InMemoryRelation plan text repeats them per consumer"),
     "x3_ann_ivf_add": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape)"),
     "x4_zipf_fit": (2, "1-row broadcast (-f) key-bounds table, once per prefix-sum subtree (x8_shard_assign shape)"),
+    "x8_budget_effective": (3, "water_fill's 1-row (budget, n) scalar + 1-row saturation aggregate (x8_budget_allocation shape)"),
 })
 
 
