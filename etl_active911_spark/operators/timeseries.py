@@ -1169,3 +1169,119 @@ def x6_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
         .select("user_id", "event_id", "cusum", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r9): seasonal / trend strength (Hyndman's F_s, F_t)
+# ---------------------------------------------------------------------------
+
+_STRENGTH_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    tr AS (
+        SELECT user_id, event_id, sv, rn,
+               SUM(sv) OVER w5 AS tn,
+               COUNT(*) OVER w5 AS n
+        FROM base
+        WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                               AND {DECOMP_HALF} FOLLOWING)
+    ),
+    det AS (
+        SELECT user_id, event_id, rn, tn,
+               sv * {DECOMP_SPAN} - tn AS d_num
+        FROM tr WHERE n = {DECOMP_SPAN}
+    ),
+    sea AS (
+        SELECT user_id, event_id, tn, d_num,
+               SUM(d_num) OVER wp AS s_num,
+               COUNT(*) OVER wp AS m
+        FROM det
+        WINDOW wp AS (PARTITION BY user_id, rn % {DECOMP_PERIOD})
+    ),
+    comp AS (
+        SELECT user_id,
+               ROUND(CAST(tn AS DOUBLE) / {DECOMP_SPAN * _DECOMP_SCALE}, 6) AS trend,
+               ROUND(CAST(s_num AS DOUBLE) / ({DECOMP_SPAN * _DECOMP_SCALE} * m), 6) AS seasonal,
+               ROUND(CAST(d_num * m - s_num AS DOUBLE)
+                     / ({DECOMP_SPAN * _DECOMP_SCALE} * m), 6) AS residual
+        FROM sea
+    ),
+    v AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS nw,
+               SUM(residual) AS sr, SUM(residual * residual) AS srr,
+               SUM(seasonal + residual) AS ss,
+               SUM((seasonal + residual) * (seasonal + residual)) AS sss,
+               SUM(trend + residual) AS st,
+               SUM((trend + residual) * (trend + residual)) AS stt
+        FROM comp GROUP BY user_id
+    )
+    SELECT user_id, nw AS n_windows,
+           ROUND(CASE WHEN sss / nw - (ss / nw) * (ss / nw) > 0
+                      THEN GREATEST(0.0, 1 - (srr / nw - (sr / nw) * (sr / nw))
+                                          / (sss / nw - (ss / nw) * (ss / nw)))
+                      ELSE 0.0 END, 6) AS seasonal_strength,
+           ROUND(CASE WHEN stt / nw - (st / nw) * (st / nw) > 0
+                      THEN GREATEST(0.0, 1 - (srr / nw - (sr / nw) * (sr / nw))
+                                          / (stt / nw - (st / nw) * (st / nw)))
+                      ELSE 0.0 END, 6) AS trend_strength
+    FROM v
+    """
+
+
+@query("x6_seasonal_strength", _STRENGTH_ORACLE)
+def x6_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r9): SEASONAL / TREND STRENGTH (Hyndman & Athanasopoulos,
+    FPP3 §4.4): per series, ``F_s = max(0, 1 − Var(R)/Var(S+R))`` and
+    ``F_t = max(0, 1 − Var(R)/Var(T+R))`` over the classical
+    decomposition's components — the two scalars that let a fleet-wide
+    job RANK thousands of series by how seasonal/trending they are
+    (feature selection for forecasting, anomaly-baseline choice) without
+    a human looking at plots. Composes ``x6_ts_decompose``'s exact
+    fixed-point components (bit-identical across engines by
+    construction), so the only floating work is the variance aggregate
+    over identical 6dp inputs — summation-order drift ≪ the 6dp output
+    rounding, and the zero-variance guard short-circuits identically.
+
+    Scale shape: inherits the decompose shuffles (user_id, then
+    (user_id, phase)); the strength itself is one per-user aggregate."""
+    comp = x6_ts_decompose(spark, sf_dir).select(
+        "user_id", "trend", "seasonal", "residual"
+    )
+    v = comp.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+        F.sum("residual").alias("sr"),
+        F.sum(F.col("residual") * F.col("residual")).alias("srr"),
+        F.sum(F.col("seasonal") + F.col("residual")).alias("ss"),
+        F.sum(
+            (F.col("seasonal") + F.col("residual"))
+            * (F.col("seasonal") + F.col("residual"))
+        ).alias("sss"),
+        F.sum(F.col("trend") + F.col("residual")).alias("st"),
+        F.sum(
+            (F.col("trend") + F.col("residual"))
+            * (F.col("trend") + F.col("residual"))
+        ).alias("stt"),
+    )
+    def strength(sq, sm):
+        var_sig = sq / F.col("nw") - (sm / F.col("nw")) * (sm / F.col("nw"))
+        var_res = F.col("srr") / F.col("nw") - (F.col("sr") / F.col("nw")) * (
+            F.col("sr") / F.col("nw")
+        )
+        return F.round(
+            F.when(var_sig > 0, F.greatest(F.lit(0.0), 1 - var_res / var_sig))
+            .otherwise(F.lit(0.0)),
+            6,
+        )
+    return v.select(
+        "user_id",
+        F.col("nw").alias("n_windows"),
+        strength(F.col("sss"), F.col("ss")).alias("seasonal_strength"),
+        strength(F.col("stt"), F.col("st")).alias("trend_strength"),
+    )

@@ -82,6 +82,7 @@ EXTRA_CHECKED = (
     "x9_curation_v6",
     "x4_zipf_fit",
     "x8_budget_effective",
+    "x6_seasonal_strength",
 )
 
 BNLJ_ALLOWED.update({
