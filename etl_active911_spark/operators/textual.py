@@ -2672,10 +2672,16 @@ def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note the range split inherits the Zipf skew of the key (most words
     are hapax), which is benign: ranges stay contiguous and the
     per-range window is partition-parallel."""
+    return zipf_fit(spread(read_table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """Core of ``x4_zipf_fit`` over an arbitrary (doc_id, text) frame —
+    split out so a synthetic exact-Zipf corpus pins slope ~ -1 and
+    R-squared ~ 1 in pytest."""
     from etl_active911_spark.operators.dedup import tokens
     from etl_active911_spark.operators.sampling import _two_phase_prefix_sum
 
-    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     wf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .filter(F.col("w") != "")

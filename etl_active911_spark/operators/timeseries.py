@@ -1136,7 +1136,13 @@ def x6_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two per-series window frames + one whole-partition
     moment window — every exchange keys on user_id (series-bounded, the
     x6 family's partitioning); no joins, no corpus-wide window."""
-    ev = read_table(spark, sf_dir, "events")
+    return cusum_alarms(read_table(spark, sf_dir, "events"))
+
+
+def cusum_alarms(ev: DataFrame) -> DataFrame:
+    """Core of ``x6_cusum_changepoint`` over an arbitrary
+    (user_id, event_id, ts, value) frame — split out so synthetic
+    level-shift series pin alarm localization in pytest."""
     w_all = Window.partitionBy("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
