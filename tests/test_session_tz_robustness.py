@@ -42,6 +42,11 @@ TIME_SENSITIVE = [
     "x6_matrix_profile",
     # r8: windowed derived query (reuses the profile; ordering only)
     "x6_discord_topk",
+    # r9: the pinned-now missing-year parse (zone conversions on MD-only
+    # inputs) and the two new event-time-ordered series queries
+    "o15_time_parse_pinned_now",
+    "x6_cusum_changepoint",
+    "x6_seasonal_strength",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
