@@ -1025,13 +1025,13 @@ def x2_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_contamination(docs)
 
 
-def token_contamination(
+def _token_contamination_hits(
     docs: DataFrame, *, persist_key: str = "x2_token_decontaminate.hits"
 ) -> DataFrame:
-    """Core of ``x2_token_decontaminate`` over an arbitrary (doc_id,
-    source, text) frame — split out so the interval-island merge (gaps,
-    overlaps, short-doc fallback) is pinned by synthetic corpora in
-    pytest, not just the fixture's two full-overlap docs."""
+    """(doc_id, n, i, e, eval_doc) hit rows — the shared upstream of the
+    train-side report (``token_contamination``) and the eval-side report
+    (``x2_eval_contamination_report``); scoped_persist'd because every
+    consumer aggregates it at least twice (rule 17)."""
     from etl_active911_spark.functions.textpat import BPE_ISH_PATTERN
 
     k = TOKDECON_K
@@ -1068,10 +1068,20 @@ def token_contamination(
         .select("gm", F.col("doc_id").alias("eval_doc"))
         .distinct()
     )
-    hits = scoped_persist(
+    return scoped_persist(
         persist_key,
         train.join(F.broadcast(ev), "gm").select("doc_id", "n", "i", "e", "eval_doc"),
     )
+
+
+def token_contamination(
+    docs: DataFrame, *, persist_key: str = "x2_token_decontaminate.hits"
+) -> DataFrame:
+    """Core of ``x2_token_decontaminate`` over an arbitrary (doc_id,
+    source, text) frame — split out so the interval-island merge (gaps,
+    overlaps, short-doc fallback) is pinned by synthetic corpora in
+    pytest, not just the fixture's two full-overlap docs."""
+    hits = _token_contamination_hits(docs, persist_key=persist_key)
     stats = hits.groupBy("doc_id").agg(
         F.countDistinct("i").cast("bigint").alias("n_hit_windows"),
         F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs"),
@@ -2087,4 +2097,37 @@ def x2_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0) - eff.cast("double") / F.sum("n_tokens"), 6
             ).alias("dup_token_frac"),
         )
+    )
+
+
+def _eval_contamination_oracle() -> str:
+    return f"""
+    WITH {tokdecon_ctes()}
+    SELECT eval_doc,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(DISTINCT i) AS BIGINT) AS n_hit_windows
+    FROM hits GROUP BY eval_doc
+    """
+
+
+@query("x2_eval_contamination_report", _eval_contamination_oracle())
+def x2_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r9): the REVERSE direction of ``x2_token_decontaminate`` —
+    per EVAL document, how burned it is: the number of train documents
+    sharing any ``TOKDECON_K``-token window with it, and the total
+    distinct hit-window positions across the train side. Train-doc
+    reports tell the curator what to scrub; THIS report tells the
+    benchmark owner which eval items to retire (an item most of the
+    corpus contains measures memorization, not capability). Same hit
+    table, opposite rollup — the oracle shares the tokdecon CTE chain
+    verbatim.
+
+    Scale shape: identical to x2_token_decontaminate up through the
+    broadcast posting join; the rollup keys on eval_doc (benchmark-
+    sized, ≪ corpus)."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    hits = _token_contamination_hits(docs, persist_key="x2_eval_contam.hits")
+    return hits.groupBy("eval_doc").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_train_docs"),
+        F.countDistinct("i").cast("bigint").alias("n_hit_windows"),
     )

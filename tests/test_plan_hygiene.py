@@ -83,6 +83,7 @@ EXTRA_CHECKED = (
     "x4_zipf_fit",
     "x8_budget_effective",
     "x6_seasonal_strength",
+    "x2_eval_contamination_report",
 )
 
 BNLJ_ALLOWED.update({
