@@ -429,3 +429,85 @@ def x7_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.withColumn(
         "n_members", F.count(F.lit(1)).over(w).cast("bigint")
     ).select("id", "incident_id", "n_members")
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r9): geofence assignment (dispatch-zone membership)
+# ---------------------------------------------------------------------------
+
+#: Shared fence table (SQL text identical on both engines): six
+#: axis-aligned dispatch zones over the fixture's coordinate box
+#: (lat 39-41, lon -106..-104), including one deliberately overlapping
+#: zone (f6) and one that catches the place-fallback 40.x band (f5).
+#: Bounds are CAST AS DOUBLE so no DECIMAL-vs-DOUBLE comparison path
+#: diverges between engines (CLAUDE.md rule 24).
+_FENCES_SQL = """
+    SELECT * FROM (VALUES
+        ('f1', CAST(39.0 AS DOUBLE), CAST(39.5 AS DOUBLE), CAST(-105.0 AS DOUBLE), CAST(-104.5 AS DOUBLE)),
+        ('f2', CAST(39.5 AS DOUBLE), CAST(40.0 AS DOUBLE), CAST(-105.0 AS DOUBLE), CAST(-104.5 AS DOUBLE)),
+        ('f3', CAST(39.0 AS DOUBLE), CAST(39.5 AS DOUBLE), CAST(-104.5 AS DOUBLE), CAST(-104.0 AS DOUBLE)),
+        ('f4', CAST(39.5 AS DOUBLE), CAST(40.0 AS DOUBLE), CAST(-104.5 AS DOUBLE), CAST(-104.0 AS DOUBLE)),
+        ('f5', CAST(40.0 AS DOUBLE), CAST(40.5 AS DOUBLE), CAST(-106.0 AS DOUBLE), CAST(-104.0 AS DOUBLE)),
+        ('f6', CAST(39.25 AS DOUBLE), CAST(39.75 AS DOUBLE), CAST(-104.75 AS DOUBLE), CAST(-104.25 AS DOUBLE))
+    ) AS t(fence_id, lat_min, lat_max, lon_min, lon_max)
+"""
+
+
+@query(
+    "x7_geofence_assignment",
+    f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    fences AS ({_FENCES_SQL}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM resolved),
+    m AS (
+        SELECT f.fence_id, CAST(COUNT(r.id) AS BIGINT) AS n_alerts
+        FROM fences f
+        LEFT JOIN resolved r
+          ON r.lat_d >= f.lat_min AND r.lat_d < f.lat_max
+         AND r.lon_d >= f.lon_min AND r.lon_d < f.lon_max
+        GROUP BY f.fence_id
+    )
+    SELECT m.fence_id, m.n_alerts,
+           ROUND(CAST(m.n_alerts AS DOUBLE) / tot.n, 6) AS share
+    FROM m CROSS JOIN tot
+    """,
+)
+def x7_geofence_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r9): GEOFENCE ASSIGNMENT — membership of every resolved
+    alert in a set of axis-aligned dispatch zones (the
+    which-jurisdiction-pages question), rolled up to per-fence counts
+    and corpus shares; zones may overlap (an alert counts in each) and
+    empty zones report zero (LEFT join from the fence side). Half-open
+    bounds [min, max) so a boundary coordinate lands in exactly one of
+    two adjacent zones.
+
+    Determinism: coordinates are the fixture's parsed decimal strings —
+    identical doubles on both engines — and the fence bounds are CAST
+    AS DOUBLE literals from one shared SQL text, so containment is
+    bit-stable with no rounding step needed.
+
+    Scale shape: the fence table broadcasts (zones ≈ hundreds in a real
+    deployment); the containment join is a bounded BNLJ against the
+    6-row build side — at thousands of fences the grid-bucket equi-join
+    of x7_geo_bucket_join replaces it (bucket by lat/lon cell, fences
+    replicated to overlapped cells); the rollup is |fences|-group."""
+    resolved = _resolved(spark, sf_dir).select("id", "lat_d", "lon_d")
+    fences = spark.sql(_FENCES_SQL)
+    contained = (
+        (F.col("lat_d") >= F.col("lat_min"))
+        & (F.col("lat_d") < F.col("lat_max"))
+        & (F.col("lon_d") >= F.col("lon_min"))
+        & (F.col("lon_d") < F.col("lon_max"))
+    )
+    m = (
+        F.broadcast(fences)
+        .join(resolved, on=contained, how="left")
+        .groupBy("fence_id")
+        .agg(F.count("id").cast("bigint").alias("n_alerts"))
+    )
+    tot = resolved.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "fence_id",
+        "n_alerts",
+        F.round(F.col("n_alerts").cast("double") / F.col("n"), 6).alias("share"),
+    )

@@ -84,6 +84,7 @@ EXTRA_CHECKED = (
     "x8_budget_effective",
     "x6_seasonal_strength",
     "x2_eval_contamination_report",
+    "x7_geofence_assignment",
 )
 
 BNLJ_ALLOWED.update({
@@ -100,6 +101,7 @@ BNLJ_ALLOWED.update({
     "x3_ann_ivf_add": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape)"),
     "x4_zipf_fit": (2, "1-row broadcast (-f) key-bounds table, once per prefix-sum subtree (x8_shard_assign shape)"),
     "x8_budget_effective": (3, "water_fill's 1-row (budget, n) scalar + 1-row saturation aggregate (x8_budget_allocation shape)"),
+    "x7_geofence_assignment": (2, "6-row broadcast fence table (containment theta join) + 1-row corpus-total scalar"),
 })
 
 
