@@ -986,3 +986,109 @@ def x5_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, sample_rate int, duration_ms long, "
         "rms double, n_zero_cross long, peak long",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5 (r9): media integrity validation (magic bytes + header consistency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_media_validate",
+    f"""
+    WITH {_MEDIA_CTE}
+    SELECT mime,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN mime <> 'video/mp4' AND doc_id % 7 <> 0
+                          AND doc_id % 11 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN mime <> 'video/mp4'
+                          AND (doc_id % 7 = 0 OR doc_id % 11 = 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN mime = 'video/mp4' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unverifiable
+    FROM m GROUP BY mime
+    """,
+)
+def x5_media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r9): BLOB INTEGRITY VALIDATION — the ingest gate a media
+    pipeline runs before spending decode compute: per blob, does the
+    container LOOK like what its mime claims (magic bytes) and is the
+    header-declared size consistent with the actual byte count? The
+    Arrow pass synthesizes each doc's real container (genuine BMP /
+    RIFF-WAV via the real codecs), CORRUPTS the first byte for
+    ``doc_id % 7 == 0`` (a deterministic stand-in for truncated
+    uploads/bit rot), then validates by actually parsing: BMP = 'BM'
+    magic + little-endian declared file size == len; WAV = 'RIFF' +
+    'WAVE' magics + riff size == len − 8. The mp4 mime has no codec in
+    this container, so those rows report UNVERIFIABLE — counted, never
+    silently passed (the no-silent-caps rule). The oracle predicts
+    every count closed-form from the corruption rule — a validator that
+    misparses either header, or one that rubber-stamps, hash-mismatches.
+
+    Scale shape: one fused mapInPandas pass (blobs cross Arrow once,
+    never shuffle) → a |mimes|-group aggregate of tiny flag rows."""
+    import struct as _struct
+
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mime, b in zip(pdf["doc_id"], pdf["mime"], pdf["bytes"]):
+                d = hashlib.sha256(b).digest()
+                if mime == "image/png":
+                    payload = encode_bmp(4 + d[0] % 29, 4 + d[1] % 29, (d[3], d[4], d[5]))
+                elif mime == "audio/wav":
+                    n = 500 + (d[0] * 256 + d[1]) % 2000
+                    payload = encode_wav(n, 8000 + 1000 * (d[2] % 5), 1 + d[3], d[4] * 256 + d[5])
+                else:
+                    payload = b  # no mp4 codec in this container
+                if doc_id % 7 == 0:
+                    # magic-byte corruption (truncated upload / bit rot)
+                    payload = b"\x00" + payload[1:]
+                elif doc_id % 11 == 0 and mime != "video/mp4":
+                    # declared-size corruption with the magic INTACT — a
+                    # validator that only sniffs magic bytes passes these
+                    # and hash-mismatches the oracle
+                    off = 2 if mime == "image/png" else 4
+                    payload = (
+                        payload[:off]
+                        + _struct.pack("<I", _struct.unpack("<I", payload[off:off + 4])[0] + 1)
+                        + payload[off + 4:]
+                    )
+                if mime == "image/png":
+                    ok = (
+                        len(payload) >= 6
+                        and payload[:2] == b"BM"
+                        and _struct.unpack("<I", payload[2:6])[0] == len(payload)
+                    )
+                    status = "valid" if ok else "corrupt"
+                elif mime == "audio/wav":
+                    ok = (
+                        len(payload) >= 12
+                        and payload[:4] == b"RIFF"
+                        and payload[8:12] == b"WAVE"
+                        and _struct.unpack("<I", payload[4:8])[0] == len(payload) - 8
+                    )
+                    status = "valid" if ok else "corrupt"
+                else:
+                    status = "unverifiable"
+                rows.append((doc_id, mime, status))
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "status"])
+
+    flags = media.mapInPandas(run, "doc_id long, mime string, status string")
+    return flags.groupBy("mime").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("status") == "valid", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("status") == "corrupt", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("status") == "unverifiable", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unverifiable"),
+    )

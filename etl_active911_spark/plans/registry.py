@@ -145,7 +145,7 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x4_blocklist_gate, x3_embedding_stats, x6_cusum_changepoint,
 #:   x9_curation_v6, x4_zipf_fit, x8_budget_effective,
 #:   x6_seasonal_strength, x2_eval_contamination_report,
-#:   x7_geofence_assignment — more than 20 candidates
+#:   x7_geofence_assignment, x5_media_validate — more than 20 candidates
 #:   total, so the lowest-value spillover (n5_approx_count_distinct or
 #:   a second tpch) defers to r11.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/

@@ -85,6 +85,7 @@ EXTRA_CHECKED = (
     "x6_seasonal_strength",
     "x2_eval_contamination_report",
     "x7_geofence_assignment",
+    "x5_media_validate",
 )
 
 BNLJ_ALLOWED.update({
