@@ -129,25 +129,24 @@ ROTATION: tuple[str, ...] = (
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: Round-10 rotation queue (VERDICT r08 item 4 — recorded here so the
-#: window math is auditable). 20 slots planned:
-#:   11 NEVER driver-scored oracle queries: x4_char_entropy,
+#: Round-10 rotation queue (VERDICT r08 item 4 + r9 additions — recorded
+#: here so the window math is auditable). CONCRETE 20-slot plan:
+#:   11 NEVER driver-scored legacy oracle queries: x4_char_entropy,
 #:   x4_pmi_bigrams, x3_ann_ivf_lloyd1, tpch_q2_min_cost_supplier,
 #:   tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
 #:   tpch_q11_important_parts, tpch_q15_top_supplier,
 #:   tpch_q16_part_supplier_counts, tpch_q19_discounted_revenue,
 #:   tpch_q20_promotion_suppliers;
-#:   + tpch_q22_idle_customers (deferred from the r9 window, last r1/r2);
-#:   + oldest remaining r1/r2 evidence: n2_correlated_subquery,
-#:   n4_approx_percentiles, n5_approx_count_distinct, x3_ann_ivf;
-#:   + the new r9 operators (never scored): x2_token_decontaminate,
-#:   x3_ann_ivf_add, o15_time_parse_pinned_now, x2_minhash_estimate,
-#:   x4_blocklist_gate, x3_embedding_stats, x6_cusum_changepoint,
-#:   x9_curation_v6, x4_zipf_fit, x8_budget_effective,
-#:   x6_seasonal_strength, x2_eval_contamination_report,
-#:   x7_geofence_assignment, x5_media_validate — more than 20 candidates
-#:   total, so the lowest-value spillover (n5_approx_count_distinct or
-#:   a second tpch) defers to r11.
+#:   + 9 of the 14 new r9 operators (never scored):
+#:   x2_token_decontaminate, x3_ann_ivf_add, o15_time_parse_pinned_now,
+#:   x2_minhash_estimate, x4_blocklist_gate, x3_embedding_stats,
+#:   x6_cusum_changepoint, x9_curation_v6, x4_zipf_fit.
+#: r11 queue (the remainder): tpch_q22_idle_customers,
+#:   n2_correlated_subquery, n4_approx_percentiles,
+#:   n5_approx_count_distinct, x3_ann_ivf (last r1/r2), plus the other
+#:   five r9 operators: x8_budget_effective, x6_seasonal_strength,
+#:   x2_eval_contamination_report, x7_geofence_assignment,
+#:   x5_media_validate — 10 slots, leaving 10 for r10-round additions.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 
