@@ -2131,3 +2131,90 @@ def x2_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_train_docs"),
         F.countDistinct("i").cast("bigint").alias("n_hit_windows"),
     )
+
+
+_LSH_RECALL_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    found AS (
+        SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5
+    ),
+    tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb,
+               COUNT(*) AS inter
+        FROM (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh) a
+        JOIN (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh) b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    truth AS (
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+        FROM tp
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ),
+    m AS (
+        SELECT t.doc_a, t.doc_b, t.jac,
+               CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM truth t
+        LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(hit) AS BIGINT) AS n_found,
+           CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_missed,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall,
+           ROUND(MIN(jac), 6) AS min_true_jaccard
+    FROM m
+    """
+
+
+@query("x2_lsh_recall_eval", _LSH_RECALL_ORACLE)
+def x2_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r9): EMPIRICAL LSH RECALL — ``x2_lsh_tuning`` publishes the
+    theoretical S-curve; this measures the banding's MEASURED recall on
+    the corpus: exact ground truth (every pair with true 3-shingle
+    Jaccard ≥ 0.5, via an UNBLOCKED posting self-join — exhaustive for
+    the ≥ 0.5 regime, since such pairs necessarily co-occur on some
+    shingle) against the pipeline's verified pairs. Verification is
+    exact, so found ⊆ truth and the single number that can degrade is
+    recall — the regression canary for any future band/row or hash-
+    family change. ``min_true_jaccard`` shows the margin between the
+    corpus's easiest true pair and the 0.5 design threshold.
+
+    EVAL-ONLY SCALE SHAPE (documented cap): the unblocked posting join
+    enumerates every co-shingle pair (measured ~100× growth for 10×
+    docs on the fixture's hot shingles) — ground truth at 100 TB runs
+    on a SAMPLE, or with the df-cut that ``x2_ngram_jaccard``'s
+    docstring prescribes; the production path stays the banded
+    pipeline. The registered pipeline side reuses the memoized pair
+    graph (rule 25)."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    found = shared_verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("gs"))
+    p = sh.select("doc_id", F.explode("gs").alias("g"), F.size("gs").alias("n_g"))
+    a, b = p.alias("a"), p.alias("b")
+    tp = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    truth = tp.withColumn("jac", jac).filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", "jac"
+    )
+    m = truth.join(found, ["doc_a", "doc_b"], "left").select(
+        "jac", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum("hit").cast("bigint").alias("n_found"),
+        (F.count(F.lit(1)) - F.sum("hit")).cast("bigint").alias("n_missed"),
+        F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        F.round(F.min("jac"), 6).alias("min_true_jaccard"),
+    )

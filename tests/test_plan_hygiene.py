@@ -86,6 +86,7 @@ EXTRA_CHECKED = (
     "x2_eval_contamination_report",
     "x7_geofence_assignment",
     "x5_media_validate",
+    "x2_lsh_recall_eval",
 )
 
 BNLJ_ALLOWED.update({
