@@ -1291,3 +1291,79 @@ def x6_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         strength(F.col("sss"), F.col("ss")).alias("seasonal_strength"),
         strength(F.col("stt"), F.col("st")).alias("trend_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r9): hypertable-style rollup cascade (continuous aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x6_rollup_cascade",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS mean_value,
+           ROUND(sqrt(SUM(value * value) / COUNT(*)
+                      - (SUM(value) / COUNT(*)) * (SUM(value) / COUNT(*))), 6)
+               AS stddev_value
+    FROM events GROUP BY 1
+    """,
+)
+def x6_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r9): the HYPERTABLE ROLLUP CASCADE (TimescaleDB continuous
+    aggregates / materialized rollup chains): raw events roll up to a
+    MINUTE layer carrying re-aggregatable partials (count, sum, min,
+    max, sum-of-squares), and the HOUR layer is derived from the minute
+    layer ALONE — never re-reading raw data, which is the entire point
+    of the pattern at scale (each refresh touches one minute of raw
+    events; the hour/day layers re-aggregate partials). Derived stats
+    (mean, population stddev) are computed only at the edge, from the
+    partials — averaging averages is the classic cascade bug, and the
+    ORACLE computes the hour layer DIRECTLY from raw events, so any
+    non-re-aggregatable state in the cascade hash-mismatches.
+
+    Determinism: count/min/max re-aggregate exactly; sum/sum-of-squares
+    differ from the direct path only by float association (≪ the 2dp/6dp
+    output rounding at fixture magnitudes). Buckets are epoch-aligned
+    (Spark ``window`` == DuckDB ``time_bucket``) over the NTZ-normalized
+    event time, so no session-zone dependence (rule 3).
+
+    Scale shape: two keyed aggregates, each map-side combined; the hour
+    layer's input is the minute layer (1440× smaller than raw per day),
+    and adding day/week layers repeats the same partial re-aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.sum(F.col("value") * F.col("value")).alias("ssq"),
+        )
+        .select(F.col("w.start").alias("minute_start"), "cnt", "s", "mn", "mx", "ssq")
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "minute_start").alias("hour_start"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.sum("ssq").alias("ssq"),
+        )
+    )
+    n, s = F.col("n_events"), F.col("s")
+    return hour.select(
+        "hour_start",
+        "n_events",
+        F.round(s, 2).alias("sum_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+        F.round(s / n, 6).alias("mean_value"),
+        F.round(F.sqrt(F.col("ssq") / n - (s / n) * (s / n)), 6).alias("stddev_value"),
+    )

@@ -87,6 +87,7 @@ EXTRA_CHECKED = (
     "x7_geofence_assignment",
     "x5_media_validate",
     "x2_lsh_recall_eval",
+    "x6_rollup_cascade",
 )
 
 BNLJ_ALLOWED.update({

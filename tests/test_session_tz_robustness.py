@@ -47,6 +47,7 @@ TIME_SENSITIVE = [
     "o15_time_parse_pinned_now",
     "x6_cusum_changepoint",
     "x6_seasonal_strength",
+    "x6_rollup_cascade",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
