@@ -2075,3 +2075,183 @@ def x3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_v",
         F.round(F.col("var_v") / F.sum("var_v").over(w_all), 6).alias("var_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r9): post-add recall — are newly added vectors well-served?
+# ---------------------------------------------------------------------------
+
+#: The delta queries: the first 17 vectors of the x3_ann_ivf_add delta
+#: batch (vec_id % 11 == 3, vec_id < 180) — bounded like N_QUERIES so
+#: the exact ground-truth side stays queries x corpus, never corpus².
+IVF_ADD_Q_BOUND = 180
+
+_IVF_ADD_RECALL_ORACLE = f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, embedding::DOUBLE[] AS se
+        FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    scored_cells AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.ee, s.se)
+                 / (sqrt(list_dot_product(e.ee, e.ee))
+                    * sqrt(list_dot_product(s.se, s.se))) AS cos
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+        CROSS JOIN seeds s
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells
+            WHERE vec_id % {IVF_ADD_DELTA_MOD} = {IVF_ADD_DELTA_REM}
+              AND vec_id < {IVF_ADD_Q_BOUND}
+        ) t WHERE rn <= {IVF_NPROBE}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings
+        WHERE vec_id % {IVF_ADD_DELTA_MOD} = {IVF_ADD_DELTA_REM}
+          AND vec_id < {IVF_ADD_Q_BOUND}
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                       ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.qe, q.qe))
+                            * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))), 6)
+                       DESC, c.vec_id) AS rnk
+            FROM probes p
+            JOIN cells c ON c.cell = p.cell
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = p.query_id
+            WHERE c.vec_id != p.query_id
+        ) t WHERE rnk <= {TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.qe, q.qe))
+                            * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))), 6)
+                       DESC, e.vec_id) AS rnk
+            FROM q, embeddings e WHERE e.vec_id != q.query_id
+        ) t WHERE rnk <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(a.vec_id) / {TOP_K}.0, 6) AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """
+
+
+@query("x3_ann_ivf_add_recall", _IVF_ADD_RECALL_ORACLE)
+def x3_ann_ivf_add_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r9): POST-ADD SERVING QUALITY — ``x3_ann_ivf_add`` reports
+    index-health aggregates; this answers the user-facing question: when
+    the NEWLY ADDED vectors themselves issue queries against the
+    post-add index (cells = base + delta, centroids unchanged), what
+    recall@k does the nprobe-limited search achieve vs the exact top-k
+    over the same corpus? Drift that ivf_add's mean-cosine report flags
+    becomes measurable lost recall here — together they are the
+    monitor + SLO pair of incremental index maintenance.
+
+    Exactness: assignment, probes, and both rank chains reuse the
+    bit-replicable seeded-IVF arithmetic (ROUND(cos,6) with vec_id/cell
+    tie-breaks), so the composed evaluation carries a hard oracle
+    end-to-end (the x3_ann_recall_eval discipline with the delta query
+    set).
+
+    Scale shape: queries bounded (17 delta vectors), probes prune the
+    scan to nprobe/n_cells of the corpus, exact ground truth is
+    queries × corpus — the documented eval-side cost."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    seeds = emb.filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS)
+    ).select(
+        F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
+        F.col("embedding").alias("se"),
+    )
+    scored_cells = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                dot(F.col("embedding"), F.col("se"))
+                / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+            ).alias("cos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round("cos", 6).desc(), F.col("cell")
+    )
+    is_delta_q = (F.col("vec_id") % IVF_ADD_DELTA_MOD == IVF_ADD_DELTA_REM) & (
+        F.col("vec_id") < IVF_ADD_Q_BOUND
+    )
+    cells = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        scored_cells.filter(is_delta_q)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    q = emb.filter(is_delta_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cos_q = dot(F.col("qe"), F.col("embedding")) / (
+        l2norm(F.col("qe")) * l2norm(F.col("embedding"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("vec_id")
+    )
+    approx = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cos_q.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(F.col("query_id").alias("aq"), F.col("vec_id").alias("av"))
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos_q.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("aq") == F.col("query_id")) & (F.col("av") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("av").cast("bigint").alias("n_hits"),
+            F.round(F.count("av") / F.lit(float(TOP_K)), 6).alias("recall_at_k"),
+        )
+    )
