@@ -2255,3 +2255,127 @@ def x3_ann_ivf_add_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("av") / F.lit(float(TOP_K)), 6).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r9): metric sensitivity — cosine vs dot-product ranking divergence
+# ---------------------------------------------------------------------------
+
+_METRIC_SENS_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qe, e.embedding::DOUBLE[]) AS dp,
+               list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))) AS cos
+        FROM q, embeddings e WHERE e.vec_id != q.query_id
+    ),
+    rc AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {TOP_K}
+    ),
+    rd AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(dp, 6) DESC, vec_id) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {TOP_K}
+    )
+    SELECT c.query_id,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_common,
+           ROUND(COUNT(d.vec_id) / {TOP_K}.0, 6) AS overlap_at_k
+    FROM rc c
+    LEFT JOIN rd d ON d.query_id = c.query_id AND d.vec_id = c.vec_id
+    GROUP BY c.query_id
+    """
+
+
+@query("x3_metric_sensitivity", _METRIC_SENS_ORACLE)
+def x3_metric_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r9): METRIC SENSITIVITY — per query, the overlap@k between
+    the COSINE top-k and the DOT-PRODUCT top-k over the same corpus.
+    Cosine and MIPS agree only on unit-norm embeddings; real corpora
+    have norm spread (see ``x3_embedding_stats``), and an index built
+    for one metric silently serving the other is a classic vector-
+    search deployment bug. Overlap ≈ 1 → norms are uniform enough that
+    the metrics interchange; low overlap → pick the metric BEFORE
+    picking the index. One scored table feeds both rank chains
+    (scoped_persist — rule 17), each riding the map-side
+    WindowGroupLimit prune.
+
+    Scale shape: queries bounded (N_QUERIES), one corpus scan scores
+    both metrics in the same projection; ranks + the (queries × k)
+    self-overlap join are all bounded-result operators."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return metric_overlap(emb)
+
+
+def metric_overlap(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    *,
+    persist_key: str = "x3_metric_sensitivity.scored",
+) -> DataFrame:
+    """Core of ``x3_metric_sensitivity`` over an arbitrary
+    (vec_id, embedding) frame — split out so a synthetic norm-skewed
+    corpus pins the LOW-overlap branch in pytest (the fixture's norms
+    are uniform enough that its overlap is exactly 1.0)."""
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qnrm"),
+    )
+    scored = scoped_persist(
+        persist_key,
+        emb.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dot(F.col("qe"), F.col("embedding")).alias("dp"),
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos"),
+        ),
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("vec_id")
+    )
+    w_dp = Window.partitionBy("query_id").orderBy(
+        F.round("dp", 6).desc(), F.col("vec_id")
+    )
+    rc = (
+        scored.withColumn("rnk", F.row_number().over(w_cos))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    rd = (
+        scored.withColumn("rnk", F.row_number().over(w_dp))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(F.col("query_id").alias("dq"), F.col("vec_id").alias("dv"))
+    )
+    return (
+        rc.join(
+            rd,
+            (F.col("dq") == F.col("query_id")) & (F.col("dv") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("dv").cast("bigint").alias("n_common"),
+            F.round(F.count("dv") / F.lit(float(TOP_K)), 6).alias("overlap_at_k"),
+        )
+    )

@@ -76,3 +76,24 @@ def test_embedding_stats_var_shares_sum_to_one(spark):
     total = sum(r["var_share"] for r in rows)
     assert abs(total - 1.0) < 1e-4, total
     assert all(r["var_v"] >= 0 for r in rows)
+
+
+def test_metric_sensitivity_detects_norm_skew(spark):
+    from etl_active911_spark.operators.similarity import TOP_K, metric_overlap
+
+    # 1 query + 30 corpus vectors in 4 dims. Vectors 10..19 point AWAY
+    # from the query but carry 100x norm: they dominate the dot-product
+    # top-k while staying out of the cosine top-k -> overlap < 1.
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]
+    for i in range(1, 10):  # well-aligned unit-ish vectors
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(10, 20):  # misaligned giants
+        rows.append((i, [10.0, 100.0 + i, 0.0, 0.0]))
+    for i in range(20, 31):  # orthogonal filler
+        rows.append((i, [0.0, 0.0, 1.0, 0.01 * i]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = metric_overlap(emb, n_queries=1, persist_key="test_msens").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_common"] < TOP_K, r
+    assert r["overlap_at_k"] < 1.0
