@@ -108,7 +108,7 @@ BNLJ_ALLOWED.update({
     "x8_budget_effective": (3, "water_fill's 1-row (budget, n) scalar + 1-row saturation aggregate (x8_budget_allocation shape)"),
     "x7_geofence_assignment": (2, "6-row broadcast fence table (containment theta join) + 1-row corpus-total scalar"),
     "x3_ann_ivf_add_recall": (3, "16-row seed-centroid broadcast (assignment + probe legs) + bounded 17-row delta-query block with != self-pair condition (x3_ann_recall_eval shape)"),
-    "x3_metric_sensitivity": (1, "broadcast N_QUERIES-row query block, != self-pair condition (x3_range_search shape)"),
+    "x3_metric_sensitivity": (2, "broadcast N_QUERIES-row query block, != self-pair condition; the scoped_persist'd scored subtree's InMemoryRelation plan text repeats it once per rank-chain consumer — execution is once"),
 })
 
 
