@@ -534,3 +534,73 @@ def x2_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coef"),
         )
     )
+
+
+def _cluster_size_hist_oracle() -> str:
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM edges
+    ),
+    comp AS (SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+        FROM assigned GROUP BY component
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY size
+    """
+
+
+@query("x2_cluster_size_histogram", _cluster_size_hist_oracle())
+def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r9): NEAR-DUP CLUSTER-SIZE HISTOGRAM — the figure every
+    dedup writeup leads with (how much of the corpus sits in clusters
+    of size 2, 3, …, and how big the worst family is): every document
+    assigned to its near-dup component (singletons key by themselves —
+    the x8_cluster_split COALESCE, so size-1 mass is part of the
+    distribution, not a footnote), sizes rolled up to
+    (size → n_clusters, n_docs). Downstream: the boilerplate-flood
+    alarm is a fat right tail here, LONG before the pair list itself
+    becomes the problem.
+
+    Scale shape: components ride the memoized pair graph + the O(log n)
+    star engine (rule 25); the rest is two keyed aggregates, the first
+    on component (near-dup clusters ≪ corpus), the second on the
+    handful of distinct sizes."""
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    from etl_active911_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
+    assigned = docs.join(comp, "doc_id", "left").select(
+        F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs"),
+    )

@@ -90,6 +90,7 @@ EXTRA_CHECKED = (
     "x6_rollup_cascade",
     "x3_ann_ivf_add_recall",
     "x3_metric_sensitivity",
+    "x2_cluster_size_histogram",
 )
 
 BNLJ_ALLOWED.update({
