@@ -1367,3 +1367,82 @@ def x6_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s / n, 6).alias("mean_value"),
         F.round(F.sqrt(F.col("ssq") / n - (s / n) * (s / n)), 6).alias("stddev_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r9): min-max downsampling (rendering-faithful series reduction)
+# ---------------------------------------------------------------------------
+
+# 3 days, in minutes. NOT arbitrary: Spark's window() buckets from the
+# 1970-01-01 epoch, DuckDB's time_bucket() from 2000-01-03, and the two
+# origins differ by 10959 days = 3653 x 3 — so 3-day buckets land on
+# IDENTICAL boundaries in both engines (any divisor of 1440 minutes also
+# aligns; a 7-day bucket would NOT: 10959 % 7 != 0).
+DOWNSAMPLE_BUCKET_MIN = 3 * 1440
+
+
+@query(
+    "x6_minmax_downsample",
+    f"""
+    WITH b AS (
+        SELECT user_id, event_id, value,
+               time_bucket(INTERVAL '{DOWNSAMPLE_BUCKET_MIN} minutes', ts) AS bucket
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, bucket, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ROUND(value, 6) ASC, event_id) AS rmin,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ROUND(value, 6) DESC, event_id) AS rmax
+        FROM b
+    )
+    SELECT user_id, bucket, event_id, ROUND(value, 6) AS value,
+           CASE WHEN rmin = 1 AND rmax = 1 THEN 'both'
+                WHEN rmin = 1 THEN 'min' ELSE 'max' END AS kept_as
+    FROM r WHERE rmin = 1 OR rmax = 1
+    """,
+)
+def x6_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r9): MIN-MAX DOWNSAMPLING — the rendering-faithful series
+    reduction dashboards use (Grafana/M4): per (series, time bucket)
+    keep the extreme points — the actual ROWS, not aggregates — so
+    spikes and dips survive any reduction ratio, which plain AVG
+    downsampling erases (the monitoring bug this operator class
+    exists for). A single-point bucket (or constant bucket where the
+    same row takes both extremes) is kept once, tagged 'both'.
+
+    Determinism: extreme selection ranks on ROUND(value, 6) with
+    event_id tie-breaks (canonical policy 4), so equal-valued rows pick
+    the same representative on both engines.
+
+    Scale shape: one shuffle on (user_id, bucket) shared by both rank
+    windows; WindowGroupLimit prunes each to its per-bucket extreme
+    map-side. Output is ≤ 2 rows per (series, bucket) regardless of
+    input rate — the reduction contract."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.window("ts", f"{DOWNSAMPLE_BUCKET_MIN} minutes").start.alias("bucket"),
+    )
+    w_min = Window.partitionBy("user_id", "bucket").orderBy(
+        F.round("value", 6).asc(), F.col("event_id")
+    )
+    w_max = Window.partitionBy("user_id", "bucket").orderBy(
+        F.round("value", 6).desc(), F.col("event_id")
+    )
+    r = b.withColumn("rmin", F.row_number().over(w_min)).withColumn(
+        "rmax", F.row_number().over(w_max)
+    )
+    return r.filter((F.col("rmin") == 1) | (F.col("rmax") == 1)).select(
+        "user_id",
+        "bucket",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.when((F.col("rmin") == 1) & (F.col("rmax") == 1), "both")
+        .when(F.col("rmin") == 1, "min")
+        .otherwise("max")
+        .alias("kept_as"),
+    )

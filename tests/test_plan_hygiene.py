@@ -91,6 +91,7 @@ EXTRA_CHECKED = (
     "x3_ann_ivf_add_recall",
     "x3_metric_sensitivity",
     "x2_cluster_size_histogram",
+    "x6_minmax_downsample",
 )
 
 BNLJ_ALLOWED.update({

@@ -48,6 +48,7 @@ TIME_SENSITIVE = [
     "x6_cusum_changepoint",
     "x6_seasonal_strength",
     "x6_rollup_cascade",
+    "x6_minmax_downsample",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
