@@ -511,3 +511,132 @@ def x7_geofence_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_alerts",
         F.round(F.col("n_alerts").cast("double") / F.col("n"), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r9): hotspot detection (Getis-Ord-style local clustering score)
+# ---------------------------------------------------------------------------
+
+HOTSPOT_TOP = 10
+
+
+@query(
+    "x7_hotspot_cells",
+    f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    cells AS (
+        SELECT CAST(FLOOR(lat_d / {GRID_DEG}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon_d / {GRID_DEG}) AS BIGINT) AS cx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM resolved GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(n) * 1.0 / COUNT(*) AS mu,
+               sqrt(SUM(n * n) * 1.0 / COUNT(*)
+                    - (SUM(n) * 1.0 / COUNT(*)) * (SUM(n) * 1.0 / COUNT(*))) AS sd
+        FROM cells
+    ),
+    shifted AS (
+        SELECT c.cy + o.dy AS jy, c.cx + o.dx AS jx, c.n
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+        CROSS JOIN (SELECT oy.dy, ox.dx) o
+    ),
+    neigh AS (
+        SELECT c.cy, c.cx, c.n,
+               CAST(SUM(s.n) AS BIGINT) AS neigh_sum
+        FROM cells c
+        JOIN shifted s ON s.jy = c.cy AND s.jx = c.cx
+        GROUP BY c.cy, c.cx, c.n
+    ),
+    scored AS (
+        SELECT cy, cx, n, neigh_sum,
+               ROUND(CASE WHEN g.sd > 0
+                          THEN (neigh_sum - 9 * g.mu) / (3 * g.sd)
+                          ELSE 0.0 END, 6) AS score
+        FROM neigh CROSS JOIN g
+    )
+    SELECT cy, cx, n, neigh_sum, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, cy, cx) AS rnk
+        FROM scored
+    ) t WHERE rnk <= {HOTSPOT_TOP}
+    """,
+)
+def x7_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r9): INCIDENT HOTSPOT DETECTION — a Getis-Ord-style local
+    clustering score over the alert grid (the analysis a dispatch
+    center's planning team actually runs: which blocks are running
+    hot?): per occupied cell, the 3×3-neighborhood alert sum compared
+    against the all-cells mean in sd units
+    (``(Σ_neigh − 9μ)/(3σ)`` — Gi* with uniform weights over the
+    neighborhood, scored over OCCUPIED cells; empty in-neighborhood
+    cells contribute zero through the join, and the simplification —
+    no calibrated p-values — is documented, the output is a RANKING).
+    Emits the top-{HOTSPOT_TOP} hotspot cells.
+
+    Determinism: counts are integers, so μ/σ are bit-identical given
+    the same op order (mirrored term-for-term); the score rounds before
+    the rank, ties break on (cy, cx).
+
+    Scale shape: the neighborhood sum is the same 9-shift equi-join
+    trick as ``_colocated_pairs`` — each CELL (not point) replicates 9
+    ways and joins back on the shifted key, so cost is 9×|occupied
+    cells|, never points²; the global moment is a 1-row broadcast."""
+    pts = _grid_points(spark, sf_dir)
+    cells = pts.groupBy("cy", "cx").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    cells = scoped_persist("x7_hotspot.cells", cells)
+    g = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.sum("n") * 1.0 / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("n") * F.col("n")) * 1.0 / F.count(F.lit(1))
+            - (F.sum("n") * 1.0 / F.count(F.lit(1)))
+            * (F.sum("n") * 1.0 / F.count(F.lit(1)))
+        ).alias("sd"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    shifted = cells.select(
+        F.explode(offsets).alias("o"), "cy", "cx", "n"
+    ).select(
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        "n",
+    )
+    sh = shifted.withColumnRenamed("n", "sn")
+    neigh = (
+        cells.join(sh, (F.col("jy") == F.col("cy")) & (F.col("jx") == F.col("cx")))
+        .groupBy("cy", "cx", "n")
+        .agg(F.sum("sn").cast("bigint").alias("neigh_sum"))
+    )
+    scored = neigh.crossJoin(F.broadcast(g)).select(
+        "cy",
+        "cx",
+        "n",
+        "neigh_sum",
+        F.round(
+            F.when(
+                F.col("sd") > 0,
+                (F.col("neigh_sum") - 9 * F.col("mu")) / (3 * F.col("sd")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    # global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap + driver merge — no single-task global sort even at millions of
+    # cells, rule 19); the rank window then runs over the 10-row RESULT
+    top = scored.orderBy(F.col("score").desc(), "cy", "cx").limit(HOTSPOT_TOP)
+    w = Window.orderBy(F.col("score").desc(), "cy", "cx")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "cy", "cx", "n", "neigh_sum", "score", "rnk"
+    )

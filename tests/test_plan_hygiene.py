@@ -92,6 +92,7 @@ EXTRA_CHECKED = (
     "x3_metric_sensitivity",
     "x2_cluster_size_histogram",
     "x6_minmax_downsample",
+    "x7_hotspot_cells",
 )
 
 BNLJ_ALLOWED.update({
@@ -111,6 +112,7 @@ BNLJ_ALLOWED.update({
     "x7_geofence_assignment": (2, "6-row broadcast fence table (containment theta join) + 1-row corpus-total scalar"),
     "x3_ann_ivf_add_recall": (3, "16-row seed-centroid broadcast (assignment + probe legs) + bounded 17-row delta-query block with != self-pair condition (x3_ann_recall_eval shape)"),
     "x3_metric_sensitivity": (2, "broadcast N_QUERIES-row query block, != self-pair condition; the scoped_persist'd scored subtree's InMemoryRelation plan text repeats it once per rank-chain consumer — execution is once"),
+    "x7_hotspot_cells": (1, "1-row broadcast global cell-moment scalar (mu, sd)"),
 })
 
 
