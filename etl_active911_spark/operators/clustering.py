@@ -604,3 +604,116 @@ def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.sum("size").cast("bigint").alias("n_docs"),
     )
+
+
+TEMPLATE_PREFIX_MAX = 80  # chars of template surfaced per cluster
+
+
+def _cluster_template_oracle() -> str:
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM cedges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN cedges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM cedges
+    ),
+    comp AS (SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id),
+    ab AS (
+        SELECT c.component,
+               CAST(COUNT(*) AS BIGINT) AS size,
+               MIN(d.text) AS a, MAX(d.text) AS b
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        GROUP BY c.component
+    ),
+    pos AS (
+        SELECT component, size, a, b,
+               LEAST(LENGTH(a), LENGTH(b)) AS lmin,
+               unnest(range(1, LEAST(LENGTH(a), LENGTH(b)) + 1)) AS i
+        FROM ab
+    ),
+    mm AS (
+        SELECT component, MIN(i) AS first_diff
+        FROM pos WHERE substr(a, CAST(i AS INT), 1) <> substr(b, CAST(i AS INT), 1)
+        GROUP BY component
+    )
+    SELECT ab.component, ab.size,
+           CAST(COALESCE(mm.first_diff - 1, ab.lmin2) AS BIGINT) AS lcp_len,
+           substr(ab.a, 1,
+                  CAST(LEAST(COALESCE(mm.first_diff - 1, ab.lmin2),
+                             {TEMPLATE_PREFIX_MAX}) AS INT)) AS template_prefix
+    FROM (SELECT component, size, a, LEAST(LENGTH(a), LENGTH(b)) AS lmin2 FROM ab) ab
+    LEFT JOIN mm ON mm.component = ab.component
+    """
+
+
+@query("x2_cluster_template", _cluster_template_oracle())
+def x2_cluster_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r9): TEMPLATE MINING from near-dup clusters — per
+    multi-member cluster, the LONGEST COMMON PREFIX of all member texts
+    (boilerplate identification: the shared skeleton a scrubber or
+    boilerplate classifier wants). Uses the classic order-statistics
+    trick: the LCP of a whole set equals LCP(min(text), max(text))
+    under the same lexicographic order — so the per-cluster aggregate
+    carries TWO strings regardless of cluster size, and the
+    character-scan is positions × clusters, never positions × members.
+    First-mismatch position via a position explode + MIN (no loops —
+    SQL-expressible in both engines); fixture texts are ASCII so
+    lexicographic min/max agree byte-for-byte across engines.
+
+    Scale shape: components ride the memoized pair graph (rule 25);
+    the min/max aggregate is cluster-keyed; the position explode is
+    bounded by min member length per cluster (clusters ≪ corpus)."""
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
+    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ab = (
+        docs.join(comp, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.min("text").alias("a"),
+            F.max("text").alias("b"),
+        )
+        .withColumn("lmin", F.least(F.length("a"), F.length("b")))
+    )
+    pos = ab.select(
+        "component",
+        "a",
+        "b",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("lmin"), F.lit(1)))).alias("i"),
+    )
+    mm = (
+        pos.filter(
+            F.expr("substr(a, CAST(i AS INT), 1)")
+            != F.expr("substr(b, CAST(i AS INT), 1)")
+        )
+        .groupBy("component")
+        .agg(F.min("i").alias("first_diff"))
+    )
+    return (
+        ab.join(mm, "component", "left")
+        .select(
+            "component",
+            "size",
+            F.coalesce(F.col("first_diff") - 1, F.col("lmin"))
+            .cast("bigint")
+            .alias("lcp_len"),
+            F.expr(
+                f"substr(a, 1, CAST(LEAST(COALESCE(first_diff - 1, lmin), {TEMPLATE_PREFIX_MAX}) AS INT))"
+            ).alias("template_prefix"),
+        )
+    )

@@ -93,6 +93,7 @@ EXTRA_CHECKED = (
     "x2_cluster_size_histogram",
     "x6_minmax_downsample",
     "x7_hotspot_cells",
+    "x2_cluster_template",
 )
 
 BNLJ_ALLOWED.update({
