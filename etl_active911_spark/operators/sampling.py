@@ -1364,3 +1364,111 @@ def x8_budget_effective(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     return water_fill(caps, t)
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r9): split leakage audit (doc-level vs cluster-level assignment)
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    doc_b = _bucket_sql("doc_id")
+    key_a = "CAST(COALESCE(ca.component, p.doc_a) AS STRING)"
+    key_b = "CAST(COALESCE(cb.component, p.doc_b) AS STRING)"
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM cedges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN cedges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM cedges
+    ),
+    comp AS (SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id),
+    flags AS (
+        SELECT p.doc_a, p.doc_b,
+               CASE WHEN (SELECT {doc_b.replace('doc_id', 'p.doc_a')}) < 90
+                    THEN 1 ELSE 0 END AS da,
+               CASE WHEN (SELECT {doc_b.replace('doc_id', 'p.doc_b')}) < 90
+                    THEN 1 ELSE 0 END AS db,
+               CASE WHEN (('0x' || substr(md5({key_a}), 1, 8))::BIGINT) % 100 < 80
+                    THEN 1 ELSE 0 END AS ka,
+               CASE WHEN (('0x' || substr(md5({key_b}), 1, 8))::BIGINT) % 100 < 80
+                    THEN 1 ELSE 0 END AS kb
+        FROM prs p
+        LEFT JOIN comp ca ON ca.doc_id = p.doc_a
+        LEFT JOIN comp cb ON cb.doc_id = p.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN da <> db THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddle_doc_split,
+           CAST(SUM(CASE WHEN ka <> kb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddle_cluster_split,
+           ROUND(CAST(SUM(CASE WHEN da <> db THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS doc_split_leak_rate
+    FROM flags
+    """
+
+
+@query("x8_split_leakage_audit", _split_leakage_oracle())
+def x8_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r9): SPLIT LEAKAGE AUDIT — the measurement that justifies
+    cluster-aware splitting: over every verified near-dup pair, how many
+    straddle the train/holdout boundary under the naive DOC-level
+    assignment (``x8_train_holdout_split``'s 90/10 hash rule) vs under
+    the CLUSTER-level assignment (``x8_cluster_split``'s 80/20 rule on
+    the component key). The cluster column is ZERO BY CONSTRUCTION (both
+    pair members share a component ⇒ the same key hashes to the same
+    side) — the audit proves it on the actual corpus rather than
+    asserting it, and the doc-split column quantifies the eval
+    contamination a team ships if they skip the cluster split.
+
+    Scale shape: pairs ride the memoized graph (rule 25); the component
+    lookup is two pair-sized joins; everything after is one 1-row
+    aggregate over pair-count rows."""
+    from etl_active911_spark.operators.clustering import connected_components_star
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
+    pairs = shared_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components_star(pairs)
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
+    f = (
+        pairs.join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .select(
+            (hash_bucket(F.col("doc_a")) < 90).cast("int").alias("da"),
+            (hash_bucket(F.col("doc_b")) < 90).cast("int").alias("db"),
+            (hash_bucket(F.coalesce("comp_a", F.col("doc_a"))) < 80)
+            .cast("int")
+            .alias("ka"),
+            (hash_bucket(F.coalesce("comp_b", F.col("doc_b"))) < 80)
+            .cast("int")
+            .alias("kb"),
+        )
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("da") != F.col("db"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddle_doc_split"),
+        F.sum(F.when(F.col("ka") != F.col("kb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddle_cluster_split"),
+        F.round(
+            F.sum(F.when(F.col("da") != F.col("db"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("doc_split_leak_rate"),
+    )

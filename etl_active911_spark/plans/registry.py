@@ -149,8 +149,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x5_media_validate, x2_lsh_recall_eval, x6_rollup_cascade,
 #:   x3_ann_ivf_add_recall, x3_metric_sensitivity,
 #:   x2_cluster_size_histogram, x6_minmax_downsample,
-#:   x7_hotspot_cells, x2_cluster_template — 18 slots, leaving 2 for
-#:   r10-round additions.
+#:   x7_hotspot_cells, x2_cluster_template, x8_split_leakage_audit —
+#:   19 slots, leaving 1 for r10-round additions.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 

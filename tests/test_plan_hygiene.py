@@ -94,6 +94,7 @@ EXTRA_CHECKED = (
     "x6_minmax_downsample",
     "x7_hotspot_cells",
     "x2_cluster_template",
+    "x8_split_leakage_audit",
 )
 
 BNLJ_ALLOWED.update({
