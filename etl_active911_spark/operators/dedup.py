@@ -2133,16 +2133,65 @@ def x2_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Ground-truth posting df-cut (VERDICT r09 item 2): shingles present in
+#: more than this many documents are dropped from the TRUTH leg's posting
+#: self-join, bounding per-shingle pair fan-out at cap*(cap-1)/2 instead
+#: of O(n_docs^2) on flood shingles. Provably a no-op at fixture scale —
+#: measured max shingle df is 7 at sf0.01 and 25 at sf0.1
+#: (tests/test_lsh_recall_cap.py pins the sf0.01 headroom executable) —
+#: so the oracle hash is unchanged; the SAME cut is applied in the oracle
+#: SQL so both engines stay in lockstep even when the cap engages. The
+#: documented bias when it does engage: a true pair whose every shared
+#: shingle is flood-hot drops out of truth (standard df-cut / prefix-
+#: filter trade, MMDS §3.x) — acceptable for an eval leg.
+LSH_TRUTH_DF_CAP = 64
+
+
+def lsh_truth_pairs(sh: DataFrame, df_cap: int = LSH_TRUTH_DF_CAP) -> DataFrame:
+    """Exact ≥0.5-Jaccard ground-truth pairs from ``(doc_id, gs)`` shingle
+    sets via a df-capped posting self-join: postings on shingles seen in
+    more than ``df_cap`` documents are dropped before pairing (the df is
+    a window count over the same ``g`` partitioning the join shuffles on,
+    so the cut rides the join's own exchange). Jaccard denominators use
+    the FULL set sizes, so a pair surviving on its rare shingles still
+    gets its exact score."""
+    p = sh.select(
+        "doc_id", F.explode("gs").alias("g"), F.size("gs").alias("n_g")
+    ).withColumn("df_g", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    p = p.filter(F.col("df_g") <= df_cap).drop("df_g")
+    a, b = p.alias("a"), p.alias("b")
+    tp = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return tp.withColumn("jac", jac).filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", "jac"
+    )
+
+
 _LSH_RECALL_ORACLE = f"""
     WITH {MINHASH_CTES},
     found AS (
         SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5
     ),
+    pp AS (
+        SELECT doc_id, g, n_g FROM (
+            SELECT doc_id, g, n_g, COUNT(*) OVER (PARTITION BY g) AS df_g
+            FROM (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh)
+        ) WHERE df_g <= {LSH_TRUTH_DF_CAP}
+    ),
     tp AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb,
                COUNT(*) AS inter
-        FROM (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh) a
-        JOIN (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh) b
+        FROM pp a
+        JOIN pp b
           ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
     ),
@@ -2180,34 +2229,22 @@ def x2_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     family change. ``min_true_jaccard`` shows the margin between the
     corpus's easiest true pair and the 0.5 design threshold.
 
-    EVAL-ONLY SCALE SHAPE (documented cap): the unblocked posting join
-    enumerates every co-shingle pair (measured ~100× growth for 10×
-    docs on the fixture's hot shingles) — ground truth at 100 TB runs
-    on a SAMPLE, or with the df-cut that ``x2_ngram_jaccard``'s
-    docstring prescribes; the production path stays the banded
-    pipeline. The registered pipeline side reuses the memoized pair
-    graph (rule 25)."""
+    SCALE SHAPE (ENFORCED cap, VERDICT r09 item 2): the truth-leg
+    posting self-join drops shingles with document frequency above
+    ``LSH_TRUTH_DF_CAP`` BEFORE pairing (``lsh_truth_pairs``), bounding
+    per-shingle fan-out at cap²/2 — without it the fixture measured
+    ~100× pair growth per 10× docs on hot shingles. The cap is a
+    measured no-op at fixture scale (max df 7 @ sf0.01, 25 @ sf0.1) and
+    is mirrored in the oracle SQL, so parity holds even where it
+    engages; tests/test_lsh_recall_cap.py pins both the engaged path
+    and the fixture headroom. The registered pipeline side reuses the
+    memoized pair graph (rule 25)."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     found = shared_verified_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
     sh = docs.select("doc_id", shingles(F.col("text")).alias("gs"))
-    p = sh.select("doc_id", F.explode("gs").alias("g"), F.size("gs").alias("n_g"))
-    a, b = p.alias("a"), p.alias("b")
-    tp = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_g").alias("na"),
-            F.col("b.n_g").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    truth = tp.withColumn("jac", jac).filter(F.col("jac") >= 0.5).select(
-        "doc_a", "doc_b", "jac"
-    )
+    truth = lsh_truth_pairs(sh)
     m = truth.join(found, ["doc_a", "doc_b"], "left").select(
         "jac", F.coalesce("hit", F.lit(0)).alias("hit")
     )

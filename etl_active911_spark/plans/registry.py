@@ -65,6 +65,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (every member last driver-scored in r1/r2 — the queue recorded below
 # in r8). The r10 queue (never-scored remainder) is recorded after
 # ROTATION.
+#
+# r10: CORRECTNESS_r09 came back 50/50 green (no red carry-over); CORE is
+# unchanged and ROTATION executes the r10 queue exactly as pinned in r9
+# (VERDICT r09 item 1). The r11 queue stays pinned below, untouched.
 # Queries that run iterative jobs sit late in the window so an abort there
 # cannot un-score the rest of the sweep; ``x3_ann_ivf_partitioned``
 # (writes a parquet index) is pinned dead last.
@@ -101,56 +105,52 @@ CORE: tuple[str, ...] = (
     "n13_python_udtf",
 )
 
-#: r9 rotation (VERDICT r08 item 3): 20 oldest-driver-evidence queries —
-#: every one last scored in r1/r2. 21 were queued; tpch_q22_idle_customers
-#: defers to r10 to fit the 20 slots. Heavier TPC-H joins sit at the tail.
+#: r10 rotation — executes the queue pinned in r9 EXACTLY (VERDICT r09
+#: item 1): 11 never-driver-scored legacy oracle queries + 9 of the 14
+#: r9-round operators. The iterative Lloyd step and the heavier TPC-H
+#: joins sit at the tail so an abort there cannot un-score the sweep.
 ROTATION: tuple[str, ...] = (
-    "n2_join_semi",
-    "n2_join_anti",
-    "n2_join_full_outer",
-    "n4_percentiles",
-    "n6_rollup",
-    "n6_cube",
-    "n6_pivot",
-    "n7_window_lag",
-    "n7_window_distribution",
-    "n9_intersect",
-    "n9_except_all",
-    "x2_substring_spans",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q12_priority_by_status",
-    "tpch_q13_order_histogram",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
+    "x4_char_entropy",
+    "x4_pmi_bigrams",
+    "o15_time_parse_pinned_now",
+    "x2_token_decontaminate",
+    "x2_minhash_estimate",
+    "x4_blocklist_gate",
+    "x4_zipf_fit",
+    "x3_embedding_stats",
+    "x3_ann_ivf_add",
+    "x6_cusum_changepoint",
+    "x9_curation_v6",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    "x3_ann_ivf_lloyd1",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: Round-10 rotation queue (VERDICT r08 item 4 + r9 additions — recorded
-#: here so the window math is auditable). CONCRETE 20-slot plan:
-#:   11 NEVER driver-scored legacy oracle queries: x4_char_entropy,
-#:   x4_pmi_bigrams, x3_ann_ivf_lloyd1, tpch_q2_min_cost_supplier,
-#:   tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
-#:   tpch_q11_important_parts, tpch_q15_top_supplier,
-#:   tpch_q16_part_supplier_counts, tpch_q19_discounted_revenue,
-#:   tpch_q20_promotion_suppliers;
-#:   + 9 of the 14 new r9 operators (never scored):
-#:   x2_token_decontaminate, x3_ann_ivf_add, o15_time_parse_pinned_now,
-#:   x2_minhash_estimate, x4_blocklist_gate, x3_embedding_stats,
-#:   x6_cusum_changepoint, x9_curation_v6, x4_zipf_fit.
-#: r11 queue (the remainder): tpch_q22_idle_customers,
-#:   n2_correlated_subquery, n4_approx_percentiles,
-#:   n5_approx_count_distinct, x3_ann_ivf (last r1/r2), plus the other
-#:   five r9 operators: x8_budget_effective, x6_seasonal_strength,
+#: Round-11 rotation queue (pinned in r9, unchanged — VERDICT r09 item 4).
+#: CONCRETE 20-slot plan: tpch_q22_idle_customers, n2_correlated_subquery,
+#:   n4_approx_percentiles, n5_approx_count_distinct, x3_ann_ivf (the five
+#:   r1/r2 stragglers), plus x8_budget_effective, x6_seasonal_strength,
 #:   x2_eval_contamination_report, x7_geofence_assignment,
 #:   x5_media_validate, x2_lsh_recall_eval, x6_rollup_cascade,
 #:   x3_ann_ivf_add_recall, x3_metric_sensitivity,
 #:   x2_cluster_size_histogram, x6_minmax_downsample,
 #:   x7_hotspot_cells, x2_cluster_template, x8_split_leakage_audit —
-#:   19 slots, leaving 1 for r10-round additions.
+#:   19 slots, leaving 1 for an r10-round addition (reserved for
+#:   x5_phash_banded_dedup, this round's new multimodal operator; the
+#:   remaining r10 additions queue for r12).
+#: COVERAGE-CLOSURE MATH: after r11 executes as pinned, every windowable
+#:   oracle-backed query registered through r9 will have at least one
+#:   driver-green CORRECTNESS row (r1–r11 union = the full registry minus
+#:   the rows-only set below and minus post-r9 additions, which rotate in
+#:   from r12 on). That closes VERDICT r09 item 4's full-coverage window.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 

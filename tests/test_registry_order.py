@@ -28,10 +28,10 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-8 scoring window (CORRECTNESS_r08.json keys — 50/50 green, so
+# The round-9 scoring window (CORRECTNESS_r09.json keys — 50/50 green, so
 # nothing carries over): the rotation policy requires each round's window
 # to re-earn driver rows for queries this set did NOT score.
-R8_WINDOW = {
+R9_WINDOW = {
     "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
     "o13_response_extract", "o15_time_parse", "o19_links_dedup",
     "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
@@ -42,13 +42,14 @@ R8_WINDOW = {
     "x7_nearest_station", "x3_pandas_matmul", "x2_dup_clusters",
     "o2_source_roundtrip", "x1_exact_dedup", "x8_stratified_sample",
     "x8_train_holdout_split", "x6_ts_dtw", "n13_python_udtf",
-    "x4_readability", "x4_heavy_hitters", "x4_pii_redact",
-    "x2_effective_tokens", "n25_interval_join", "x8_length_batching",
-    "x8_budget_allocation", "x8_mixture_schedule", "x3_scalar_quant",
-    "tpch_q9_product_profit", "x5_phash_dedup", "x5_audio_decode_real",
-    "x2_lsh_tuning", "x2_cdc_chunks", "x2_cross_source_dups",
-    "x9_dataset_report", "x9_corpus_diff", "x9_release_manifest",
-    "x6_matrix_profile", "x6_discord_topk",
+    "n2_join_semi", "n2_join_anti", "n2_join_full_outer",
+    "n4_percentiles", "n6_rollup", "n6_cube", "n6_pivot",
+    "n7_window_lag", "n7_window_distribution", "n9_intersect",
+    "n9_except_all", "x2_substring_spans",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q7_nation_volume", "tpch_q12_priority_by_status",
+    "tpch_q13_order_histogram", "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
 }
 
 
@@ -111,12 +112,12 @@ def test_rotation_reearns_driver_rows():
     """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
     slots must go to queries the PREVIOUS round's window did not score,
     so hard driver evidence cycles through the whole registry over
-    rounds. r9: all 50 r8 rows were green, so no red row carries over and
-    the whole ROTATION is fresh (all 20 last driver-scored in r1/r2)."""
+    rounds. r10: all 50 r9 rows were green, so no red row carries over
+    and the whole ROTATION is fresh (all 20 never driver-scored)."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R8_WINDOW
+    fresh = window - R9_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    assert set(registry.ROTATION) & R8_WINDOW == set()
+    assert set(registry.ROTATION) & R9_WINDOW == set()
 
 
 def test_no_duplicate_registration_possible():
