@@ -221,6 +221,12 @@ def main() -> None:
         ),
         "gate_min_anchor_sec": GATE_MIN_ANCHOR_SEC,
         "gate_retries": gate_retries,
+        # ADVICE r09: names whose KEPT timing came from the confirmatory
+        # re-run — makes retried headline timings visibly provisional to
+        # tooling that reads only the timings dict plus this list.
+        "retried": sorted(
+            n for n, pair in gate_retries.items() if timings[n] != pair[0]
+        ),
     }
     print(
         json.dumps(

@@ -382,6 +382,28 @@ def x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
 
+#: Gopher keep-gate thresholds (Rae et al. 2021 §A1.1-style composition
+#: filters) — ONE definition consumed by the Spark gate, the
+#: x4_gopher_rules oracle, AND every curation oracle that re-states the
+#: quality CTE (ADVICE r09: inlined literals would silently desync).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_MIN_STOP_FRAC = 0.005
+GOPHER_MAX_TOP_BIGRAM = 0.2
+
+
+def gopher_gate_sql(stats: str, topbi_expr: str) -> str:
+    """The Gopher keep predicate as SQL text over a stats alias and a
+    top-bigram-fraction expression — shared by all oracle CTE chains."""
+    return (
+        f"{stats}.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}\n"
+        f"          AND {stats}.mean_word_len BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}\n"
+        f"          AND {stats}.stop_frac >= {GOPHER_MIN_STOP_FRAC}\n"
+        f"          AND {topbi_expr} <= {GOPHER_MAX_TOP_BIGRAM}"
+    )
+
 
 @query(
     "x4_gopher_rules",
@@ -421,10 +443,7 @@ _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
     )
     SELECT s.doc_id, s.n_words, s.mean_word_len, s.stop_frac, s.alpha_word_frac,
            COALESCE(tb.top_bigram_frac, 0.0) AS top_bigram_frac,
-           (s.n_words BETWEEN 50 AND 100000
-            AND s.mean_word_len BETWEEN 3.0 AND 10.0
-            AND s.stop_frac >= 0.005
-            AND COALESCE(tb.top_bigram_frac, 0.0) <= 0.2) AS keep
+           ({gopher_gate_sql("s", "COALESCE(tb.top_bigram_frac, 0.0)")}) AS keep
     FROM stats s LEFT JOIN topbi tb ON s.doc_id = tb.doc_id
     """,
 )
@@ -482,10 +501,10 @@ def x4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c").cast("double") / F.first("n_bi"), 6).alias("top_bigram_frac")
     )
     keep = (
-        F.col("n_words").between(50, 100000)
-        & F.col("mean_word_len").between(3.0, 10.0)
-        & (F.col("stop_frac") >= 0.005)
-        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.2)
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MWL_LO, GOPHER_MWL_HI)
+        & (F.col("stop_frac") >= GOPHER_MIN_STOP_FRAC)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= GOPHER_MAX_TOP_BIGRAM)
     )
     return (
         stats.join(topbi, "doc_id", "left")
@@ -582,10 +601,7 @@ def _curation_v2_oracle() -> str:
         LEFT JOIN topbi tb ON tb.doc_id = d.doc_id
         WHERE d.source <> '{EVAL_SOURCE}'
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
-          AND st.n_words BETWEEN 50 AND 100000
-          AND st.mean_word_len BETWEEN 3.0 AND 10.0
-          AND st.stop_frac >= 0.005
-          AND COALESCE(tb.tb, 0.0) <= 0.2
+          AND {gopher_gate_sql("st", "COALESCE(tb.tb, 0.0)")}
     ),
     deduped AS (
         SELECT content_hash, MIN(doc_id) AS keeper_id
@@ -1100,10 +1116,7 @@ def _curation_v3_oracle() -> str:
     ),
     quality AS (
         SELECT s.doc_id FROM qstats s LEFT JOIN qtop t ON s.doc_id = t.doc_id
-        WHERE s.n_words BETWEEN 50 AND 100000
-          AND s.mean_word_len BETWEEN 3.0 AND 10.0
-          AND s.stop_frac >= 0.005
-          AND COALESCE(t.tb, 0.0) <= 0.2
+        WHERE {gopher_gate_sql("s", "COALESCE(t.tb, 0.0)")}
     ),
     stage AS (
         SELECT q.doc_id FROM quality q
@@ -1746,10 +1759,7 @@ def _curation_v5_oracle() -> str:
     ),
     quality AS (
         SELECT s.doc_id FROM qstats s LEFT JOIN qtop t ON s.doc_id = t.doc_id
-        WHERE s.n_words BETWEEN 50 AND 100000
-          AND s.mean_word_len BETWEEN 3.0 AND 10.0
-          AND s.stop_frac >= 0.005
-          AND COALESCE(t.tb, 0.0) <= 0.2
+        WHERE {gopher_gate_sql("s", "COALESCE(t.tb, 0.0)")}
     ),
     stage AS (
         SELECT q.doc_id FROM quality q
@@ -2516,10 +2526,7 @@ def _curation_v6_oracle() -> str:
     ),
     quality AS (
         SELECT s.doc_id FROM qstats s LEFT JOIN qtop t ON s.doc_id = t.doc_id
-        WHERE s.n_words BETWEEN 50 AND 100000
-          AND s.mean_word_len BETWEEN 3.0 AND 10.0
-          AND s.stop_frac >= 0.005
-          AND COALESCE(t.tb, 0.0) <= 0.2
+        WHERE {gopher_gate_sql("s", "COALESCE(t.tb, 0.0)")}
     ),
     bl AS (
         SELECT doc_id FROM qtoks

@@ -1086,7 +1086,7 @@ _CUSUM_ORACLE = f"""
         FROM events
     ),
     p AS (
-        SELECT user_id, event_id,
+        SELECT user_id, event_id, ts,
                SUM(CASE WHEN sd > 0 THEN (value - mu) / sd - {CUSUM_K} END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
@@ -1095,7 +1095,7 @@ _CUSUM_ORACLE = f"""
     s AS (
         SELECT user_id, event_id,
                ROUND(pf - LEAST(0, MIN(pf) OVER (PARTITION BY user_id
-                         ORDER BY event_id
+                         ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                    AS cusum
         FROM p
@@ -1147,7 +1147,10 @@ def cusum_alarms(ev: DataFrame) -> DataFrame:
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_min = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+    # w_min MUST share w_ord's (ts, event_id) ordering: the prefix-sum /
+    # prefix-min identity requires one consistent order (ADVICE r09 —
+    # event_id alone only worked because fixture ids are ts-monotone).
+    w_min = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     base = ev.select(
@@ -1161,7 +1164,9 @@ def cusum_alarms(ev: DataFrame) -> DataFrame:
     dev = F.when(
         F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd") - CUSUM_K
     )
-    p = base.select("user_id", "event_id", F.sum(dev).over(w_ord).alias("pf"))
+    p = base.select(
+        "user_id", "event_id", "ts", F.sum(dev).over(w_ord).alias("pf")
+    )
     s = p.select(
         "user_id",
         "event_id",

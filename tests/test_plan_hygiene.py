@@ -52,6 +52,11 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x8_mixture_schedule": (4, "1-row corpus-total scalar + 3-row epochs grid (sampling.py:1181,1190); powed subtree feeds both the normalizer and the final join, so plan text repeats each once"),
     "x3_scalar_quant": (1, "1-row broadcast 64-element per-dim scale array (similarity.py:1725)"),
     "x9_release_manifest": (2, "1-row broadcast n_bytes-bounds table, once per prefix-sum subtree"),
+    # r10: the two rotation queries entering PRIORITY with bounded
+    # nested-loop sides (VERDICT r09 item 1 window; verified at HEAD):
+    "tpch_q11_important_parts": (1, "1-row broadcast SUM(value)*0.001 threshold scalar crossJoined into the HAVING filter (tpch.py:331) — the faithful Q11 scalar-subquery shape"),
+    "x4_pmi_bigrams": (2, "two 1-row broadcast corpus-total scalars (n_tokens, n_bigrams) crossJoined into the PMI denominator (textual.py:1031)"),
+    "x3_ann_ivf_lloyd1": (4, "broadcast 16-row seed-centroid table per IVF leg (assign0, Lloyd-updated re-assign, probe, re-rank) — same bounded side as x3_ann_recall_eval"),
 }
 
 

@@ -51,6 +51,37 @@ def test_cusum_alarms_localize_the_level_shift(spark):
     assert by_rank[0]["cusum"] > CUSUM_H
 
 
+def test_cusum_order_is_ts_not_event_id(spark):
+    """ADVICE r09: the prefix-sum/prefix-min identity needs ONE order.
+    Same level-shift series as above but event ids assigned in REVERSE
+    of time — the alarms (matched by timestamp) must be identical to the
+    ts-monotone-id run, which only holds if the running-min window
+    orders by (ts, event_id) like the prefix sum does."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def series(ids):
+        return [
+            (
+                1,
+                ids[i],
+                t0 + datetime.timedelta(minutes=i),
+                (10.0 if i < 40 else 14.0) + (0.5 if i % 2 else -0.5),
+            )
+            for i in range(60)
+        ]
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    mono = spark.createDataFrame(series(list(range(1, 61))), schema)
+    rev = spark.createDataFrame(series(list(range(60, 0, -1))), schema)
+    # join alarms back to ts through the input frames
+    def by_ts(ev):
+        out = cusum_alarms(ev).join(ev, ["user_id", "event_id"])
+        return {r["ts"]: (r["cusum"], r["rnk"]) for r in out.collect()}
+
+    a, b = by_ts(mono), by_ts(rev)
+    assert a and a == b
+
+
 def test_budget_effective_invariants(spark):
     from etl_active911_spark.plans import registry
 
