@@ -738,10 +738,10 @@ def ahash64(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, h0, h1
 
 
-@query(
-    "x5_phash_dedup",
-    f"""
-    WITH {_MEDIA_CTE},
+# aHash derivation as a shared oracle CTE chain (ends in `hashes` =
+# (doc_id, w, h, h0, h1)) — consumed by x5_phash_dedup AND the banded
+# near-dup query so the two can never desynchronize.
+_PHASH_HASHES_CTES = f"""{_MEDIA_CTE},
     img AS (
         SELECT doc_id, {_BMP_W} AS w, {_BMP_H} AS h,
                {_BMP_S0} AS s0, {_BMP_S1} AS s1, {_BMP_S2} AS s2
@@ -779,7 +779,13 @@ def ahash64(payload: bytes) -> tuple[int, int, int, int]:
                              THEN b * (CAST(1 AS BIGINT) << (k - 32))
                              ELSE 0 END) AS BIGINT) AS h1
         FROM bits GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "x5_phash_dedup",
+    f"""
+    WITH {_PHASH_HASHES_CTES}
     SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, h0, h1,
            CAST(COUNT(*) OVER (PARTITION BY h0, h1) AS BIGINT) AS n_same_hash
     FROM hashes
@@ -808,9 +814,19 @@ def x5_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass; only (doc_id, 2×int64) rows move); the class count is one
     window over the hash key — the same shuffle the downstream dedup
     would group by."""
-    import pandas as pd
+    from pyspark.sql import Window
 
-    media = media_table(spark, sf_dir)
+    hashes = phash_hashes(media_table(spark, sf_dir))
+    w = Window.partitionBy("h0", "h1")
+    return hashes.withColumn("n_same_hash", F.count(F.lit(1)).over(w).cast("bigint"))
+
+
+def phash_hashes(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, h0, h1) aHash rows for every image blob:
+    one fused Arrow pass (encode the digest-derived BMP, parse its real
+    pixels, ``ahash64``) — shared by ``x5_phash_dedup`` and the banded
+    near-dup query."""
+    import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -823,11 +839,140 @@ def x5_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, w, h, h0, h1))
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "h0", "h1"])
 
-    from pyspark.sql import Window
+    return media.mapInPandas(run, AHASH_SCHEMA)
 
-    hashes = media.mapInPandas(run, AHASH_SCHEMA)
-    w = Window.partitionBy("h0", "h1")
-    return hashes.withColumn("n_same_hash", F.count(F.lit(1)).over(w).cast("bigint"))
+
+# ---------------------------------------------------------------------------
+# X-5f (r10): Hamming-banded perceptual near-dup (VERDICT r09 item 5a)
+# ---------------------------------------------------------------------------
+
+#: near-dup acceptance: ≤ this many differing bits of 64 (the usual
+#: perceptual-hash dup band; exact dups are Hamming 0)
+PHASH_NEAR_HAMMING = 10
+#: band-bucket flood cap (same recall argument as dedup.LSH_MAX_BUCKET:
+#: a 16-bit band value shared by >cap distinct hash CLASSES is a
+#: degenerate/flat-image flood, not a dup signal) — no-op at fixture
+#: scale and mirrored in the oracle SQL
+PHASH_MAX_BUCKET = 1024
+
+_PHASH_BANDED_ORACLE = f"""
+    WITH {_PHASH_HASHES_CTES},
+    cls AS (
+        SELECT h0, h1, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM hashes GROUP BY h0, h1
+    ),
+    bnd AS (
+        SELECT rep, n_docs, h0, h1,
+               unnest([h0 & 65535, h0 >> 16, h1 & 65535, h1 >> 16]) AS bv,
+               unnest([0, 1, 2, 3]) AS bi
+        FROM cls
+    ),
+    ok AS (
+        SELECT bi, bv FROM bnd
+        GROUP BY bi, bv HAVING COUNT(*) BETWEEN 2 AND {PHASH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+               a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+               CAST(bit_count(xor(a.h0, b.h0))
+                    + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+        FROM bnd a
+        JOIN bnd b ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
+        JOIN ok   ON ok.bi = a.bi AND ok.bv = a.bv
+    )
+    SELECT rep_a, rep_b, n_docs_a, n_docs_b, hamming
+    FROM cand WHERE hamming <= {PHASH_NEAR_HAMMING}
+    UNION ALL
+    SELECT rep AS rep_a, rep AS rep_b, n_docs AS n_docs_a,
+           n_docs AS n_docs_b, CAST(0 AS BIGINT) AS hamming
+    FROM cls WHERE n_docs >= 2
+    """
+
+
+def phash_banded_pairs(
+    hashes: DataFrame,
+    ham_t: int = PHASH_NEAR_HAMMING,
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup image pairs at HASH-CLASS grain from (doc_id, h0, h1)
+    rows: exact pre-collapse to distinct (h0, h1) classes first (the X-2
+    flood discipline — a million byte-identical images are ONE band
+    member, not a million), then LSH banding over the 4 16-bit hash
+    quarters (pigeonhole: any pair within Hamming ≤ 3 shares a band
+    untouched by its flips, so recall is 1.0 there by construction —
+    pinned in tests/test_phash_banded.py), bucket-and-explode candidate
+    generation with NO join operator (CLAUDE.md rule 18), exact Hamming
+    verification via ``bit_count(xor)``. Self-pair rows (rep_a = rep_b,
+    hamming 0) report exact-dup classes of ≥ 2 docs.
+
+    Scale shape: one shuffle on (band_idx, band_val) over class-grain
+    rows; buckets above ``max_bucket`` classes are dropped on the
+    aggregated list before the n² explode can fire."""
+    classes = hashes.groupBy("h0", "h1").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    exact = classes.filter(F.col("n_docs") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("n_docs").alias("n_docs_b"),
+        F.lit(0).cast("bigint").alias("hamming"),
+    )
+    quarters = F.array(
+        F.col("h0").bitwiseAND(F.lit(65535)),
+        F.shiftright("h0", 16),
+        F.col("h1").bitwiseAND(F.lit(65535)),
+        F.shiftright("h1", 16),
+    )
+    bnd = classes.select(
+        F.struct("rep", "n_docs", "h0", "h1").alias("m"),
+        F.posexplode(quarters).alias("bi", "bv"),
+    )
+    buckets = (
+        bnd.groupBy("bi", "bv")
+        .agg(F.collect_list("m").alias("ms"))
+        .filter(F.size("ms").between(2, max_bucket))
+        .select("ms")
+    )
+    ham = (
+        F.bit_count(F.col("a.h0").bitwiseXOR(F.col("b.h0")))
+        + F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+    ).cast("bigint")
+    near = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.rep") < F.col("b.rep"))
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("b.n_docs").alias("n_docs_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham_t)
+        .distinct()
+    )
+    return near.unionByName(exact)
+
+
+@query("x5_phash_banded_dedup", _PHASH_BANDED_ORACLE)
+def x5_phash_banded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5f (r10): PERCEPTUAL NEAR-DUP PAIRS — the multimodal twin of
+    ``x2_minhash_lsh``: every image's 64-bit aHash (real decoded pixels,
+    the ``x5_phash_dedup`` pipeline) is banded into its 4 16-bit
+    quarters; images agreeing on ANY quarter become candidates; exact
+    Hamming distance verifies at ≤ PHASH_NEAR_HAMMING (10/64) bits. Output
+    is at hash-class grain: cross-class near-dup pairs plus self-rows
+    for exact-dup classes (rep_a = rep_b), each with class sizes — what
+    a curation pipeline joins back to collapse re-encoded/resized
+    variants. The oracle re-derives every hash bit closed-form and
+    replicates banding, the flood cap, and verification exactly.
+
+    Scale shape: see ``phash_banded_pairs``; blob bytes never shuffle
+    (hashes computed scan-side), all downstream traffic is
+    (2×int64 + counts) class rows."""
+    return phash_banded_pairs(phash_hashes(media_table(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -1091,4 +1236,114 @@ def x5_media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("status") == "unverifiable", 1).otherwise(0))
         .cast("bigint")
         .alias("n_unverifiable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-5 (r10): typed container-metadata extraction (VERDICT r09 item 5b)
+# ---------------------------------------------------------------------------
+
+_METADATA_ORACLE = f"""
+    WITH {_MEDIA_CTE},
+    x AS (
+        SELECT doc_id, mime, n_bytes,
+               {_BMP_W} AS w, {_BMP_H} AS h,
+               500 + ({_hexbyte('sha', 0)} * 256 + {_hexbyte('sha', 1)}) % 2000 AS n,
+               8000 + 1000 * ({_hexbyte('sha', 2)} % 5) AS rate
+        FROM m
+    )
+    SELECT doc_id, mime,
+           CASE WHEN mime = 'image/png' THEN CAST(w AS INT) END AS width,
+           CASE WHEN mime = 'image/png' THEN CAST(h AS INT) END AS height,
+           CASE WHEN mime = 'image/png' THEN CAST(24 AS INT) END AS bpp,
+           CASE WHEN mime = 'audio/wav' THEN CAST(rate AS INT) END AS sample_rate,
+           CASE WHEN mime = 'audio/wav' THEN CAST(n AS BIGINT) END AS n_samples,
+           CASE WHEN mime = 'audio/wav' THEN CAST(n * 1000 // rate AS BIGINT) END
+               AS duration_ms,
+           CASE WHEN mime = 'image/png'
+                    THEN CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT)
+                WHEN mime = 'audio/wav' THEN CAST(44 + 2 * n AS BIGINT)
+           END AS declared_bytes,
+           CASE WHEN mime = 'image/png'
+                    THEN CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT)
+                WHEN mime = 'audio/wav' THEN CAST(44 + 2 * n AS BIGINT)
+                ELSE n_bytes
+           END AS actual_bytes
+    FROM x
+    """
+
+
+@query("x5_media_metadata", _METADATA_ORACLE)
+def x5_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r10): EXIF-style TYPED METADATA EXTRACTION — the ingest step
+    that turns opaque blobs into first-class queryable columns
+    (dimensions, bit depth, sample rate, duration, declared vs actual
+    byte size). Every value is PARSED out of the real container bytes
+    at its documented offset — BMP: width/height/bpp from the
+    BITMAPINFOHEADER and the declared file size from the BM header;
+    WAV: sample rate from the fmt chunk, sample count from the data
+    chunk length, duration as exact integer division — never recomputed
+    from the generation parameters, so a parser that misreads an
+    offset, endianness, or signedness hash-mismatches the closed-form
+    oracle. The mp4 mime has no codec in this container: its typed
+    columns are NULL (counted unverifiable by ``x5_media_validate``),
+    only the actual byte length is reported — the no-silent-caps rule.
+
+    Scale shape: one fused mapInPandas pass (blob bytes cross Arrow
+    once, never shuffle); output is 10 scalars per asset, ready to be a
+    partition/filter key (e.g. aspect-bucket packing reads width/height
+    from exactly this surface)."""
+    import struct as _struct
+
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    cols = [
+        "doc_id", "mime", "width", "height", "bpp", "sample_rate",
+        "n_samples", "duration_ms", "declared_bytes", "actual_bytes",
+    ]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mime, b in zip(pdf["doc_id"], pdf["mime"], pdf["bytes"]):
+                d = hashlib.sha256(b).digest()
+                if mime == "image/png":
+                    payload = encode_bmp(
+                        4 + d[0] % 29, 4 + d[1] % 29, (d[3], d[4], d[5])
+                    )
+                    (declared,) = _struct.unpack_from("<I", payload, 2)
+                    _dib, w, h, _pl, bpp, _c = _struct.unpack_from(
+                        "<IiiHHI", payload, 14
+                    )
+                    rows.append(
+                        (doc_id, mime, w, h, bpp, None, None, None,
+                         declared, len(payload))
+                    )
+                elif mime == "audio/wav":
+                    n = 500 + (d[0] * 256 + d[1]) % 2000
+                    payload = encode_wav(
+                        n, 8000 + 1000 * (d[2] % 5), 1 + d[3], d[4] * 256 + d[5]
+                    )
+                    (riff_sz,) = _struct.unpack_from("<I", payload, 4)
+                    _tag, _ch, prate = _struct.unpack_from("<HHI", payload, 20)
+                    (data_len,) = _struct.unpack_from("<I", payload, 40)
+                    pn = data_len // 2
+                    rows.append(
+                        (doc_id, mime, None, None, None, prate, pn,
+                         pn * 1000 // prate, riff_sz + 8, len(payload))
+                    )
+                else:
+                    rows.append(
+                        (doc_id, mime, None, None, None, None, None, None,
+                         None, len(b))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, mime string, width int, height int, bpp int, "
+        "sample_rate int, n_samples long, duration_ms long, "
+        "declared_bytes long, actual_bytes long",
     )

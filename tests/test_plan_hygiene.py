@@ -100,6 +100,9 @@ EXTRA_CHECKED = (
     "x7_hotspot_cells",
     "x2_cluster_template",
     "x8_split_leakage_audit",
+    # r10 additions (x5_phash_banded_dedup holds the r11 spare slot)
+    "x5_phash_banded_dedup",
+    "x5_media_metadata",
 )
 
 BNLJ_ALLOWED.update({
