@@ -698,6 +698,39 @@ def x3_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_ADD_DELTA_MOD, IVF_ADD_DELTA_REM = 11, 3  # ~9% of vectors play the "new batch"
 IVF_ADD_REBALANCE = 0.15  # growth ratio beyond which a cell should re-split
 
+
+def seed_centroid_table(emb: DataFrame) -> DataFrame:
+    """The fixed 16-row strided seed-centroid table every seeded-IVF query
+    shares: (cell, se) from ``vec_id % 7 == 0`` below ``7 * IVF_N_CELLS``."""
+    return emb.filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS)
+    ).select(
+        F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
+        F.col("embedding").alias("se"),
+    )
+
+
+def argmax_cells(vectors: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (vec_id, cell, cos): broadcast the
+    bounded centroid table, cosine per (vector, cell), argmax with the
+    seeded family's deterministic tie-break (ROUND(cos,6) DESC, cell).
+    THE assignment body shared by the batch ingest query and the
+    streaming foreachBatch ingest — batch≡stream parity by construction."""
+    scored = vectors.select("vec_id", "embedding").crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell",
+        (
+            dot(F.col("embedding"), F.col("se"))
+            / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("cos", 6).alias("cos"))
+    )
+
 _IVF_ADD_ORACLE = f"""
     WITH seeds AS (
         SELECT CAST(vec_id // 7 AS INT) AS cell, embedding::DOUBLE[] AS se
@@ -836,6 +869,91 @@ def x3_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_cos_delta",
         F.round(F.col("mean_cos_base") - F.col("mean_cos_delta"), 6).alias("drift"),
         (F.col("growth") > F.lit(IVF_ADD_REBALANCE)).cast("int").alias("needs_rebalance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r10): streaming ANN ingest — batch-equivalent query (VERDICT r09 #6)
+# ---------------------------------------------------------------------------
+
+ANN_INGEST_UPD_MOD, ANN_INGEST_UPD_REM = 13, 5  # ~8% of vectors re-ingest updated
+
+_ANN_INGEST_ORACLE = f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, embedding::DOUBLE[] AS se
+        FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    merged AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % {ANN_INGEST_UPD_MOD} = {ANN_INGEST_UPD_REM}
+                    THEN list_reverse(embedding::DOUBLE[])
+                    ELSE embedding::DOUBLE[] END AS ee
+        FROM embeddings
+    ),
+    scored_cells AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.ee, s.se)
+                 / (sqrt(list_dot_product(e.ee, e.ee))
+                    * sqrt(list_dot_product(s.se, s.se))) AS cos
+        FROM merged e CROSS JOIN seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, cell, ROUND(cos, 6) AS r
+        FROM (
+            SELECT vec_id, cell, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells
+        ) t WHERE rn = 1
+    )
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN vec_id % {ANN_INGEST_UPD_MOD} = {ANN_INGEST_UPD_REM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           ROUND(SUM(r) / COUNT(*), 6) AS mean_cos
+    FROM assigned GROUP BY cell
+    """
+
+
+@query("x3_ann_stream_ingest", _ANN_INGEST_ORACLE)
+def x3_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r10): the BATCH EQUIVALENT of the streaming ANN ingest
+    (``streaming/ann_ingest.py``): vectors arrive over time, some of them
+    RE-INGESTS of existing ids with modified embeddings (stand-in: the
+    ``vec_id % 13 == 5`` slice arrives again with its embedding reversed
+    — norm-preserving but direction-changing, so assignments genuinely
+    move); last-write-wins per vec_id (the upsert sink's semantic as
+    relational algebra), then every current vector is assigned to the
+    FIXED live-index centroids via ``argmax_cells`` — the exact function
+    the streaming foreachBatch runs per micro-batch — and the output is
+    the per-cell occupancy report the index maintainer reads: current
+    vector count, how many are re-ingested updates, and mean assignment
+    cosine. Batch ≡ stream is pinned end-to-end in
+    tests/test_streaming.py::test_ann_ingest_stream_matches_batch
+    (2 micro-batches through the keyed upsert sink vs this last-wins
+    batch fold).
+
+    Scale shape: the update overlay is a projection (no join — updated
+    ids are derivable from the key here; the general path is the
+    bucket-rewrite upsert sink), assignment is one scan × broadcast
+    16-row centroid table + the vec_id-keyed argmax window, rollup is a
+    16-group aggregate."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    seeds = seed_centroid_table(emb)
+    is_upd = (
+        F.col("vec_id") % ANN_INGEST_UPD_MOD == ANN_INGEST_UPD_REM
+    )
+    merged = emb.select(
+        "vec_id",
+        F.when(is_upd, F.reverse("embedding")).otherwise(F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+    assigned = argmax_cells(merged, seeds)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(is_upd.cast("int")).cast("bigint").alias("n_updated"),
+        F.round(F.sum("cos") / F.count(F.lit(1)), 6).alias("mean_cos"),
     )
 
 

@@ -57,6 +57,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "tpch_q11_important_parts": (1, "1-row broadcast SUM(value)*0.001 threshold scalar crossJoined into the HAVING filter (tpch.py:331) — the faithful Q11 scalar-subquery shape"),
     "x4_pmi_bigrams": (2, "two 1-row broadcast corpus-total scalars (n_tokens, n_bigrams) crossJoined into the PMI denominator (textual.py:1031)"),
     "x3_ann_ivf_lloyd1": (4, "broadcast 16-row seed-centroid table per IVF leg (assign0, Lloyd-updated re-assign, probe, re-rank) — same bounded side as x3_ann_recall_eval"),
+    "x3_ann_stream_ingest": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
 }
 
 
@@ -103,6 +104,7 @@ EXTRA_CHECKED = (
     # r10 additions (x5_phash_banded_dedup holds the r11 spare slot)
     "x5_phash_banded_dedup",
     "x5_media_metadata",
+    "x3_ann_stream_ingest",
 )
 
 BNLJ_ALLOWED.update({

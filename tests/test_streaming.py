@@ -832,3 +832,75 @@ def test_trending_topk_batch_stream_parity(spark, events_dir):
         if r["window_start"] in finalized_windows
     }
     assert got == want and len(got) > 0
+
+
+def test_ann_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming ANN ingest (X-3 r10): two micro-batches — the second
+    RE-INGESTS half of the first's ids with different embeddings —
+    through foreachBatch assignment + the keyed upsert sink must land on
+    exactly the per-vector assignment (and hence per-cell occupancy) of
+    the batch fold: latest embedding per vec_id → argmax_cells."""
+    import math
+
+    from etl_active911_spark.operators.similarity import argmax_cells
+    from etl_active911_spark.streaming import ann_ingest
+
+    dim = 8
+    seeds = spark.createDataFrame(
+        [
+            (c, [1.0 if i == c else (0.1 if (i + c) % 3 == 0 else 0.0) for i in range(dim)])
+            for c in range(4)
+        ],
+        "cell int, se array<double>",
+    )
+
+    def vec(i, salt):
+        return [
+            math.sin(0.7 * i + 1.3 * j + salt) for j in range(dim)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    b1 = spark.createDataFrame([(i, vec(i, 0.0)) for i in range(40)], schema)
+    b2 = spark.createDataFrame(
+        [(i, vec(i, 5.0)) for i in range(20, 60)], schema
+    )
+
+    src_dir = str(tmp_path / "ann_src")
+    out = str(tmp_path / "ann_out")
+    ckpt = str(tmp_path / "ann_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir + "/*")
+        ann_ingest.run_ann_ingest_stream(src, seeds, out, ckpt)
+
+    # two sequential availableNow drains over the same checkpoint = two
+    # micro-batches in arrival order (the upsert crash/restart pattern)
+    b1.coalesce(1).write.parquet(src_dir + "/f1")
+    drain()
+    b2.coalesce(1).write.parquet(src_dir + "/f2")
+    drain()
+
+    streamed = {
+        r["vec_id"]: (r["cell"], r["cos"])
+        for r in spark.read.parquet(out).select("vec_id", "cell", "cos").collect()
+    }
+
+    latest = spark.createDataFrame(
+        [(i, vec(i, 0.0)) for i in range(20)]
+        + [(i, vec(i, 5.0)) for i in range(20, 60)],
+        schema,
+    )
+    expected = {
+        r["vec_id"]: (r["cell"], r["cos"])
+        for r in argmax_cells(latest, seeds).collect()
+    }
+    assert streamed == expected
+
+    # occupancy view agrees with the batch rollup
+    occ = {
+        r["cell"]: r["n_vectors"]
+        for r in ann_ingest.cell_occupancy(spark, out).collect()
+    }
+    from collections import Counter
+
+    assert occ == dict(Counter(c for c, _ in expected.values()))
