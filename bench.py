@@ -86,6 +86,13 @@ HEADLINE = [
     "x3_ann_ivf_add",
     "x6_cusum_changepoint",
     "x9_curation_v6",
+    # round-10 additions (same shared-subset rule): the r9 wave's heavier
+    # entries enter the record (VERDICT r09 item 7) + this round's new ops
+    "x2_minhash_estimate",
+    "x2_lsh_recall_eval",
+    "x3_ann_ivf_add_recall",
+    "x5_phash_banded_dedup",
+    "x3_ann_stream_ingest",
 ]
 
 

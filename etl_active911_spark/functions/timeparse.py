@@ -41,12 +41,18 @@ Semantics (pinned by golden tests):
   year through ``parseTwoDigitYear`` — ≤ 68 → 2000s, else 1900s
   ('25' → 2025, '69' → 1969). Replicated in both engines (1/3/4-digit
   years still cast literally).
-  Remaining documented divergences (CLAUDE.md rule 8), both outside any
-  reachable input shape: (b) strings whose digit runs can be re-split by
-  regex backtracking (e.g. '123' → moment NULL, we parse month 1/day
-  2/year 3 — ``LENIENT_PAT_MD`` deliberately requires a non-digit
-  separator so '123' does not month/day-parse either); (c) year 0
-  renders as a BC date in the DuckDB oracle, so fixtures avoid it.
+  LEDGER CLOSED (r10, VERDICT r09 item 8) — the two remaining
+  divergences are PERMANENT ACCEPTED DELTAS, pinned by goldens
+  (tests/test_active911.py::test_parse_time_accepted_deltas_final), both
+  outside any reachable input shape: (b) strings whose digit runs can be
+  re-split by regex backtracking (e.g. '123' → moment NULL, we parse
+  month 1/day 2/year 3 — accepted because BOTH engines share LENIENT_PAT
+  verbatim so parity is unaffected, and ``LENIENT_PAT_MD`` deliberately
+  requires a non-digit separator so '123' never month/day-parses);
+  (c) year 0 parses here as proleptic ISO year 0 but renders as a BC
+  date in the DuckDB oracle — accepted by excluding year-0 rows from
+  fixtures (the parse itself is golden-pinned so the exclusion stays a
+  decision, not an accident). No further O-15 work is planned.
 - DST-ambiguous local times resolve to the earlier offset (java.time);
   moment-timezone agrees for US zones. Golden fixtures avoid the 2am
   transition window entirely (SURVEY.md §7 hard-part #1).

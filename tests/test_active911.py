@@ -89,6 +89,33 @@ TZ_CASES = [
 ]
 
 
+# --- FINAL accepted deltas vs moment (O-15 ledger closed, r10) ------------
+# These pin the TWO permanent divergences as decided behavior (VERDICT r09
+# item 8); changing either is a regression against the closed ledger, not
+# a fidelity improvement — see functions/timeparse.py module docstring.
+ACCEPTED_DELTA_CASES = [
+    # (b) bare mergeable digit run: moment rejects '123'; our shared
+    # 3-run backtracking regex splits it 1/2/3 → year 3 literal. Both
+    # engines share the regex, so parity is unaffected.
+    ("123", "0003-01-02T00:00:00.000Z"),
+    ("1 2 3", "0003-01-02T00:00:00.000Z"),
+    # (c) year 0 parses here (proleptic ISO year 0); the DuckDB oracle
+    # would RENDER it as a BC date, so fixtures must never emit year-0
+    # rows — the parse itself is pinned so the exclusion stays deliberate.
+    ("01/02/0000 UTC", "0000-01-02T00:00:00.000Z"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", ACCEPTED_DELTA_CASES)
+def test_parse_time_accepted_deltas_final(spark, raw, expected):
+    got = (
+        spark.range(1)
+        .select(parse_alert_time_iso(F.lit(raw)).alias("iso"))
+        .first()["iso"]
+    )
+    assert got == expected, f"{raw!r}: got {got!r}, want {expected!r}"
+
+
 @pytest.mark.parametrize("raw,expected", TZ_CASES)
 def test_parse_time_golden(spark, raw, expected):
     got = (
