@@ -1173,11 +1173,28 @@ def x5_media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one fused mapInPandas pass (blobs cross Arrow once,
     never shuffle) → a |mimes|-group aggregate of tiny flag rows."""
+    flags = media_validate_flags(media_table(spark, sf_dir))
+    return flags.groupBy("mime").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("status") == "valid", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("status") == "corrupt", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("status") == "unverifiable", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unverifiable"),
+    )
+
+
+def media_validate_flags(media: DataFrame) -> DataFrame:
+    """Per-blob integrity verdicts (doc_id, mime, status ∈ valid/corrupt/
+    unverifiable) — the parsing pass behind ``x5_media_validate``, exposed
+    so curation compositions (x9_curation_v7) gate on the per-doc rows."""
     import struct as _struct
 
     import pandas as pd
-
-    media = media_table(spark, sf_dir)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1224,19 +1241,7 @@ def x5_media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, mime, status))
             yield pd.DataFrame(rows, columns=["doc_id", "mime", "status"])
 
-    flags = media.mapInPandas(run, "doc_id long, mime string, status string")
-    return flags.groupBy("mime").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.sum(F.when(F.col("status") == "valid", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_valid"),
-        F.sum(F.when(F.col("status") == "corrupt", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_corrupt"),
-        F.sum(F.when(F.col("status") == "unverifiable", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_unverifiable"),
-    )
+    return media.mapInPandas(run, "doc_id long, mime string, status string")
 
 
 # ---------------------------------------------------------------------------

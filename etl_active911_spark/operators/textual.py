@@ -2494,21 +2494,19 @@ def x4_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _curation_v6_oracle() -> str:
-    from etl_active911_spark.operators.dedup import EVAL_SOURCE, tokdecon_ctes
-
-    stop_in = _STOPWORDS
-    return f"""
-    WITH {tokdecon_ctes()},
-    contam AS (SELECT DISTINCT doc_id FROM hits),
-    qtoks AS (
+def quality_ctes() -> str:
+    """The Gopher quality gate as a reusable oracle CTE chain ending in
+    ``quality`` (doc_id of every keep=true doc) — one definition for the
+    curation-family oracles (v6, v7); thresholds come from the shared
+    ``gopher_gate_sql`` (ADVICE r09)."""
+    return f"""qtoks AS (
         SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
     ),
     qstats AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_words,
                ROUND(CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_word_len,
-               ROUND(CAST(SUM(CASE WHEN tok IN {stop_in} THEN 1 ELSE 0 END) AS DOUBLE)
+               ROUND(CAST(SUM(CASE WHEN tok IN {_STOPWORDS} THEN 1 ELSE 0 END) AS DOUBLE)
                      / COUNT(*), 6) AS stop_frac
         FROM qtoks GROUP BY doc_id
     ),
@@ -2527,7 +2525,16 @@ def _curation_v6_oracle() -> str:
     quality AS (
         SELECT s.doc_id FROM qstats s LEFT JOIN qtop t ON s.doc_id = t.doc_id
         WHERE {gopher_gate_sql("s", "COALESCE(t.tb, 0.0)")}
-    ),
+    )"""
+
+
+def _curation_v6_oracle() -> str:
+    from etl_active911_spark.operators.dedup import EVAL_SOURCE, tokdecon_ctes
+
+    return f"""
+    WITH {tokdecon_ctes()},
+    contam AS (SELECT DISTINCT doc_id FROM hits),
+    {quality_ctes()},
     bl AS (
         SELECT doc_id FROM qtoks
         GROUP BY doc_id
@@ -2725,4 +2732,194 @@ def zipf_fit(docs: DataFrame) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6,
         ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r10): intra-document duplicate-n-gram fraction (Gopher repetition)
+# ---------------------------------------------------------------------------
+
+#: Gopher §A1.1-style repetition flag: a doc whose duplicated-3-gram
+#: occurrence share exceeds this is boilerplate/looped generation.
+DUP_NGRAM_FLAG_FRAC = 0.2
+
+_DUP_NGRAM_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                           THEN list_transform(generate_series(1, len(t) - 2),
+                                               i -> array_to_string(t[i:i+2], ' '))
+                           ELSE [array_to_string(t, ' ')] END) AS gram
+        FROM toks
+    ),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_occurrences,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS dup_fraction,
+           CAST(CASE WHEN CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                          / SUM(c) > {DUP_NGRAM_FLAG_FRAC}
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+    FROM per GROUP BY doc_id
+    """
+
+
+@query("x4_dup_ngram_fraction", _DUP_NGRAM_ORACLE)
+def x4_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r10): INTRA-document repetition — the Gopher quality signal
+    the existing composition gates don't carry: the share of a doc's
+    3-gram OCCURRENCES that belong to grams repeated within the same
+    doc (looped generations, boilerplate stuffing, template spam score
+    high; ``x4_gopher_rules``'s top-bigram check only sees the single
+    worst bigram, and ``x4_ngram_novelty`` is CROSS-doc). Emits per doc
+    the total/distinct gram counts, the duplicated-occurrence count, the
+    fraction, and the ``> DUP_NGRAM_FLAG_FRAC`` repetition flag.
+
+    Scale shape (rule 20): one spread on doc_id, then the codegen
+    ``shingle_rows`` explode and BOTH hash aggregates — (doc_id, gram)
+    then doc_id — run exchange-free, since hash-partitioning on doc_id
+    satisfies every downstream grouping that includes it. No joins, no
+    windows, no interpreted lambdas (SCALE.md invariant 3)."""
+    from etl_active911_spark.operators.dedup import shingle_rows
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    per = shingle_rows(docs, k=3).groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+    frac = dup.cast("double") / F.sum("c")
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+        dup.cast("bigint").alias("n_dup_occurrences"),
+        F.round(frac, 6).alias("dup_fraction"),
+        (frac > F.lit(DUP_NGRAM_FLAG_FRAC)).cast("int").alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r10): curation v7 — the MULTIMODAL funnel (VERDICT r09 items 5+cross)
+# ---------------------------------------------------------------------------
+
+#: metadata gates for multimodal curation: tiny images and sub-0.1 s audio
+#: clips carry no trainable signal
+MM_MIN_PIXELS = 64
+MM_MIN_DURATION_MS = 100
+
+
+def _curation_v7_oracle() -> str:
+    from etl_active911_spark.operators.multimodal import (
+        _BMP_H,
+        _BMP_W,
+        _MEDIA_CTE,
+        _hexbyte,
+    )
+
+    return f"""
+    WITH {_MEDIA_CTE},
+    mm AS (
+        SELECT doc_id, mime,
+               {_BMP_W} AS w, {_BMP_H} AS h,
+               500 + ({_hexbyte('sha', 0)} * 256 + {_hexbyte('sha', 1)}) % 2000 AS n,
+               8000 + 1000 * ({_hexbyte('sha', 2)} % 5) AS rate
+        FROM m
+    ),
+    mf AS (
+        SELECT doc_id,
+               CASE WHEN mime <> 'video/mp4' AND doc_id % 7 <> 0
+                         AND doc_id % 11 <> 0
+                    THEN 1 ELSE 0 END AS fm,
+               CASE WHEN mime = 'image/png' AND w * h >= {MM_MIN_PIXELS} THEN 1
+                    WHEN mime = 'audio/wav'
+                         AND n * 1000 // rate >= {MM_MIN_DURATION_MS} THEN 1
+                    ELSE 0 END AS fmeta
+        FROM mm
+    ),
+    {quality_ctes()},
+    funnel AS (
+        SELECT d.doc_id, d.source, mf.fm, mf.fmeta,
+               CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fq
+        FROM documents d
+        JOIN mf ON mf.doc_id = d.doc_id
+        LEFT JOIN quality q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(fm) AS BIGINT) AS n_media_valid,
+           CAST(SUM(fmeta) AS BIGINT) AS n_meta_ok,
+           CAST(SUM(fq) AS BIGINT) AS n_quality,
+           CAST(SUM(fm * fmeta * fq) AS BIGINT) AS n_final,
+           ROUND(CAST(SUM(fm * fmeta * fq) AS DOUBLE) / COUNT(*), 6) AS final_rate
+    FROM funnel GROUP BY source
+    """
+
+
+@query("x9_curation_v7", _curation_v7_oracle())
+def x9_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r10): MULTIMODAL CURATION — the funnel a vision/audio-text
+    pretraining build runs, composing three REAL per-doc surfaces built
+    this and prior rounds: (1) container integrity from the actual parse
+    (``media_validate_flags`` — corrupted magic/size rows and codec-less
+    mp4 both fail the media gate), (2) typed metadata bounds from the
+    parsed headers (``x5_media_metadata``: images ≥ MM_MIN_PIXELS px,
+    audio ≥ MM_MIN_DURATION_MS ms), (3) the Gopher text-quality gate
+    (memoized ``shared_gopher_rules``). Per-source report: how many docs
+    survive each gate and the final multimodal-trainable rate — the
+    dataset-card row for a mixed-modality release.
+
+    Scale shape: the two media surfaces are fused Arrow passes whose
+    outputs are scalar rows keyed by doc_id; the funnel is doc_id-keyed
+    equi-joins + one |sources|-group aggregate. Blob bytes never
+    shuffle; the quality leg is computed once per session (rule 25)."""
+    from etl_active911_spark.operators.multimodal import (
+        media_table,
+        media_validate_flags,
+        x5_media_metadata,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    flags = media_validate_flags(media_table(spark, sf_dir)).select(
+        "doc_id", (F.col("status") == "valid").cast("int").alias("fm")
+    )
+    meta = x5_media_metadata(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("mime") == "image/png",
+            F.col("width") * F.col("height") >= MM_MIN_PIXELS,
+        )
+        .when(
+            F.col("mime") == "audio/wav",
+            F.col("duration_ms") >= MM_MIN_DURATION_MS,
+        )
+        .otherwise(F.lit(False))
+        .cast("int")
+        .alias("fmeta"),
+    )
+    quality = shared_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("fq")
+    )
+    funnel = (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .join(meta, "doc_id")
+        .join(quality, "doc_id")
+    )
+    passed = F.col("fm") * F.col("fmeta") * F.col("fq")
+    return funnel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("fm").cast("bigint").alias("n_media_valid"),
+        F.sum("fmeta").cast("bigint").alias("n_meta_ok"),
+        F.sum("fq").cast("bigint").alias("n_quality"),
+        F.sum(passed).cast("bigint").alias("n_final"),
+        F.round(F.sum(passed).cast("double") / F.count(F.lit(1)), 6).alias(
+            "final_rate"
+        ),
     )

@@ -105,6 +105,8 @@ EXTRA_CHECKED = (
     "x5_phash_banded_dedup",
     "x5_media_metadata",
     "x3_ann_stream_ingest",
+    "x4_dup_ngram_fraction",
+    "x9_curation_v7",
 )
 
 BNLJ_ALLOWED.update({
