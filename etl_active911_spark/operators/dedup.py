@@ -505,21 +505,7 @@ def x2_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped_persist'd because it joins once per pair side (rule 18 —
     broadcast joins would otherwise evaluate the signature subtree
     twice)."""
-    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    pairs = shared_verified_pairs(spark, sf_dir)
-    member_ids = pairs.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    sigs = scoped_persist(
-        "x2_minhash_estimate.sigs",
-        minhash_signatures(docs.join(member_ids, "doc_id", "left_semi")),
-    )
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)]
-    )
+    pairs, a, b = _pair_member_sigs(spark, sf_dir)
     n_eq = None
     for i in range(N_HASHES):
         term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
@@ -536,6 +522,99 @@ def x2_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.abs(n_eq.cast("double") / N_HASHES - F.col("jaccard")), 6
             ).alias("abs_err"),
+        )
+    )
+
+
+def _pair_member_sigs(spark: SparkSession, sf_dir: str):
+    """(pairs, a, b): the memoized verified-pair graph plus the pair
+    members' minhash signatures aliased per side — shared by the
+    signature-accuracy evals (x2_minhash_estimate, x2_bbit_minhash);
+    one persist key, so a session computes the signature table once."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = shared_verified_pairs(spark, sf_dir)
+    member_ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sigs = scoped_persist(
+        "x2_minhash_estimate.sigs",
+        minhash_signatures(docs.join(member_ids, "doc_id", "left_semi")),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)]
+    )
+    return pairs, a, b
+
+
+_BBIT_EQ_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} % 2 = b.h{i} % 2 THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+_BBIT_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    vp AS (
+        SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+        FROM verified WHERE jac >= 0.5
+    ),
+    est AS (
+        SELECT v.doc_a, v.doc_b, v.jaccard,
+               ({_BBIT_EQ_SQL}) AS n_eq
+        FROM vp v
+        JOIN sigs a ON a.doc_id = v.doc_a
+        JOIN sigs b ON b.doc_id = v.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard,
+           CAST(n_eq AS BIGINT) AS n_matching_bits,
+           ROUND(GREATEST(CAST(0.0 AS DOUBLE),
+                          2.0 * n_eq / {N_HASHES} - 1.0), 6) AS est_jaccard_1bit,
+           ROUND(ABS(GREATEST(CAST(0.0 AS DOUBLE),
+                              2.0 * n_eq / {N_HASHES} - 1.0) - jaccard), 6)
+               AS abs_err
+    FROM est
+    """
+
+
+@query("x2_bbit_minhash", _BBIT_ORACLE)
+def x2_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r10): b-BIT MINHASH (b=1; Li & König, WWW 2010) — the
+    64×-storage-compression question ``x2_minhash_estimate`` sets up:
+    keep only the LOWEST BIT of each of the 64 minhashes (64 bits/doc
+    instead of 64 int64s) and estimate Jaccard from bit agreement with
+    the b=1 estimator Ĵ = 2·A − 1 (A = matching-bit fraction; random
+    non-matching minima agree with prob. ½, so agreement ½ + J/2 —
+    clamped at 0). Emitted per verified pair next to the exact Jaccard:
+    the error profile tells the 100 TB operator whether the 64× smaller
+    sketch still separates the ≥0.5 dup band (storage and shuffle width
+    are THE minhash cost at scale).
+
+    Exactness: n_eq/64 terms are exact dyadic doubles and the published
+    jaccard is pre-rounded, so no raw-float boundary (rule 4); the b=1
+    bit is ``h % 2`` in both engines on identical int64 signatures.
+
+    Scale shape: identical to x2_minhash_estimate (same memoized pair
+    graph, same persisted member-only signature table — one computation
+    per session for both evals)."""
+    pairs, a, b = _pair_member_sigs(spark, sf_dir)
+    n_eq = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") % 2 == F.col(f"b{i}") % 2, 1).otherwise(0)
+        n_eq = term if n_eq is None else n_eq + term
+    est = F.greatest(
+        F.lit(0.0), F.lit(2.0) * n_eq.cast("double") / N_HASHES - F.lit(1.0)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_eq.cast("bigint").alias("n_matching_bits"),
+            F.round(est, 6).alias("est_jaccard_1bit"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
 

@@ -2923,3 +2923,72 @@ def x9_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r10): structural template detection
+# ---------------------------------------------------------------------------
+
+TEMPLATE_PREFIX_TOKENS = 8  # fingerprint window: the doc's opening structure
+TEMPLATE_MIN_DOCS = 3  # classes below this are idiosyncratic, not templates
+
+_TEMPLATE_ORACLE = f"""
+    WITH t2 AS (
+        SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    fp AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_transform(t[1:{TEMPLATE_PREFIX_TOKENS}],
+                                  w -> CASE WHEN LENGTH(w) <= 3 THEN 'S'
+                                            WHEN LENGTH(w) <= 6 THEN 'M'
+                                            ELSE 'L' END), '') AS fingerprint
+        FROM t2
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS rep_doc
+    FROM fp GROUP BY fingerprint
+    HAVING COUNT(*) >= {TEMPLATE_MIN_DOCS}
+    """
+
+
+@query("x4_template_detection", _TEMPLATE_ORACLE)
+def x4_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r10): STRUCTURAL TEMPLATE DETECTION — boilerplate discovery
+    one level above content dedup: docs are fingerprinted by the
+    word-length-CLASS sequence (S ≤3 / M ≤6 / L) of their first
+    TEMPLATE_PREFIX_TOKENS tokens, so form letters / scraped page
+    skeletons whose variable content defeats MinHash still collapse to
+    one fingerprint class. Emits every class with ≥ TEMPLATE_MIN_DOCS
+    docs: size, source spread (a template crossing many sources is a
+    scraper artifact, not a house style), and the representative doc.
+
+    Scale shape: the fingerprint is a per-doc O(1) projection (the
+    8-element transform is fixed-width, like ``dot`` — invariant 3
+    governs corpus-sized per-element fan-out, not bounded reductions);
+    the rollup is ONE hash aggregate keyed by fingerprint. No joins, no
+    windows, nothing quadratic anywhere."""
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    toks = F.split(normalized_text(F.col("text")), " ")
+    cls = F.transform(
+        F.slice(toks, 1, TEMPLATE_PREFIX_TOKENS),
+        lambda w: F.when(F.length(w) <= 3, F.lit("S"))
+        .when(F.length(w) <= 6, F.lit("M"))
+        .otherwise(F.lit("L")),
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    fp = docs.select(
+        "doc_id", "source", F.array_join(cls, "").alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") >= TEMPLATE_MIN_DOCS)
+    )

@@ -107,6 +107,8 @@ EXTRA_CHECKED = (
     "x3_ann_stream_ingest",
     "x4_dup_ngram_fraction",
     "x9_curation_v7",
+    "x2_bbit_minhash",
+    "x4_template_detection",
 )
 
 BNLJ_ALLOWED.update({
