@@ -957,6 +957,86 @@ def x3_ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_DELETE_MOD, IVF_DELETE_REM = 17, 2  # ~6% of vectors carry tombstones
+IVF_DELETE_COMPACT = 0.08  # tombstone fraction beyond which a cell compacts
+
+_IVF_DELETE_ORACLE = f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, embedding::DOUBLE[] AS se
+        FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    scored_cells AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.ee, s.se)
+                 / (sqrt(list_dot_product(e.ee, e.ee))
+                    * sqrt(list_dot_product(s.se, s.se))) AS cos
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+        CROSS JOIN seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, cell,
+               CASE WHEN vec_id % {IVF_DELETE_MOD} = {IVF_DELETE_REM}
+                    THEN 1 ELSE 0 END AS dead
+        FROM (
+            SELECT vec_id, cell, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells
+        ) t WHERE rn = 1
+    ),
+    agg AS (
+        SELECT cell,
+               CAST(SUM(1 - dead) AS BIGINT) AS n_live,
+               CAST(SUM(dead) AS BIGINT) AS n_tombstoned
+        FROM assigned GROUP BY cell
+    )
+    SELECT cell, n_live, n_tombstoned,
+           ROUND(CAST(n_tombstoned AS DOUBLE) / (n_live + n_tombstoned), 6)
+               AS tombstone_frac,
+           CAST(CASE WHEN CAST(n_tombstoned AS DOUBLE) / (n_live + n_tombstoned)
+                          > CAST({IVF_DELETE_COMPACT} AS DOUBLE)
+                     THEN 1 ELSE 0 END AS INTEGER) AS needs_compaction
+    FROM agg
+    """
+
+
+@query("x3_ann_ivf_delete", _IVF_DELETE_ORACLE)
+def x3_ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r10): IVF DELETE path — completes the index-maintenance CRUD
+    story (``x3_ann_ivf_add`` = insert, ``x3_ann_stream_ingest`` =
+    update, this = delete): removed vectors (the ``vec_id % 17 == 2``
+    slice standing in for a deletion feed) become TOMBSTONES in their
+    assigned cells — the standard serving-side delete, since physically
+    rewriting posting lists per delete is unaffordable — and the
+    operator emits the per-cell tombstone pressure report: live count,
+    tombstoned count, tombstone fraction, and the compaction flag for
+    cells past ``IVF_DELETE_COMPACT`` (tombstones inflate nprobe scan
+    cost and skew recall, so compaction is fraction-triggered, exactly
+    like LSM levels). Deletion membership derives from the key — a real
+    feed is an anti-join against the tombstone table, same plan shape.
+
+    Scale shape: one corpus scan × bounded 16-row centroid BNLJ, argmax
+    rides WindowGroupLimit, 16-group rollup; the comparison constant is
+    CAST AS DOUBLE (rule 24's decimal trap)."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    assigned = argmax_cells(emb.select("vec_id", "embedding"), seed_centroid_table(emb))
+    dead = (F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_REM).cast("int")
+    agg = assigned.select("vec_id", "cell", dead.alias("dead")).groupBy("cell").agg(
+        F.sum(1 - F.col("dead")).cast("bigint").alias("n_live"),
+        F.sum("dead").cast("bigint").alias("n_tombstoned"),
+    )
+    frac = F.col("n_tombstoned").cast("double") / (
+        F.col("n_live") + F.col("n_tombstoned")
+    )
+    return agg.select(
+        "cell",
+        "n_live",
+        "n_tombstoned",
+        F.round(frac, 6).alias("tombstone_frac"),
+        (frac > F.lit(IVF_DELETE_COMPACT)).cast("int").alias("needs_compaction"),
+    )
+
+
 def ivf_write_index(spark: SparkSession, sf_dir: str, path: str, n_cells: int = IVF_N_CELLS):
     """Materialize the IVF layout: embeddings written as parquet
     PARTITIONED BY cell (one directory per cell), centroids stored beside

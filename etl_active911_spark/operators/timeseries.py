@@ -1451,3 +1451,62 @@ def x6_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("max")
         .alias("kept_as"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): telemetry gap detection (data-liveness audit)
+# ---------------------------------------------------------------------------
+
+GAP_ALERT_SECONDS = 3600  # gaps longer than this are reporting outages
+
+_GAP_ORACLE = f"""
+    WITH g AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events
+    ),
+    d AS (
+        SELECT user_id,
+               date_diff('microsecond', pv, ts) // 1000000 AS gap_s
+        FROM g WHERE pv IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(CASE WHEN gap_s > {GAP_ALERT_SECONDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outages,
+           CAST(SUM(gap_s) AS BIGINT) AS span_s
+    FROM d GROUP BY user_id
+    """
+
+
+@query("x6_gap_detection", _GAP_ORACLE)
+def x6_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): TELEMETRY GAP AUDIT — the liveness question every
+    ingestion pipeline answers before trusting windowed aggregates: per
+    series, the largest inter-event gap, the count of outage-grade gaps
+    (> GAP_ALERT_SECONDS), the covered span, and the event count. A
+    series with big max_gap relative to span has silent holes that
+    forward-fills and rollups would paper over.
+
+    Determinism: gaps are exact integer microsecond differences floored
+    to seconds in BOTH engines (no float time arithmetic anywhere);
+    ordering ties broken by event_id (canonical policy).
+
+    Scale shape: one lag window + one aggregate, both keyed on user_id —
+    the x6 family's series-bounded partitioning; no joins."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", "ts", F.lag("ts").over(w).alias("pv")).filter(
+        F.col("pv").isNotNull()
+    )
+    gap_s = F.expr("timestampdiff(MICROSECOND, pv, ts)") / F.lit(1000000)
+    d = g.select("user_id", F.floor(gap_s).cast("bigint").alias("gap_s"))
+    return d.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.sum(F.when(F.col("gap_s") > GAP_ALERT_SECONDS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outages"),
+        F.sum("gap_s").cast("bigint").alias("span_s"),
+    )

@@ -58,6 +58,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x4_pmi_bigrams": (2, "two 1-row broadcast corpus-total scalars (n_tokens, n_bigrams) crossJoined into the PMI denominator (textual.py:1031)"),
     "x3_ann_ivf_lloyd1": (4, "broadcast 16-row seed-centroid table per IVF leg (assign0, Lloyd-updated re-assign, probe, re-rank) — same bounded side as x3_ann_recall_eval"),
     "x3_ann_stream_ingest": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
+    "x3_ann_ivf_delete": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
 }
 
 
@@ -109,6 +110,8 @@ EXTRA_CHECKED = (
     "x9_curation_v7",
     "x2_bbit_minhash",
     "x4_template_detection",
+    "x6_gap_detection",
+    "x3_ann_ivf_delete",
 )
 
 BNLJ_ALLOWED.update({

@@ -49,6 +49,8 @@ TIME_SENSITIVE = [
     "x6_seasonal_strength",
     "x6_rollup_cascade",
     "x6_minmax_downsample",
+    # r10: integer-microsecond gap arithmetic over event ts
+    "x6_gap_detection",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
