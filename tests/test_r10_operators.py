@@ -1,0 +1,166 @@
+"""Synthetic pins for the r10 operator wave — closed-form cases the
+fixture-oracle parity can't distinguish from luck."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_gap_detection_localizes_outages(spark):
+    from etl_active911_spark.operators.timeseries import _GAP_ORACLE  # noqa: F401
+    from etl_active911_spark.operators import timeseries as ts_mod
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # user 1: events every 10 min, with ONE 2-hour hole after the 5th
+    rows = []
+    t = t0
+    for i in range(5):
+        rows.append((1, i + 1, t, "a", 1.0, "{}"))
+        t += datetime.timedelta(minutes=10)
+    t += datetime.timedelta(hours=2)
+    for i in range(5, 8):
+        rows.append((1, i + 1, t, "a", 1.0, "{}"))
+        t += datetime.timedelta(minutes=10)
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, event_type string, "
+        "value double, props string",
+    )
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window
+    # drive the registered body directly over the synthetic frame
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", "ts", F.lag("ts").over(wspec).alias("pv")).filter(
+        F.col("pv").isNotNull()
+    )
+    gap_s = F.expr("timestampdiff(MICROSECOND, pv, ts)") / F.lit(1000000)
+    d = g.select("user_id", F.floor(gap_s).cast("bigint").alias("gap_s"))
+    out = d.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.sum(
+            F.when(F.col("gap_s") > ts_mod.GAP_ALERT_SECONDS, 1).otherwise(0)
+        ).cast("bigint").alias("n_outages"),
+        F.sum("gap_s").cast("bigint").alias("span_s"),
+    ).collect()[0]
+    assert out["n_events"] == 8
+    # the hole = 2h (previous step's +10min is part of the arithmetic:
+    # last pre-hole event to first post-hole event = 10min + 2h)
+    assert out["max_gap_s"] == 2 * 3600 + 600
+    assert out["n_outages"] == 1
+    assert out["span_s"] == 6 * 600 + (2 * 3600 + 600)
+
+
+def test_dup_ngram_fraction_closed_form(spark):
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    # "a b c a b c a b c": 7 trigrams, classes: 'a b c'x3, 'b c a'x2,
+    # 'c a b'x2 -> all 7 occurrences duplicated -> fraction 1.0
+    # "p q r s": 2 distinct trigrams, none repeated -> 0.0
+    import etl_active911_spark.operators.textual as tx
+    from etl_active911_spark.operators.dedup import shingle_rows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "p q r s")], "doc_id long, text string"
+    )
+    per = shingle_rows(docs, k=3).groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+    got = {
+        r["doc_id"]: (r["n"], r["d"])
+        for r in per.groupBy("doc_id")
+        .agg(F.sum("c").alias("n"), dup.alias("d"))
+        .collect()
+    }
+    assert got == {1: (7, 7), 2: (2, 0)}
+
+
+def test_curation_v7_funnel_monotone(spark):
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x9_curation_v7"](spark, SF_SMOKE).collect()
+    assert rows, "funnel empty"
+    for r in rows:
+        assert r["n_final"] <= min(r["n_media_valid"], r["n_meta_ok"], r["n_quality"])
+        assert r["n_total"] >= max(r["n_media_valid"], r["n_meta_ok"], r["n_quality"])
+        assert abs(r["final_rate"] - round(r["n_final"] / r["n_total"], 6)) < 1e-9
+
+
+def test_ivf_delete_conserves_vectors(spark):
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x3_ann_ivf_delete"](spark, SF_SMOKE).collect()
+    from etl_active911_spark.io import read_table
+
+    n_vec = read_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_live"] + r["n_tombstoned"] for r in rows) == n_vec
+    n_dead = sum(r["n_tombstoned"] for r in rows)
+    exact_dead = read_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") % 17 == 2
+    ).count()
+    assert n_dead == exact_dead
+    for r in rows:
+        frac = r["n_tombstoned"] / (r["n_live"] + r["n_tombstoned"])
+        assert r["needs_compaction"] == (1 if frac > 0.08 else 0)
+
+
+def test_bbit_estimator_identical_docs(spark):
+    # identical docs share every minhash, hence every low bit -> est 1.0
+    from etl_active911_spark.operators.dedup import (
+        N_HASHES,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r for r in minhash_signatures(docs).collect()}
+    n_eq = sum(
+        1 for i in range(N_HASHES) if sigs[1][f"h{i}"] % 2 == sigs[2][f"h{i}"] % 2
+    )
+    assert n_eq == N_HASHES  # estimator 2*1-1 = 1.0
+
+
+def test_template_detection_groups_structures(spark):
+    from etl_active911_spark.operators.dedup import normalized_text
+    from etl_active911_spark.operators.textual import (
+        TEMPLATE_MIN_DOCS,
+        TEMPLATE_PREFIX_TOKENS,
+    )
+
+    # three docs with identical opening structure (S M L pattern) but
+    # different words; two docs with another structure (below threshold)
+    rows = [
+        (1, "to charge delivery of it parcels backed items zz"),
+        (2, "we bought pursuant in at coupons policy orders yy"),
+        (3, "her walked alright up to pledges formal claims xx"),
+        (10, "a a a a a a a a"),
+        (11, "bbbbbbbb c d e f g h i"),
+    ]
+    # build fingerprints exactly like the registered query
+    toks = F.split(normalized_text(F.col("text")), " ")
+    cls = F.transform(
+        F.slice(toks, 1, TEMPLATE_PREFIX_TOKENS),
+        lambda w: F.when(F.length(w) <= 3, F.lit("S"))
+        .when(F.length(w) <= 6, F.lit("M"))
+        .otherwise(F.lit("L")),
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.array_join(cls, "").alias("fp")
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.collect()}
+    grouped = {}
+    for d, fp in fps.items():
+        grouped.setdefault(fp, []).append(d)
+    big = [ds for ds in grouped.values() if len(ds) >= TEMPLATE_MIN_DOCS]
+    assert big == [[1, 2, 3]] or sorted(big[0]) == [1, 2, 3]
