@@ -2226,21 +2226,38 @@ def x2_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_TRUTH_DF_CAP = 64
 
 
-def lsh_truth_pairs(sh: DataFrame, df_cap: int = LSH_TRUTH_DF_CAP) -> DataFrame:
-    """Exact ≥0.5-Jaccard ground-truth pairs from ``(doc_id, gs)`` shingle
-    sets via a df-capped posting self-join: postings on shingles seen in
-    more than ``df_cap`` documents are dropped before pairing (the df is
-    a window count over the same ``g`` partitioning the join shuffles on,
-    so the cut rides the join's own exchange). Jaccard denominators use
-    the FULL set sizes, so a pair surviving on its rare shingles still
-    gets its exact score."""
-    p = sh.select(
-        "doc_id", F.explode("gs").alias("g"), F.size("gs").alias("n_g")
-    ).withColumn("df_g", F.count(F.lit(1)).over(Window.partitionBy("g")))
-    p = p.filter(F.col("df_g") <= df_cap).drop("df_g")
-    a, b = p.alias("a"), p.alias("b")
+def lsh_truth_pairs(docs: DataFrame, df_cap: int = LSH_TRUTH_DF_CAP) -> DataFrame:
+    """Exact ≥0.5-Jaccard ground-truth pairs from (doc_id, text) rows via
+    a df-capped posting BUCKET-AND-EXPLODE. Three deliberate shapes:
+    (1) grams come from the CODEGEN ``shingle_rows`` explode, deduped by
+    one keyed aggregate — the array-returning ``shingles()`` lambda paid
+    ~4.3 s of the original 5.1 s at sf0.1 (invariant 3 / rule 1: the
+    interpreted transform re-inlines per exploded row); (2) candidates
+    come from grouping on the shingle, NOT a posting self-join (rule 18
+    — a join evaluates the posting subtree once per side), with the
+    df-cut as the bucket-size filter applied to the aggregated list
+    BEFORE the n² explode can fire; (3) the distinct aggregate and the
+    per-doc set-size window both ride the doc_id spread exchange-free
+    (rule 20). Jaccard denominators use the FULL set sizes, so a pair
+    surviving on its rare shingles still gets its exact score. Measured
+    r10: 5.1 → 1.5 s at sf0.1, result-identical."""
+    p = (
+        shingle_rows(docs)
+        .groupBy("doc_id", "shingle")
+        .agg(F.lit(1).alias("__one"))
+        .select("doc_id", F.col("shingle").alias("g"))
+        .withColumn("n_g", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    buckets = (
+        p.groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "n_g")).alias("ms"))
+        .filter(F.size("ms").between(2, df_cap))
+        .select("ms")
+    )
     tp = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -2322,8 +2339,7 @@ def x2_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = shared_verified_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("gs"))
-    truth = lsh_truth_pairs(sh)
+    truth = lsh_truth_pairs(docs)
     m = truth.join(found, ["doc_a", "doc_b"], "left").select(
         "jac", F.coalesce("hit", F.lit(0)).alias("hit")
     )

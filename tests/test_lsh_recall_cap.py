@@ -12,22 +12,19 @@ Three contracts:
 from __future__ import annotations
 
 import duckdb
-from pyspark.sql import functions as F
 
 from etl_active911_spark.operators.dedup import (
     LSH_TRUTH_DF_CAP,
     lsh_truth_pairs,
-    shingles,
 )
 from tests.conftest import SF_ORACLE
 
 
 def _truth(spark, rows, df_cap):
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    sh = df.select("doc_id", shingles(F.col("text")).alias("gs"))
     return {
         (r.doc_a, r.doc_b): r.jac
-        for r in lsh_truth_pairs(sh, df_cap=df_cap).collect()
+        for r in lsh_truth_pairs(df, df_cap=df_cap).collect()
     }
 
 
