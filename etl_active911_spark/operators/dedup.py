@@ -139,11 +139,8 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing no shingle are never enumerated, and the shuffle key is
     the shingle, not the document. At 100 TB add a document-frequency cut
     (drop shingles with df > threshold) to bound posting fan-out."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", "lang", shingles(F.col("text")).alias("gs"))
-    postings = sh.select(
-        "doc_id", "lang", F.explode("gs").alias("g"), F.size("gs").alias("n_g")
-    )
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    postings = jaccard_postings(docs)
     a, b = postings.alias("a"), postings.alias("b")
     pair_inter = (
         a.join(
@@ -183,10 +180,7 @@ def ngram_jaccard_with_df_cut(
     understated for boilerplate-only pairs (the standard trade; with
     ``max_df=None`` output is bit-identical to ``x2_ngram_jaccard``,
     asserted in tests)."""
-    sh = docs.select("doc_id", "lang", shingles(F.col("text")).alias("gs"))
-    postings = sh.select(
-        "doc_id", "lang", F.explode("gs").alias("g"), F.size("gs").alias("n_g")
-    )
+    postings = jaccard_postings(docs)
     if max_df is not None:
         hot = (
             postings.groupBy("lang", "g")
@@ -227,7 +221,11 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 def shingle_rows(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, shingle) rows — the fully-codegen shingle path.
 
@@ -243,7 +241,11 @@ def shingle_rows(
     n = F.size(toks)
     pos = F.explode(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))))
     with_pos = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks"), n.alias("__n"), pos.alias("i")
+        F.col(id_col).alias("doc_id"),
+        *extra_cols,
+        toks.alias("__toks"),
+        n.alias("__n"),
+        pos.alias("i"),
     )
     gram = F.concat_ws(
         " ", *[F.element_at(F.col("__toks"), F.col("i") + j) for j in range(k)]
@@ -251,7 +253,24 @@ def shingle_rows(
     whole = F.array_join(F.col("__toks"), " ")
     return with_pos.select(
         "doc_id",
+        *extra_cols,
         F.when(F.col("__n") >= k, gram).otherwise(whole).alias("shingle"),
+    )
+
+
+def jaccard_postings(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, lang, g, n_g) posting rows for the exact-Jaccard
+    family, on the CODEGEN path: ``shingle_rows`` explode + keyed distinct
+    aggregate + an exchange-free per-doc set-size window off the doc_id
+    spread — replacing the array-returning ``shingles()`` projection,
+    whose interpreted per-position transform dominated the posting cost
+    (rule 1 / invariant 3; same fix as ``lsh_truth_pairs``, r10)."""
+    return (
+        shingle_rows(docs, extra_cols=("lang",))
+        .groupBy("doc_id", "lang", "shingle")
+        .agg(F.lit(1).alias("__one"))
+        .select("doc_id", "lang", F.col("shingle").alias("g"))
+        .withColumn("n_g", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
 
 
