@@ -2992,3 +2992,110 @@ def x4_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= TEMPLATE_MIN_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r10): gate-ablation matrix
+# ---------------------------------------------------------------------------
+
+
+def _gate_ablation_oracle() -> str:
+    from etl_active911_spark.operators.dedup import EVAL_SOURCE, tokdecon_ctes
+
+    return f"""
+    WITH {tokdecon_ctes()},
+    contam AS (SELECT DISTINCT doc_id FROM hits),
+    {quality_ctes()},
+    bl AS (
+        SELECT doc_id FROM qtoks
+        GROUP BY doc_id
+        HAVING SUM(CASE WHEN tok IN ({", ".join(f"'{w}'" for w in BLOCKLIST)})
+                        THEN 1 ELSE 0 END) = 0
+    ),
+    flags AS (
+        SELECT d.doc_id, st.n_words,
+               CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fq,
+               CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fb,
+               CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS fc
+        FROM documents d
+        JOIN qstats st ON st.doc_id = d.doc_id
+        LEFT JOIN quality q ON q.doc_id = d.doc_id
+        LEFT JOIN bl b ON b.doc_id = d.doc_id
+        LEFT JOIN contam c ON c.doc_id = d.doc_id
+        WHERE d.source <> '{EVAL_SOURCE}'
+    )
+    SELECT CAST(fq AS INTEGER) AS fq, CAST(fb AS INTEGER) AS fb,
+           CAST(fc AS INTEGER) AS fc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM flags GROUP BY fq, fb, fc
+    """
+
+
+@query("x9_gate_ablation", _gate_ablation_oracle())
+def x9_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r10): GATE-ABLATION MATRIX — the analysis a curator runs
+    BEFORE committing to a gate stack: every (quality, blocklist,
+    uncontaminated) flag combination with its doc count, token mass, and
+    corpus share. Where the v6 funnel reports attrition under one fixed
+    order, this shows which gate is BINDING (mass in fq=0 rows only),
+    which are redundant (mass concentrated where flags agree), and what
+    an ablation would recover — the 2³ cells are exactly the table an
+    ablation-study appendix prints.
+
+    Scale shape: the three gate legs are the v6 legs verbatim (memoized
+    quality, exchange-free blocklist aggregate, broadcast posting join);
+    the matrix is one 8-group aggregate and the share window runs over
+    the 8-row RESULT."""
+    from etl_active911_spark.operators.dedup import (
+        EVAL_SOURCE,
+        token_contamination,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    quality = shared_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("fq"), "n_words"
+    )
+    bl = (
+        x4_blocklist_gate(spark, sf_dir)
+        .filter(F.col("passes_gate") == 1)
+        .select("doc_id", F.lit(1).alias("fb"))
+    )
+    contam = (
+        token_contamination(docs, persist_key="x9_curation_v6.hits")
+        .select("doc_id")
+        .distinct()
+        .withColumn("fcx", F.lit(1))
+    )
+    flags = (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id")
+        .join(quality, "doc_id")
+        .join(bl, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "n_words",
+            "fq",
+            F.coalesce("fb", F.lit(0)).alias("fb"),
+            F.when(F.col("fcx").isNull(), 1).otherwise(0).alias("fc"),
+        )
+    )
+    out = flags.groupBy("fq", "fb", "fc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+    )
+    from pyspark.sql import Window as _W
+
+    return out.select(
+        "fq",
+        "fb",
+        "fc",
+        "n_docs",
+        "n_words",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(_W.partitionBy()),
+            6,
+        ).alias("share"),
+    )

@@ -1510,3 +1510,78 @@ def x6_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outages"),
         F.sum("gap_s").cast("bigint").alias("span_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): above-mean run-length analysis (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+    WITH base AS (
+        SELECT user_id, event_id, ts, value,
+               AVG(value) OVER (PARTITION BY user_id) AS mu
+        FROM events
+    ),
+    t AS (
+        SELECT user_id,
+               CASE WHEN ROUND(value - mu, 6) > 0 THEN 1 ELSE 0 END AS above,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM base
+    ),
+    a AS (
+        SELECT user_id,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS island
+        FROM t WHERE above = 1
+    ),
+    runs AS (
+        SELECT user_id, island, COUNT(*) AS run_len
+        FROM a GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           CAST(SUM(run_len) AS BIGINT) AS n_above
+    FROM runs GROUP BY user_id
+    """
+
+
+@query("x6_threshold_runs", _RUNS_ORACLE)
+def x6_threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): ABOVE-MEAN RUN LENGTHS — the classic gaps-and-islands
+    rewrite (consecutive-row grouping via the rn − rank-among-marked
+    difference): per series, how many sustained above-mean episodes
+    exist, the longest one, and the total above-mean row count. The
+    flapping-vs-sustained discriminator CUSUM alarms don't expose: many
+    short runs = noise around the mean; one long run = a level episode
+    worth alerting on.
+
+    Determinism: the threshold compares ROUND(value − mu, 6) > 0 so the
+    engines' last-ulp AVG difference cannot flip a row (canonical
+    policy 4); row order ties break on event_id.
+
+    Scale shape: one whole-partition moment window + two row_number
+    windows + two aggregates, every one keyed on user_id — no joins,
+    nothing corpus-wide."""
+    ev = read_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") - F.avg("value").over(w_all), 6) > 0)
+        .cast("int")
+        .alias("above"),
+    ).withColumn("rn", F.row_number().over(w_ord))
+    w_rn = Window.partitionBy("user_id").orderBy("rn")
+    a = t.filter(F.col("above") == 1).select(
+        "user_id", (F.col("rn") - F.row_number().over(w_rn)).alias("island")
+    )
+    runs = a.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.sum("run_len").cast("bigint").alias("n_above"),
+    )

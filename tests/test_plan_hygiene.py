@@ -112,6 +112,8 @@ EXTRA_CHECKED = (
     "x4_template_detection",
     "x6_gap_detection",
     "x3_ann_ivf_delete",
+    "x9_gate_ablation",
+    "x6_threshold_runs",
 )
 
 BNLJ_ALLOWED.update({

@@ -51,6 +51,7 @@ TIME_SENSITIVE = [
     "x6_minmax_downsample",
     # r10: integer-microsecond gap arithmetic over event ts
     "x6_gap_detection",
+    "x6_threshold_runs",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
