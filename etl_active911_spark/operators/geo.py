@@ -640,3 +640,101 @@ def x7_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
         "cy", "cx", "n", "neigh_sum", "score", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r10): station coverage-gap analysis
+# ---------------------------------------------------------------------------
+
+COVER_GRID_DEG = 0.05  # ~5.5 km cells — response-zone grain, not pair grain
+COVER_RADIUS_KM = 15.0  # served = some station within this drive radius
+COVER_MIN_INCIDENTS = 3  # below this a gap cell is noise, not demand
+
+_COVERAGE_ORACLE = f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    stations AS ({_STATIONS_SQL}),
+    cells AS (
+        SELECT CAST(FLOOR(lat_d / {COVER_GRID_DEG}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon_d / {COVER_GRID_DEG}) AS BIGINT) AS cx,
+               CAST(COUNT(*) AS BIGINT) AS n_incidents
+        FROM resolved WHERE lat_d IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.cy, c.cx, c.n_incidents, s.station_id,
+               ROUND({_haversine_sql(
+                   f"(c.cy + 0.5) * {COVER_GRID_DEG}",
+                   f"(c.cx + 0.5) * {COVER_GRID_DEG}",
+                   "s.s_lat", "s.s_lon")}, 3) AS dist_km
+        FROM cells c CROSS JOIN stations s
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cy, cx
+                                     ORDER BY dist_km, station_id) AS rn
+        FROM scored
+    )
+    SELECT cy, cx, n_incidents, station_id AS nearest_station, dist_km
+    FROM ranked
+    WHERE rn = 1 AND dist_km > {COVER_RADIUS_KM}
+      AND n_incidents >= {COVER_MIN_INCIDENTS}
+    """
+
+
+@query("x7_coverage_gap", _COVERAGE_ORACLE)
+def x7_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r10): STATION COVERAGE GAPS — the dispatch-planning question
+    the hotspot ranking sets up: which demand cells (≥
+    COVER_MIN_INCIDENTS incidents on the ~5.5 km planning grid) sit
+    farther than COVER_RADIUS_KM from EVERY station? Emits each gap cell
+    with its demand, nearest station, and distance — the site-selection
+    shortlist. Distances are computed from the cell CENTER, a closed
+    form of the integer cell ids, so no floating centroid aggregation
+    can drift cross-engine; the rounded distance is compared, not the
+    raw one (canonical policy 4).
+
+    Scale shape: incidents collapse to cells FIRST (one keyed aggregate
+    — the cross join touches |cells| × |stations|, never points ×
+    stations); the station dim broadcasts; the arg-min is one
+    WindowGroupLimit-pruned rank per cell."""
+    from etl_active911_spark.io import read_table
+
+    resolved = _resolved(spark, sf_dir)
+    cells = (
+        resolved.filter(F.col("lat_d").isNotNull())
+        .groupBy(
+            F.floor(F.col("lat_d") / COVER_GRID_DEG).cast("long").alias("cy"),
+            F.floor(F.col("lon_d") / COVER_GRID_DEG).cast("long").alias("cx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_incidents"))
+    )
+    stations = read_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("station_id"),
+        (F.lit(39.0) + F.col("r_regionkey").cast("double") * 0.3).alias("s_lat"),
+        (F.lit(-105.0) + F.col("r_regionkey").cast("double") * 0.25).alias("s_lon"),
+    )
+    clat = (F.col("cy") + 0.5) * COVER_GRID_DEG
+    clon = (F.col("cx") + 0.5) * COVER_GRID_DEG
+    scored = cells.crossJoin(F.broadcast(stations)).select(
+        "cy",
+        "cx",
+        "n_incidents",
+        "station_id",
+        F.round(haversine_km(clat, clon, F.col("s_lat"), F.col("s_lon")), 3).alias(
+            "dist_km"
+        ),
+    )
+    w = Window.partitionBy("cy", "cx").orderBy("dist_km", "station_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("dist_km") > COVER_RADIUS_KM)
+            & (F.col("n_incidents") >= COVER_MIN_INCIDENTS)
+        )
+        .select(
+            "cy",
+            "cx",
+            "n_incidents",
+            F.col("station_id").alias("nearest_station"),
+            "dist_km",
+        )
+    )

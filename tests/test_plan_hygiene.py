@@ -59,6 +59,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x3_ann_ivf_lloyd1": (4, "broadcast 16-row seed-centroid table per IVF leg (assign0, Lloyd-updated re-assign, probe, re-rank) — same bounded side as x3_ann_recall_eval"),
     "x3_ann_stream_ingest": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
     "x3_ann_ivf_delete": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
+    "x7_coverage_gap": (1, "broadcast 5-row station dim crossJoined onto the CELL table (|cells| x |stations|, never points x stations)"),
 }
 
 
@@ -114,6 +115,7 @@ EXTRA_CHECKED = (
     "x3_ann_ivf_delete",
     "x9_gate_ablation",
     "x6_threshold_runs",
+    "x7_coverage_gap",
 )
 
 BNLJ_ALLOWED.update({
