@@ -1472,3 +1472,87 @@ def x8_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_split_leak_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r10): per-source token quota fill (domain caps)
+# ---------------------------------------------------------------------------
+
+SOURCE_QUOTA_TOKENS = 800  # per-source token cap (domain over-representation)
+
+
+def _quota_fill_oracle() -> str:
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(LOWER(text), '{pat}'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= {SOURCE_QUOTA_TOKENS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN cum <= {SOURCE_QUOTA_TOKENS} THEN n_tokens
+                         ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           ROUND(CAST(SUM(CASE WHEN cum <= {SOURCE_QUOTA_TOKENS} THEN n_tokens
+                              ELSE 0 END) AS DOUBLE)
+                 / CAST({SOURCE_QUOTA_TOKENS} AS DOUBLE), 6) AS quota_fill
+    FROM c GROUP BY source
+    """
+
+
+@query("x8_source_quota_fill", _quota_fill_oracle())
+def x8_source_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r10): PER-SOURCE TOKEN QUOTAS — the domain-cap operator
+    ("no single domain exceeds N tokens") that every web-scale mixture
+    applies before temperature weighting: docs fill each source's
+    SOURCE_QUOTA_TOKENS budget in deterministic doc_id order (a
+    content-addressed order would slot in identically), and the report
+    shows per source how many docs made the cut, the kept/total token
+    mass, and the quota fill rate (>1 impossible, <1 = source exhausted
+    under its cap).
+
+    Scale shape: the cumulative sum is a SOURCE-KEYED window (bounded
+    partitions — never the global-ORDER-BY window SCALE.md bans; the
+    global variant is exactly ``x8_token_packing``'s two-phase prefix
+    sum), followed by one |sources|-group rollup."""
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    from etl_active911_spark.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "source").select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    kept = F.when(F.col("cum") <= SOURCE_QUOTA_TOKENS, F.col("n_tokens")).otherwise(0)
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("cum") <= SOURCE_QUOTA_TOKENS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(kept).cast("bigint").alias("tokens_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.round(
+            F.sum(kept).cast("double") / F.lit(float(SOURCE_QUOTA_TOKENS)), 6
+        ).alias("quota_fill"),
+    )

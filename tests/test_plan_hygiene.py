@@ -116,6 +116,7 @@ EXTRA_CHECKED = (
     "x9_gate_ablation",
     "x6_threshold_runs",
     "x7_coverage_gap",
+    "x8_source_quota_fill",
 )
 
 BNLJ_ALLOWED.update({
