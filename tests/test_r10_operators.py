@@ -30,7 +30,6 @@ def test_gap_detection_localizes_outages(spark):
         "user_id long, event_id long, ts timestamp_ntz, event_type string, "
         "value double, props string",
     )
-    w = __import__("pyspark.sql", fromlist=["Window"]).Window
     # drive the registered body directly over the synthetic frame
     from pyspark.sql import Window
 
