@@ -1037,6 +1037,120 @@ def x3_ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PURITY_ORACLE = f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, embedding::DOUBLE[] AS se
+        FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    scored_cells AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.ee, s.se)
+                 / (sqrt(list_dot_product(e.ee, e.ee))
+                    * sqrt(list_dot_product(s.se, s.se))) AS cos
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+        CROSS JOIN seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, cell
+        FROM (
+            SELECT vec_id, cell, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells
+        ) t WHERE rn = 1
+    ),
+    al AS (
+        SELECT a.cell, e.label
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    cl AS (SELECT cell, label, COUNT(*) AS c FROM al GROUP BY cell, label),
+    tot AS (
+        SELECT cell, SUM(c) AS n, COUNT(*) AS n_labels FROM cl GROUP BY cell
+    ),
+    rk AS (
+        SELECT cell, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY c DESC, label) AS rn
+        FROM cl
+    ),
+    ent AS (
+        SELECT cl.cell,
+               ROUND(-SUM((CAST(cl.c AS DOUBLE) / t.n)
+                          * ROUND(ln(CAST(cl.c AS DOUBLE) / t.n), 6)), 6)
+                   AS label_entropy
+        FROM cl JOIN tot t ON t.cell = cl.cell GROUP BY cl.cell
+    )
+    SELECT t.cell,
+           CAST(t.n AS BIGINT) AS n_vectors,
+           CAST(t.n_labels AS BIGINT) AS n_labels,
+           CAST(r.label AS INTEGER) AS majority_label,
+           ROUND(CAST(r.c AS DOUBLE) / t.n, 6) AS purity,
+           e.label_entropy
+    FROM tot t
+    JOIN rk r ON r.cell = t.cell AND r.rn = 1
+    JOIN ent e ON e.cell = t.cell
+    """
+
+
+@query("x3_centroid_purity", _PURITY_ORACLE)
+def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r10): CLUSTER-QUALITY EVAL against supervision — the first
+    consumer of the embedding table's ``label`` column: per IVF cell,
+    the label-distribution purity (majority-label share), distinct-label
+    count, and label entropy. Purity ≈ 1/|labels| everywhere means the
+    index geometry is uncorrelated with semantics (expected for the
+    synthetic fixture — the eval MEASURES that, it doesn't assume it);
+    on real embeddings this is the dashboard that says whether cells are
+    semantically coherent enough for label-filtered search to prune by
+    cell.
+
+    Determinism: majority tie-breaks on the smaller label; entropy
+    rounds each ln term to 6dp before the weighted sum (the zipf-fit
+    libm discipline) and the final value to 6dp.
+
+    Scale shape: assignment = one scan × bounded 16-row centroid BNLJ
+    (argmax rides WindowGroupLimit); the label join is vec_id-keyed;
+    everything after is |cells|×|labels| sized."""
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    assigned = argmax_cells(emb.select("vec_id", "embedding"), seed_centroid_table(emb))
+    al = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    # |cells|x|labels| rows feeding THREE consumers (tot, rk, ent) — persist
+    # or the scan+assignment subtree re-evaluates per consumer (rule 17/18)
+    cl = scoped_persist(
+        "x3_centroid_purity.cl",
+        al.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c")),
+    )
+    tot = cl.groupBy("cell").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_labels")
+    )
+    rk = cl.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cell").orderBy(F.col("c").desc(), "label")
+        ),
+    ).filter(F.col("rn") == 1)
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        cl.join(tot, "cell")
+        .groupBy("cell")
+        .agg(F.round(-F.sum(p * F.round(F.log(p), 6)), 6).alias("label_entropy"))
+    )
+    return (
+        tot.join(rk.select("cell", "label", "c"), "cell")
+        .join(ent, "cell")
+        .select(
+            "cell",
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.col("n_labels").cast("bigint").alias("n_labels"),
+            F.col("label").cast("int").alias("majority_label"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("purity"),
+            "label_entropy",
+        )
+    )
+
+
 def ivf_write_index(spark: SparkSession, sf_dir: str, path: str, n_cells: int = IVF_N_CELLS):
     """Materialize the IVF layout: embeddings written as parquet
     PARTITIONED BY cell (one directory per cell), centroids stored beside

@@ -60,6 +60,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x3_ann_stream_ingest": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
     "x3_ann_ivf_delete": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
     "x7_coverage_gap": (1, "broadcast 5-row station dim crossJoined onto the CELL table (|cells| x |stations|, never points x stations)"),
+    "x3_centroid_purity": (4, "broadcast 16-row seed-centroid table in argmax_cells; the scoped_persist'd (cell,label) table EXECUTES the subtree once but its InMemoryRelation plan text repeats it per consumer (tot/rk/ent + final join)"),
 }
 
 
@@ -117,6 +118,7 @@ EXTRA_CHECKED = (
     "x6_threshold_runs",
     "x7_coverage_gap",
     "x8_source_quota_fill",
+    "x3_centroid_purity",
 )
 
 BNLJ_ALLOWED.update({
