@@ -1585,3 +1585,69 @@ def x6_threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("max_run_len"),
         F.sum("run_len").cast("bigint").alias("n_above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): weekday activity profile
+# ---------------------------------------------------------------------------
+
+_WEEKDAY_ORACLE = """
+    WITH d AS (
+        SELECT user_id, CAST(isodow(ts) - 1 AS INTEGER) AS dow
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, dow, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM d GROUP BY user_id, dow
+    ),
+    t AS (SELECT user_id, SUM(n_events) AS total FROM c GROUP BY user_id),
+    r AS (
+        SELECT user_id, dow, n_events,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n_events DESC, dow) AS rn
+        FROM c
+    )
+    SELECT c.user_id, c.dow, c.n_events,
+           ROUND(CAST(c.n_events AS DOUBLE) / t.total, 6) AS share,
+           CAST(CASE WHEN r.rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+    FROM c
+    JOIN t ON t.user_id = c.user_id
+    JOIN r ON r.user_id = c.user_id AND r.dow = c.dow
+    """
+
+
+@query("x6_weekday_profile", _WEEKDAY_ORACLE)
+def x6_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): WEEKDAY ACTIVITY PROFILE — the seasonality fingerprint
+    behind capacity planning and anomaly baselines: per series, event
+    counts and shares by ISO weekday (0 = Monday) with the peak day
+    flagged (ties to the earlier weekday). The calendar twin of
+    ``x6_ts_decompose``'s numeric seasonality: categorical, exact, and
+    joinable as a feature.
+
+    Determinism: weekday comes from the UTC-wall TIMESTAMP_NTZ the io
+    layer guarantees for events.ts (rule 7), so the bucket is
+    session-timezone-independent — Spark ``weekday`` (0=Mon) ≡ DuckDB
+    ``isodow − 1``; counts are exact integers, shares round at 6dp.
+
+    Scale shape: one keyed aggregate to ≤7 rows/series, then
+    series-keyed windows/joins over that 7-row grain."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.select("user_id", F.weekday("ts").cast("int").alias("dow")).groupBy(
+        "user_id", "dow"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    t = c.groupBy("user_id").agg(F.sum("n_events").alias("total"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc(), "dow")
+    r = c.withColumn("rn", F.row_number().over(w))
+    return (
+        r.join(t, "user_id")
+        .select(
+            "user_id",
+            "dow",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            (F.col("rn") == 1).cast("int").alias("is_peak"),
+        )
+    )

@@ -119,6 +119,7 @@ EXTRA_CHECKED = (
     "x7_coverage_gap",
     "x8_source_quota_fill",
     "x3_centroid_purity",
+    "x6_weekday_profile",
 )
 
 BNLJ_ALLOWED.update({

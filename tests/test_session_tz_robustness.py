@@ -52,6 +52,7 @@ TIME_SENSITIVE = [
     # r10: integer-microsecond gap arithmetic over event ts
     "x6_gap_detection",
     "x6_threshold_runs",
+    "x6_weekday_profile",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
