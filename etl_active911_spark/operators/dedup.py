@@ -2369,3 +2369,108 @@ def x2_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
         F.round(F.min("jac"), 6).alias("min_true_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r10): shingle document-frequency spectrum
+# ---------------------------------------------------------------------------
+
+_DF_PROFILE_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                      i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM toks
+    ),
+    df AS (
+        SELECT g, COUNT(*) AS d
+        FROM (SELECT doc_id, UNNEST(gs) AS g FROM sh) GROUP BY g
+    ),
+    b AS (
+        SELECT g, d, CAST(LENGTH(bin(d)) - 1 AS INTEGER) AS df_bucket FROM df
+    ),
+    h AS (
+        SELECT df_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(d) AS BIGINT) AS n_postings
+        FROM b GROUP BY df_bucket
+    ),
+    hot AS (
+        SELECT df_bucket, g AS hottest_shingle,
+               ROW_NUMBER() OVER (PARTITION BY df_bucket
+                                  ORDER BY d DESC, g) AS rn
+        FROM b
+    )
+    SELECT h.df_bucket, h.n_shingles, h.n_postings,
+           ROUND(CAST(h.n_postings AS DOUBLE)
+                 / SUM(h.n_postings) OVER (), 6) AS posting_share,
+           hot.hottest_shingle
+    FROM h JOIN hot ON hot.df_bucket = h.df_bucket AND hot.rn = 1
+    """
+
+
+@query("x2_shingle_df_profile", _DF_PROFILE_ORACLE)
+def x2_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r10): SHINGLE DF SPECTRUM — the measurement every df-cut in
+    this repo is calibrated against (``LSH_TRUTH_DF_CAP``,
+    ``ngram_jaccard_with_df_cut``, the LSH flood cap): per power-of-two
+    document-frequency bucket, how many distinct shingles live there,
+    their posting mass and share, and the bucket's hottest shingle (the
+    boilerplate phrase a curator would actually read). A corpus whose
+    posting mass migrates into high buckets is flooding — this is the
+    early-warning dial, and the empirical basis for choosing caps that
+    are provably no-op at current scale.
+
+    Determinism: the bucket is ``length(bin(df)) − 1`` — integer-exact
+    floor(log2) in BOTH engines, no float log anywhere.
+
+    Scale shape: codegen posting explode + keyed distinct (the
+    jaccard_postings discipline), one vocab-keyed df aggregate
+    (shuffle ∝ vocab ≪ corpus), then bucket-grain windows over ≤ ~30
+    rows."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    p = (
+        shingle_rows(docs)
+        .groupBy("doc_id", "shingle")
+        .agg(F.lit(1).alias("__one"))
+        .select("doc_id", F.col("shingle").alias("g"))
+    )
+    df = p.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
+    b = df.withColumn(
+        "df_bucket", (F.length(F.bin("d")) - 1).cast("int")
+    )
+    h = b.groupBy("df_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("d").cast("bigint").alias("n_postings"),
+    )
+    hot = (
+        b.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("df_bucket").orderBy(F.col("d").desc(), "g")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("df_bucket", F.col("g").alias("hottest_shingle"))
+    )
+    return (
+        h.join(hot, "df_bucket")
+        .select(
+            "df_bucket",
+            "n_shingles",
+            "n_postings",
+            F.round(
+                F.col("n_postings").cast("double")
+                / F.sum("n_postings").over(Window.partitionBy()),
+                6,
+            ).alias("posting_share"),
+            "hottest_shingle",
+        )
+    )

@@ -120,6 +120,7 @@ EXTRA_CHECKED = (
     "x8_source_quota_fill",
     "x3_centroid_purity",
     "x6_weekday_profile",
+    "x2_shingle_df_profile",
 )
 
 BNLJ_ALLOWED.update({
