@@ -2474,3 +2474,71 @@ def x2_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hottest_shingle",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r10): LSH band-occupancy spectrum
+# ---------------------------------------------------------------------------
+
+_BAND_OCC_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    occ AS (SELECT band_key, COUNT(*) AS s FROM bands GROUP BY band_key),
+    b2 AS (
+        SELECT s, CAST(LENGTH(bin(s)) - 1 AS INTEGER) AS size_bucket FROM occ
+    )
+    SELECT size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(s) AS BIGINT) AS n_members,
+           CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(s * (s - 1) // 2) AS DOUBLE)
+                 / GREATEST(SUM(SUM(s * (s - 1) // 2)) OVER (), 1), 6)
+               AS pair_share
+    FROM b2 GROUP BY size_bucket
+    """
+
+
+@query("x2_minhash_band_occupancy", _BAND_OCC_ORACLE)
+def x2_minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r10): LSH BAND-OCCUPANCY SPECTRUM — the dial that calibrates
+    ``LSH_MAX_BUCKET`` the way ``x2_shingle_df_profile`` calibrates the
+    df-cuts: per power-of-two band-bucket-size class, the bucket count,
+    member mass, CANDIDATE-PAIR mass s·(s−1)/2 (the quantity that
+    actually explodes — a single bucket 10× bigger carries 100× the
+    pairs), and each class's share of total pair work. Pair mass
+    migrating into high buckets = a flood forming; the cap should sit
+    where the spectrum's tail carries negligible RECALL but material
+    COST.
+
+    Determinism: bucket = length(bin(s)) − 1 (integer-exact log2);
+    pair counts are exact integers; only the share divides.
+
+    Scale shape: the signature/banding pipeline is x2_minhash_lsh's own
+    (codegen shingles → 64 flat min aggregates → band keys); occupancy
+    is one band_key-keyed count (the same shuffle candidate generation
+    pays), then bucket-grain windows over ≤ ~30 rows."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    bands = lsh_band_rows(minhash_signatures(docs), oracle_pure=True)
+    occ = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("s"))
+    # integer div: float division would lose exactness past 2^53 pairs
+    pairs = F.expr("s * (s - 1) div 2").cast("long")
+    b2 = occ.select(
+        "s",
+        (F.length(F.bin("s")) - 1).cast("int").alias("size_bucket"),
+        pairs.alias("np"),
+    )
+    h = b2.groupBy("size_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("s").cast("bigint").alias("n_members"),
+        F.sum("np").cast("bigint").alias("n_pairs"),
+    )
+    return h.select(
+        "size_bucket",
+        "n_buckets",
+        "n_members",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.greatest(F.sum("n_pairs").over(Window.partitionBy()), F.lit(1)),
+            6,
+        ).alias("pair_share"),
+    )

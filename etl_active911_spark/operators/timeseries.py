@@ -1651,3 +1651,64 @@ def x6_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") == 1).cast("int").alias("is_peak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+    WITH s AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS cur_type, next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT cur_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY cur_type), 6) AS p
+    FROM c
+    """
+
+
+@query("x6_event_type_markov", _MARKOV_ORACLE)
+def x6_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): EVENT-TYPE TRANSITION MATRIX — the first-order Markov
+    summary of user behavior (what follows what): corpus-level counts
+    and row-normalized probabilities for every observed (current → next)
+    event-type pair, with transitions sequenced WITHIN each user's
+    timeline (the lead window never crosses users). The input to churn
+    funnels, next-action prediction baselines, and anomaly scoring of
+    improbable transitions.
+
+    Determinism: sequencing ties break on event_id; probabilities are
+    exact-integer counts divided once, rounded at 6dp.
+
+    Scale shape: one user_id-keyed lead window, then a |types|²-keyed
+    aggregate (tiny) and a row-normalizing window over that tiny
+    result."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return c.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("cur_type")),
+            6,
+        ).alias("p"),
+    )

@@ -121,6 +121,8 @@ EXTRA_CHECKED = (
     "x3_centroid_purity",
     "x6_weekday_profile",
     "x2_shingle_df_profile",
+    "x2_minhash_band_occupancy",
+    "x6_event_type_markov",
 )
 
 BNLJ_ALLOWED.update({

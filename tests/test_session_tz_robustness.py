@@ -53,6 +53,7 @@ TIME_SENSITIVE = [
     "x6_gap_detection",
     "x6_threshold_runs",
     "x6_weekday_profile",
+    "x6_event_type_markov",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
