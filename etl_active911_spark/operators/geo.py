@@ -738,3 +738,117 @@ def x7_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_km",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r10): spatiotemporal hotspots (cell × weekday peaks)
+# ---------------------------------------------------------------------------
+
+
+def _temporal_hotspot_oracle() -> str:
+    from etl_active911_spark.pipeline.oracle_sql import _TZ_CASE, parse_iso_sql
+
+    return f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    p AS (
+        SELECT id,
+            TRIM(REGEXP_REPLACE(TRIM(sent), '\\s*\\S+$', '')) AS dp,
+            regexp_extract(TRIM(sent), '(\\S+)$', 1) AS abbr,
+            TRIM(sent) AS fullp
+        FROM alerts
+    ),
+    tt AS (
+        SELECT id,
+            {parse_iso_sql(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS iso
+        FROM p
+    ),
+    j AS (
+        SELECT r.id, r.lat_d, r.lon_d,
+               CAST(isodow(CAST(substr(tt.iso, 1, 10) AS DATE)) - 1
+                    AS INTEGER) AS dow
+        FROM resolved r JOIN tt ON tt.id = r.id
+        WHERE tt.iso IS NOT NULL AND r.lat_d IS NOT NULL
+    ),
+    cells AS (
+        SELECT CAST(FLOOR(lat_d / {COVER_GRID_DEG}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon_d / {COVER_GRID_DEG}) AS BIGINT) AS cx,
+               dow, CAST(COUNT(*) AS BIGINT) AS n
+        FROM j GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT cy, cx, SUM(n) AS n_incidents FROM cells GROUP BY cy, cx),
+    rk AS (
+        SELECT cy, cx, dow, n,
+               ROW_NUMBER() OVER (PARTITION BY cy, cx
+                                  ORDER BY n DESC, dow) AS rn
+        FROM cells
+    )
+    SELECT t.cy, t.cx, CAST(t.n_incidents AS BIGINT) AS n_incidents,
+           r.dow AS peak_dow, r.n AS peak_n,
+           ROUND(CAST(r.n AS DOUBLE) / t.n_incidents, 6) AS peak_share
+    FROM tot t JOIN rk r ON r.cy = t.cy AND r.cx = t.cx AND r.rn = 1
+    WHERE t.n_incidents >= {COVER_MIN_INCIDENTS}
+    """
+
+
+@query("x7_temporal_hotspots", _temporal_hotspot_oracle())
+def x7_temporal_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r10): SPATIOTEMPORAL HOTSPOTS — the staffing question pure
+    spatial hotspots can't answer: per planning-grid cell (≥
+    COVER_MIN_INCIDENTS incidents), WHICH ISO weekday peaks, how many
+    incidents it carries, and the peak's share of the cell's demand —
+    composing the reference's hardest surface (the O-15 lenient
+    timestamp parse, shared verbatim with the o15 oracle) with the geo
+    family's resolved-coordinates memo and the calendar bucketing of
+    ``x6_weekday_profile``. Weekday comes from the parsed UTC ISO
+    string's date part, so buckets are session-timezone-independent.
+
+    Scale shape: parse + weekday are per-alert projections on the memo;
+    one (cell, dow) keyed aggregate, then cell-grain windows/joins over
+    ≤7 rows per cell."""
+    from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+
+    r = _resolved(spark, sf_dir)
+    j = (
+        r.select(
+            "id",
+            "lat_d",
+            "lon_d",
+            parse_alert_time_iso(F.col("sent")).alias("iso"),
+        )
+        .filter(F.col("iso").isNotNull() & F.col("lat_d").isNotNull())
+        .select(
+            F.floor(F.col("lat_d") / COVER_GRID_DEG).cast("long").alias("cy"),
+            F.floor(F.col("lon_d") / COVER_GRID_DEG).cast("long").alias("cx"),
+            F.weekday(F.to_date(F.substring("iso", 1, 10))).cast("int").alias("dow"),
+        )
+    )
+    cells = j.groupBy("cy", "cx", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("cy", "cx").agg(
+        F.sum("n").cast("bigint").alias("n_incidents")
+    )
+    rk = (
+        cells.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cy", "cx").orderBy(F.col("n").desc(), "dow")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cy", "cx", F.col("dow").alias("peak_dow"), F.col("n").alias("peak_n"))
+    )
+    return (
+        tot.join(rk, ["cy", "cx"])
+        .filter(F.col("n_incidents") >= COVER_MIN_INCIDENTS)
+        .select(
+            "cy",
+            "cx",
+            "n_incidents",
+            "peak_dow",
+            "peak_n",
+            F.round(
+                F.col("peak_n").cast("double") / F.col("n_incidents"), 6
+            ).alias("peak_share"),
+        )
+    )

@@ -123,6 +123,7 @@ EXTRA_CHECKED = (
     "x2_shingle_df_profile",
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
+    "x7_temporal_hotspots",
 )
 
 BNLJ_ALLOWED.update({

@@ -54,6 +54,7 @@ TIME_SENSITIVE = [
     "x6_threshold_runs",
     "x6_weekday_profile",
     "x6_event_type_markov",
+    "x7_temporal_hotspots",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
