@@ -437,3 +437,86 @@ def test_water_fill_saturation_branch(spark):
     assert rows["big"]["allocation"] == 6668
     assert rows["huge"]["allocation"] == 6667
     assert sum(r["allocation"] for r in rows.values()) == 20063
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << 32) - 1), st.integers(0, (1 << 32) - 1)),
+        min_size=4,
+        max_size=14,
+    )
+)
+def test_phash_banded_pairs_sound_and_pigeonhole_complete(spark, hashes):
+    """Property (r10): banded perceptual near-dup output is (a) SOUND —
+    every reported cross-class pair's Hamming distance is the true one
+    and ≤ the threshold — and (b) PIGEONHOLE-COMPLETE: every class pair
+    within Hamming ≤ 3 appears (3 flips cannot touch all 4 bands)."""
+    from etl_active911_spark.operators.multimodal import (
+        PHASH_NEAR_HAMMING,
+        phash_banded_pairs,
+    )
+
+    rows = [(i, 8, 8, h0, h1) for i, (h0, h1) in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "doc_id long, width int, height int, h0 long, h1 long")
+    got = {
+        (r.rep_a, r.rep_b): r.hamming
+        for r in phash_banded_pairs(df).collect()
+        if r.rep_a != r.rep_b
+    }
+    reps = {}
+    for i, h in enumerate(hashes):
+        reps.setdefault(h, i)
+    classes = list(reps.items())
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    for i, (ha, ra) in enumerate(classes):
+        for hb, rb in classes[i + 1:]:
+            d = ham(ha, hb)
+            pair = (min(ra, rb), max(ra, rb))
+            if d <= 3:
+                assert got.get(pair) == d, (pair, d)
+    for (a, b), d in got.items():
+        ha = next(h for h, r in classes if r == a)
+        hb = next(h for h, r in classes if r == b)
+        assert d == ham(ha, hb) and d <= PHASH_NEAR_HAMMING
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij kl".split()), min_size=1, max_size=9),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_lsh_truth_pairs_equals_bruteforce(spark, token_lists):
+    """Property (r10): the df-capped ground-truth leg equals brute-force
+    distinct-3-shingle Jaccard >= 0.5 over all pairs whenever the cap is
+    a no-op (always true at these sizes)."""
+    from etl_active911_spark.operators.dedup import lsh_truth_pairs
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): round(r.jac, 9)
+        for r in lsh_truth_pairs(df).collect()
+    }
+
+    def shingle_set(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    want = {}
+    sets = [shingle_set(t) for t in token_lists]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            jac = inter / union
+            if jac >= 0.5:
+                want[(i, j)] = round(jac, 9)
+    assert got == want
