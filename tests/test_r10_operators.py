@@ -163,3 +163,76 @@ def test_template_detection_groups_structures(spark):
         grouped.setdefault(fp, []).append(d)
     big = [ds for ds in grouped.values() if len(ds) >= TEMPLATE_MIN_DOCS]
     assert big == [[1, 2, 3]] or sorted(big[0]) == [1, 2, 3]
+
+
+def test_quota_fill_closed_form(spark):
+    from etl_active911_spark.operators.sampling import SOURCE_QUOTA_TOKENS  # noqa: F401
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x8_source_quota_fill"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["tokens_kept"] <= r["tokens_total"]
+        assert r["tokens_kept"] <= SOURCE_QUOTA_TOKENS
+        assert abs(r["quota_fill"] - round(r["tokens_kept"] / SOURCE_QUOTA_TOKENS, 6)) < 1e-9
+
+
+def test_markov_rows_normalize(spark):
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x6_event_type_markov"](spark, SF_SMOKE).collect()
+    assert rows
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r["cur_type"], []).append(r)
+    for cur, rs in by_cur.items():
+        assert abs(sum(x["p"] for x in rs) - 1.0) < 1e-4, cur
+        assert all(x["n"] >= 1 for x in rs)
+
+
+def test_band_occupancy_mass_conservation(spark):
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.dedup import N_BANDS
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x2_minhash_band_occupancy"](spark, SF_SMOKE).collect()
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    # every doc contributes exactly N_BANDS band memberships
+    assert sum(r["n_members"] for r in rows) == n_docs * N_BANDS
+    assert abs(sum(r["pair_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # bucket b holds sizes in [2^b, 2^(b+1)): pair mass is bounded by
+        # the extremes of s*(s-1)/2 over that size range
+        lo, hi = 1 << r["size_bucket"], (1 << (r["size_bucket"] + 1)) - 1
+        assert r["n_buckets"] * lo * (lo - 1) // 2 <= r["n_pairs"]
+        assert r["n_pairs"] <= r["n_buckets"] * hi * (hi - 1) // 2
+
+
+def test_df_profile_bucket_math(spark):
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x2_shingle_df_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    # bucket b holds dfs in [2^b, 2^(b+1)): check via the per-bucket
+    # posting/shingle ratio bound and share normalization
+    assert abs(sum(r["posting_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        lo, hi = 1 << r["df_bucket"], (1 << (r["df_bucket"] + 1)) - 1
+        assert lo * r["n_shingles"] <= r["n_postings"] <= hi * r["n_shingles"]
+
+
+def test_temporal_hotspots_consistency(spark):
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x7_temporal_hotspots"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["peak_dow"] <= 6
+        assert 1 <= r["peak_n"] <= r["n_incidents"]
+        # the peak day carries at least 1/7 of the cell's demand
+        assert r["peak_share"] >= round(1 / 7, 6) - 1e-9
