@@ -536,11 +536,15 @@ def x2_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_size_hist_oracle() -> str:
+def component_ctes() -> str:
+    """Near-dup connected components as a reusable RECURSIVE oracle CTE
+    chain ending in ``assigned`` (doc_id, component — singletons key by
+    themselves) — shared by the size histogram and the dup-weighted
+    accounting so the two can never desynchronize. Callers must open
+    with ``WITH RECURSIVE``."""
     from etl_active911_spark.operators.dedup import MINHASH_CTES
 
-    return f"""
-    WITH RECURSIVE {MINHASH_CTES},
+    return f"""{MINHASH_CTES},
     prs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM prs
@@ -561,7 +565,12 @@ def _cluster_size_hist_oracle() -> str:
     assigned AS (
         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-    ),
+    )"""
+
+
+def _cluster_size_hist_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {component_ctes()},
     sizes AS (
         SELECT component, CAST(COUNT(*) AS BIGINT) AS size
         FROM assigned GROUP BY component

@@ -1556,3 +1556,71 @@ def x8_source_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept).cast("double") / F.lit(float(SOURCE_QUOTA_TOKENS)), 6
         ).alias("quota_fill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r10): duplicate-aware sample weights (downweight, don't drop)
+# ---------------------------------------------------------------------------
+
+
+def _dup_weighted_oracle() -> str:
+    from etl_active911_spark.operators.clustering import component_ctes
+
+    return f"""
+    WITH RECURSIVE {component_ctes()},
+    sz AS (
+        SELECT component, COUNT(*) AS size FROM assigned GROUP BY component
+    ),
+    wtd AS (
+        SELECT a.doc_id, d.source,
+               ROUND(1.0 / sz.size, 6) AS w
+        FROM assigned a
+        JOIN sz ON sz.component = a.component
+        JOIN documents d ON d.doc_id = a.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(w), 6) AS effective_docs,
+           ROUND(SUM(w) / COUNT(*), 6) AS dedup_deflation
+    FROM wtd GROUP BY source
+    """
+
+
+@query("x8_dup_weighted_counts", _dup_weighted_oracle())
+def x8_dup_weighted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r10): DUPLICATE-AWARE SAMPLE WEIGHTS — the soft alternative
+    to dropping near-dups: every doc gets weight 1/|its near-dup
+    cluster| (a cluster contributes ONE effective document regardless of
+    how many copies exist), and the per-source report shows raw vs
+    EFFECTIVE document counts and the deflation factor — the number that
+    should feed mixture weighting instead of raw counts (the same bug
+    ``x8_budget_effective`` closes for token budgets, at document grain
+    with weights instead of keeper selection).
+
+    Determinism: per-doc weights are pre-rounded to 6dp (each an exact
+    multiple of 1e-6, so the double sum is order-exact far beyond corpus
+    scale — the mean-cos discipline); only the final ratios round.
+
+    Scale shape: components ride the memoized pair graph + O(log n)
+    star engine (rule 25); sizes and the weight join key on component
+    (clusters ≪ corpus); one |sources|-group rollup."""
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.clustering import connected_components_star
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id", "source", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    sz = assigned.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    wtd = assigned.join(sz, "component").select(
+        "source", F.round(F.lit(1.0) / F.col("size"), 6).alias("w")
+    )
+    return wtd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("w"), 6).alias("effective_docs"),
+        F.round(F.sum("w") / F.count(F.lit(1)), 6).alias("dedup_deflation"),
+    )

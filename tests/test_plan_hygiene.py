@@ -124,6 +124,7 @@ EXTRA_CHECKED = (
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
     "x7_temporal_hotspots",
+    "x8_dup_weighted_counts",
 )
 
 BNLJ_ALLOWED.update({
