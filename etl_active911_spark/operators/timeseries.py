@@ -1712,3 +1712,134 @@ def x6_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): dominant-period detection (ACF argmax over lags 2..12)
+# ---------------------------------------------------------------------------
+
+DOMINANT_LAGS = tuple(range(2, 13))  # lag-1 memory excluded: period >= 2
+
+
+def _dominant_period_oracle() -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"""        SELECT user_id, {k} AS lag, sv AS x,
+               LAG(sv, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        FROM base"""
+        for k in DOMINANT_LAGS
+    )
+    return f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv
+        FROM events
+    ),
+    legs AS (
+{legs}
+    ),
+    sums AS (
+        SELECT user_id, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM legs WHERE y IS NOT NULL
+        GROUP BY user_id, lag
+    ),
+    acfs AS (
+        SELECT user_id, CAST(lag AS INT) AS lag, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+        FROM sums
+        WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    )
+    SELECT user_id, lag AS dominant_lag, acf AS dominant_acf,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN acf > 2.0 / SQRT(CAST(n AS DOUBLE))
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_significant
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY acf DESC, lag) AS rn
+        FROM acfs
+    ) t WHERE rn = 1
+    """
+
+
+@query("x6_dominant_period", _dominant_period_oracle())
+def x6_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): DOMINANT-PERIOD DETECTION — which lag in 2..12
+    maximizes the autocorrelation, per series, with the classic
+    2/√n significance gate: the automated answer to "what period should
+    the seasonal decompose/forecast use?" that ``x6_ts_acf`` (lags 1-3)
+    leaves to the operator's eye. Lag 1 is excluded by construction —
+    short-memory persistence always wins it without indicating a PERIOD.
+
+    Numerics: identical fixed-point integer-sums Pearson as x6_ts_acf
+    (every inner sum exact BIGINT; one terminal float expression with
+    identical IEEE op order, rounded 6dp); argmax ties break on the
+    shorter lag; the significance compare uses the ROUNDED acf.
+
+    Scale shape: one user_id-keyed window computes all 11 lags, the
+    lag-exploded stack is narrow, one keyed aggregate + a per-series
+    rank over ≤11 rows."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    base = events.select(
+        "user_id",
+        sv.alias("x"),
+        *[F.lag(sv, k).over(w).alias(f"y{k}") for k in DOMINANT_LAGS],
+    )
+    stacked = base.select(
+        "user_id",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), F.col(f"y{k}").alias("y"))
+                    for k in DOMINANT_LAGS
+                ]
+            )
+        ).alias("s"),
+    ).select("user_id", F.col("s.lag").alias("lag"), "x", F.col("s.y").alias("y"))
+    sums = (
+        stacked.filter(F.col("y").isNotNull())
+        .groupBy("user_id", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    acfs = (
+        sums.filter((F.col("n") >= 3) & (dx > 0) & (dy > 0))
+        .select(
+            "user_id",
+            F.col("lag").cast("int").alias("lag"),
+            "n",
+            F.round(num / F.sqrt(dx.cast("double") * dy.cast("double")), 6).alias(
+                "acf"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("acf").desc(), "lag")
+    return (
+        acfs.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("lag").alias("dominant_lag"),
+            F.col("acf").alias("dominant_acf"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            (F.col("acf") > F.lit(2.0) / F.sqrt(F.col("n").cast("double")))
+            .cast("int")
+            .alias("is_significant"),
+        )
+    )

@@ -125,6 +125,7 @@ EXTRA_CHECKED = (
     "x6_event_type_markov",
     "x7_temporal_hotspots",
     "x8_dup_weighted_counts",
+    "x6_dominant_period",
 )
 
 BNLJ_ALLOWED.update({

@@ -55,6 +55,7 @@ TIME_SENSITIVE = [
     "x6_weekday_profile",
     "x6_event_type_markov",
     "x7_temporal_hotspots",
+    "x6_dominant_period",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
