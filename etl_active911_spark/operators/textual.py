@@ -457,9 +457,15 @@ def x4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (canonical policy 4) so keep/drop decisions agree across engines.
     At 100 TB both explodes shuffle (doc_id)-keyed small rows; the text
     column never shuffles."""
+    return gopher_stats(spread(read_table(spark, sf_dir, "documents")))
+
+
+def gopher_stats(docs: DataFrame) -> DataFrame:
+    """The Gopher gate over an ARBITRARY (doc_id, text) frame — the body
+    of ``x4_gopher_rules``, factored so the streaming curation ingest
+    can run the identical gate per micro-batch (r10)."""
     from etl_active911_spark.operators.dedup import tokens
 
-    docs = spread(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     stats = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
@@ -3098,4 +3104,66 @@ def x9_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs").over(_W.partitionBy()),
             6,
         ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r10): streaming-curation batch equivalent
+# ---------------------------------------------------------------------------
+
+
+def _stream_curation_oracle() -> str:
+    return f"""
+    WITH {quality_ctes()},
+    k AS (
+        SELECT d.doc_id, d.source, st.n_words, sha256({_NORM_SQL}) AS h
+        FROM documents d
+        JOIN qstats st ON st.doc_id = d.doc_id
+        JOIN quality q ON q.doc_id = d.doc_id
+    ),
+    keep AS (SELECT h, MAX(doc_id) AS keeper FROM k GROUP BY h)
+    SELECT k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.n_words) AS BIGINT) AS total_words
+    FROM k JOIN keep ON keep.keeper = k.doc_id
+    GROUP BY k.source
+    """
+
+
+@query("x9_stream_curation", _stream_curation_oracle())
+def x9_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r10): the BATCH EQUIVALENT of the streaming curation ingest
+    (``streaming/curation_ingest.py``): Gopher quality gate, then exact
+    content dedup with LAST-WRITER-WINS keeper semantics (MAX doc_id per
+    content hash — what the upsert sink converges to when docs arrive in
+    id order), rolled up per source. Where ``x9_curation_pipeline`` keeps
+    the FIRST copy (min doc_id, the batch-dedup convention), a streaming
+    landing zone keeps the LATEST — this query pins that difference as
+    an oracle-checked contract, and
+    tests/test_streaming.py::test_curation_ingest_stream_matches_batch
+    pins stream ≡ batch end-to-end.
+
+    Scale shape: the gate rides the memoized quality surface; dedup is
+    one hash-keyed aggregate + a (h, doc_id) self-equi-join on the tiny
+    keeper table; rollup is |sources|-group."""
+    from etl_active911_spark.operators.dedup import normalized_text
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id", "n_words"
+    )
+    k = docs.join(quality, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.sha2(normalized_text(F.col("text")), 256).alias("h"),
+    )
+    keepers = k.groupBy("h").agg(F.max("doc_id").alias("doc_id"))
+    return (
+        k.join(keepers, ["h", "doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
     )

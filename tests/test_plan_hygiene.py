@@ -126,6 +126,7 @@ EXTRA_CHECKED = (
     "x7_temporal_hotspots",
     "x8_dup_weighted_counts",
     "x6_dominant_period",
+    "x9_stream_curation",
 )
 
 BNLJ_ALLOWED.update({

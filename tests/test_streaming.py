@@ -904,3 +904,84 @@ def test_ann_ingest_stream_matches_batch(spark, tmp_path):
     from collections import Counter
 
     assert occ == dict(Counter(c for c, _ in expected.values()))
+
+
+def test_curation_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming curation (X-9 r10): quality gate per micro-batch +
+    cross-batch content-hash upsert must converge to the batch fold
+    (gate everything, keep MAX doc_id per content hash)."""
+    from etl_active911_spark.operators.dedup import normalized_text
+    from etl_active911_spark.operators.textual import gopher_stats
+    from etl_active911_spark.streaming import curation_ingest
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then walks on "
+        "to the old market where a trader sells fresh bread and ripe "
+        "fruit to the town people who gather in the morning light near "
+        "the stone well to share news of the day and trade small goods "
+        "before the sun climbs high and the square fills with carts"
+    )  # 60+ words, passes the Gopher gate
+    bad = "tiny doc"  # far below the 50-word floor
+
+    schema = "doc_id long, source string, text string"
+    b1 = spark.createDataFrame(
+        [
+            (1, "srcA", good + " alpha"),
+            (2, "srcA", good + " beta"),
+            (3, "srcB", bad),
+            (4, "srcB", good + " alpha"),  # dup of doc 1 content
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "srcC", good + " alpha"),  # re-send: replaces doc 4's copy
+            (11, "srcB", good + " gamma"),
+            (12, "srcA", bad),
+        ],
+        schema,
+    )
+
+    src_dir = str(tmp_path / "cur_src")
+    out = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "cur_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir + "/*")
+        curation_ingest.run_curation_ingest_stream(src, out, ckpt)
+
+    b1.coalesce(1).write.parquet(src_dir + "/f1")
+    drain()
+    b2.coalesce(1).write.parquet(src_dir + "/f2")
+    drain()
+
+    streamed = {
+        r["source"]: (r["n_docs"], r["total_words"])
+        for r in curation_ingest.curated_report(spark, out).collect()
+    }
+
+    # batch fold over ALL docs: gate, then keep MAX doc_id per hash
+    alldocs = b1.unionByName(b2)
+    st = gopher_stats(alldocs.select("doc_id", "text"))
+    kept = alldocs.join(
+        st.filter(F.col("keep")).select("doc_id", "n_words"), "doc_id"
+    ).select(
+        F.sha2(normalized_text(F.col("text")), 256).alias("h"),
+        "doc_id",
+        "source",
+        "n_words",
+    )
+    keepers = kept.groupBy("h").agg(F.max("doc_id").alias("doc_id"))
+    expected = {
+        r["source"]: (r["n_docs"], r["total_words"])
+        for r in kept.join(keepers, ["h", "doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .collect()
+    }
+    assert streamed == expected
+    # the re-sent duplicate landed on srcC (doc 10), not srcA/srcB
+    assert "srcC" in streamed and streamed["srcC"][0] == 1
