@@ -3167,3 +3167,85 @@ def x9_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("total_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r10): sliding-window document chunking (context construction)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = 8)
+
+_CHUNK_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(text), '\\s+') AS toks,
+               len(string_split_regex(TRIM(text), '\\s+')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, n, {CHUNK_STRIDE})) AS start
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, n - start) AS BIGINT) AS n_tok,
+           md5(array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' '))
+               AS chunk_md5
+    FROM s
+    """
+
+
+@query("x4_doc_chunking", _CHUNK_ORACLE)
+def x4_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r10): SLIDING-WINDOW CHUNKING — split every document into
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (8-token
+    overlap), the context-construction step every RAG index and every
+    fixed-context pretraining pipeline runs between curation and
+    packing. Emits one flat row per chunk: ordinal, token offset,
+    actual token count (tail chunks are short), and the md5 of the
+    chunk text — the downstream join key for chunk-level dedup /
+    embedding without shipping the text twice.
+
+    Cross-engine exactness: whitespace tokenization is the house idiom
+    (``split(trim(text), '\\s+')`` on both engines, identical empty-
+    token behavior); chunk text is the single-space re-join of the
+    token slice, so the md5 agrees byte-for-byte. Chunk starts are
+    ``range(0, n_tokens, stride)`` in both engines — the final window
+    is kept whenever it contains at least one new token.
+
+    Scale shape: ZERO exchanges — a pure per-row flat map (split,
+    sequence-explode, slice, hash), all codegen collection expressions
+    (no higher-order lambdas, invariant 3); output size is
+    n_tokens/stride rows per doc, linear in corpus size. ``spread``
+    ahead of the explode so single-file fixture parquet doesn't
+    serialize the whole corpus through one task (rule 2)."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    ch = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return ch.select(
+        "doc_id",
+        (F.col("start") / F.lit(CHUNK_STRIDE)).cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )

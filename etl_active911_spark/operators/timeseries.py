@@ -1843,3 +1843,87 @@ def x6_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_significant"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): inter-arrival burstiness (Goh & Barabasi 2008)
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+    WITH g AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events
+    ),
+    d AS (
+        SELECT user_id,
+               date_diff('microsecond', pv, ts) // 1000000 AS gap_s
+        FROM g WHERE pv IS NOT NULL
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT) AS s1,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+           ROUND(SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(s1 AS DOUBLE), 6) AS cv,
+           ROUND((SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE))
+                  - CAST(s1 AS DOUBLE))
+                 / (SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE))
+                    + CAST(s1 AS DOUBLE)), 6) AS burstiness
+    FROM s WHERE n_gaps >= 2 AND s1 > 0
+    """
+
+
+@query("x6_burstiness", _BURSTINESS_ORACLE)
+def x6_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): INTER-ARRIVAL BURSTINESS — the Goh & Barabasi (EPL
+    2008) coefficient B = (sigma - mu) / (sigma + mu) over each series'
+    inter-event gaps, plus the coefficient of variation sigma/mu and the
+    mean gap. B ~ 0 is memoryless (Poisson arrivals), B -> -1 is
+    metronome-periodic, B -> +1 is heavy-burst — the single-number answer
+    to "can windowed rollups assume steady arrivals for this series?"
+    that ``x6_gap_detection``'s max-gap audit doesn't give.
+
+    Numerics: gaps are exact integer seconds (microsecond diff floored,
+    the gap-detection idiom); all moment sums are exact BIGINT. The
+    algebra keeps everything integer until ONE terminal float chain:
+    with D = n*s2 - s1^2 (exact),  n*sigma = sqrt(D)  and  n*mu = s1,
+    so B = (sqrt(D) - s1) / (sqrt(D) + s1) and CV = sqrt(D) / s1 —
+    written with the identical IEEE op order in both engines, rounded
+    6dp. Series with < 2 gaps or an all-zero gap sum are excluded in
+    both engines (mu = 0 makes CV/B undefined).
+
+    Scale shape: one lag window + one aggregate, both keyed on user_id
+    (series-bounded partitioning, the x6 family contract); no joins,
+    output one row per series."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", "ts", F.lag("ts").over(w).alias("pv")).filter(
+        F.col("pv").isNotNull()
+    )
+    gap_s = F.floor(
+        F.expr("timestampdiff(MICROSECOND, pv, ts)") / F.lit(1000000)
+    ).cast("bigint")
+    s = (
+        g.select("user_id", gap_s.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+        )
+        .filter((F.col("n_gaps") >= 2) & (F.col("s1") > 0))
+    )
+    sd = F.sqrt((F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    s1d = F.col("s1").cast("double")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round(s1d / F.col("n_gaps").cast("double"), 6).alias("mean_gap_s"),
+        F.round(sd / s1d, 6).alias("cv"),
+        F.round((sd - s1d) / (sd + s1d), 6).alias("burstiness"),
+    )

@@ -154,7 +154,9 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: r12 queue (the r10 operator wave, all local-parity green this round):
 #:   x5_media_metadata, x3_ann_stream_ingest, x4_dup_ngram_fraction,
 #:   x9_curation_v7, x2_bbit_minhash, x4_template_detection,
-#:   x3_ann_ivf_delete, x6_gap_detection — 8 named + whatever r11 adds.
+#:   x3_ann_ivf_delete, x6_gap_detection — 8 named + whatever r11 adds;
+#:   r10-continuation additions queue behind them: x6_burstiness,
+#:   x4_doc_chunking.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 

@@ -127,6 +127,8 @@ EXTRA_CHECKED = (
     "x8_dup_weighted_counts",
     "x6_dominant_period",
     "x9_stream_curation",
+    "x6_burstiness",
+    "x4_doc_chunking",
 )
 
 BNLJ_ALLOWED.update({

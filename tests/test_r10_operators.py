@@ -236,3 +236,79 @@ def test_temporal_hotspots_consistency(spark):
         assert 1 <= r["peak_n"] <= r["n_incidents"]
         # the peak day carries at least 1/7 of the cell's demand
         assert r["peak_share"] >= round(1 / 7, 6) - 1e-9
+
+
+def test_burstiness_closed_forms(spark, tmp_path):
+    """B = (sqrt(D) - s1)/(sqrt(D) + s1): periodic -> -1 exactly;
+    gaps [1, 3] -> D = 4, B = -1/3, CV = 1/2 — hand-checked."""
+    import datetime
+
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: metronome — 6 events 600 s apart
+    for i in range(6):
+        rows.append((1, i + 1, t0 + datetime.timedelta(seconds=600 * i), "a", 1.0, "{}"))
+    # user 2: gaps [1, 3] s
+    for j, off in enumerate((0, 1, 4)):
+        rows.append((2, 10 + j, t0 + datetime.timedelta(seconds=off), "a", 1.0, "{}"))
+    # user 3: single gap -> excluded (n_gaps < 2)
+    rows += [(3, 20, t0, "a", 1.0, "{}"), (3, 21, t0 + datetime.timedelta(seconds=5), "a", 1.0, "{}")]
+    # user 4: all gaps zero -> excluded (s1 = 0)
+    rows += [(4, 30 + j, t0, "a", 1.0, "{}") for j in range(3)]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: r
+        for r in registry.QUERIES["x6_burstiness"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["n_gaps"] == 5
+    assert got[1]["mean_gap_s"] == 600.0
+    assert got[1]["cv"] == 0.0
+    assert got[1]["burstiness"] == -1.0
+    assert got[2]["n_gaps"] == 2
+    assert got[2]["mean_gap_s"] == 2.0
+    assert got[2]["cv"] == 0.5
+    assert got[2]["burstiness"] == -0.333333
+
+
+def test_doc_chunking_boundaries(spark, tmp_path):
+    """Chunk grid: 32 toks -> starts [0, 24] (tail 8); 24 -> one full-
+    stride chunk; 25 -> 1-token tail; 1 -> one 1-token chunk. md5s
+    verified against hashlib over the exact token slices."""
+    import hashlib
+
+    from etl_active911_spark.plans import registry
+    import etl_active911_spark.operators.textual as tx
+
+    registry.load_all()
+    assert tx.CHUNK_TOKENS == 32 and tx.CHUNK_STRIDE == 24
+    texts = {
+        1: " ".join(f"w{i}" for i in range(32)),
+        2: " ".join(f"x{i}" for i in range(24)),
+        3: " ".join(f"y{i}" for i in range(25)),
+        4: "solo",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = registry.QUERIES["x4_doc_chunking"](spark, str(tmp_path)).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in out}
+    assert len(out) == len(got)  # (doc, idx) unique
+    assert {k for k in got} == {(1, 0), (1, 1), (2, 0), (3, 0), (3, 1), (4, 0)}
+    assert got[(1, 0)]["n_tok"] == 32 and got[(1, 1)]["n_tok"] == 8
+    assert got[(2, 0)]["n_tok"] == 24
+    assert got[(3, 1)]["n_tok"] == 1 and got[(3, 1)]["start_tok"] == 24
+    assert got[(4, 0)]["n_tok"] == 1
+    for (d, idx), r in got.items():
+        toks = texts[d].split(" ")
+        expect = " ".join(toks[r["start_tok"] : r["start_tok"] + tx.CHUNK_TOKENS])
+        assert r["chunk_md5"] == hashlib.md5(expect.encode()).hexdigest(), (d, idx)

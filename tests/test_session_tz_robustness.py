@@ -56,6 +56,8 @@ TIME_SENSITIVE = [
     "x6_event_type_markov",
     "x7_temporal_hotspots",
     "x6_dominant_period",
+    # r10 continuation: integer-second inter-arrival moments
+    "x6_burstiness",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
