@@ -3198,6 +3198,37 @@ _CHUNK_ORACLE = f"""
     """
 
 
+def chunk_rows(docs: DataFrame) -> DataFrame:
+    """One row per sliding-window chunk: (doc_id, start, n, chunk_md5).
+
+    The shared body of ``x4_doc_chunking`` and ``x2_chunk_cross_dup`` —
+    all codegen collection expressions, zero exchanges (see the
+    x4_doc_chunking docstring for the full scale ledger)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    ch = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return ch.select(
+        "doc_id",
+        "start",
+        "n",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
+
+
 @query("x4_doc_chunking", _CHUNK_ORACLE)
 def x4_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4 (r10): SLIDING-WINDOW CHUNKING — split every document into
@@ -3223,29 +3254,102 @@ def x4_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ahead of the explode so single-file fixture parquet doesn't
     serialize the whole corpus through one task (rule 2)."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.select("doc_id", toks.alias("toks")).select(
-        "doc_id", "toks", F.size("toks").alias("n")
-    )
-    ch = base.select(
-        "doc_id",
-        "toks",
-        "n",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
-        ).alias("start"),
-    )
-    return ch.select(
+    return chunk_rows(docs).select(
         "doc_id",
         (F.col("start") / F.lit(CHUNK_STRIDE)).cast("bigint").alias("chunk_idx"),
         F.col("start").cast("bigint").alias("start_tok"),
         F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
         .cast("bigint")
         .alias("n_tok"),
-        F.md5(
-            F.array_join(
-                F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)),
-                " ",
-            )
-        ).alias("chunk_md5"),
+        "chunk_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r10): cross-document chunk duplication (passage-level contamination)
+# ---------------------------------------------------------------------------
+
+_CHUNK_XDUP_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(text), '\\s+') AS toks,
+               len(string_split_regex(TRIM(text), '\\s+')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, n, {CHUNK_STRIDE})) AS start
+        FROM base
+    ),
+    c AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' '))
+                   AS chunk_md5
+        FROM s
+    ),
+    g AS (
+        SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
+        FROM c GROUP BY chunk_md5
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks,
+           ROUND(CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_share
+    FROM c JOIN g USING (chunk_md5)
+    GROUP BY c.doc_id
+    HAVING SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) >= 1
+    """
+
+
+@query("x2_chunk_cross_dup", _CHUNK_XDUP_ORACLE)
+def x2_chunk_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r10): PASSAGE-LEVEL CROSS-DOCUMENT DUPLICATION — for each
+    document, how many of its sliding-window chunks (the
+    ``x4_doc_chunking`` grid) also appear VERBATIM in at least one other
+    document, and what share of the doc that is. This is the
+    passage-granular middle ground the dedup ladder was missing:
+    whole-doc dedup (X-1/minhash) misses partially-quoted docs,
+    ``x4_dup_ngram_fraction`` measures WITHIN-doc repetition — this
+    measures BETWEEN-doc reuse, the signal behind quote-heavy /
+    boilerplate-wrapped near-copies and train-eval passage leakage.
+
+    Determinism: chunk identity is the md5 of the exact chunk re-join
+    (byte-equal across engines, see x4_doc_chunking); counts are exact
+    integers; the one ratio is a single rounded division. Docs with no
+    shared chunk are filtered in both engines — the output is the
+    contamination report, not the corpus.
+
+    Scale shape: the chunk table is linear (n_tokens/stride rows/doc,
+    zero-exchange construction); one hash aggregate keyed by chunk_md5
+    (distinct-doc count), one keyed equi-join back on chunk_md5 (SMJ/
+    shuffled-hash at scale — never broadcast: the hash table is
+    corpus-sized), one doc_id-keyed roll-up. All shuffles are on
+    high-cardinality uniform keys (md5, doc_id) — no skew, no
+    all-pairs anything."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    c = chunk_rows(docs).select("doc_id", "chunk_md5")
+    g = c.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        c.join(g, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            shared.cast("bigint").alias("n_shared_chunks"),
+        )
+        .filter(F.col("n_shared_chunks") >= 1)
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("shared_share"),
+        )
     )

@@ -1927,3 +1927,125 @@ def x6_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / s1d, 6).alias("cv"),
         F.round((sd - s1d) / (sd + s1d), 6).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): permutation entropy (Bandt & Pompe 2002, order 3)
+# ---------------------------------------------------------------------------
+
+#: ln(6) as an exact double literal — BOTH engines divide by this same
+#: constant instead of calling their own libm ln(6.0) (last-ulp hazard).
+_LN6 = "1.791759469228055"
+
+_PERM_ENTROPY_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv
+        FROM events
+    ),
+    tri AS (
+        SELECT user_id,
+               LAG(sv, 2) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS v0,
+               LAG(sv, 1) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS v1,
+               sv AS v2
+        FROM base
+    ),
+    pat AS (
+        SELECT user_id,
+               (CASE WHEN v1 < v0 THEN 1 ELSE 0 END
+                + CASE WHEN v2 < v0 THEN 1 ELSE 0 END) * 9
+             + (CASE WHEN v0 <= v1 THEN 1 ELSE 0 END
+                + CASE WHEN v2 < v1 THEN 1 ELSE 0 END) * 3
+             + (CASE WHEN v0 <= v2 THEN 1 ELSE 0 END
+                + CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS pattern
+        FROM tri WHERE v0 IS NOT NULL
+    ),
+    cnt AS (
+        SELECT user_id, pattern, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pat GROUP BY user_id, pattern
+    ),
+    tot AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY user_id
+    )
+    SELECT t.user_id,
+           t.n AS n_triples,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           ROUND(-SUM((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ROUND(ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)),
+                              6)), 6) AS perm_entropy,
+           ROUND(-SUM((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ROUND(ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)),
+                              6)) / {_LN6}, 6) AS pe_normalized
+    FROM cnt c JOIN tot t USING (user_id)
+    GROUP BY t.user_id, t.n
+    """
+
+
+@query("x6_permutation_entropy", _PERM_ENTROPY_ORACLE)
+def x6_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): PERMUTATION ENTROPY (Bandt & Pompe, PRL 2002) at
+    order 3 — the entropy of the distribution over ORDINAL PATTERNS of
+    consecutive value triples, the standard model-free complexity
+    measure for sensor streams: a monotone ramp uses 1 of the 6
+    patterns (entropy 0), white noise uses all 6 uniformly
+    (normalized entropy 1), and regime changes move the number in
+    between. Complements ``x6_burstiness`` (timing complexity) with
+    VALUE-ORDER complexity on the same per-series grain.
+
+    Determinism: values quantize to the family's 3dp fixed point before
+    comparison; rank ties break by temporal index (the Bandt-Pompe
+    convention: on equal values the EARLIER sample ranks lower), so the
+    pattern id — rank0*9 + rank1*3 + rank2 — is integer-exact in both
+    engines. Entropy follows the zipf/centroid-purity discipline
+    (per-term ROUND(ln, 6) pre-sum, terminal ROUND 6); normalization
+    divides by a shared ln(6) DOUBLE LITERAL rather than each engine's
+    own libm ln.
+
+    Scale shape: ONE exchange total — the user_id-keyed lag window's;
+    the (user_id, pattern) count, the per-user total, and the final
+    roll-up all reuse that partitioning (hash(user_id) satisfies every
+    downstream clustering), and the pattern alphabet is 6 so state per
+    series is bounded."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    tri = ev.select(
+        "user_id",
+        F.lag(sv, 2).over(w).alias("v0"),
+        F.lag(sv, 1).over(w).alias("v1"),
+        sv.alias("v2"),
+    ).filter(F.col("v0").isNotNull())
+
+    def lt(a: str, b: str) -> Column:
+        return F.when(F.col(a) < F.col(b), 1).otherwise(0)
+
+    def le(a: str, b: str) -> Column:
+        return F.when(F.col(a) <= F.col(b), 1).otherwise(0)
+
+    pattern = (
+        (lt("v1", "v0") + lt("v2", "v0")) * 9
+        + (le("v0", "v1") + lt("v2", "v1")) * 3
+        + (le("v0", "v2") + le("v1", "v2"))
+    )
+    cnt = (
+        tri.select("user_id", pattern.alias("pattern"))
+        .groupBy("user_id", "pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("user_id")).cast("bigint")
+    withn = cnt.select("user_id", "c", n.alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = p * F.round(F.log(p), 6)
+    return withn.groupBy("user_id", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.round(-F.sum(term), 6).alias("perm_entropy"),
+        F.round(-F.sum(term) / F.lit(float(_LN6)), 6).alias("pe_normalized"),
+    ).select(
+        "user_id",
+        F.col("n").alias("n_triples"),
+        "n_patterns",
+        "perm_entropy",
+        "pe_normalized",
+    )

@@ -129,6 +129,8 @@ EXTRA_CHECKED = (
     "x9_stream_curation",
     "x6_burstiness",
     "x4_doc_chunking",
+    "x2_chunk_cross_dup",
+    "x6_permutation_entropy",
 )
 
 BNLJ_ALLOWED.update({

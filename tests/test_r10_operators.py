@@ -312,3 +312,86 @@ def test_doc_chunking_boundaries(spark, tmp_path):
         toks = texts[d].split(" ")
         expect = " ".join(toks[r["start_tok"] : r["start_tok"] + tx.CHUNK_TOKENS])
         assert r["chunk_md5"] == hashlib.md5(expect.encode()).hexdigest(), (d, idx)
+
+
+def test_chunk_cross_dup_alignment(spark, tmp_path):
+    """Shared chunks require verbatim ALIGNED 32-token windows: identical
+    docs share everything; docs agreeing only on their first 24 tokens
+    share nothing (the 32-token window straddles the divergence); docs
+    agreeing on their first 32 share exactly the start-0 chunk."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    common24 = " ".join(f"c{i}" for i in range(24))
+    common32 = " ".join(f"d{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            (1, common24),
+            (2, common24),
+            (3, common32 + " " + " ".join(f"b{i}" for i in range(16))),
+            (4, common32 + " " + " ".join(f"e{i}" for i in range(16))),
+            (5, "totally unique text right here"),
+            (6, common24 + " tail divergence begins immediately here now"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["x2_chunk_cross_dup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # docs 5 and 6 filtered: no shared chunk (6's start-0 window includes
+    # its divergent tail, so it does NOT match 1/2's 24-token chunk)
+    assert set(got) == {1, 2, 3, 4}
+    for d in (1, 2):
+        assert got[d]["n_chunks"] == 1 and got[d]["n_shared_chunks"] == 1
+        assert got[d]["shared_share"] == 1.0
+    for d in (3, 4):
+        assert got[d]["n_chunks"] == 2 and got[d]["n_shared_chunks"] == 1
+        assert got[d]["shared_share"] == 0.5
+
+
+def test_permutation_entropy_closed_forms(spark, tmp_path):
+    """Monotone ramp and constant series -> exactly one ordinal pattern
+    (entropy 0; ties rank by temporal index, the Bandt-Pompe
+    convention); a perfect alternation -> patterns {7: 2/3, 11: 1/3}
+    with the hand-derived entropy."""
+    import datetime
+    import math
+
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate((1.0, 2.0, 3.0, 4.0, 5.0)):  # user 1: ramp
+        rows.append((1, i + 1, t0 + datetime.timedelta(seconds=i), "a", v, "{}"))
+    for i in range(5):  # user 2: constant (all ties)
+        rows.append((2, 10 + i, t0 + datetime.timedelta(seconds=i), "a", 7.0, "{}"))
+    for i, v in enumerate((1.0, 2.0, 1.0, 2.0, 1.0)):  # user 3: alternation
+        rows.append((3, 20 + i, t0 + datetime.timedelta(seconds=i), "a", v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: r
+        for r in registry.QUERIES["x6_permutation_entropy"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for u in (1, 2):
+        assert got[u]["n_triples"] == 3
+        assert got[u]["n_patterns"] == 1
+        assert got[u]["perm_entropy"] == 0.0
+        assert got[u]["pe_normalized"] == 0.0
+    r3 = got[3]
+    assert r3["n_triples"] == 3 and r3["n_patterns"] == 2
+    h = -(2 / 3 * round(math.log(2 / 3), 6) + 1 / 3 * round(math.log(1 / 3), 6))
+    assert abs(r3["perm_entropy"] - h) < 1e-6
+    assert abs(r3["pe_normalized"] - h / 1.791759469228055) < 1e-6

@@ -56,8 +56,10 @@ TIME_SENSITIVE = [
     "x6_event_type_markov",
     "x7_temporal_hotspots",
     "x6_dominant_period",
-    # r10 continuation: integer-second inter-arrival moments
+    # r10 continuation: integer-second inter-arrival moments; ordinal
+    # patterns over event-time-ordered triples
     "x6_burstiness",
+    "x6_permutation_entropy",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
