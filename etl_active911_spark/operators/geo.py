@@ -852,3 +852,130 @@ def x7_temporal_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("peak_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r10): global spatial autocorrelation (Moran's I, rook adjacency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x7_moran_i",
+    f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    cells AS (
+        SELECT CAST(FLOOR(lat_d / {GRID_DEG}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon_d / {GRID_DEG}) AS BIGINT) AS cx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM resolved GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(n) AS BIGINT) AS s
+        FROM cells
+    ),
+    di AS (
+        SELECT cy, cx, stats.nc * cells.n - stats.s AS d
+        FROM cells CROSS JOIN stats
+    ),
+    ssq AS (SELECT CAST(SUM(d * d) AS BIGINT) AS s_sq FROM di),
+    sh AS (
+        SELECT di.cy + o.dy AS jy, di.cx + o.dx AS jx, di.d
+        FROM di CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dy, dx)
+    ),
+    pr AS (
+        SELECT CAST(COALESCE(SUM(a.d * sh.d), 0) AS BIGINT) AS cross_sum,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM di a JOIN sh ON sh.jy = a.cy AND sh.jx = a.cx
+    )
+    SELECT stats.nc AS n_cells,
+           pr.w AS w_pairs,
+           ssq.s_sq,
+           pr.cross_sum,
+           ROUND(CASE WHEN pr.w > 0 AND ssq.s_sq > 0
+                      THEN CAST(stats.nc AS DOUBLE) * CAST(pr.cross_sum AS DOUBLE)
+                           / (CAST(pr.w AS DOUBLE) * CAST(ssq.s_sq AS DOUBLE))
+                      ELSE NULL END, 6) AS moran_i,
+           ROUND(CAST(-1.0 AS DOUBLE) / CAST(stats.nc - 1 AS DOUBLE), 6)
+               AS expected_i
+    FROM stats CROSS JOIN ssq CROSS JOIN pr
+    """,
+)
+def x7_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r10): GLOBAL SPATIAL AUTOCORRELATION — Moran's I over the
+    occupied alert-grid cells with rook (4-neighbor) adjacency: the one
+    number that says whether incident load CLUSTERS in space (I > E[I]),
+    is checkerboard-dispersed (I < E[I]), or is spatially random
+    (I ≈ E[I] = −1/(N−1)). The global complement of
+    ``x7_hotspot_cells``' local Gi* ranking — planners read Gi* for
+    WHERE, Moran's I for WHETHER the clustering is real corpus-wide.
+    Adjacency is between OCCUPIED cells (the analysis lattice), the
+    standard restriction for sparse incident grids; documented contract.
+
+    Determinism: with integer counts x_i, N = |cells|, S = Σx, the
+    centered residual scaled by N is d_i = N·x_i − S — EXACT BIGINT.
+    Moran's I = (N/W)·(Σ_adj d_i d_j)/(Σ d_i²): both sums stay integer,
+    so the statistic is ONE terminal double expression (mirrored op
+    order, rounded 6dp). E[I] divides double literals only.
+
+    Scale shape: cell aggregation is the hotspot shape (keyed by cell);
+    the 4-shift equi-join replicates CELLS (never points) 4 ways; the
+    (N, S) moment is a 1-row broadcast; final assembly crossJoins three
+    1-row aggregates. No all-pairs anything; d_i stays < N·max(x) ≪
+    2^63 for any real grid."""
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    pts = _grid_points(spark, sf_dir)
+    cells = pts.groupBy("cy", "cx").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    di = scoped_persist(
+        "x7_moran.di",
+        cells.crossJoin(F.broadcast(stats)).select(
+            "cy", "cx", "nc", (F.col("nc") * F.col("n") - F.col("s")).alias("d")
+        ),
+    )
+    ssq = di.agg(F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s_sq"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    sh = di.select(F.explode(offsets).alias("o"), "cy", "cx", "d").select(
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        F.col("d").alias("sd"),
+    )
+    pr = (
+        di.join(sh, (F.col("jy") == F.col("cy")) & (F.col("jx") == F.col("cx")))
+        .agg(
+            F.coalesce(F.sum(F.col("d") * F.col("sd")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(ssq))
+        .crossJoin(F.broadcast(pr))
+        .select(
+            F.col("nc").alias("n_cells"),
+            F.col("w").alias("w_pairs"),
+            "s_sq",
+            "cross_sum",
+            F.round(
+                F.when(
+                    (F.col("w") > 0) & (F.col("s_sq") > 0),
+                    F.col("nc").cast("double")
+                    * F.col("cross_sum").cast("double")
+                    / (F.col("w").cast("double") * F.col("s_sq").cast("double")),
+                ),
+                6,
+            ).alias("moran_i"),
+            F.round(
+                F.lit(-1.0).cast("double") / (F.col("nc") - 1).cast("double"), 6
+            ).alias("expected_i"),
+        )
+    )

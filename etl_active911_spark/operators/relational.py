@@ -1676,3 +1676,92 @@ def n25_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# N-21b (r10): last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+TOUCH_TYPES = ("click", "view")  # attributable marketing touches
+
+
+@query(
+    "n21_attribution",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    ),
+    p AS (
+        SELECT COALESCE(touch, 'direct') AS channel,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    byc AS (
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM p GROUP BY channel
+    )
+    SELECT channel, n_purchases,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER () AS DOUBLE), 6) AS revenue_share
+    FROM byc
+    """,
+)
+def n21_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-21b (r10): LAST-TOUCH REVENUE ATTRIBUTION — every purchase's
+    value credited to the user's most recent PRIOR marketing touch
+    (click/view), 'direct' when none precedes it: the companion of
+    ``n21_funnel`` (the funnel says where users drop; attribution says
+    which touch the revenue that survived should thank). The carry is
+    the classic frame-bounded ``last(..., ignorenulls)`` over
+    ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`` — strictly-before
+    semantics, so a purchase row's own type can never self-attribute.
+
+    Determinism: money quantizes to exact integer CENTS before any sum
+    (pre-rounded fixed point — the order-exact-sum discipline); revenue
+    and its share are each ONE terminal double division over exact
+    integers, rounded 2dp / 6dp.
+
+    Scale shape: one user_id-keyed window (the carry), one hash
+    aggregate keyed by channel (alphabet-bounded), and a share window
+    over the ≤|channels|-row RESULT — nothing global touches row-scale
+    data."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    p = (
+        ev.select("user_id", "event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    byc = p.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    tot = F.sum("cents").over(Window.partitionBy())
+    return byc.select(
+        "channel",
+        "n_purchases",
+        F.round(F.col("cents").cast("double") / F.lit(100.0), 2).alias("revenue"),
+        F.round(F.col("cents").cast("double") / tot.cast("double"), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -156,7 +156,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x9_curation_v7, x2_bbit_minhash, x4_template_detection,
 #:   x3_ann_ivf_delete, x6_gap_detection — 8 named + whatever r11 adds;
 #:   r10-continuation additions queue behind them: x6_burstiness,
-#:   x4_doc_chunking, x2_chunk_cross_dup, x6_permutation_entropy.
+#:   x4_doc_chunking, x2_chunk_cross_dup, x6_permutation_entropy,
+#:   x7_moran_i, n21_attribution.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 

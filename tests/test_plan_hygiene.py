@@ -61,6 +61,11 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x3_ann_ivf_delete": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
     "x7_coverage_gap": (1, "broadcast 5-row station dim crossJoined onto the CELL table (|cells| x |stations|, never points x stations)"),
     "x3_centroid_purity": (4, "broadcast 16-row seed-centroid table in argmax_cells; the scoped_persist'd (cell,label) table EXECUTES the subtree once but its InMemoryRelation plan text repeats it per consumer (tot/rk/ent + final join)"),
+    # r10 continuation: every build side is a 1-row aggregate — the (N, S)
+    # moment crossJoined into the persisted di projection (its
+    # InMemoryRelation text repeats per consumer: ssq, shifted, join-left)
+    # plus the final stats x ssq x pr 1-row assembly
+    "x7_moran_i": (5, "1-row (N,S) moment broadcast into di (plan text repeats per persisted-di consumer) + final crossJoin of three 1-row aggregates"),
 }
 
 
@@ -131,6 +136,8 @@ EXTRA_CHECKED = (
     "x4_doc_chunking",
     "x2_chunk_cross_dup",
     "x6_permutation_entropy",
+    "x7_moran_i",
+    "n21_attribution",
 )
 
 BNLJ_ALLOWED.update({

@@ -60,6 +60,7 @@ TIME_SENSITIVE = [
     # patterns over event-time-ordered triples
     "x6_burstiness",
     "x6_permutation_entropy",
+    "n21_attribution",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
