@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_active911_spark.operators.dedup import sql_hash60
 from etl_active911_spark.pipeline import active911 as a911
 from etl_active911_spark.pipeline.fixtures import SYNTH_ALERTS_SQL, synthetic_alerts
 from etl_active911_spark.plans.registry import query
@@ -978,4 +979,241 @@ def x7_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(-1.0).cast("double") / (F.col("nc") - 1).cast("double"), 6
             ).alias("expected_i"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r10): Ripley's K / L function (point-pattern clustering by scale)
+# ---------------------------------------------------------------------------
+
+# Ripley pair grain: 0.05° cells. Pigeonhole bound for the 4 km max
+# radius: 0.05° of latitude = 5.53 km everywhere; 0.05° of longitude at
+# the box's highest latitude (40.94°N) = 111.32·cos(40.94°)·0.05 =
+# 4.20 km ≥ 4.0 — so a qualifying pair never spans more than one cell
+# per axis and the 9-cell neighborhood join is RECALL-EXACT (same
+# argument as GRID_DEG's, at the K-function's coarser grain).
+RIPLEY_GRID_DEG = 0.05
+RIPLEY_RADII = (1.0, 2.0, 4.0)
+#: deterministic 1-in-8 hash thinning of the point pattern before pair
+#: counting. Independent p-thinning PRESERVES Ripley's K (the thinned
+#: process has the same K function — Illian et al. 2008 §6; the
+#: estimator over kept points with kept-n in the denominator stays
+#: unbiased), so this is a measurement-faithful work bound, not an
+#: approximation knob: candidate pairs scale with (n/8)². The
+#: content-addressed cut (md5 hash of id — the X-8 sampler idiom) makes
+#: the kept set reproducible across engines and partitionings.
+RIPLEY_THIN = 8
+_RIPLEY_PI = "3.141592653589793"
+
+_RIPLEY_HAV = _haversine_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+
+_RIPLEY_ORACLE = f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    pts AS (
+        SELECT id, lat_d, lon_d,
+               CAST(FLOOR(lat_d / {RIPLEY_GRID_DEG}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon_d / {RIPLEY_GRID_DEG}) AS BIGINT) AS cx
+        FROM resolved
+        WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
+          AND ({sql_hash60('CAST(id AS STRING)')}) % {RIPLEY_THIN} = 0
+    ),
+    offy AS (SELECT unnest(range(-1, 2)) AS dy),
+    offx AS (SELECT unnest(range(-1, 2)) AS dx),
+    pairs AS (
+        SELECT ROUND({_RIPLEY_HAV}, 3) AS d
+        FROM pts a
+        JOIN offy ON TRUE
+        JOIN offx ON TRUE
+        JOIN pts b ON b.cy = a.cy + dy AND b.cx = a.cx + dx
+                   AND a.id < b.id
+        WHERE ROUND({_RIPLEY_HAV}, 3) <= {max(RIPLEY_RADII)}
+    ),
+    cnt AS (
+        SELECT {', '.join(
+            f"CAST(SUM(CASE WHEN d <= {r} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c{i}" for i, r in enumerate(RIPLEY_RADII))}
+        FROM pairs
+    ),
+    npts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+    bbox AS (
+        SELECT MIN(lat_d) AS mnlat, MAX(lat_d) AS mxlat,
+               MIN(lon_d) AS mnlon, MAX(lon_d) AS mxlon
+        FROM pts
+    ),
+    edges AS (
+        SELECT ROUND({_haversine_sql('mnlat', 'mnlon', 'mxlat', 'mnlon')}, 3)
+                   AS e_ns,
+               ROUND({_haversine_sql('mnlat', 'mnlon', 'mnlat', 'mxlon')}, 3)
+                   AS e_ew
+        FROM bbox
+    ),
+    per_r AS (
+        SELECT r_km,
+               CASE {' '.join(
+                   f"WHEN r_km = {r} THEN c{i}"
+                   for i, r in enumerate(RIPLEY_RADII))} END AS c,
+               n, e_ns, e_ew
+        FROM (SELECT unnest([{', '.join(
+                  f"CAST({r} AS DOUBLE)" for r in RIPLEY_RADII)}]) AS r_km)
+        CROSS JOIN cnt CROSS JOIN npts CROSS JOIN edges
+    )
+    SELECT r_km,
+           c AS n_pairs,
+           ROUND(e_ns * e_ew * (CAST(2 * c AS DOUBLE)
+                                / CAST(n * (n - 1) AS DOUBLE)), 6) AS k_hat,
+           ROUND(sqrt(e_ns * e_ew * (CAST(2 * c AS DOUBLE)
+                                     / CAST(n * (n - 1) AS DOUBLE))
+                      / {_RIPLEY_PI}) - r_km, 6) AS l_minus_r
+    FROM per_r
+    """
+
+
+@query("x7_ripley_k", _RIPLEY_ORACLE)
+def x7_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r10): RIPLEY'S K / L FUNCTION (Ripley, JRSS-B 1976) — the
+    multi-scale point-pattern statistic: K̂(r) = A·Σᵢ≠ⱼ1[dᵢⱼ≤r]/(n(n−1))
+    counts average co-incidents within r, and the variance-stabilized
+    L̂(r) − r reads sign-directly (> 0 clustered at scale r, < 0
+    dispersed). The SCALE-RESOLVED complement of ``x7_moran_i`` (one
+    global number at the fixed grid grain): Moran answers WHETHER load
+    clusters, Ripley answers AT WHICH RADII. Naive (unedged) estimator
+    over the bbox study window — standard for comparing radii on one
+    window; documented contract.
+
+    Determinism: pair counts and n are EXACT BIGINT off the rounded-3dp
+    haversine (the family's distance idiom); the study area comes from
+    the bbox corners via the SAME mirrored haversine text (exact MIN/MAX
+    selections, no accumulation), rounded 3dp per edge; K̂ and L̂−r are
+    mirrored double expressions with a shared π literal, rounded 6dp.
+
+    Scale shape: the point pattern is hash-THINNED 1-in-RIPLEY_THIN
+    first — K is invariant under independent thinning (see the constant's
+    note), so this bounds pair work at (n/8)² worth of density while
+    still ESTIMATING THE SAME CURVE (kept-n in the denominator); the
+    thinning rate is the production knob for denser patterns. The pair
+    enumeration is then the recall-exact 9-cell neighborhood equi-join at
+    the 0.05° grain (bound proven at RIPLEY_GRID_DEG) — work scales with
+    Σ cell-occupancy², never n²; hot cells are the documented AQE-skew
+    case. All K radii share ONE pair pass (three conditional counts in
+    one 1-row aggregate); bbox, n, and counts broadcast-join into the
+    3-row radii table."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    resolved = _resolved(spark, sf_dir)
+    pts = resolved.filter(
+        F.col("lat_d").isNotNull()
+        & F.col("lon_d").isNotNull()
+        & (token_hash60(F.col("id").cast("string")) % RIPLEY_THIN == 0)
+    ).select(
+        "id",
+        "lat_d",
+        "lon_d",
+        F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
+        F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
+    ).localCheckpoint(eager=True)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat_d").alias("lat_a"),
+        F.col("lon_d").alias("lon_a"),
+        F.explode(offsets).alias("o"),
+        "cy",
+        "cx",
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat_d").alias("lat_b"),
+        F.col("lon_d").alias("lon_b"),
+        F.col("cy").alias("jy"),
+        F.col("cx").alias("jx"),
+    )
+    d = F.round(
+        haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")),
+        3,
+    )
+    pairs = (
+        left.join(right, ["jy", "jx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(d.alias("d"))
+        .filter(F.col("d") <= max(RIPLEY_RADII))
+    )
+    cnt = pairs.agg(
+        *[
+            F.sum(F.when(F.col("d") <= r, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, r in enumerate(RIPLEY_RADII)
+        ]
+    )
+    npts = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bbox = pts.agg(
+        F.min("lat_d").alias("mnlat"),
+        F.max("lat_d").alias("mxlat"),
+        F.min("lon_d").alias("mnlon"),
+        F.max("lon_d").alias("mxlon"),
+    )
+    edges = bbox.select(
+        F.round(
+            haversine_km(
+                F.col("mnlat"), F.col("mnlon"), F.col("mxlat"), F.col("mnlon")
+            ),
+            3,
+        ).alias("e_ns"),
+        F.round(
+            haversine_km(
+                F.col("mnlat"), F.col("mnlon"), F.col("mnlat"), F.col("mxlon")
+            ),
+            3,
+        ).alias("e_ew"),
+    )
+    radii = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(r)).alias("r_km"),
+                    F.col(f"c{i}").alias("c"),
+                )
+                for i, r in enumerate(RIPLEY_RADII)
+            ]
+        )
+    )
+    per_r = (
+        cnt.crossJoin(F.broadcast(npts))
+        .crossJoin(F.broadcast(edges))
+        .select(radii.alias("rc"), "n", "e_ns", "e_ew")
+        .select(
+            F.col("rc.r_km").alias("r_km"),
+            F.col("rc.c").alias("c"),
+            "n",
+            "e_ns",
+            "e_ew",
+        )
+    )
+    k_raw = (
+        F.col("e_ns")
+        * F.col("e_ew")
+        * (
+            (2 * F.col("c")).cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        )
+    )
+    return per_r.select(
+        "r_km",
+        F.col("c").alias("n_pairs"),
+        F.round(k_raw, 6).alias("k_hat"),
+        F.round(
+            F.sqrt(k_raw / F.lit(float(_RIPLEY_PI))) - F.col("r_km"), 6
+        ).alias("l_minus_r"),
     )

@@ -2691,3 +2691,197 @@ def metric_overlap(
             F.round(F.count("dv") / F.lit(float(TOP_K)), 6).alias("overlap_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r10): kNN-graph hubness audit (Radovanovic et al., JMLR 2010)
+# ---------------------------------------------------------------------------
+
+#: hub cutoff: in-degree > 2k is the JMLR 2010 convention for "hub"
+_HUB_FACTOR = 2
+
+_SELF_COS = (
+    "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    "    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+)
+
+_HUBNESS_ORACLE = f"""
+    WITH scored AS (
+        SELECT a.vec_id AS q, b.vec_id AS nb, {_SELF_COS} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT q, nb FROM (
+            SELECT q, nb,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY cos DESC, nb) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOP_K}
+    ),
+    deg AS (
+        SELECT e.vec_id, CAST(COALESCE(c.d, 0) AS BIGINT) AS d
+        FROM embeddings e
+        LEFT JOIN (
+            SELECT nb AS vec_id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM knn GROUP BY nb
+        ) c USING (vec_id)
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS s1,
+               CAST(SUM(d * d) AS BIGINT) AS s2,
+               CAST(SUM(d * d * d) AS BIGINT) AS s3,
+               CAST(MAX(d) AS BIGINT) AS mx,
+               CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anti,
+               CAST(SUM(CASE WHEN d > {_HUB_FACTOR * TOP_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hubs
+        FROM deg
+    )
+    SELECT n AS n_vectors,
+           CAST({TOP_K} AS BIGINT) AS k,
+           mx AS max_in_degree,
+           n_anti AS n_antihubs,
+           hubs AS n_hubs,
+           ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+                  - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6)
+               AS k_skewness
+    FROM m
+    """
+
+
+@query("x3_knn_hubness", _HUBNESS_ORACLE)
+def x3_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r10): kNN-GRAPH HUBNESS AUDIT (Radovanovic, Nanopoulos &
+    Ivanovic, JMLR 2010) — build the exact k=5 nearest-neighbor graph
+    over the WHOLE embedding corpus (cosine) and report the k-occurrence
+    (in-degree) distribution: max in-degree, antihub count (never anyone's
+    neighbor), hub count (in-degree > 2k), and the SKEWNESS of the
+    in-degree distribution — THE standard scalar for "is this embedding
+    space hub-pathological?". High skewness predicts degraded ANN recall
+    and near-dup false positives, which is exactly what the rest of the
+    X-3 family (``x3_ann_recall_eval``, ``x3_metric_sensitivity``)
+    measures downstream — this is the diagnostic that says WHY.
+
+    Shape — the corpus×corpus GEMM of ``x2_embedding_neardup`` fused with
+    the BLOCK-LOCAL top-k prune of ``x3_pandas_matmul``: vectors hash
+    into B blocks; each unordered block pair is one cogrouped NumPy
+    matmul that emits, PER VECTOR PER SIDE, only its block-local top-k
+    (with the rounding-reach slack, so the global exact ranking never
+    loses a row) — ≤ n·B·(k+slack) candidate rows ever shuffle, never
+    n². The global merge is ``partial_topk``'s WindowGroupLimit window
+    (rule 19); in-degree, the zero-fill left join, and the moment
+    roll-up are keyed aggregates.
+
+    Determinism: candidate scores round to 6dp with (cos DESC, vec_id)
+    tie-break (canonical policy 4); in-degrees are EXACT BIGINT; the
+    skewness g1 = m3/m2^(3/2) evaluates from the exact integer moment
+    sums (S1, S2, S3) cast-to-double FIRST, then ONE mirrored double
+    expression (casting before combining keeps every intermediate
+    defined — no BIGINT overflow on pathological hub counts), rounded
+    6dp."""
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = MATMUL_BLOCKS
+    slack = 1e-6
+
+    def side(on: str) -> DataFrame:
+        e = (
+            spread(read_table(spark, sf_dir, "embeddings"))
+            .select("vec_id", "embedding")
+            .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+        )
+        p = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "bi int, bj int",
+        )
+        return e.join(F.broadcast(p), F.col("block") == F.col(on)).select(
+            "bi", "bj", "vec_id", "embedding"
+        )
+
+    def block_topk(key, l, r):  # noqa: E741
+        bi, bj = key
+        empty = pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []}).astype(
+            {"query_id": "int64", "vec_id": "int64", "cosine": "float64"}
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        A = np.array(l["embedding"].tolist(), dtype=np.float64)
+        B = np.array(r["embedding"].tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        ids_l = l["vec_id"].to_numpy()
+        ids_r = r["vec_id"].to_numpy()
+        sims = A @ B.T
+        if bi == bj:
+            sims[ids_l[:, None] == ids_r[None, :]] = -2.0
+        out = []
+
+        def emit(qs, ns, mat):
+            # block-local top-k per row of mat, keeping the rounding-reach
+            # slack band so the global exact ranking never loses a row
+            for i in range(mat.shape[0]):
+                row = mat[i]
+                if len(row) > TOP_K:
+                    thresh = np.partition(row, -TOP_K)[-TOP_K] - slack
+                    keep = row >= thresh
+                else:
+                    keep = np.ones(len(row), dtype=bool)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qs[i],
+                            "vec_id": ns[keep],
+                            "cosine": row[keep],
+                        }
+                    )
+                )
+
+        emit(ids_l, ids_r, sims)
+        if bi != bj:
+            emit(ids_r, ids_l, sims.T)
+        return pd.concat(out) if out else empty
+
+    cand = (
+        side("bi")
+        .groupBy("bi", "bj")
+        .cogroup(side("bj").groupBy("bi", "bj"))
+        .applyInPandas(block_topk, "query_id long, vec_id long, cosine double")
+    )
+    edges = partial_topk(cand, TOP_K)
+    ids = spread(read_table(spark, sf_dir, "embeddings")).select("vec_id")
+    indeg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).cast("bigint").alias("dd"))
+    deg = ids.join(indeg, "vec_id", "left").select(
+        F.coalesce("dd", F.lit(0)).cast("bigint").alias("d")
+    )
+    m = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("bigint").alias("s3"),
+        F.max("d").cast("bigint").alias("mx"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).cast("bigint").alias("anti"),
+        F.sum(F.when(F.col("d") > _HUB_FACTOR * TOP_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hubs"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3").cast("double")
+    d2 = nd * s2d - s1d * s1d
+    d3 = nd * nd * s3d - F.lit(3.0) * nd * s1d * s2d + F.lit(2.0) * s1d * s1d * s1d
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        F.col("mx").alias("max_in_degree"),
+        F.col("anti").alias("n_antihubs"),
+        F.col("hubs").alias("n_hubs"),
+        F.round(d3 / (d2 * F.sqrt(d2)), 6).alias("k_skewness"),
+    )

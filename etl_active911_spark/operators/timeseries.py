@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table
@@ -2048,4 +2048,288 @@ def x6_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_patterns",
         "perm_entropy",
         "pe_normalized",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): SAX symbolization (Lin/Keogh/Lonardi/Chiu, DMKD 2003)
+# ---------------------------------------------------------------------------
+
+#: PAA frame length (samples per symbol) and the alphabet-4 Gaussian
+#: breakpoints (N(0,1) quartiles) — shared literals in both engines.
+_SAX_FRAME = 4
+_SAX_BP = "0.6745"
+
+_SAX_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS idx
+        FROM events
+    ),
+    st AS (
+        SELECT user_id, sv, idx // {_SAX_FRAME} AS seg,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(sv) OVER w AS BIGINT) AS s1,
+               CAST(SUM(sv * sv) OVER w AS BIGINT) AS s2
+        FROM base
+        WINDOW w AS (PARTITION BY user_id)
+    ),
+    seg AS (
+        SELECT user_id, seg, n, s1, s2,
+               CAST(SUM(sv) AS BIGINT) AS seg_sum,
+               CAST(COUNT(*) AS BIGINT) AS seg_n
+        FROM st
+        GROUP BY user_id, seg, n, s1, s2
+    ),
+    sym AS (
+        SELECT user_id, seg, n,
+               CASE WHEN z < -{_SAX_BP} THEN 'a'
+                    WHEN z < 0.0 THEN 'b'
+                    WHEN z < {_SAX_BP} THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM (
+            SELECT user_id, seg, n,
+                   ROUND((CAST(seg_sum AS DOUBLE) / CAST(seg_n AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                / CAST(n * (n - 1) AS DOUBLE)), 6) AS z
+            FROM seg
+            WHERE n * s2 - s1 * s1 > 0
+        )
+    )
+    SELECT user_id,
+           n AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           string_agg(sym, '' ORDER BY seg) AS sax_word,
+           CAST(SUM(CASE WHEN sym = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN sym = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN sym = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(SUM(CASE WHEN sym = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+    FROM sym
+    GROUP BY user_id, n
+    """
+
+
+@query("x6_sax_words", _SAX_ORACLE)
+def x6_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): SAX SYMBOLIZATION (Lin, Keogh, Lonardi & Chiu, DMKD
+    2003) — each per-user value series z-normalized, reduced by PAA
+    (Piecewise Aggregate Approximation, frame = 4 samples, trailing
+    partial frame retained), and discretized against the alphabet-4
+    Gaussian breakpoints (±0.6745, the N(0,1) quartiles) into the SAX
+    string plus its symbol histogram. The discrete-representation
+    complement of ``x6_ts_pattern_match`` (numeric correlation) and
+    ``x6_permutation_entropy`` (ordinal complexity): SAX words are what
+    motif/discord mining and series indexing actually store.
+
+    Determinism: values quantize to the family's 3dp fixed point; the
+    per-user moments (n, Σsv, Σsv²) and per-frame sums are EXACT BIGINT
+    (safe while n·Σsv² < 2⁶³ — holds to ~10⁵ samples/series at fixture
+    magnitudes; the 100 TB upgrade path is the same formula over
+    DECIMAL(38) partials). The z-score is ONE mirrored double expression
+    over those integers — sample variance via n·S2 − S1² (scale cancels
+    exactly in the ratio) — rounded 6dp BEFORE the breakpoint compare,
+    so both engines bin identically. Constant series (variance 0) are
+    excluded by contract. The SAX string aggregates WITHIN GROUP
+    (ORDER BY seg) — deterministic, no collect.
+
+    Scale shape: ONE exchange — the user-keyed order window's;
+    the per-user moment window, the (user, frame) PAA aggregate, and
+    the final per-user roll-up all reuse hash(user_id) partitioning
+    (subset rule), and per-series state is O(n_frames) strings of
+    bounded alphabet."""
+    ev = read_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    base = ev.select(
+        "user_id",
+        sv.alias("sv"),
+        (F.row_number().over(wo) - 1).alias("idx"),
+    )
+    st = base.select(
+        "user_id",
+        "sv",
+        (F.col("idx") / _SAX_FRAME).cast("long").alias("seg"),
+        F.count(F.lit(1)).over(wu).cast("bigint").alias("n"),
+        F.sum("sv").over(wu).cast("bigint").alias("s1"),
+        F.sum(F.col("sv") * F.col("sv")).over(wu).cast("bigint").alias("s2"),
+    )
+    seg = st.groupBy("user_id", "seg", "n", "s1", "s2").agg(
+        F.sum("sv").cast("bigint").alias("seg_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("seg_n"),
+    )
+    num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    den = F.col("n") * (F.col("n") - 1)
+    z = F.round(
+        (
+            F.col("seg_sum").cast("double") / F.col("seg_n").cast("double")
+            - F.col("s1").cast("double") / F.col("n").cast("double")
+        )
+        / F.sqrt(num.cast("double") / den.cast("double")),
+        6,
+    )
+    bp = float(_SAX_BP)
+    sym = (
+        F.when(F.col("z") < -bp, "a")
+        .when(F.col("z") < 0.0, "b")
+        .when(F.col("z") < bp, "c")
+        .otherwise("d")
+    )
+    symdf = (
+        seg.filter(num > 0)
+        .select("user_id", "seg", "n", z.alias("z"))
+        .select("user_id", "seg", "n", sym.alias("sym"))
+    )
+
+    def cnt(s: str) -> Column:
+        return F.sum(F.when(F.col("sym") == s, 1).otherwise(0)).cast("bigint").alias(f"n_{s}")
+
+    return symdf.groupBy("user_id", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.expr("listagg(sym, '') WITHIN GROUP (ORDER BY seg)").alias("sax_word"),
+        cnt("a"),
+        cnt("b"),
+        cnt("c"),
+        cnt("d"),
+    ).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_segments",
+        "sax_word",
+        "n_a",
+        "n_b",
+        "n_c",
+        "n_d",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): lead-lag cross-correlation between event-type series
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+    WITH base AS (
+        SELECT date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+               // 3600 AS h,
+               event_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT h,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cx,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cy
+        FROM base GROUP BY h
+    ),
+    bounds AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM cnt),
+    spine AS (
+        SELECT unnest(range((SELECT hmin FROM bounds),
+                            (SELECT hmax FROM bounds) + 1)) AS h
+    ),
+    ser AS (
+        SELECT s.h, COALESCE(c.cx, 0) AS x, COALESCE(c.cy, 0) AS y
+        FROM spine s LEFT JOIN cnt c USING (h)
+    ),
+    lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1)) AS lag),
+    agg AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.x) AS BIGINT) AS sx,
+               CAST(SUM(b.y) AS BIGINT) AS sy,
+               CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+               CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+               CAST(SUM(b.y * b.y) AS BIGINT) AS syy
+        FROM lags l
+        JOIN ser a ON TRUE
+        JOIN ser b ON b.h = a.h + l.lag
+        GROUP BY l.lag
+    )
+    SELECT lag, n AS n_hours,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                             AS DOUBLE)), 6) AS xcorr
+    FROM agg
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """
+
+
+@query("x6_cross_correlation", _XCORR_ORACLE)
+def x6_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): LEAD-LAG CROSS-CORRELATION FUNCTION (Box & Jenkins
+    CCF) between the hourly 'click' and 'error' count series: Pearson r
+    of click[t] against error[t+L] for L ∈ −3..+3 hours over the
+    zero-filled hour spine. THE diagnostic for "do errors FOLLOW load,
+    and by how long?" — the cross-series complement of
+    ``x6_ts_acf``/``x6_dominant_period`` (self-correlation) and
+    ``x6_event_type_markov`` (per-transition, unlagged).
+
+    Determinism: the hour bucket is an exact integer (microsecond-exact
+    epoch diff from a shared NTZ origin literal, floor-divided — rule 3
+    TZ-safe); counts and all five correlation moments are EXACT BIGINT,
+    so r is ONE mirrored double expression — (n·Sxy − Sx·Sy) /
+    √((n·Sxx − Sx²)(n·Syy − Sy²)) — rounded 6dp. Degenerate lags
+    (either series constant over the overlap) are excluded by contract.
+
+    Scale shape: raw events collapse to the hour grain FIRST (map-side
+    combined keyed aggregate, ~10⁴ rows/year regardless of corpus
+    size); the spine, the 7-lag replicate, and the per-lag moment
+    roll-up all run on that collapsed grain, so the lag join never
+    touches raw data. The bounds row broadcasts; nothing collects."""
+    ev = read_table(spark, sf_dir, "events")
+    h = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts) div 3600"
+    )
+    cnt = ev.select(h.alias("h"), "event_type").groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    bounds = cnt.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h")
+    )
+    ser = (
+        spine.join(cnt, "h", "left")
+        .select(
+            "h",
+            F.coalesce("cx", F.lit(0)).alias("x"),
+            F.coalesce("cy", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = ser.crossJoin(F.broadcast(lags))
+    b = ser.select(F.col("h").alias("bh"), F.col("y").alias("by"))
+    pairs = a.join(b, F.col("bh") == F.col("h") + F.col("lag"))
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("by").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("by")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("by") * F.col("by")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        agg.filter((dx > 0) & (dy > 0))
+        .select(
+            "lag",
+            n.alias("n_hours"),
+            F.round(num.cast("double") / F.sqrt((dx * dy).cast("double")), 6).alias(
+                "xcorr"
+            ),
+        )
     )

@@ -157,7 +157,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x3_ann_ivf_delete, x6_gap_detection — 8 named + whatever r11 adds;
 #:   r10-continuation additions queue behind them: x6_burstiness,
 #:   x4_doc_chunking, x2_chunk_cross_dup, x6_permutation_entropy,
-#:   x7_moran_i, n21_attribution.
+#:   x7_moran_i, n21_attribution, x6_sax_words, x6_cross_correlation,
+#:   x7_ripley_k, x3_knn_hubness.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 
