@@ -1352,3 +1352,240 @@ def x5_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate int, n_samples long, duration_ms long, "
         "declared_bytes long, actual_bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5 (r10): VAD-style silence gating over the real WAV sample stream
+# ---------------------------------------------------------------------------
+
+#: energy-gate frame length (samples) and the silence threshold:
+#: a frame is SILENT iff its mean square < 65536²/48 — i.e. roughly a
+#: quarter of the uniform-sawtooth average power (65536²/12), expressed
+#: below as the all-integer compare 48·Σs² < FRAME·65536² (= 2⁴⁰).
+_VAD_FRAME = 256
+_VAD_DIV = 48
+_VAD_RHS = _VAD_FRAME * 65536 * 65536  # 2^40
+
+_SILENCE_ORACLE = f"""
+    WITH {_MEDIA_CTE},
+    au AS (
+        SELECT doc_id, {_WAV_N} AS n, {_WAV_RATE} AS rate,
+               {_WAV_A} AS a, {_WAV_B} AS b
+        FROM m WHERE mime = 'audio/wav'
+    ),
+    sm AS (
+        SELECT doc_id, n, rate, a, b, unnest(range((n // {_VAD_FRAME})
+                                                   * {_VAD_FRAME})) AS i
+        FROM au
+    ),
+    fr AS (
+        SELECT doc_id, ANY_VALUE(rate) AS rate, i // {_VAD_FRAME} AS f,
+               CAST(SUM(((a * i + b) % 65536 - 32768)
+                        * ((a * i + b) % 65536 - 32768)) AS BIGINT) AS ssq
+        FROM sm GROUP BY doc_id, i // {_VAD_FRAME}
+    ),
+    act AS (
+        SELECT doc_id, rate, f,
+               CASE WHEN {_VAD_DIV} * ssq < {_VAD_RHS} THEN 0 ELSE 1 END AS a
+        FROM fr
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(a) AS BIGINT) AS n_active,
+           CAST(COALESCE(MIN(CASE WHEN a = 1 THEN f END), -1) AS BIGINT)
+               AS first_active,
+           CAST(COALESCE(MAX(CASE WHEN a = 1 THEN f END), -1) AS BIGINT)
+               AS last_active,
+           CAST(SUM(a) * {_VAD_FRAME} * 1000 // ANY_VALUE(rate) AS BIGINT)
+               AS active_ms,
+           ROUND(CAST(SUM(a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS active_ratio
+    FROM act GROUP BY doc_id
+    """
+
+
+@query("x5_silence_gate", _SILENCE_ORACLE)
+def x5_silence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r10): SILENCE GATING / VAD-STYLE TRIM — the first pass of
+    every audio-curation pipeline: frame the PCM stream (256-sample
+    frames, full frames only), gate each frame on energy, and report the
+    active-frame census plus the trim offsets (first/last active frame,
+    −1 when the whole asset is silence) and the retained duration. What
+    a speech-data pipeline runs before transcription to drop dead air —
+    the audio twin of the X-4 quality gates.
+
+    Like its siblings the decode is REAL: genuine RIFF/PCM bytes are
+    encoded on the executors and the features computed from the parsed
+    byte stream; the oracle predicts every value CLOSED-FORM from the
+    integer sawtooth, so a gate that misframes, misreads sample width,
+    or is off-by-one on the frame boundary hash-mismatches. The
+    silence test is ALL-INTEGER (48·Σs² < 256·65536², exact BIGINT — no
+    float enters until the terminal ratio), so there is no
+    aggregation-order ambiguity anywhere.
+
+    Production swap: the same mapInPandas signature over
+    soundfile/webrtcvad. Scale shape: one fused Arrow pass, blobs never
+    shuffle, output is 7 scalars per asset."""
+    import numpy as np
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pdf["mime"] == "audio/wav"]
+            rows = []
+            for doc_id, bts in zip(out["doc_id"], out["bytes"]):
+                d = hashlib.sha256(bts).digest()
+                n = 500 + (d[0] * 256 + d[1]) % 2000
+                rate = 8000 + 1000 * (d[2] % 5)
+                payload = encode_wav(n, rate, 1 + d[3], d[4] * 256 + d[5])
+                (data_len,) = struct.unpack_from("<I", payload, 40)
+                s = np.frombuffer(
+                    payload, dtype="<i2", count=data_len // 2, offset=44
+                ).astype(np.int64)
+                nf = len(s) // _VAD_FRAME
+                fr = s[: nf * _VAD_FRAME].reshape(nf, _VAD_FRAME)
+                ssq = (fr * fr).sum(axis=1)
+                active = _VAD_DIV * ssq >= _VAD_RHS
+                idx = np.nonzero(active)[0]
+                n_act = int(active.sum())
+                rows.append(
+                    (
+                        doc_id,
+                        nf,
+                        n_act,
+                        int(idx[0]) if len(idx) else -1,
+                        int(idx[-1]) if len(idx) else -1,
+                        n_act * _VAD_FRAME * 1000 // rate,
+                        math.floor(n_act / nf * 1e6 + 0.5) / 1e6,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_active", "first_active",
+                    "last_active", "active_ms", "active_ratio",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_frames long, n_active long, first_active long, "
+        "last_active long, active_ms long, active_ratio double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-5 (r10): luma histogram + contrast over the real BMP pixel stream
+# ---------------------------------------------------------------------------
+
+#: luma proxy t = R+G+B ∈ 0..765; 4 exposure bins of width 192
+#: (t//192 ∈ {0,1,2,3} exactly — 4·192 = 768 ≥ 766)
+_LUMA_BIN = 192
+
+_HISTOGRAM_ORACLE = f"""
+    WITH {_MEDIA_CTE},
+    img AS (
+        SELECT doc_id,
+               {_BMP_W} AS w, {_BMP_H} AS h,
+               {_BMP_S0} AS s0, {_BMP_S1} AS s1, {_BMP_S2} AS s2
+        FROM m WHERE mime = 'image/png'
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               ((7 * (i % w) + 13 * (i // w) + s0) % 256
+                + (3 * (i % w) + 5 * (i // w) + s1) % 256
+                + (11 * (i % w) + 17 * (i // w) + s2) % 256) AS t
+        FROM (SELECT doc_id, w, h, s0, s1, s2, unnest(range(w * h)) AS i
+              FROM img)
+    ),
+    ag AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS s1,
+               CAST(SUM(t * t) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN t // {_LUMA_BIN} = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN t // {_LUMA_BIN} = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN t // {_LUMA_BIN} = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN t // {_LUMA_BIN} = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b3
+        FROM px GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_px, b0, b1, b2, b3,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 3.0, 6)
+               AS mean_luma,
+           ROUND(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 3.0, 6) AS std_luma
+    FROM ag
+    """
+
+
+@query("x5_image_histogram", _HISTOGRAM_ORACLE)
+def x5_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r10): LUMA HISTOGRAM + CONTRAST — the exposure audit an
+    image-curation pipeline gates on (all-dark / blown-out / flat
+    detection) before spending GPU decode on an asset: per image, a
+    4-bin histogram over the luma proxy t = R+G+B, its mean, and its
+    population std (contrast). Joins against ``x5_aspect_bucket_pack``
+    and the pHash family as a quality feature.
+
+    The pixels are parsed from REAL encoded BMP bytes on the executors
+    (padded bottom-up BGR rows — same contract as
+    ``x5_media_decode_real``); the oracle predicts the histogram
+    CLOSED-FORM from the pixel formula. Bin membership, counts, and
+    both moment sums are EXACT BIGINT (t ≤ 765, so n·Σt² ≪ 2⁶³ at any
+    plausible image size); mean and std are terminal mirrored double
+    expressions (÷3 to land in the familiar 0..255 luma range),
+    rounded 6dp.
+
+    Scale shape: one fused Arrow pass (encode + parse + histogram per
+    batch), blobs never shuffle, output is 8 scalars per asset."""
+    import numpy as np
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pdf["mime"] == "image/png"]
+            rows = []
+            for doc_id, bts in zip(out["doc_id"], out["bytes"]):
+                d = hashlib.sha256(bts).digest()
+                w, h = 4 + d[0] % 29, 4 + d[1] % 29
+                payload = encode_bmp(w, h, (d[3], d[4], d[5]))
+                row_len = (3 * w + 3) & ~3
+                rowsb = np.frombuffer(payload, dtype=np.uint8, offset=54)
+                rowsb = rowsb.reshape(h, row_len)[::-1, : 3 * w]
+                bgr = rowsb.reshape(h, w, 3).astype(np.int64)
+                t = bgr.sum(axis=2)
+                n = w * h
+                s1 = int(t.sum())
+                s2 = int((t * t).sum())
+                bins = np.bincount((t // _LUMA_BIN).ravel(), minlength=4)
+                rows.append(
+                    (
+                        doc_id, n, int(bins[0]), int(bins[1]), int(bins[2]),
+                        int(bins[3]),
+                        math.floor(s1 / n / 3.0 * 1e6 + 0.5) / 1e6,
+                        math.floor(
+                            math.sqrt(n * s2 - s1 * s1) / n / 3.0 * 1e6 + 0.5
+                        ) / 1e6,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_px", "b0", "b1", "b2", "b3",
+                    "mean_luma", "std_luma",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_px long, b0 long, b1 long, b2 long, b3 long, "
+        "mean_luma double, std_luma double",
+    )

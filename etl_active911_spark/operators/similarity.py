@@ -1074,11 +1074,14 @@ _PURITY_ORACLE = f"""
         FROM cl
     ),
     ent AS (
+        -- per-term micro-nats m = round(ln(p)·1e6) as EXACT BIGINT, so the
+        -- weighted sum Σ c·m is integer (order-free); one terminal division
         SELECT cl.cell,
-               ROUND(-SUM((CAST(cl.c AS DOUBLE) / t.n)
-                          * ROUND(ln(CAST(cl.c AS DOUBLE) / t.n), 6)), 6)
-                   AS label_entropy
-        FROM cl JOIN tot t ON t.cell = cl.cell GROUP BY cl.cell
+               ROUND(CAST(-SUM(cl.c * CAST(ROUND(
+                          ln(CAST(cl.c AS DOUBLE) / t.n) * 1000000.0, 0)
+                          AS BIGINT)) AS DOUBLE)
+                     / CAST(t.n AS DOUBLE) / 1000000.0, 6) AS label_entropy
+        FROM cl JOIN tot t ON t.cell = cl.cell GROUP BY cl.cell, t.n
     )
     SELECT t.cell,
            CAST(t.n AS BIGINT) AS n_vectors,
@@ -1104,9 +1107,12 @@ def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically coherent enough for label-filtered search to prune by
     cell.
 
-    Determinism: majority tie-breaks on the smaller label; entropy
-    rounds each ln term to 6dp before the weighted sum (the zipf-fit
-    libm discipline) and the final value to 6dp.
+    Determinism: majority tie-breaks on the smaller label; entropy terms
+    quantize to EXACT BIGINT micro-nats (m = round(ln p · 10⁶)) so the
+    weighted sum Σ c·m is integer and aggregation-ORDER-FREE — the float
+    Σ p·round₆(ln p) form sat on a 6dp rounding knife edge that flipped
+    with Spark's partial-agg order (observed r10); one terminal mirrored
+    division, rounded 6dp.
 
     Scale shape: assignment = one scan × bounded 16-row centroid BNLJ
     (argmax rides WindowGroupLimit); the label join is vec_id-keyed;
@@ -1132,10 +1138,22 @@ def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("rn") == 1)
     p = F.col("c").cast("double") / F.col("n")
+    # per-term micro-nats (exact BIGINT) so the weighted entropy sum is
+    # integer and ORDER-FREE — the float Σ p·round6(ln p) form flaked a
+    # 6dp knife edge when Spark's partial-agg order shifted (r10)
+    m = F.round(F.log(p) * 1000000.0, 0).cast("long")
     ent = (
         cl.join(tot, "cell")
-        .groupBy("cell")
-        .agg(F.round(-F.sum(p * F.round(F.log(p), 6)), 6).alias("label_entropy"))
+        .groupBy("cell", "n")
+        .agg(
+            F.round(
+                (-F.sum(F.col("c") * m)).cast("double")
+                / F.col("n").cast("double")
+                / 1000000.0,
+                6,
+            ).alias("label_entropy")
+        )
+        .select("cell", "label_entropy")
     )
     return (
         tot.join(rk.select("cell", "label", "c"), "cell")

@@ -1972,12 +1972,17 @@ _PERM_ENTROPY_ORACLE = f"""
     SELECT t.user_id,
            t.n AS n_triples,
            CAST(COUNT(*) AS BIGINT) AS n_patterns,
-           ROUND(-SUM((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-                      * ROUND(ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)),
-                              6)), 6) AS perm_entropy,
-           ROUND(-SUM((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-                      * ROUND(ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)),
-                              6)) / {_LN6}, 6) AS pe_normalized
+           -- exact-integer micro-nat terms: the weighted sum is BIGINT,
+           -- so entropy is aggregation-order-free (r10 discipline)
+           ROUND(CAST(-SUM(c.c * CAST(ROUND(
+                     ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / CAST(t.n AS DOUBLE) / 1000000.0, 6) AS perm_entropy,
+           ROUND(CAST(-SUM(c.c * CAST(ROUND(
+                     ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / CAST(t.n AS DOUBLE) / 1000000.0 / {_LN6}, 6)
+               AS pe_normalized
     FROM cnt c JOIN tot t USING (user_id)
     GROUP BY t.user_id, t.n
     """
@@ -1998,10 +2003,12 @@ def x6_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison; rank ties break by temporal index (the Bandt-Pompe
     convention: on equal values the EARLIER sample ranks lower), so the
     pattern id — rank0*9 + rank1*3 + rank2 — is integer-exact in both
-    engines. Entropy follows the zipf/centroid-purity discipline
-    (per-term ROUND(ln, 6) pre-sum, terminal ROUND 6); normalization
-    divides by a shared ln(6) DOUBLE LITERAL rather than each engine's
-    own libm ln.
+    engines. Entropy terms quantize to EXACT BIGINT micro-nats
+    (m = round(ln p · 10⁶)) so the weighted sum Σ c·m is integer and
+    aggregation-ORDER-FREE (the float Σ p·round₆(ln p) form can sit on a
+    6dp knife edge that flips with partial-agg order — observed on
+    x3_centroid_purity, r10); normalization divides by a shared ln(6)
+    DOUBLE LITERAL rather than each engine's own libm ln.
 
     Scale shape: ONE exchange total — the user_id-keyed lag window's;
     the (user_id, pattern) count, the per-user total, and the final
@@ -2037,11 +2044,14 @@ def x6_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.sum("c").over(Window.partitionBy("user_id")).cast("bigint")
     withn = cnt.select("user_id", "c", n.alias("n"))
     p = F.col("c").cast("double") / F.col("n").cast("double")
-    term = p * F.round(F.log(p), 6)
+    # exact-integer micro-nat terms → order-free BIGINT sum (r10 discipline)
+    m = F.round(F.log(p) * 1000000.0, 0).cast("long")
+    esum = (-F.sum(F.col("c") * m)).cast("double")
+    ent = esum / F.col("n").cast("double") / 1000000.0
     return withn.groupBy("user_id", "n").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
-        F.round(-F.sum(term), 6).alias("perm_entropy"),
-        F.round(-F.sum(term) / F.lit(float(_LN6)), 6).alias("pe_normalized"),
+        F.round(ent, 6).alias("perm_entropy"),
+        F.round(ent / F.lit(float(_LN6)), 6).alias("pe_normalized"),
     ).select(
         "user_id",
         F.col("n").alias("n_triples"),
