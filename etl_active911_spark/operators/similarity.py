@@ -1075,12 +1075,14 @@ _PURITY_ORACLE = f"""
     ),
     ent AS (
         -- per-term micro-nats m = round(ln(p)·1e6) as EXACT BIGINT, so the
-        -- weighted sum Σ c·m is integer (order-free); one terminal division
+        -- weighted sum Σ c·m is integer (order-free); the mean is integer
+        -- HALF-UP division in micro-units — a terminal ROUND of the double
+        -- quotient ties at digit 7 whenever n divides the sum ...5-exactly
         SELECT cl.cell,
-               ROUND(CAST(-SUM(cl.c * CAST(ROUND(
-                          ln(CAST(cl.c AS DOUBLE) / t.n) * 1000000.0, 0)
-                          AS BIGINT)) AS DOUBLE)
-                     / CAST(t.n AS DOUBLE) / 1000000.0, 6) AS label_entropy
+               CAST((2 * -SUM(cl.c * CAST(ROUND(
+                        ln(CAST(cl.c AS DOUBLE) / t.n) * 1000000.0, 0)
+                        AS BIGINT)) + t.n) // (2 * t.n) AS DOUBLE)
+               / 1000000.0 AS label_entropy
         FROM cl JOIN tot t ON t.cell = cl.cell GROUP BY cl.cell, t.n
     )
     SELECT t.cell,
@@ -1145,15 +1147,15 @@ def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = (
         cl.join(tot, "cell")
         .groupBy("cell", "n")
-        .agg(
-            F.round(
-                (-F.sum(F.col("c") * m)).cast("double")
-                / F.col("n").cast("double")
-                / 1000000.0,
-                6,
-            ).alias("label_entropy")
+        .agg((-F.sum(F.col("c") * m)).cast("long").alias("e_micro"))
+        # integer HALF-UP mean in micro-nats: no terminal ROUND-of-double
+        # (ties at digit 7 when n divides e_micro ...5-exactly)
+        .select(
+            "cell",
+            (
+                F.expr("(2 * e_micro + n) div (2 * n)").cast("double") / 1000000.0
+            ).alias("label_entropy"),
         )
-        .select("cell", "label_entropy")
     )
     return (
         tot.join(rk.select("cell", "label", "c"), "cell")

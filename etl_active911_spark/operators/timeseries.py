@@ -1973,15 +1973,17 @@ _PERM_ENTROPY_ORACLE = f"""
            t.n AS n_triples,
            CAST(COUNT(*) AS BIGINT) AS n_patterns,
            -- exact-integer micro-nat terms: the weighted sum is BIGINT,
-           -- so entropy is aggregation-order-free (r10 discipline)
-           ROUND(CAST(-SUM(c.c * CAST(ROUND(
-                     ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-                     * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-                 / CAST(t.n AS DOUBLE) / 1000000.0, 6) AS perm_entropy,
-           ROUND(CAST(-SUM(c.c * CAST(ROUND(
-                     ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-                     * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-                 / CAST(t.n AS DOUBLE) / 1000000.0 / {_LN6}, 6)
+           -- so entropy is aggregation-order-free; the mean is integer
+           -- HALF-UP division in micro-units (no terminal ROUND-of-double
+           -- decimal-tie exposure) — r10 discipline
+           CAST((2 * -SUM(c.c * CAST(ROUND(
+                    ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT)) + t.n) // (2 * t.n)
+                AS DOUBLE) / 1000000.0 AS perm_entropy,
+           ROUND(CAST((2 * -SUM(c.c * CAST(ROUND(
+                    ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT)) + t.n) // (2 * t.n)
+                AS DOUBLE) / 1000000.0 / {_LN6}, 6)
                AS pe_normalized
     FROM cnt c JOIN tot t USING (user_id)
     GROUP BY t.user_id, t.n
@@ -2044,14 +2046,25 @@ def x6_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.sum("c").over(Window.partitionBy("user_id")).cast("bigint")
     withn = cnt.select("user_id", "c", n.alias("n"))
     p = F.col("c").cast("double") / F.col("n").cast("double")
-    # exact-integer micro-nat terms → order-free BIGINT sum (r10 discipline)
+    # exact-integer micro-nat terms → order-free BIGINT sum, integer
+    # HALF-UP micro-mean (no terminal ROUND-of-double) — r10 discipline
     m = F.round(F.log(p) * 1000000.0, 0).cast("long")
-    esum = (-F.sum(F.col("c") * m)).cast("double")
-    ent = esum / F.col("n").cast("double") / 1000000.0
     return withn.groupBy("user_id", "n").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
-        F.round(ent, 6).alias("perm_entropy"),
-        F.round(ent / F.lit(float(_LN6)), 6).alias("pe_normalized"),
+        (-F.sum(F.col("c") * m)).cast("long").alias("e_micro"),
+    ).select(
+        "user_id",
+        "n",
+        "n_patterns",
+        (F.expr("(2 * e_micro + n) div (2 * n)").cast("double") / 1000000.0).alias(
+            "perm_entropy"
+        ),
+        F.round(
+            F.expr("(2 * e_micro + n) div (2 * n)").cast("double")
+            / 1000000.0
+            / F.lit(float(_LN6)),
+            6,
+        ).alias("pe_normalized"),
     ).select(
         "user_id",
         F.col("n").alias("n_triples"),
@@ -2342,4 +2355,206 @@ def x6_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "xcorr"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+#: R/S block sizes — powers of two so the log-log regression abscissas
+#: are exact multiples of ln 2 and the 3-point least-squares slope
+#: collapses to (y_last − y_first) / (2·ln 2)
+_HURST_SIZES = (8, 16, 32)
+_LN2 = "0.6931471805599453"
+
+_HURST_BLOCKS_SQL = f"""
+    base AS (
+        SELECT user_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS idx,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    sized AS (
+        SELECT user_id, sv, idx, m,
+               idx // m AS blk,
+               CAST(SUM(sv) OVER wb AS BIGINT) AS cum
+        FROM base, (SELECT unnest([{', '.join(str(m) for m in _HURST_SIZES)}]) AS m)
+        WHERE idx < (n // m) * m
+        WINDOW wb AS (PARTITION BY user_id, m, idx // m
+                      ORDER BY idx ROWS UNBOUNDED PRECEDING)
+    ),
+    blocks AS (
+        SELECT user_id, m, blk,
+               CAST(MAX(m * cum - (idx % m + 1) * bs1) AS BIGINT) AS mx,
+               CAST(MIN(m * cum - (idx % m + 1) * bs1) AS BIGINT) AS mn,
+               ANY_VALUE(bs1) AS s1, ANY_VALUE(bs2) AS s2
+        FROM (
+            SELECT user_id, m, blk, idx, cum,
+                   CAST(SUM(sv) OVER wf AS BIGINT) AS bs1,
+                   CAST(SUM(sv * sv) OVER wf AS BIGINT) AS bs2
+            FROM sized
+            WINDOW wf AS (PARTITION BY user_id, m, blk)
+        ) GROUP BY user_id, m, blk
+    ),
+    rs AS (
+        SELECT user_id, m,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(CAST(ROUND(CAST(mx - mn AS DOUBLE)
+                                   / sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE))
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_micro
+        FROM blocks WHERE m * s2 - s1 * s1 > 0
+        GROUP BY user_id, m
+    ),
+    ys AS (
+        -- mean_rs for the ln/H path: plain double division (deterministic,
+        -- consumed only by irrational ln so no decimal-tie exposure);
+        -- mean_micro for DISPLAY: integer HALF-UP mean in micro-units —
+        -- ROUND(sum/nb/1e6, 6) ties exactly at digit 7 when nb is a power
+        -- of two (observed: 4.0361565 rounded differently per engine)
+        SELECT user_id, m,
+               CAST(sum_micro AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0
+                   AS mean_rs,
+               (2 * sum_micro + nb) // (2 * nb) AS mean_micro
+        FROM rs
+    )
+"""
+
+_HURST_ORACLE = f"""
+    WITH {_HURST_BLOCKS_SQL}
+    SELECT user_id,
+           ROUND((ROUND(ln(MAX(CASE WHEN m = {_HURST_SIZES[-1]}
+                                    THEN mean_rs END)), 6)
+                  - ROUND(ln(MAX(CASE WHEN m = {_HURST_SIZES[0]}
+                                      THEN mean_rs END)), 6))
+                 / (2.0 * {_LN2}), 6) AS hurst,
+           {', '.join(
+               f"CAST(MAX(CASE WHEN m = {m} THEN mean_micro END) AS DOUBLE)"
+               f" / 1000000.0 AS rs{m}"
+               for m in _HURST_SIZES)}
+    FROM ys
+    GROUP BY user_id
+    HAVING COUNT(*) = {len(_HURST_SIZES)}
+    """
+
+
+@query("x6_hurst", _HURST_ORACLE)
+def x6_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): HURST EXPONENT by rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) — per series, mean R/S over full blocks of
+    8/16/32 samples and the log-log slope H: the long-memory scalar
+    (H ≈ 0.5 random walk increments, > 0.5 persistent/trending, < 0.5
+    anti-persistent/mean-reverting). Completes the X-6 complexity panel:
+    burstiness (timing), permutation entropy (ordinal), SAX (shape),
+    Hurst (MEMORY).
+
+    Determinism: values quantize to the family's 3dp fixed point; within
+    a block of size m the cumulative deviation SCALED BY m is EXACT
+    BIGINT (m·cum_k − (k+1)·S1 — no division until the end), and since
+    Z_m = 0 exactly, R = max − min needs no zero-anchoring case; the
+    per-block R/S = (m-scaled R)/√(m·S2 − S1²) is one double, then
+    quantized to BIGINT micro-units so the per-size block MEAN is an
+    integer sum (aggregation-ORDER-FREE — the r10 entropy discipline).
+    Block sizes are powers of two, so the 3-point log-log least squares
+    collapses to (y₃₂ − y₈)/(2·ln 2) with shared literals; ln values
+    round 6dp pre-difference. Zero-variance blocks are excluded by
+    contract.
+
+    Scale shape: ONE exchange (the user order window); the ×3 size
+    replicate, the per-(user,size,block) windows, and every roll-up
+    reuse hash(user_id) partitioning; per-task state is one block
+    (≤ 32 rows) per window frame."""
+    ev = read_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    base = ev.select(
+        "user_id",
+        sv.alias("sv"),
+        (F.row_number().over(wo) - 1).alias("idx"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    sizes = F.explode(F.array(*[F.lit(m) for m in _HURST_SIZES])).alias("m")
+    sized = (
+        base.select("user_id", "sv", "idx", "n", sizes)
+        .filter(F.col("idx") < (F.col("n") / F.col("m")).cast("long") * F.col("m"))
+        .select(
+            "user_id",
+            "sv",
+            "idx",
+            "m",
+            (F.col("idx") / F.col("m")).cast("long").alias("blk"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id", "m", "blk")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("user_id", "m", "blk")
+    enriched = sized.select(
+        "user_id",
+        "m",
+        "blk",
+        "idx",
+        F.sum("sv").over(wb).cast("long").alias("cum"),
+        F.sum("sv").over(wf).cast("long").alias("bs1"),
+        F.sum(F.col("sv") * F.col("sv")).over(wf).cast("long").alias("bs2"),
+    )
+    z = F.col("m") * F.col("cum") - (F.col("idx") % F.col("m") + 1) * F.col("bs1")
+    blocks = enriched.groupBy("user_id", "m", "blk").agg(
+        F.max(z).cast("long").alias("mx"),
+        F.min(z).cast("long").alias("mn"),
+        F.first("bs1").alias("s1"),
+        F.first("bs2").alias("s2"),
+    )
+    var_num = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    rs_micro = F.round(
+        (F.col("mx") - F.col("mn")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+        * 1000000.0,
+        0,
+    ).cast("long")
+    rs = (
+        blocks.filter(var_num > 0)
+        .groupBy("user_id", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum(rs_micro).cast("bigint").alias("sum_micro"),
+        )
+    )
+    mean_rs = (
+        F.col("sum_micro").cast("double") / F.col("nb").cast("double") / 1000000.0
+    )
+    # integer HALF-UP micro-mean for display (see oracle note: the
+    # terminal ROUND of sum/nb ties at digit 7 for power-of-two nb)
+    mean_micro = F.expr("(2 * sum_micro + nb) div (2 * nb)")
+    ys = rs.select(
+        "user_id", "m", mean_rs.alias("mean_rs"), mean_micro.alias("mean_micro")
+    )
+    ln2 = float(_LN2)
+
+    def at(m: int, col: str = "mean_rs") -> Column:
+        return F.max(F.when(F.col("m") == m, F.col(col)))
+
+    return (
+        ys.groupBy("user_id")
+        .agg(
+            F.round(
+                (F.round(F.log(at(_HURST_SIZES[-1])), 6)
+                 - F.round(F.log(at(_HURST_SIZES[0])), 6))
+                / (2.0 * ln2),
+                6,
+            ).alias("hurst"),
+            *[
+                (at(m, "mean_micro").cast("double") / 1000000.0).alias(f"rs{m}")
+                for m in _HURST_SIZES
+            ],
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .filter(F.col("__k") == len(_HURST_SIZES))
+        .drop("__k")
     )
