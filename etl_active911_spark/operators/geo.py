@@ -1217,3 +1217,128 @@ def x7_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(k_raw / F.lit(float(_RIPLEY_PI))) - F.col("r_km"), 6
         ).alias("l_minus_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r10): DBSCAN point classification (Ester et al., KDD 1996)
+# ---------------------------------------------------------------------------
+
+#: DBSCAN minPts at the family's 20 m pair radius: |N_eps(p)| >= 4
+#: including p itself, i.e. neighbor degree >= 3
+DBSCAN_MINPTS = 4
+
+_DBSCAN_ORACLE = f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    pts AS (
+        SELECT id FROM resolved
+        WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
+    ),
+    pr AS MATERIALIZED (
+        -- MATERIALIZED: referenced 3x below; DuckDB would otherwise
+        -- inline (= re-run) the brute-force n^2 pair join per reference
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM resolved a JOIN resolved b ON a.id < b.id
+        WHERE a.lat_d IS NOT NULL AND a.lon_d IS NOT NULL
+          AND b.lat_d IS NOT NULL AND b.lon_d IS NOT NULL
+          AND ROUND({_haversine_sql('a.lat_d', 'a.lon_d', 'b.lat_d', 'b.lon_d')}, 3)
+              <= {PAIR_RADIUS_KM}
+    ),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT id_a AS id FROM pr UNION ALL SELECT id_b AS id FROM pr)
+        GROUP BY id
+    ),
+    pd AS (
+        SELECT p.id, COALESCE(deg.d, 0) AS d
+        FROM pts p LEFT JOIN deg USING (id)
+    ),
+    core AS (SELECT id FROM pd WHERE d >= {DBSCAN_MINPTS - 1}),
+    border AS (
+        SELECT DISTINCT x.id
+        FROM (SELECT id_a AS id, id_b AS nb FROM pr
+              UNION ALL SELECT id_b AS id, id_a AS nb FROM pr) x
+        JOIN core c ON c.id = x.nb
+        WHERE x.id NOT IN (SELECT id FROM core)
+    ),
+    cls AS (
+        SELECT pd.id, pd.d,
+               CASE WHEN pd.d >= {DBSCAN_MINPTS - 1} THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS label
+        FROM pd LEFT JOIN border b USING (id)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(d) AS BIGINT) AS sum_degree,
+           CAST((2 * SUM(d) * 1000000 + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS mean_degree
+    FROM cls GROUP BY label
+    """
+
+
+@query("x7_dbscan_labels", _DBSCAN_ORACLE)
+def x7_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r10): DBSCAN POINT CLASSIFICATION (Ester, Kriegel, Sander &
+    Xu, KDD 1996) at (eps = 20 m, minPts = 4): every resolved alert
+    labeled core (dense — ≥ minPts incidents within eps including
+    itself), border (within eps of a core but not itself dense), or
+    noise — the density CENSUS underneath ``x7_geo_cluster``'s
+    connected components. Clustering says WHICH incidents merge; this
+    says whether each merge is density-supported or a chance adjacency
+    — noise points are exactly the singletons dispatch should NOT fold
+    into a neighbor.
+
+    Determinism: degrees are exact integers off the rounded-3dp
+    haversine pair set; the class CASE is integer threshold + existence
+    of a core neighbor; mean degree is integer HALF-UP micro-division
+    (rule 26 — class counts can be 2^a·5^b-divisible).
+
+    Scale shape: degrees and border flags ride the SAME recall-exact
+    grid-bucketed pair graph as the cluster family (one checkpointed
+    build per session); both-direction degree = one union + keyed count;
+    border = core-keyed semi-join + distinct; the output is 3 rows. The
+    oracle recomputes pairs brute-force — the banded plan must equal it
+    row-for-row."""
+    pts = _grid_points(spark, sf_dir).filter(
+        F.col("lat_d").isNotNull() & F.col("lon_d").isNotNull()
+    )
+    pairs = _colocated_pairs(pts).select("id_a", "id_b").localCheckpoint(eager=True)
+    adj = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb")).unionAll(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    deg = adj.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    pd_ = pts.select("id").join(deg, "id", "left").select(
+        "id", F.coalesce("d", F.lit(0)).cast("bigint").alias("d")
+    )
+    core = pd_.filter(F.col("d") >= DBSCAN_MINPTS - 1).select("id")
+    border = (
+        adj.join(core.withColumnRenamed("id", "nb"), "nb")
+        .select("id")
+        .join(core, "id", "left_anti")
+        .distinct()
+        .withColumn("is_border", F.lit(1))
+    )
+    cls = (
+        pd_.join(border, "id", "left")
+        .select(
+            "d",
+            F.when(F.col("d") >= DBSCAN_MINPTS - 1, "core")
+            .when(F.col("is_border").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("label"),
+        )
+    )
+    return cls.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("d").cast("bigint").alias("sum_degree"),
+    ).select(
+        "label",
+        "n_points",
+        "sum_degree",
+        (
+            F.expr(
+                "(2 * sum_degree * 1000000 + n_points) div (2 * n_points)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_degree"),
+    )
