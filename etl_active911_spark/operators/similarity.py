@@ -2905,3 +2905,170 @@ def x3_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hubs").alias("n_hubs"),
         F.round(d3 / (d2 * F.sqrt(d2)), 6).alias("k_skewness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r10): multi-probe LSH (Lv, Josephson, Wang, Charikar & Li, VLDB'07)
+# ---------------------------------------------------------------------------
+
+def _ann_probe_exprs_sql() -> list[str]:
+    """Query-side probe keys: each band's own bucket PLUS every
+    Hamming-distance-1 perturbation (exhaustive T=1 multi-probe)."""
+    out = []
+    for band in range(ANN_N_BANDS):
+        for flip in range(-1, ANN_PLANES_PER_BAND):
+            bits = " || ".join(
+                (
+                    f"CASE WHEN p{band * ANN_PLANES_PER_BAND + j} > 0 "
+                    f"THEN '0' ELSE '1' END"
+                    if j == flip
+                    else f"CASE WHEN p{band * ANN_PLANES_PER_BAND + j} > 0 "
+                         f"THEN '1' ELSE '0' END"
+                )
+                for j in range(ANN_PLANES_PER_BAND)
+            )
+            out.append(f"'{band}:' || {bits}")
+    return out
+
+
+_ANN_MULTIPROBE_ORACLE = f"""
+    WITH planes(d, {", ".join(f"s{p}" for p in range(ANN_N_PLANES))}) AS (
+        VALUES {_ANN_PLANES_VALUES}
+    ),
+    dims AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range({EMB_DIM})) AS d
+        FROM embeddings
+    ),
+    projs AS (
+        SELECT vec_id,
+               {", ".join(f"SUM(v * s{p}) AS p{p}" for p in range(ANN_N_PLANES))}
+        FROM dims JOIN planes USING (d) GROUP BY vec_id
+    ),
+    bands AS (
+        SELECT vec_id, UNNEST([{", ".join(_ann_band_exprs_sql())}]) AS band_key
+        FROM projs
+    ),
+    qb AS (
+        SELECT vec_id AS query_id,
+               UNNEST([{", ".join(_ann_probe_exprs_sql())}]) AS band_key
+        FROM projs WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT b.query_id, a.vec_id
+        FROM bands a JOIN qb b
+          ON a.band_key = b.band_key AND a.vec_id <> b.query_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query("x3_ann_lsh_multiprobe", _ANN_MULTIPROBE_ORACLE)
+def x3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r10): MULTI-PROBE LSH (Lv et al., VLDB 2007) — the classic
+    recall-vs-memory trade: instead of adding hash tables, each query
+    ALSO probes every bucket at Hamming distance 1 within each band
+    (exhaustive T=1 probe set: 8 bands × (1 + 4 flips) = 40 keys/query).
+    The corpus side is UNCHANGED — same 8 keys/vector, same index
+    memory — only the query fan-out grows, which is the regime that
+    matters when the index is big and queries are cheap. Candidate sets
+    strictly contain ``x3_ann_lsh``'s (the unperturbed keys are probed
+    too), so recall can only improve; rank-for-rank dominance is pinned
+    in tests/test_ann_multiprobe.py.
+
+    Determinism: identical projection pipeline and literal plane matrix
+    as ``x3_ann_lsh`` (the whole approximate pipeline is hash-checked,
+    not recall-tested); re-rank on ROUND(cos, 6) DESC, vec_id.
+
+    Scale shape: probe keys are still an EQUI-join on ~17-byte strings —
+    5× the query-side shuffle rows of single-probe, corpus side and
+    index unchanged; candidates remain actual bucket collisions, never
+    a nested loop."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    planes = spark.createDataFrame(
+        [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
+        "d int, " + ", ".join(f"s{p} int" for p in range(ANN_N_PLANES)),
+    )
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    projs = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.col("v").cast("double") * F.col(f"s{p}")).alias(f"p{p}")
+                for p in range(ANN_N_PLANES)
+            ]
+        )
+    )
+
+    def bit(band: int, j: int, inverted: bool) -> Column:
+        c = F.col(f"p{band * ANN_PLANES_PER_BAND + j}") > 0
+        if inverted:
+            return F.when(c, "0").otherwise("1")
+        return F.when(c, "1").otherwise("0")
+
+    band_cols = [
+        F.concat(
+            F.lit(f"{band}:"),
+            *[bit(band, j, False) for j in range(ANN_PLANES_PER_BAND)],
+        )
+        for band in range(ANN_N_BANDS)
+    ]
+    probe_cols = [
+        F.concat(
+            F.lit(f"{band}:"),
+            *[bit(band, j, j == flip) for j in range(ANN_PLANES_PER_BAND)],
+        )
+        for band in range(ANN_N_BANDS)
+        for flip in range(-1, ANN_PLANES_PER_BAND)
+    ]
+    sig = projs.select("vec_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    q_sig = (
+        projs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*probe_cols)).alias("band_key"),
+        )
+    )
+    cand = (
+        sig.join(q_sig, "band_key")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    return partial_topk(scored, TOP_K)

@@ -2558,3 +2558,136 @@ def x6_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__k") == len(_HURST_SIZES))
         .drop("__k")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): Mann-Kendall trend test (Mann 1945; Kendall 1975)
+# ---------------------------------------------------------------------------
+
+#: two-sided 5% critical value of the standard normal, shared literal
+_MK_CRIT = "1.959964"
+
+_MK_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS idx
+        FROM events
+    ),
+    s AS (
+        SELECT a.user_id,
+               CAST(SUM(CASE WHEN b.sv > a.sv THEN 1
+                             WHEN b.sv < a.sv THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM base a JOIN base b
+          ON b.user_id = a.user_id AND b.idx > a.idx
+        GROUP BY a.user_id
+    ),
+    ties AS (
+        SELECT user_id,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+               CAST(SUM(t) AS BIGINT) AS n
+        FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS t
+              FROM base GROUP BY user_id, sv)
+        GROUP BY user_id
+    ),
+    z AS (
+        SELECT s.user_id, s.s, t.n,
+               ROUND(CASE
+                   WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+                       / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5)
+                                   - t.tie_term AS DOUBLE) / 18.0)
+                   WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+                       / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5)
+                                   - t.tie_term AS DOUBLE) / 18.0)
+                   ELSE 0.0 END, 6) AS z
+        FROM s JOIN ties t USING (user_id)
+    )
+    SELECT user_id, s, n, z,
+           CASE WHEN z >= {_MK_CRIT} THEN 'increasing'
+                WHEN z <= -{_MK_CRIT} THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM z
+    """
+
+
+@query("x6_mann_kendall", _MK_ORACLE)
+def x6_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): MANN-KENDALL TREND TEST (Mann 1945; Kendall 1975) —
+    the standard NON-PARAMETRIC monotone-trend detector per series:
+    S = Σᵢ<ⱼ sign(xⱼ − xᵢ), the tie-corrected variance
+    [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the continuity-corrected
+    Z with a two-sided 5% verdict. Complements ``x6_ts_decompose``'s
+    fitted trend COMPONENT with a significance TEST that needs no
+    distributional assumption — the hydrology/climatology workhorse,
+    and what a data-ops dashboard wants before alerting "this metric is
+    drifting".
+
+    Determinism: S, n, and the tie term are EXACT BIGINT off the 3dp
+    fixed point (ties are real after quantization — the correction is
+    exercised, not decorative); Z is one mirrored double expression
+    (√ makes it decimal-tie-free, rule 26) rounded 6dp; the verdict
+    thresholds compare the ROUNDED Z against a shared literal.
+
+    Scale shape: the pairwise S is a user-keyed equi self-join
+    (bounded per-series — series length is the dial, and the shuffle
+    reuses the order-window's hash(user_id) exchange on both sides);
+    tie groups are one (user, value) count; everything downstream is
+    one row per series."""
+    ev = read_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    base = ev.select(
+        "user_id", sv.alias("sv"), F.row_number().over(wo).alias("idx")
+    )
+    a = base.select("user_id", F.col("sv").alias("sv_a"), F.col("idx").alias("idx_a"))
+    b = base.select("user_id", F.col("sv").alias("sv_b"), F.col("idx").alias("idx_b"))
+    s = (
+        a.join(b, "user_id")
+        .filter(F.col("idx_b") > F.col("idx_a"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("sv_b") > F.col("sv_a"), 1)
+                .when(F.col("sv_b") < F.col("sv_a"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        base.groupBy("user_id", "sv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_term"),
+            F.sum("t").cast("bigint").alias("n"),
+        )
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / 18.0
+    zc = F.round(
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var18))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var18))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    crit = float(_MK_CRIT)
+    return (
+        s.join(ties, "user_id")
+        .select("user_id", "s", "n", zc.alias("z"))
+        .select(
+            "user_id",
+            "s",
+            "n",
+            "z",
+            F.when(F.col("z") >= crit, "increasing")
+            .when(F.col("z") <= -crit, "decreasing")
+            .otherwise("none")
+            .alias("trend"),
+        )
+    )
