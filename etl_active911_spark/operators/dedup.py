@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_active911_spark.io import read_table, spread
-from etl_active911_spark.plans.cache import scoped_persist
+from etl_active911_spark.plans.cache import fixture_memo, scoped_persist
 from etl_active911_spark.plans.registry import query
 
 
@@ -2354,11 +2354,10 @@ def x2_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engages; tests/test_lsh_recall_cap.py pins both the engaged path
     and the fixture headroom. The registered pipeline side reuses the
     memoized pair graph (rule 25)."""
-    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     found = shared_verified_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
-    truth = lsh_truth_pairs(docs)
+    truth = shared_truth_pairs(spark, sf_dir)
     m = truth.join(found, ["doc_a", "doc_b"], "left").select(
         "jac", F.coalesce("hit", F.lit(0)).alias("hit")
     )
@@ -2541,4 +2540,152 @@ def x2_minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum("n_pairs").over(Window.partitionBy()), F.lit(1)),
             6,
         ).alias("pair_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r10): dedup-aggressiveness threshold sweep
+# ---------------------------------------------------------------------------
+
+#: Jaccard thresholds the sweep evaluates — 0.5 (the LSH design point,
+#: also ``lsh_truth_pairs``'s floor) up to 0.9 in 0.1 steps.
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def shared_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ≥0.5 ground-truth pair table (``lsh_truth_pairs``), memoized
+    per (session, sf_dir) — shared by ``x2_lsh_recall_eval`` and
+    ``x2_threshold_sweep`` (rule 25: small cross-query derived table)."""
+    return fixture_memo(
+        "lsh_truth_pairs",
+        spark,
+        sf_dir,
+        lambda: lsh_truth_pairs(spread(read_table(spark, sf_dir, "documents"), "doc_id")),
+    )
+
+
+_SWEEP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                      i -> array_to_string(t[i:i+2], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM toks
+    ),
+    pp AS (
+        SELECT doc_id, g, n_g FROM (
+            SELECT doc_id, g, n_g, COUNT(*) OVER (PARTITION BY g) AS df_g
+            FROM (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh)
+        ) WHERE df_g <= {LSH_TRUTH_DF_CAP}
+    ),
+    tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb,
+               COUNT(*) AS inter
+        FROM pp a JOIN pp b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    truth AS (
+        SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+        FROM tp WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ),
+    ths AS (
+        SELECT CAST(UNNEST([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]) AS DOUBLE)
+               AS threshold
+    ),
+    hit AS (
+        SELECT t.threshold, p.doc_a, p.doc_b
+        FROM ths t JOIN truth p ON p.jac >= t.threshold
+    ),
+    ps AS (
+        SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dropped
+        FROM hit GROUP BY threshold
+    ),
+    aff AS (
+        SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_affected
+        FROM (SELECT threshold, doc_a AS d FROM hit
+              UNION ALL SELECT threshold, doc_b AS d FROM hit)
+        GROUP BY threshold
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.threshold,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(a.n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+           CAST(COALESCE(p.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST((2 * COALESCE(p.n_dropped, 0) * 1000000 + tot.n_docs)
+                // (2 * tot.n_docs) AS DOUBLE) / 1000000.0 AS drop_share
+    FROM ths t
+    LEFT JOIN ps p USING (threshold)
+    LEFT JOIN aff a USING (threshold)
+    CROSS JOIN tot
+    """
+
+
+@query("x2_threshold_sweep", _SWEEP_ORACLE)
+def x2_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r10): DEDUP-AGGRESSIVENESS CURVE — for each Jaccard threshold
+    θ ∈ {0.5..0.9}, how many verified near-dup pairs survive, how many
+    documents are touched, and how many would be DROPPED under the
+    deterministic earliest-doc-wins policy (a doc is dropped iff it pairs
+    ≥θ with a smaller doc_id — the same keep-first rule
+    ``x2_incremental_neardup`` applies online). This is the dial a
+    curation run turns before committing to a threshold: the marginal
+    corpus loss per 0.1 of θ, on real data.
+
+    Exact-decimal discipline: drop_share uses integer HALF-UP division in
+    micro-units (CLAUDE.md rule 26b — n_docs can be 2^a·5^b-divisible).
+
+    SCALE SHAPE: pairs come from the df-capped bucket-and-explode
+    ``lsh_truth_pairs`` (never a posting self-join), memoized across the
+    eval family (rule 25); the sweep itself is a 5-row broadcast theta
+    join over the pair table — O(|pairs|·5), independent of corpus size."""
+    pairs = shared_truth_pairs(spark, sf_dir)
+    ths = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    hit = pairs.join(F.broadcast(ths), F.col("jac") >= F.col("threshold")).select(
+        "threshold", "doc_a", "doc_b"
+    )
+    ps = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_dropped"),
+    )
+    aff = (
+        hit.select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_affected"))
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    filled = (
+        ths.join(ps, "threshold", "left")
+        .join(aff, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0).cast("bigint")).alias(
+                "n_docs_affected"
+            ),
+            F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+            "n_docs",
+        )
+    )
+    return filled.select(
+        "threshold",
+        "n_pairs",
+        "n_docs_affected",
+        "n_dropped",
+        (
+            F.expr(
+                "CAST((2 * n_dropped * 1000000 + n_docs) div (2 * n_docs) AS DOUBLE)"
+            )
+            / 1000000.0
+        ).alias("drop_share"),
     )

@@ -138,6 +138,17 @@ EXTRA_CHECKED = (
     "x6_permutation_entropy",
     "x7_moran_i",
     "n21_attribution",
+    "x6_sax_words",
+    "x6_cross_correlation",
+    "x7_ripley_k",
+    "x3_knn_hubness",
+    "x5_silence_gate",
+    "x5_image_histogram",
+    "x6_hurst",
+    "x7_dbscan_labels",
+    "x6_mann_kendall",
+    "x3_ann_lsh_multiprobe",
+    "x2_threshold_sweep",
 )
 
 BNLJ_ALLOWED.update({
@@ -158,6 +169,10 @@ BNLJ_ALLOWED.update({
     "x3_ann_ivf_add_recall": (3, "16-row seed-centroid broadcast (assignment + probe legs) + bounded 17-row delta-query block with != self-pair condition (x3_ann_recall_eval shape)"),
     "x3_metric_sensitivity": (2, "broadcast N_QUERIES-row query block, != self-pair condition; the scoped_persist'd scored subtree's InMemoryRelation plan text repeats it once per rank-chain consumer — execution is once"),
     "x7_hotspot_cells": (1, "1-row broadcast global cell-moment scalar (mu, sd)"),
+    # r10 continuation wave:
+    "x6_cross_correlation": (1, "5-row broadcast lag grid replicated onto the hourly series (bounded literal side)"),
+    "x7_ripley_k": (2, "3-row broadcast radius grid + 1-row broadcast (N, area) intensity scalar"),
+    "x2_threshold_sweep": (3, "5-row broadcast threshold grid (theta join on jac >= threshold; plan text repeats it in the zero-fill left joins) + 1-row corpus-count scalar"),
 })
 
 
