@@ -1690,8 +1690,12 @@ def x3_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_TAU = 0.45  # within-cell cosine threshold for "semantic duplicate"
 
-_SEMANTIC_DEDUP_ORACLE = f"""
-    WITH n AS (
+#: Shared CTE chain for the SemDeDup pipeline — used verbatim by the
+#: x2_semantic_dedup oracle AND the x2_dedup_method_agreement oracle so a
+#: future τ / quantizer change can never desynchronize them (the
+#: hoist-shared-SQL discipline from ADVICE r09 item 3). Ends at
+#: ``sem_pairs`` = within-cell ordered pairs (a < b) with cosine ≥ τ.
+SEMDEDUP_CTES = f"""n AS (
         SELECT vec_id, embedding::DOUBLE[] AS ee,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings
@@ -1715,10 +1719,16 @@ _SEMANTIC_DEDUP_ORACLE = f"""
     m AS (
         SELECT c.vec_id, c.cell, n.ee, n.nrm FROM cells c JOIN n USING (vec_id)
     ),
-    dups AS (
-        SELECT DISTINCT a.vec_id
+    sem_pairs AS (
+        SELECT b.vec_id AS sem_a, a.vec_id AS sem_b
         FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
         WHERE ROUND(list_dot_product(a.ee, b.ee) / (a.nrm * b.nrm), 6) >= {SEMDEDUP_TAU}
+    )"""
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH {SEMDEDUP_CTES},
+    dups AS (
+        SELECT DISTINCT sem_b AS vec_id FROM sem_pairs
     )
     SELECT m.vec_id, m.cell, d.vec_id IS NULL AS is_kept
     FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
@@ -1745,6 +1755,22 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded cells its oracle can replicate). The assignment subtree is
     scoped-persisted: the self-join's two sides reuse one computation
     instead of re-running the seed crossJoin + window per side."""
+    m = _semdedup_cells(spark, sf_dir)
+    dups = (
+        semantic_dup_pairs(m)
+        .select(F.col("sem_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        m.join(dups, F.col("vec_id") == F.col("dup_id"), "left")
+        .select("vec_id", "cell", F.col("dup_id").isNull().alias("is_kept"))
+    )
+
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cell assignments (vec_id, cell, embedding, nrm), the `m`
+    CTE of ``SEMDEDUP_CTES`` — scoped-persisted because every consumer
+    self-joins it (the two join sides reuse one computation)."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     seeds = (
         emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS))
@@ -1770,14 +1796,20 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
     from etl_active911_spark.plans.cache import scoped_persist
 
-    m = scoped_persist(
+    return scoped_persist(
         "x2_semantic_dedup.m",
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", "embedding", "nrm"),
     )
+
+
+def semantic_dup_pairs(m: DataFrame) -> DataFrame:
+    """Within-cell semantic duplicate pairs (sem_a < sem_b, cosine ≥ τ) —
+    the Spark twin of the ``sem_pairs`` CTE, shared by x2_semantic_dedup
+    and x2_dedup_method_agreement so both always apply the same τ."""
     a, b = m.alias("a"), m.alias("b")
-    dups = (
+    return (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell")) & (F.col("b.vec_id") < F.col("a.vec_id")),
@@ -1790,12 +1822,7 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= SEMDEDUP_TAU
         )
-        .select(F.col("a.vec_id").alias("dup_id"))
-        .distinct()
-    )
-    return (
-        m.join(dups, F.col("vec_id") == F.col("dup_id"), "left")
-        .select("vec_id", "cell", F.col("dup_id").isNull().alias("is_kept"))
+        .select(F.col("b.vec_id").alias("sem_a"), F.col("a.vec_id").alias("sem_b"))
     )
 
 
@@ -3072,3 +3099,93 @@ def x3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return partial_topk(scored, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# X-2/X-3 (r10): lexical-vs-semantic dedup agreement
+# ---------------------------------------------------------------------------
+
+def _agreement_oracle() -> str:
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH {MINHASH_CTES},
+    {SEMDEDUP_CTES},
+    lex AS (SELECT doc_a AS a, doc_b AS b FROM verified WHERE jac >= 0.5),
+    sp AS (SELECT sem_a AS a, sem_b AS b FROM sem_pairs),
+    j AS (
+        SELECT CASE WHEN l.a IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+               CASE WHEN s.a IS NOT NULL THEN 1 ELSE 0 END AS in_sem
+        FROM lex l FULL OUTER JOIN sp s ON l.a = s.a AND l.b = s.b
+    ),
+    c AS (
+        SELECT CAST(COALESCE(SUM(in_lex), 0) AS BIGINT) AS n_lexical,
+               CAST(COALESCE(SUM(in_sem), 0) AS BIGINT) AS n_semantic,
+               CAST(COALESCE(SUM(in_lex * in_sem), 0) AS BIGINT) AS n_both,
+               CAST(COUNT(*) AS BIGINT) AS n_union
+        FROM j
+    )
+    SELECT n_lexical, n_semantic, n_both,
+           n_lexical - n_both AS n_lexical_only,
+           n_semantic - n_both AS n_semantic_only,
+           CASE WHEN n_union = 0 THEN 0.0
+                ELSE CAST((2 * n_both * 1000000 + n_union)
+                          // (2 * n_union) AS DOUBLE) / 1000000.0
+           END AS overlap_jaccard
+    FROM c
+    """
+
+
+@query("x2_dedup_method_agreement", _agreement_oracle())
+def x2_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r10): METHOD-AGREEMENT AUDIT — the confusion matrix between
+    the two duplicate detectors the pipeline runs: LEXICAL (MinHash-LSH
+    verified shingle-Jaccard ≥ 0.5 pairs, ``shared_verified_pairs``) and
+    SEMANTIC (SemDeDup within-cell cosine ≥ τ pairs,
+    ``semantic_dup_pairs``). Reports each set's size, the intersection,
+    each method's exclusive catch, and the pair-set Jaccard overlap —
+    the number that says whether semantic dedup is FINDING NEW MASS
+    (paraphrases the shingle path can't see) or just re-flagging the
+    same near-copies. Document ids and vector ids share the 0..N-1 id
+    space (row-aligned fixture tables — same contract x3_filtered_topk
+    relies on), so pairs compare directly.
+
+    Exact-decimal discipline: overlap_jaccard via integer HALF-UP
+    micro-division (rule 26b). Both legs reuse their family's memo /
+    scoped persist; the agreement itself is one full-outer join of two
+    SMALL pair tables (near-dup pairs ≪ corpus) plus a 1-row aggregate."""
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
+    lex = shared_verified_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(1).alias("in_lex")
+    )
+    sem = semantic_dup_pairs(_semdedup_cells(spark, sf_dir)).select(
+        F.col("sem_a").alias("a"), F.col("sem_b").alias("b"), F.lit(1).alias("in_sem")
+    )
+    j = lex.join(sem, ["a", "b"], "full").select(
+        F.coalesce("in_lex", F.lit(0)).alias("in_lex"),
+        F.coalesce("in_sem", F.lit(0)).alias("in_sem"),
+    )
+    c = j.agg(
+        F.coalesce(F.sum("in_lex"), F.lit(0)).cast("bigint").alias("n_lexical"),
+        F.coalesce(F.sum("in_sem"), F.lit(0)).cast("bigint").alias("n_semantic"),
+        F.coalesce(F.sum(F.col("in_lex") * F.col("in_sem")), F.lit(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+    )
+    return c.select(
+        "n_lexical",
+        "n_semantic",
+        "n_both",
+        (F.col("n_lexical") - F.col("n_both")).alias("n_lexical_only"),
+        (F.col("n_semantic") - F.col("n_both")).alias("n_semantic_only"),
+        F.when(F.col("n_union") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "CAST((2 * n_both * 1000000 + n_union) div (2 * n_union) AS DOUBLE)"
+            )
+            / 1000000.0
+        )
+        .alias("overlap_jaccard"),
+    )

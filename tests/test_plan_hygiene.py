@@ -149,6 +149,7 @@ EXTRA_CHECKED = (
     "x6_mann_kendall",
     "x3_ann_lsh_multiprobe",
     "x2_threshold_sweep",
+    "x2_dedup_method_agreement",
 )
 
 BNLJ_ALLOWED.update({
@@ -172,6 +173,7 @@ BNLJ_ALLOWED.update({
     # r10 continuation wave:
     "x6_cross_correlation": (1, "5-row broadcast lag grid replicated onto the hourly series (bounded literal side)"),
     "x7_ripley_k": (2, "3-row broadcast radius grid + 1-row broadcast (N, area) intensity scalar"),
+    "x2_dedup_method_agreement": (2, "16-row broadcast seed-centroid crossJoin inside the scoped-persisted SemDeDup cell table — InMemoryRelation plan text repeats it once per self-join side, execution is once (x2_semantic_dedup shape)"),
     "x2_threshold_sweep": (3, "5-row broadcast threshold grid (theta join on jac >= threshold; plan text repeats it in the zero-fill left joins) + 1-row corpus-count scalar"),
 })
 
