@@ -1342,3 +1342,220 @@ def x7_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("mean_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r10): Clark-Evans nearest-neighbour index (Clark & Evans 1954)
+# ---------------------------------------------------------------------------
+
+#: NN distances are CENSORED at this cap (metres). 4.0 km is the largest
+#: radius the 9-cell neighbourhood join provably covers at this fixture's
+#: latitudes: a neighbour within d is inside the 3x3 window iff
+#: d <= RIPLEY_GRID_DEG * 111.19 km * cos(lat_max); cos(41 deg) = 0.7547
+#: gives 4.19 km, so every nn_m <= 4000 is the TRUE nearest neighbour.
+#: Points whose true NN lies beyond the cap are reported as censored,
+#: never silently assigned a wrong neighbour.
+CE_CAP_M = 4000
+
+_CE_HAV = _haversine_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+
+_CLARK_EVANS_ORACLE = f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    pts AS (
+        SELECT id, lat_d, lon_d,
+               CAST(FLOOR(lat_d / {RIPLEY_GRID_DEG}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon_d / {RIPLEY_GRID_DEG}) AS BIGINT) AS cx
+        FROM resolved
+        WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
+    ),
+    offy AS (SELECT unnest(range(-1, 2)) AS dy),
+    offx AS (SELECT unnest(range(-1, 2)) AS dx),
+    nn AS (
+        SELECT a.id,
+               MIN(CAST(ROUND(ROUND({_CE_HAV}, 3) * 1000) AS BIGINT)) AS nn_m
+        FROM pts a
+        JOIN offy ON TRUE
+        JOIN offx ON TRUE
+        JOIN pts b ON b.cy = a.cy + dy AND b.cx = a.cx + dx
+                   AND b.id <> a.id
+        GROUP BY a.id
+    ),
+    found AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_with_nn,
+               CAST(COALESCE(SUM(nn_m), 0) AS BIGINT) AS sum_m
+        FROM nn WHERE nn_m <= {CE_CAP_M}
+    ),
+    npts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM pts),
+    bbox AS (
+        SELECT MIN(lat_d) AS mnlat, MAX(lat_d) AS mxlat,
+               MIN(lon_d) AS mnlon, MAX(lon_d) AS mxlon
+        FROM pts
+    ),
+    edges AS (
+        SELECT ROUND({_haversine_sql('mnlat', 'mnlon', 'mxlat', 'mnlon')}, 3)
+                   AS e_ns,
+               ROUND({_haversine_sql('mnlat', 'mnlon', 'mnlat', 'mxlon')}, 3)
+                   AS e_ew
+        FROM bbox
+    ),
+    s AS (
+        SELECT n_points, n_with_nn, n_points - n_with_nn AS n_censored,
+               CASE WHEN n_with_nn = 0 THEN 0
+                    ELSE (2 * sum_m * 1000 + n_with_nn) // (2 * n_with_nn)
+               END AS mean_micro,
+               0.5 / sqrt(CAST(n_points AS DOUBLE) / (e_ns * e_ew)) AS exp_km
+        FROM found CROSS JOIN npts CROSS JOIN edges
+    )
+    SELECT n_points, n_with_nn, n_censored,
+           CAST(mean_micro AS DOUBLE) / 1000000.0 AS mean_nn_km,
+           ROUND(exp_km, 6) AS expected_nn_km,
+           ROUND((CAST(mean_micro AS DOUBLE) / 1000000.0) / exp_km, 6) AS ce_ratio,
+           CASE WHEN ROUND((CAST(mean_micro AS DOUBLE) / 1000000.0) / exp_km, 6) < 1.0
+                THEN 'clustered'
+                WHEN ROUND((CAST(mean_micro AS DOUBLE) / 1000000.0) / exp_km, 6) > 1.0
+                THEN 'dispersed'
+                ELSE 'random' END AS verdict
+    FROM s
+    """
+
+
+@query("x7_clark_evans", _CLARK_EVANS_ORACLE)
+def x7_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r10): CLARK-EVANS NEAREST-NEIGHBOUR INDEX (Clark & Evans,
+    Ecology 1954) — R = observed mean NN distance / CSR expectation
+    0.5/sqrt(lambda): the FIRST-ORDER dispersion test (R < 1 clustered,
+    R > 1 dispersed) complementing Ripley's K (second-order, multi-scale)
+    and Moran's I (areal autocorrelation). NN distances are censored at
+    ``CE_CAP_M`` (see the constant: below the cap the 9-cell window
+    provably contains the true NN, so no wrong-neighbour bias); censored
+    points are COUNTED and excluded from the mean — the standard
+    radius-capped estimator, honest about its window.
+
+    Determinism: per-point NN is an exact MIN over integer-metre
+    distances (3dp haversine x 1000); their sum is BIGINT, the mean is
+    integer HALF-UP micro-division (rule 26b: sum/count is rational);
+    expectation and ratio round AFTER an irrational op (sqrt / division
+    by it) — tie-free, mirrored text.
+
+    Scale shape: same recall-exact 9-cell neighbourhood equi-join as
+    ``x7_ripley_k`` — work is sum(cell-occupancy x neighbourhood), never
+    n squared; for denser patterns the same deterministic hash-thinning
+    knob applies (thinning changes lambda and the mean together; R stays
+    a valid dispersion test on the thinned pattern). The MIN aggregate
+    combines map-side per partition before the id shuffle."""
+    resolved = _resolved(spark, sf_dir)
+    pts = (
+        resolved.filter(F.col("lat_d").isNotNull() & F.col("lon_d").isNotNull())
+        .select(
+            "id",
+            "lat_d",
+            "lon_d",
+            F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
+            F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat_d").alias("lat_a"),
+        F.col("lon_d").alias("lon_a"),
+        F.explode(offsets).alias("o"),
+        "cy",
+        "cx",
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat_d").alias("lat_b"),
+        F.col("lon_d").alias("lon_b"),
+        F.col("cy").alias("jy"),
+        F.col("cx").alias("jx"),
+    )
+    d_m = F.round(
+        F.round(
+            haversine_km(
+                F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+            ),
+            3,
+        )
+        * 1000
+    ).cast("long")
+    nn = (
+        left.join(right, ["jy", "jx"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(F.col("id_a").alias("id"), d_m.alias("d_m"))
+        .groupBy("id")
+        .agg(F.min("d_m").alias("nn_m"))
+    )
+    found = nn.filter(F.col("nn_m") <= CE_CAP_M).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_with_nn"),
+        F.coalesce(F.sum("nn_m"), F.lit(0)).cast("bigint").alias("sum_m"),
+    )
+    npts = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    bbox = pts.agg(
+        F.min("lat_d").alias("mnlat"),
+        F.max("lat_d").alias("mxlat"),
+        F.min("lon_d").alias("mnlon"),
+        F.max("lon_d").alias("mxlon"),
+    )
+    edges = bbox.select(
+        F.round(
+            haversine_km(
+                F.col("mnlat"), F.col("mnlon"), F.col("mxlat"), F.col("mnlon")
+            ),
+            3,
+        ).alias("e_ns"),
+        F.round(
+            haversine_km(
+                F.col("mnlat"), F.col("mnlon"), F.col("mnlat"), F.col("mxlon")
+            ),
+            3,
+        ).alias("e_ew"),
+    )
+    s = (
+        found.crossJoin(F.broadcast(npts))
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "n_points",
+            "n_with_nn",
+            (F.col("n_points") - F.col("n_with_nn")).alias("n_censored"),
+            F.when(F.col("n_with_nn") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(2 * sum_m * 1000 + n_with_nn) div (2 * n_with_nn)")
+            )
+            .alias("mean_micro"),
+            (
+                0.5
+                / F.sqrt(
+                    F.col("n_points").cast("double")
+                    / (F.col("e_ns") * F.col("e_ew"))
+                )
+            ).alias("exp_km"),
+        )
+    )
+    mean_km = F.col("mean_micro").cast("double") / 1000000.0
+    ratio = F.round(mean_km / F.col("exp_km"), 6)
+    return s.select(
+        "n_points",
+        "n_with_nn",
+        "n_censored",
+        mean_km.alias("mean_nn_km"),
+        F.round(F.col("exp_km"), 6).alias("expected_nn_km"),
+        ratio.alias("ce_ratio"),
+        F.when(ratio < 1.0, "clustered")
+        .when(ratio > 1.0, "dispersed")
+        .otherwise("random")
+        .alias("verdict"),
+    )
