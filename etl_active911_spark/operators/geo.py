@@ -1559,3 +1559,266 @@ def x7_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("random")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-7 (r10): Knox space-time interaction test (Knox, JRSS-C 1964)
+# ---------------------------------------------------------------------------
+
+KNOX_SPACE_KM = 1.0   # "close in space" (<= the 9-cell proof radius)
+KNOX_TIME_S = 3600    # "close in time" (1 hour)
+
+
+def _knox_epoch_sql(iso: str) -> str:
+    """UTC-wall epoch seconds from the O-15 ISO string by PURE string/date
+    arithmetic — no engine timestamp parse, so no session-TZ exposure."""
+    return (
+        f"CAST((CAST(substr({iso}, 1, 10) AS DATE) - DATE '1970-01-01') AS BIGINT)"
+        f" * 86400 + CAST(substr({iso}, 12, 2) AS BIGINT) * 3600"
+        f" + CAST(substr({iso}, 15, 2) AS BIGINT) * 60"
+        f" + CAST(substr({iso}, 18, 2) AS BIGINT)"
+    )
+
+
+def _knox_oracle() -> str:
+    from etl_active911_spark.pipeline.oracle_sql import _TZ_CASE, parse_iso_sql
+
+    return f"""
+    WITH alerts AS ({SYNTH_ALERTS_SQL}), {_COORDS_CTE},
+    p AS (
+        SELECT id,
+            TRIM(REGEXP_REPLACE(TRIM(sent), '\\s*\\S+$', '')) AS dp,
+            regexp_extract(TRIM(sent), '(\\S+)$', 1) AS abbr,
+            TRIM(sent) AS fullp
+        FROM alerts
+    ),
+    tt AS (
+        SELECT id,
+            {parse_iso_sql(tz="(" + _TZ_CASE + ")", dp="dp", full="fullp")} AS iso
+        FROM p
+    ),
+    pts AS MATERIALIZED (
+        -- MATERIALIZED: referenced 4x below (two pair-join sides, the
+        -- bucket table, the count); DuckDB would otherwise re-inline the
+        -- O-15 regex parse pipeline per reference and exhaust memory
+        SELECT r.id, r.lat_d, r.lon_d,
+               CAST(FLOOR(r.lat_d / {RIPLEY_GRID_DEG}) AS BIGINT) AS cy,
+               CAST(FLOOR(r.lon_d / {RIPLEY_GRID_DEG}) AS BIGINT) AS cx,
+               {_knox_epoch_sql('tt.iso')} AS es
+        FROM resolved r JOIN tt ON tt.id = r.id
+        WHERE r.lat_d IS NOT NULL AND r.lon_d IS NOT NULL AND tt.iso IS NOT NULL
+    ),
+    ptb AS (SELECT id, es, es // {KNOX_TIME_S} AS tb FROM pts),
+    offy AS (SELECT unnest(range(-1, 2)) AS dy),
+    offx AS (SELECT unnest(range(-1, 2)) AS dx),
+    offt AS (SELECT unnest(range(-1, 2)) AS dt),
+    sp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(COALESCE(SUM(CASE WHEN ABS(a.es - b.es) <= {KNOX_TIME_S}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS x
+        FROM pts a
+        JOIN offy ON TRUE
+        JOIN offx ON TRUE
+        JOIN pts b ON b.cy = a.cy + dy AND b.cx = a.cx + dx
+                   AND a.id < b.id
+        WHERE ROUND({_CE_HAV}, 3) <= {KNOX_SPACE_KM}
+    ),
+    tp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nt
+        FROM ptb a
+        JOIN offt ON TRUE
+        JOIN ptb b ON b.tb = a.tb + dt AND a.id < b.id
+        WHERE ABS(a.es - b.es) <= {KNOX_TIME_S}
+    ),
+    npts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_all
+        FROM pts
+    ),
+    s AS (
+        SELECT n_points, ns, nt, x, n_all,
+               CASE WHEN n_all = 0 THEN 0
+                    ELSE CAST((2::HUGEINT * ns * nt * 1000000 + n_all)
+                              // (2::HUGEINT * n_all) AS BIGINT) END AS e_micro,
+               CASE WHEN ns = 0 OR nt = 0 THEN 0
+                    ELSE CAST((2::HUGEINT * x * n_all * 1000000
+                               + ns::HUGEINT * nt)
+                              // (2::HUGEINT * ns * nt) AS BIGINT) END AS r_micro
+        FROM sp CROSS JOIN tp CROSS JOIN npts
+    )
+    SELECT n_points, ns AS n_space_pairs, nt AS n_time_pairs, x AS n_st_pairs,
+           CAST(e_micro AS DOUBLE) / 1000000.0 AS expected_st_pairs,
+           CAST(r_micro AS DOUBLE) / 1000000.0 AS knox_ratio,
+           CASE WHEN r_micro > 1000000 THEN 'interaction' ELSE 'none' END AS verdict
+    FROM s
+    """
+
+
+@query("x7_knox", _knox_oracle())
+def x7_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 (r10): KNOX SPACE-TIME INTERACTION TEST (Knox, JRSS-C 1964;
+    the classic epidemiology statistic) — do incidents cluster in space
+    AND time TOGETHER, beyond what the spatial pattern and the temporal
+    pattern each explain alone? X = pairs close in both (<= 1 km and
+    <= 1 h); under independence E[X] = Ns*Nt/N, and the ratio X/E[X] > 1
+    signals contagion/common-cause (repeat-call storms, multi-unit
+    events). Composes the O-15 lenient parse (epoch by PURE string/date
+    arithmetic — session-TZ-proof) with the geo family's resolved memo.
+
+    Determinism: all four pair counts are EXACT BIGINT; expectation and
+    ratio are integer HALF-UP micro-divisions run in 128-bit integer
+    space (DuckDB HUGEINT == Spark DECIMAL(38,0), parity-tested at
+    overflow-relevant magnitudes) because Ns*Nt*2e6 exceeds int64 at
+    ~10x this fixture; the verdict compares micro-integers, never floats.
+
+    Scale shape: spatial pairs ride the 9-cell neighbourhood equi-join
+    (1 km <= the window's 4.19 km proof radius); temporal pairs ride the
+    same trick in 1-D (adjacent hour-bucket equi-join); both are
+    sum-of-bucket-occupancy-squared, never n^2, and both reduce to 1-row
+    aggregates before the 3-way scalar assembly."""
+    from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+
+    r = _resolved(spark, sf_dir)
+    iso = parse_alert_time_iso(F.col("sent"))
+    epoch = (
+        F.datediff(F.to_date(F.substring("iso", 1, 10)), F.lit("1970-01-01")).cast(
+            "long"
+        )
+        * 86400
+        + F.substring("iso", 12, 2).cast("long") * 3600
+        + F.substring("iso", 15, 2).cast("long") * 60
+        + F.substring("iso", 18, 2).cast("long")
+    )
+    pts = (
+        r.select("id", "lat_d", "lon_d", iso.alias("iso"))
+        .filter(
+            F.col("lat_d").isNotNull()
+            & F.col("lon_d").isNotNull()
+            & F.col("iso").isNotNull()
+        )
+        .select(
+            "id",
+            "lat_d",
+            "lon_d",
+            F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
+            F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
+            epoch.alias("es"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat_d").alias("lat_a"),
+        F.col("lon_d").alias("lon_a"),
+        F.col("es").alias("es_a"),
+        F.explode(offsets).alias("o"),
+        "cy",
+        "cx",
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        "es_a",
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat_d").alias("lat_b"),
+        F.col("lon_d").alias("lon_b"),
+        F.col("es").alias("es_b"),
+        F.col("cy").alias("jy"),
+        F.col("cx").alias("jx"),
+    )
+    d3 = F.round(
+        haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")),
+        3,
+    )
+    sp = (
+        left.join(right, ["jy", "jx"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d3 <= KNOX_SPACE_KM))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ns"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("es_a") - F.col("es_b")) <= KNOX_TIME_S, 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    tleft = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("es").alias("es_a"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dt"),
+        F.expr(f"es div {KNOX_TIME_S}").alias("tb"),
+    ).select("id_a", "es_a", (F.col("tb") + F.col("dt")).alias("jtb"))
+    tright = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("es").alias("es_b"),
+        F.expr(f"es div {KNOX_TIME_S}").alias("jtb"),
+    )
+    tp = (
+        tleft.join(tright, "jtb")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("es_a") - F.col("es_b")) <= KNOX_TIME_S)
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    )
+    npts = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("bigint")
+        .alias("n_all"),
+    )
+    s = (
+        sp.crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(npts))
+        .select(
+            "n_points",
+            "ns",
+            "nt",
+            "x",
+            "n_all",
+            F.when(F.col("n_all") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST((2 * CAST(ns AS DECIMAL(38,0)) * nt * 1000000 + n_all)"
+                    " div (2 * CAST(n_all AS DECIMAL(38,0))) AS BIGINT)"
+                )
+            )
+            .alias("e_micro"),
+            F.when((F.col("ns") == 0) | (F.col("nt") == 0), F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST((2 * CAST(x AS DECIMAL(38,0)) * n_all * 1000000"
+                    " + CAST(ns AS DECIMAL(38,0)) * nt)"
+                    " div (2 * CAST(ns AS DECIMAL(38,0)) * nt) AS BIGINT)"
+                )
+            )
+            .alias("r_micro"),
+        )
+    )
+    return s.select(
+        "n_points",
+        F.col("ns").alias("n_space_pairs"),
+        F.col("nt").alias("n_time_pairs"),
+        F.col("x").alias("n_st_pairs"),
+        (F.col("e_micro").cast("double") / 1000000.0).alias("expected_st_pairs"),
+        (F.col("r_micro").cast("double") / 1000000.0).alias("knox_ratio"),
+        F.when(F.col("r_micro") > 1000000, "interaction")
+        .otherwise("none")
+        .alias("verdict"),
+    )

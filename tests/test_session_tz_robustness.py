@@ -61,6 +61,10 @@ TIME_SENSITIVE = [
     "x6_burstiness",
     "x6_permutation_entropy",
     "n21_attribution",
+    # r10 continuation: epoch seconds via pure string/date arithmetic off
+    # the O-15 ISO string; ts-ordered pair ranks
+    "x7_knox",
+    "x6_mann_kendall",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
