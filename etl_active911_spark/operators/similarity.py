@@ -3189,3 +3189,221 @@ def x2_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("overlap_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r10): ANN method recall eval — single-probe vs multi-probe LSH
+# ---------------------------------------------------------------------------
+
+def _ann_method_recall_oracle() -> str:
+    band_keys = ", ".join(_ann_band_exprs_sql())
+    probe_keys = ", ".join(_ann_probe_exprs_sql())
+    plane_cols = ", ".join(f"s{p}" for p in range(ANN_N_PLANES))
+    proj_cols = ", ".join(
+        f"SUM(v * s{p}) AS p{p}" for p in range(ANN_N_PLANES)
+    )
+    denom = N_QUERIES * TOP_K
+    return f"""
+    WITH planes(d, {plane_cols}) AS (
+        VALUES {_ANN_PLANES_VALUES}
+    ),
+    dims AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range({EMB_DIM})) AS d
+        FROM embeddings
+    ),
+    projs AS (
+        SELECT vec_id, {proj_cols}
+        FROM dims JOIN planes USING (d) GROUP BY vec_id
+    ),
+    bands AS (
+        SELECT vec_id, UNNEST([{band_keys}]) AS band_key FROM projs
+    ),
+    qkeys AS (
+        SELECT 'lsh' AS method, vec_id AS query_id,
+               UNNEST([{band_keys}]) AS band_key
+        FROM projs WHERE vec_id < {N_QUERIES}
+        UNION ALL
+        SELECT 'multiprobe' AS method, vec_id AS query_id,
+               UNNEST([{probe_keys}]) AS band_key
+        FROM projs WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT k.method, k.query_id, b.vec_id
+        FROM bands b JOIN qkeys k
+          ON b.band_key = k.band_key AND b.vec_id <> k.query_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    appr AS (
+        SELECT method, query_id, vec_id FROM (
+            SELECT c.method, c.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.method, c.query_id
+                       ORDER BY ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[])
+                             / (sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                        e.embedding::DOUBLE[]))), 6)
+                             DESC, c.vec_id) AS rnk
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id
+        ) WHERE rnk <= {TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[])
+                             / (sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                        e.embedding::DOUBLE[]))), 6)
+                             DESC, e.vec_id) AS rnk
+            FROM q, embeddings e
+            WHERE e.vec_id != q.query_id
+        ) WHERE rnk <= {TOP_K}
+    ),
+    cc AS (
+        SELECT method, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY method
+    ),
+    hits AS (
+        SELECT a.method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM appr a JOIN exact x
+          ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        GROUP BY a.method
+    ),
+    methods AS (SELECT UNNEST(['lsh', 'multiprobe']) AS method)
+    SELECT m.method,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((2 * COALESCE(h.n_hits, 0) * 1000000 + {denom})
+                // (2 * {denom}) AS DOUBLE) / 1000000.0 AS recall_at_k
+    FROM methods m
+    LEFT JOIN cc c USING (method)
+    LEFT JOIN hits h USING (method)
+    """
+
+
+@query("x3_ann_method_recall", _ann_method_recall_oracle())
+def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r10): ANN METHOD RECALL EVAL — single-probe vs T=1 multi-probe
+    LSH measured against the exact brute-force top-k, plus each method's
+    candidate-set size: the cost axis (candidates scored) against the
+    quality axis (recall@k) on one card. This is the measurement that
+    justifies multi-probe's existence: same index memory, ~5x query-side
+    candidates, and the recall delta is what you buy. Candidate SUPERSET
+    guarantees recall(multiprobe) >= recall(lsh) row-for-row
+    (tests/test_ann_multiprobe.py pins the dominance).
+
+    Determinism: membership-only recall over ROUND(cos,6)/vec_id ranked
+    sets (both engines rank identically); recall is integer HALF-UP
+    micro-division by the fixed N_QUERIES*TOP_K denominator — no float
+    accumulates anywhere.
+
+    Scale shape: both candidate legs are band-key equi-joins (corpus side
+    indexed once); the exact leg is the N_QUERIES-row broadcast brute
+    force — the eval-only cost that a production run replaces with a
+    labeled sample; top-k rides rank-limit pushdown (rule 19)."""
+    exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    legs = []
+    for name, fn in (("lsh", x3_ann_lsh), ("multiprobe", x3_ann_lsh_multiprobe)):
+        legs.append(
+            fn(spark, sf_dir).select(
+                F.lit(name).alias("method"), "query_id", "vec_id"
+            )
+        )
+    appr = legs[0].unionByName(legs[1])
+    hits = (
+        appr.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    # candidate counts: same candidate generation the two methods score
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    planes = spark.createDataFrame(
+        [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
+        "d int, " + ", ".join(f"s{p} int" for p in range(ANN_N_PLANES)),
+    )
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    projs = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.col("v").cast("double") * F.col(f"s{p}")).alias(f"p{p}")
+                for p in range(ANN_N_PLANES)
+            ]
+        )
+    )
+
+    def bit(band: int, j: int, inverted: bool) -> Column:
+        c = F.col(f"p{band * ANN_PLANES_PER_BAND + j}") > 0
+        if inverted:
+            return F.when(c, "0").otherwise("1")
+        return F.when(c, "1").otherwise("0")
+
+    band_cols = [
+        F.concat(
+            F.lit(f"{band}:"),
+            *[bit(band, j, False) for j in range(ANN_PLANES_PER_BAND)],
+        )
+        for band in range(ANN_N_BANDS)
+    ]
+    probe_cols = [
+        F.concat(
+            F.lit(f"{band}:"),
+            *[bit(band, j, j == flip) for j in range(ANN_PLANES_PER_BAND)],
+        )
+        for band in range(ANN_N_BANDS)
+        for flip in range(-1, ANN_PLANES_PER_BAND)
+    ]
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    qprojs = scoped_persist(
+        "x3_ann_method_recall.projs", projs.filter(F.col("vec_id") < N_QUERIES)
+    )
+    sig = projs.select("vec_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    qkeys = (
+        qprojs.select(
+            F.lit("lsh").alias("method"),
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*band_cols)).alias("band_key"),
+        )
+    ).unionByName(
+        qprojs.select(
+            F.lit("multiprobe").alias("method"),
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*probe_cols)).alias("band_key"),
+        )
+    )
+    cand = (
+        sig.join(qkeys, "band_key")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("method", "query_id", "vec_id")
+        .distinct()
+    )
+    cc = cand.groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    methods = spark.createDataFrame([("lsh",), ("multiprobe",)], "method string")
+    denom = N_QUERIES * TOP_K
+    return (
+        methods.join(cc, "method", "left")
+        .join(hits, "method", "left")
+        .select(
+            "method",
+            F.coalesce("n_candidates", F.lit(0).cast("bigint")).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (
+                F.expr(
+                    f"CAST((2 * COALESCE(n_hits, 0) * 1000000 + {denom})"
+                    f" div (2 * {denom}) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("recall_at_k"),
+        )
+    )

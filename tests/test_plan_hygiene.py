@@ -152,6 +152,7 @@ EXTRA_CHECKED = (
     "x2_dedup_method_agreement",
     "x7_clark_evans",
     "x7_knox",
+    "x3_ann_method_recall",
 )
 
 BNLJ_ALLOWED.update({
@@ -176,6 +177,7 @@ BNLJ_ALLOWED.update({
     "x6_cross_correlation": (1, "5-row broadcast lag grid replicated onto the hourly series (bounded literal side)"),
     "x7_ripley_k": (2, "3-row broadcast radius grid + 1-row broadcast (N, area) intensity scalar"),
     "x2_dedup_method_agreement": (2, "16-row broadcast seed-centroid crossJoin inside the scoped-persisted SemDeDup cell table — InMemoryRelation plan text repeats it once per self-join side, execution is once (x2_semantic_dedup shape)"),
+    "x3_ann_method_recall": (2, "exact-baseline leg broadcasts the N_QUERIES-row query block with != self-pair condition (x3_cosine_topk shape); plan text shows it in the hits semi-join and the exact subtree"),
     "x7_knox": (2, "two 1-row broadcast scalars (time-pair count; point/all-pair counts) crossJoined into the Knox assembly"),
     "x7_clark_evans": (2, "two 1-row broadcast scalars (point count; bbox-edge pair) crossJoined into the summary assembly (x7_ripley_k shape)"),
     "x2_threshold_sweep": (3, "5-row broadcast threshold grid (theta join on jac >= threshold; plan text repeats it in the zero-fill left joins) + 1-row corpus-count scalar"),
