@@ -1624,3 +1624,136 @@ def x8_dup_weighted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("w"), 6).alias("effective_docs"),
         F.round(F.sum("w") / F.count(F.lit(1)), 6).alias("dedup_deflation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r10): mixture-temperature sweep over token mass
+# ---------------------------------------------------------------------------
+
+#: sweep grid: tau=1 proportional, tau=2 sqrt, tau=4 sqrt(sqrt) — fractional
+#: powers are expressed as nested SQRT (IEEE-correctly-rounded, so both
+#: engines produce bit-identical weights; POW is libm-dependent and banned
+#: here) — and 'uniform' (tau -> infinity).
+TEMP_SWEEP_TAUS = ("1", "2", "4", "uniform")
+
+_TEMP_W_SQL = """CASE tau
+               WHEN '1' THEN CAST(n_tokens AS DOUBLE)
+               WHEN '2' THEN SQRT(CAST(n_tokens AS DOUBLE))
+               WHEN '4' THEN SQRT(SQRT(CAST(n_tokens AS DOUBLE)))
+               ELSE 1.0 END"""
+
+_TEMP_SWEEP_ORACLE = f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    taus AS (SELECT UNNEST([{", ".join(f"'{t}'" for t in TEMP_SWEEP_TAUS)}]) AS tau),
+    w AS (
+        SELECT t.tau, p.source, p.n_docs, p.n_tokens,
+               CAST(ROUND(({_TEMP_W_SQL}) * 1000000) AS BIGINT) AS w_micro
+        FROM taus t CROSS JOIN per p
+    ),
+    tot AS (
+        SELECT tau, source, n_docs, n_tokens, w_micro,
+               CAST(SUM(w_micro) OVER (PARTITION BY tau) AS BIGINT) AS t_micro
+        FROM w
+    ),
+    sh AS (
+        SELECT tau, source, n_docs, n_tokens,
+               CAST((2::HUGEINT * w_micro * 1000000 + t_micro)
+                    // (2::HUGEINT * t_micro) AS BIGINT) AS share_micro
+        FROM tot
+    ),
+    eff AS (
+        SELECT tau, source, n_docs, n_tokens, share_micro,
+               CAST(SUM(share_micro) OVER (PARTITION BY tau) AS BIGINT) AS s1,
+               CAST(SUM(share_micro * share_micro) OVER (PARTITION BY tau)
+                    AS BIGINT) AS s2
+        FROM sh
+    )
+    SELECT tau, source, n_docs, n_tokens,
+           CAST(share_micro AS DOUBLE) / 1000000.0 AS tempered_share,
+           CAST(CAST((2::HUGEINT * s1 * s1 * 1000000 + s2)
+                     // (2::HUGEINT * s2) AS BIGINT) AS DOUBLE) / 1000000.0
+               AS effective_sources
+    FROM eff
+    """
+
+
+@query("x8_temperature_sweep", _TEMP_SWEEP_ORACLE)
+def x8_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r10): MIXTURE-TEMPERATURE SWEEP — per sampling temperature
+    tau in {{1, 2, 4, uniform}}, each source's tempered share of the
+    training mixture (w = mass^(1/tau), normalized) over TOKEN mass (the
+    budget currency; doc counts are uniform on this fixture and would
+    sweep degenerately), plus the EFFECTIVE SOURCE COUNT
+    (Σshare)²/Σshare² — the inverse-Simpson diversity the temperature
+    dial actually controls. This is the table a curation run reads
+    before picking tau: how much the head flattens, how many sources
+    effectively contribute.
+
+    Determinism: weights quantized to micro-units right after the
+    (IEEE-exact) nested-SQRT transform; shares and effective counts are
+    integer HALF-UP micro-divisions in 128-bit space (HUGEINT ≡
+    DECIMAL(38,0)) because tau=1 weight micros exceed int64 headroom at
+    ~10x fixture token mass.
+
+    Scale shape: one source-keyed aggregate over the corpus (map-side
+    combined token counts); everything after is |sources| x 4 rows —
+    window sums over bounded partitions, zero corpus re-reads."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    taus = spark.createDataFrame([(t,) for t in TEMP_SWEEP_TAUS], "tau string")
+    w = per.crossJoin(F.broadcast(taus)).select(
+        "tau",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"CAST(ROUND(({_TEMP_W_SQL}) * 1000000) AS BIGINT)").alias("w_micro"),
+    )
+    wt = Window.partitionBy("tau")
+    tot = w.withColumn("t_micro", F.sum("w_micro").over(wt).cast("bigint"))
+    sh = tot.select(
+        "tau",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST((2 * CAST(w_micro AS DECIMAL(38,0)) * 1000000 + t_micro)"
+            " div (2 * CAST(t_micro AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("share_micro"),
+    )
+    eff = sh.select(
+        "tau",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "share_micro",
+        F.sum("share_micro").over(wt).cast("bigint").alias("s1"),
+        F.sum(F.col("share_micro") * F.col("share_micro"))
+        .over(wt)
+        .cast("bigint")
+        .alias("s2"),
+    )
+    return eff.select(
+        "tau",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("share_micro").cast("double") / 1000000.0).alias("tempered_share"),
+        (
+            F.expr(
+                "CAST((2 * CAST(s1 AS DECIMAL(38,0)) * s1 * 1000000 + s2)"
+                " div (2 * CAST(s2 AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("effective_sources"),
+    )

@@ -153,6 +153,7 @@ EXTRA_CHECKED = (
     "x7_clark_evans",
     "x7_knox",
     "x3_ann_method_recall",
+    "x8_temperature_sweep",
 )
 
 BNLJ_ALLOWED.update({
@@ -178,6 +179,7 @@ BNLJ_ALLOWED.update({
     "x7_ripley_k": (2, "3-row broadcast radius grid + 1-row broadcast (N, area) intensity scalar"),
     "x2_dedup_method_agreement": (2, "16-row broadcast seed-centroid crossJoin inside the scoped-persisted SemDeDup cell table — InMemoryRelation plan text repeats it once per self-join side, execution is once (x2_semantic_dedup shape)"),
     "x3_ann_method_recall": (2, "exact-baseline leg broadcasts the N_QUERIES-row query block with != self-pair condition (x3_cosine_topk shape); plan text shows it in the hits semi-join and the exact subtree"),
+    "x8_temperature_sweep": (1, "4-row broadcast temperature grid crossJoined onto the |sources|-row mass table"),
     "x7_knox": (2, "two 1-row broadcast scalars (time-pair count; point/all-pair counts) crossJoined into the Knox assembly"),
     "x7_clark_evans": (2, "two 1-row broadcast scalars (point count; bbox-edge pair) crossJoined into the summary assembly (x7_ripley_k shape)"),
     "x2_threshold_sweep": (3, "5-row broadcast threshold grid (theta join on jac >= threshold; plan text repeats it in the zero-fill left joins) + 1-row corpus-count scalar"),
