@@ -2691,3 +2691,158 @@ def x6_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): Haar wavelet energy decomposition (Haar 1910; Mallat 1989)
+# ---------------------------------------------------------------------------
+
+HAAR_LEN = 32     # dyadic analysis window: first 32 samples per series
+HAAR_SCALE = 100  # centi-quantization keeps all energy sums in int64
+
+
+def _haar_sum_exprs(divop: str) -> list[tuple[str, str]]:
+    """The 28 signed conditional sums + the energy total, shared between
+    engines (``divop`` = 'div' for Spark SQL, '//' for DuckDB). Unnormalized
+    integer Haar details: level-k coefficient energy is D_k^2 / 2^k, so with
+    common denominator 8: E1*8 = 4*sum(D1^2), E2*8 = 2*sum(D2^2),
+    E3*8 = sum(D3^2), total*8 = 8*sum(v^2)."""
+    out = []
+    for g in range(HAAR_LEN // 2):
+        out.append((
+            f"d1_{g}",
+            f"CAST(SUM(CASE WHEN idx {divop} 2 = {g} "
+            f"THEN (1 - 2 * (idx % 2)) * v ELSE 0 END) AS BIGINT)",
+        ))
+    for g in range(HAAR_LEN // 4):
+        out.append((
+            f"d2_{g}",
+            f"CAST(SUM(CASE WHEN idx {divop} 4 = {g} "
+            f"THEN (1 - 2 * ((idx {divop} 2) % 2)) * v ELSE 0 END) AS BIGINT)",
+        ))
+    for g in range(HAAR_LEN // 8):
+        out.append((
+            f"d3_{g}",
+            f"CAST(SUM(CASE WHEN idx {divop} 8 = {g} "
+            f"THEN (1 - 2 * ((idx {divop} 4) % 2)) * v ELSE 0 END) AS BIGINT)",
+        ))
+    out.append(("sq", "CAST(SUM(v * v) AS BIGINT)"))
+    return out
+
+
+def _haar_energy_exprs() -> dict[str, str]:
+    e1 = " + ".join(f"d1_{g} * d1_{g}" for g in range(HAAR_LEN // 2))
+    e2 = " + ".join(f"d2_{g} * d2_{g}" for g in range(HAAR_LEN // 4))
+    e3 = " + ".join(f"d3_{g} * d3_{g}" for g in range(HAAR_LEN // 8))
+    return {
+        "e1_8": f"4 * ({e1})",
+        "e2_8": f"2 * ({e2})",
+        "e3_8": f"({e3})",
+        "tot8": "8 * sq",
+    }
+
+
+def _haar_frac_sql(num: str, divop: str) -> str:
+    return (
+        f"CASE WHEN tot8 = 0 THEN 0 "
+        f"ELSE (2 * ({num}) * 1000000 + tot8) {divop} (2 * tot8) END"
+    )
+
+
+def _haar_oracle() -> str:
+    sums = ",\n               ".join(f"{sql} AS {name}" for name, sql in _haar_sum_exprs("//"))
+    en = _haar_energy_exprs()
+    return f"""
+    WITH b AS (
+        SELECT user_id, v, idx FROM (
+            SELECT user_id,
+                   CAST(ROUND(value * {HAAR_SCALE}) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS idx
+            FROM events
+        ) t WHERE idx < {HAAR_LEN}
+    ),
+    d AS (
+        SELECT user_id,
+               {sums}
+        FROM b GROUP BY user_id HAVING COUNT(*) = {HAAR_LEN}
+    ),
+    e AS (
+        SELECT user_id,
+               {en['e1_8']} AS e1_8, {en['e2_8']} AS e2_8,
+               {en['e3_8']} AS e3_8, {en['tot8']} AS tot8
+        FROM d
+    )
+    SELECT user_id,
+           CAST({_haar_frac_sql('e1_8', '//')} AS DOUBLE) / 1000000.0 AS e1_frac,
+           CAST({_haar_frac_sql('e2_8', '//')} AS DOUBLE) / 1000000.0 AS e2_frac,
+           CAST({_haar_frac_sql('e3_8', '//')} AS DOUBLE) / 1000000.0 AS e3_frac,
+           CASE WHEN e1_8 >= e2_8 AND e1_8 >= e3_8 THEN 1
+                WHEN e2_8 >= e3_8 THEN 2 ELSE 3 END AS dominant_level
+    FROM e
+    """
+
+
+@query("x6_haar_energy", _haar_oracle())
+def x6_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): HAAR WAVELET ENERGY DECOMPOSITION (Mallat, TPAMI 1989)
+    over each series' first 32 samples: the share of signal energy in
+    detail levels 1-3 (adjacent-sample, 4-sample, 8-sample structure) —
+    the time-frequency fingerprint that separates jitter (level-1-heavy)
+    from slow regime structure (level-3-plus), orthogonal to what
+    burstiness (timing) and permutation entropy (ordinal) see. Dominant
+    level = argmax over EXACT integer energies (ties to the finer level).
+
+    EXACT-INTEGER TRANSFORM: values centi-quantized to BIGINT; the
+    unnormalized Haar detail D_k is a signed integer sum, level-k
+    coefficient energy is D_k^2/2^k, and with common denominator 8 every
+    energy is an exact BIGINT (headroom proof: v <= 4.9e4 centi-units,
+    8*sum(v^2) <= 6.2e11, micro-numerators <= 1.2e18 < int64). Fractions
+    are integer HALF-UP micro-divisions — no float exists anywhere.
+
+    Scale shape: ONE exchange (the per-user order window); the 29
+    conditional sums run in the SAME hash(user_id) partitioning
+    exchange-free (rule 20), combine map-side, and emit one row per
+    series. Window length is the dial; longer windows add levels, not
+    shuffles."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * HAAR_SCALE).cast("long").alias("v"),
+            (F.row_number().over(w) - 1).alias("idx"),
+        )
+        .filter(F.col("idx") < HAAR_LEN)
+    )
+    d = b.groupBy("user_id").agg(
+        *[F.expr(sql).alias(name) for name, sql in _haar_sum_exprs("div")],
+        F.count(F.lit(1)).alias("__n"),
+    ).filter(F.col("__n") == HAAR_LEN)
+    en = _haar_energy_exprs()
+    e = d.select(
+        "user_id",
+        F.expr(en["e1_8"]).alias("e1_8"),
+        F.expr(en["e2_8"]).alias("e2_8"),
+        F.expr(en["e3_8"]).alias("e3_8"),
+        F.expr(en["tot8"]).alias("tot8"),
+    )
+    return e.select(
+        "user_id",
+        (F.expr(_haar_frac_sql("e1_8", "div")).cast("double") / 1000000.0).alias(
+            "e1_frac"
+        ),
+        (F.expr(_haar_frac_sql("e2_8", "div")).cast("double") / 1000000.0).alias(
+            "e2_frac"
+        ),
+        (F.expr(_haar_frac_sql("e3_8", "div")).cast("double") / 1000000.0).alias(
+            "e3_frac"
+        ),
+        F.when(
+            (F.col("e1_8") >= F.col("e2_8")) & (F.col("e1_8") >= F.col("e3_8")),
+            F.lit(1),
+        )
+        .when(F.col("e2_8") >= F.col("e3_8"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("dominant_level"),
+    )

@@ -154,6 +154,7 @@ EXTRA_CHECKED = (
     "x7_knox",
     "x3_ann_method_recall",
     "x8_temperature_sweep",
+    "x6_haar_energy",
 )
 
 BNLJ_ALLOWED.update({

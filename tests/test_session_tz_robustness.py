@@ -65,6 +65,7 @@ TIME_SENSITIVE = [
     # the O-15 ISO string; ts-ordered pair ranks
     "x7_knox",
     "x6_mann_kendall",
+    "x6_haar_energy",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
