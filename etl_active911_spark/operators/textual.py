@@ -3353,3 +3353,98 @@ def x2_chunk_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r10): mean segmental type-token ratio (Johnson 1944; MSTTR)
+# ---------------------------------------------------------------------------
+
+MSTTR_SEG = 25  # tokens per segment; incomplete tails are discarded
+
+_MSTTR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, UNNEST(t) AS tok, UNNEST(range(len(t))) AS p,
+               len(t) AS n_tokens
+        FROM toks
+    ),
+    seg AS (
+        SELECT doc_id, n_tokens, p // {MSTTR_SEG} AS seg_id, tok
+        FROM pos
+        WHERE p // {MSTTR_SEG} < n_tokens // {MSTTR_SEG}
+    ),
+    per_seg AS (
+        SELECT doc_id, MAX(n_tokens) AS n_tokens, seg_id,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS d
+        FROM seg GROUP BY doc_id, seg_id
+    ),
+    per_doc AS (
+        SELECT doc_id, MAX(n_tokens) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(d) AS BIGINT) AS sum_d
+        FROM per_seg GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_segments,
+           CAST((2 * sum_d * 1000000 + {MSTTR_SEG} * n_segments)
+                // (2 * {MSTTR_SEG} * n_segments) AS DOUBLE) / 1000000.0 AS msttr
+    FROM per_doc
+    """
+
+
+@query("x4_msttr", _MSTTR_ORACLE)
+def x4_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r10): MEAN SEGMENTAL TYPE-TOKEN RATIO (Johnson 1944) — lexical
+    diversity that, unlike the raw TTR in ``x4_token_stats``, does NOT
+    decay with document length (TTR falls as docs grow because types
+    saturate): the text is cut into consecutive MSTTR_SEG-token
+    segments (tail discarded), TTR is measured per segment, and the mean
+    is reported — the length-robust diversity gate for comparing short
+    posts against long articles in one curation rule. Docs shorter than
+    one segment are excluded (no valid measurement, not a fake 1.0).
+
+    Exact arithmetic: per-segment distinct counts are integers; the mean
+    is ONE integer HALF-UP micro-division sum(d)/(SEG*k) — never a mean
+    of per-segment floats (rule 26a).
+
+    Scale shape: explode rides the doc_id spread, both aggregates group
+    by (doc_id, ...) so they run in the SAME hash(doc_id) partitioning
+    exchange-free (rule 20); one row out per doc."""
+    from etl_active911_spark.operators.dedup import tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    t = tokens(F.col("text"))
+    pos = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.posexplode(t).alias("p", "tok"),
+    )
+    seg = pos.filter(
+        F.expr(f"p div {MSTTR_SEG}") < F.expr(f"n_tokens div {MSTTR_SEG}")
+    ).select(
+        "doc_id", "n_tokens", F.expr(f"p div {MSTTR_SEG}").alias("seg_id"), "tok"
+    )
+    per_seg = seg.groupBy("doc_id", "seg_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("d"),
+    )
+    per_doc = per_seg.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("d").cast("bigint").alias("sum_d"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_segments",
+        (
+            F.expr(
+                f"CAST((2 * sum_d * 1000000 + {MSTTR_SEG} * n_segments)"
+                f" div (2 * {MSTTR_SEG} * n_segments) AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("msttr"),
+    )

@@ -155,6 +155,7 @@ EXTRA_CHECKED = (
     "x3_ann_method_recall",
     "x8_temperature_sweep",
     "x6_haar_energy",
+    "x4_msttr",
 )
 
 BNLJ_ALLOWED.update({
