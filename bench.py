@@ -93,6 +93,11 @@ HEADLINE = [
     "x3_ann_ivf_add_recall",
     "x5_phash_banded_dedup",
     "x3_ann_stream_ingest",
+    # round-10 continuation: the session's heavier newcomers get first
+    # anchor readings (unthinned 9-cell pair passes; dual-probe ANN eval)
+    "x7_knox",
+    "x7_clark_evans",
+    "x3_ann_method_recall",
 ]
 
 
