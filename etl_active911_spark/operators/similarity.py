@@ -3407,3 +3407,222 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r10): IVF nprobe sweep — the recall-vs-cost tuning curve
+# ---------------------------------------------------------------------------
+
+IVF_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def _ivf_nprobe_sweep_oracle() -> str:
+    denom = N_QUERIES * TOP_K
+    nps = ", ".join(str(n) for n in IVF_SWEEP_NPROBES)
+    return f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id // 7 AS INT) AS cell, embedding::DOUBLE[] AS se
+        FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_N_CELLS}
+    ),
+    scored_cells AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.ee, s.se)
+                 / (sqrt(list_dot_product(e.ee, e.ee))
+                    * sqrt(list_dot_product(s.se, s.se))) AS cos
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e
+        CROSS JOIN seeds s
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell, rn AS pr FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM scored_cells WHERE vec_id < {N_QUERIES}
+        ) t WHERE rn <= {max(IVF_SWEEP_NPROBES)}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id, p.pr,
+               list_dot_product(q.qe, e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))) AS cos
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE c.vec_id != p.query_id
+    ),
+    nps AS (SELECT UNNEST([{nps}]) AS nprobe),
+    fanned AS (
+        SELECT n.nprobe, s.query_id, s.vec_id, s.cos
+        FROM nps n JOIN scored s ON s.pr <= n.nprobe
+    ),
+    appr AS (
+        SELECT nprobe, query_id, vec_id FROM (
+            SELECT nprobe, query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                      ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+            FROM fanned
+        ) t WHERE rnk <= {TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[])
+                                            / (sqrt(list_dot_product(q.qe, q.qe))
+                                               * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                                       e.embedding::DOUBLE[]))), 6)
+                                            DESC, e.vec_id) AS rnk
+            FROM q, embeddings e
+            WHERE e.vec_id != q.query_id
+        ) t WHERE rnk <= {TOP_K}
+    ),
+    cc AS (
+        SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM fanned GROUP BY nprobe
+    ),
+    hits AS (
+        SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM appr a JOIN exact x
+          ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        GROUP BY a.nprobe
+    )
+    SELECT n.nprobe,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((2 * COALESCE(h.n_hits, 0) * 1000000 + {denom})
+                // (2 * {denom}) AS DOUBLE) / 1000000.0 AS recall_at_k
+    FROM nps n
+    LEFT JOIN cc c USING (nprobe)
+    LEFT JOIN hits h USING (nprobe)
+    """
+
+
+@query("x3_ivf_nprobe_sweep", _ivf_nprobe_sweep_oracle())
+def x3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r10): IVF NPROBE SWEEP — the canonical ANN tuning curve: for
+    nprobe in {1, 2, 4, 8} over the seeded 16-cell index, candidates
+    scanned and recall@k against the exact brute-force top-k. The probe
+    list is computed ONCE to depth max(nprobe) with each cell's probe
+    RANK attached; every sweep point is then a filter (pr <= nprobe) +
+    re-rank over that one scored table — the sweep adds rank fan-out,
+    never a second index pass. Together with ``x3_ann_method_recall``
+    (LSH axis) this completes the recall-vs-cost story for both ANN
+    families the engine ships.
+
+    Determinism: identical ROUND(cos,6)/cell/vec_id rank policy as
+    ``x3_ann_ivf_seeded``; recall is an integer HALF-UP micro-division
+    by the fixed N_QUERIES*TOP_K denominator.
+
+    Scale shape: assignment is the broadcast 16-row seed crossJoin (the
+    documented bounded BNLJ); candidate generation keys on cell; the
+    4-way fan-out multiplies only the CANDIDATE table (queries x probed
+    cells), not the corpus; exact leg is the eval-only brute force."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    seeds = (
+        emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS))
+        .select(
+            F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
+            F.col("embedding").alias("se"),
+        )
+    )
+    scored_cells = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                dot(F.col("embedding"), F.col("se"))
+                / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+            ).alias("cos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round("cos", 6).desc(), F.col("cell")
+    )
+    cells = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= max(IVF_SWEEP_NPROBES))
+        .select(F.col("vec_id").alias("query_id"), "cell", F.col("rn").alias("pr"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "pr",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    nps = spark.createDataFrame(
+        [(n,) for n in IVF_SWEEP_NPROBES], "nprobe int"
+    )
+    fanned = scored.join(
+        F.broadcast(nps), F.col("pr") <= F.col("nprobe")
+    ).select("nprobe", "query_id", "vec_id", "cos")
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    fanned = scoped_persist("x3_ivf_nprobe_sweep.fanned", fanned)
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("vec_id")
+    )
+    appr = (
+        fanned.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        appr.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    cc = fanned.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    denom = N_QUERIES * TOP_K
+    return (
+        nps.join(cc, "nprobe", "left")
+        .join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_candidates", F.lit(0).cast("bigint")).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (
+                F.expr(
+                    f"CAST((2 * COALESCE(n_hits, 0) * 1000000 + {denom})"
+                    f" div (2 * {denom}) AS BIGINT)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("recall_at_k"),
+        )
+    )
