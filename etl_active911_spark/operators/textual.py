@@ -3448,3 +3448,114 @@ def x4_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("msttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r10): dedup x quality interaction matrix
+# ---------------------------------------------------------------------------
+
+def _dup_quality_matrix_oracle() -> str:
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH {MINHASH_CTES},
+    dupdocs AS (
+        SELECT DISTINCT d FROM (
+            SELECT doc_a AS d FROM verified WHERE jac >= 0.5
+            UNION ALL
+            SELECT doc_b AS d FROM verified WHERE jac >= 0.5
+        )
+    ),
+    {quality_ctes()},
+    cls AS (
+        SELECT s.doc_id, s.n_words,
+               s.doc_id IN (SELECT d FROM dupdocs) AS is_dup,
+               s.doc_id IN (SELECT doc_id FROM quality) AS is_quality
+        FROM qstats s
+    ),
+    cellagg AS (
+        SELECT is_dup, is_quality,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        FROM cls GROUP BY is_dup, is_quality
+    ),
+    grid AS (
+        SELECT a AS is_dup, b AS is_quality
+        FROM (SELECT UNNEST([true, false]) AS a)
+        CROSS JOIN (SELECT UNNEST([true, false]) AS b)
+    ),
+    tot AS (SELECT CAST(SUM(n_words) AS BIGINT) AS t FROM qstats)
+    SELECT g.is_dup, g.is_quality,
+           CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST((2 * COALESCE(c.n_tokens, 0) * 1000000 + tot.t)
+                // (2 * tot.t) AS DOUBLE) / 1000000.0 AS token_share
+    FROM grid g
+    LEFT JOIN cellagg c ON c.is_dup = g.is_dup AND c.is_quality = g.is_quality
+    CROSS JOIN tot
+    """
+
+
+@query("x9_dup_quality_matrix", _dup_quality_matrix_oracle())
+def x9_dup_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r10): DEDUP x QUALITY INTERACTION — the 2x2 matrix of
+    (near-dup member?, passes the Gopher gate?) with doc counts, token
+    mass, and corpus token share per cell: the question a curation run
+    answers BEFORE sequencing its gates — if duplicates are mostly
+    low-quality anyway, the quality gate already removes them and dedup
+    order barely matters; if duplicated mass is high-quality (boilerplate
+    of good sites, licensed re-posts), dedup is load-bearing and must run
+    regardless. Composes the two family memos: the MinHash-verified pair
+    graph (either side of any >= 0.5 pair is a dup member) and the shared
+    Gopher gate.
+
+    Determinism: integer doc/token counts; shares are integer HALF-UP
+    micro-divisions; the grid is zero-filled so the shape is always 4
+    rows.
+
+    Scale shape: both inputs are memoized one-row-per-doc tables (rule
+    25); the matrix itself is one (bool, bool)-keyed aggregate + a 4-row
+    zero-fill + a 1-row total broadcast — nothing rescans the corpus."""
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
+    gr = shared_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("is_quality"), "n_words"
+    )
+    pairs = shared_verified_pairs(spark, sf_dir)
+    dupdocs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("__dup"))
+    )
+    cls = gr.join(dupdocs, "doc_id", "left").select(
+        "n_words",
+        F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+        "is_quality",
+    )
+    cellagg = cls.groupBy("is_dup", "is_quality").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+    )
+    grid = spark.createDataFrame(
+        [(a, b) for a in (True, False) for b in (True, False)],
+        "is_dup boolean, is_quality boolean",
+    )
+    tot = gr.agg(F.sum("n_words").cast("bigint").alias("t"))
+    return (
+        grid.join(cellagg, ["is_dup", "is_quality"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "is_dup",
+            "is_quality",
+            F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            (
+                F.expr(
+                    "CAST((2 * COALESCE(n_tokens, 0) * 1000000 + t)"
+                    " div (2 * t) AS BIGINT)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("token_share"),
+        )
+    )
