@@ -2846,3 +2846,110 @@ def x6_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(3))
         .alias("dominant_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r10): Markov entropy rate per user (Shannon 1948 §7)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_RATE_ORACLE = """
+    WITH s AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS cij
+        FROM s WHERE nxt IS NOT NULL GROUP BY user_id, cur, nxt
+    ),
+    r AS (
+        SELECT user_id, cur, nxt, cij,
+               CAST(SUM(cij) OVER (PARTITION BY user_id, cur) AS BIGINT) AS ci
+        FROM c
+    ),
+    m AS (
+        SELECT user_id, cij,
+               CAST(ROUND(ln(CAST(ci AS DOUBLE) / CAST(cij AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS mn
+        FROM r
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(SUM(cij) AS BIGINT) AS t,
+               CAST(SUM(cij * mn) AS BIGINT) AS s_micro
+        FROM m GROUP BY user_id
+    ),
+    st AS (
+        SELECT user_id, CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_states
+        FROM c GROUP BY user_id
+    )
+    SELECT a.user_id, a.t AS n_transitions, st.n_states,
+           CAST((2 * a.s_micro + a.t) // (2 * a.t) AS DOUBLE) / 1000000.0
+               AS entropy_rate,
+           CASE WHEN st.n_states = 1 THEN 0.0
+                ELSE ROUND(ln(CAST(st.n_states AS DOUBLE)), 6) END AS max_entropy
+    FROM agg a JOIN st ON st.user_id = a.user_id
+    """
+
+
+@query("x6_entropy_rate", _ENTROPY_RATE_ORACLE)
+def x6_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r10): MARKOV ENTROPY RATE per user (Shannon 1948 §7) — the
+    predictability of each user's behavior sequence: H = Σ_ij (c_ij/T) ·
+    ln(c_i/c_ij) over first-order event-type transitions, i.e. how many
+    nats the NEXT action carries given the current one. 0 = perfectly
+    scripted behavior, ln(n_states) = uniformly random; the per-user
+    complement of the corpus-level ``x6_event_type_markov`` matrix and
+    the behavioral twin of ``x6_permutation_entropy`` (value order) and
+    ``x6_burstiness`` (timing).
+
+    Determinism: the zipf/permutation-entropy ln discipline (rule 26a) —
+    each ln of an exact BIGINT-ratio double is rounded to integer
+    MICRO-NATS pre-sum, Σ c_ij·m_ij is an exact integer, and the rate is
+    one integer HALF-UP micro-division by T; max_entropy rounds after an
+    irrational op (tie-free).
+
+    Scale shape: ONE exchange (the user-keyed lead window); the
+    transition counts, the per-state row totals (window clustered on a
+    user-prefixed key), and both roll-ups all reuse hash(user_id)
+    partitioning exchange-free (rule 20)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = s.groupBy("user_id", "cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cij")
+    )
+    r = c.withColumn(
+        "ci", F.sum("cij").over(Window.partitionBy("user_id", "cur")).cast("bigint")
+    )
+    m = r.select(
+        "user_id",
+        "cij",
+        F.round(F.log(F.col("ci").cast("double") / F.col("cij").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("mn"),
+    )
+    agg = m.groupBy("user_id").agg(
+        F.sum("cij").cast("bigint").alias("t"),
+        F.sum(F.col("cij") * F.col("mn")).cast("bigint").alias("s_micro"),
+    )
+    st = c.groupBy("user_id").agg(
+        F.countDistinct("cur").cast("bigint").alias("n_states")
+    )
+    return agg.join(st, "user_id").select(
+        "user_id",
+        F.col("t").alias("n_transitions"),
+        "n_states",
+        (
+            F.expr("CAST((2 * s_micro + t) div (2 * t) AS BIGINT)").cast("double")
+            / 1000000.0
+        ).alias("entropy_rate"),
+        F.when(F.col("n_states") == 1, F.lit(0.0))
+        .otherwise(F.round(F.log(F.col("n_states").cast("double")), 6))
+        .alias("max_entropy"),
+    )

@@ -158,6 +158,7 @@ EXTRA_CHECKED = (
     "x4_msttr",
     "x3_ivf_nprobe_sweep",
     "x9_dup_quality_matrix",
+    "x6_entropy_rate",
 )
 
 BNLJ_ALLOWED.update({

@@ -66,6 +66,7 @@ TIME_SENSITIVE = [
     "x7_knox",
     "x6_mann_kendall",
     "x6_haar_energy",
+    "x6_entropy_rate",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
