@@ -1757,3 +1757,120 @@ def x8_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("effective_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-8 (r10): context-length sweep — fragmentation vs sequence length
+# ---------------------------------------------------------------------------
+
+CTX_SWEEP_LENGTHS = (256, 1024, 4096)
+
+
+def _ctx_sweep_oracle() -> str:
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    lengths = ", ".join(str(x) for x in CTX_SWEEP_LENGTHS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(LOWER(text), '{pat}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS cum
+        FROM d
+    ),
+    ls AS (SELECT UNNEST([{lengths}]) AS ctx_len),
+    per AS (
+        SELECT l.ctx_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c.n_tokens > 0
+                             AND (c.cum - c.n_tokens) // l.ctx_len
+                                 <> (c.cum - 1) // l.ctx_len
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+               CAST(MAX(c.cum) AS BIGINT) AS total_tokens
+        FROM ls l CROSS JOIN c
+        GROUP BY l.ctx_len
+    )
+    SELECT ctx_len, n_docs, total_tokens,
+           CAST((total_tokens + ctx_len - 1) // ctx_len AS BIGINT) AS n_seqs,
+           n_straddling,
+           CAST((2 * n_straddling * 1000000 + n_docs)
+                // (2 * n_docs) AS DOUBLE) / 1000000.0 AS straddle_frac
+    FROM per
+    """
+
+
+@query("x8_context_length_sweep", _ctx_sweep_oracle())
+def x8_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r10): CONTEXT-LENGTH SWEEP — for each candidate training
+    sequence length L, how fragmented the packed corpus is: sequence
+    count ceil(total/L) and the number/fraction of documents STRADDLING
+    an L boundary under the streaming concat-in-doc_id-order packing of
+    ``x8_token_packing`` (a straddling doc is split across training
+    sequences — attention never sees it whole; the fraction falls as L
+    grows, and this table prices that trade against the quadratic
+    attention cost of longer L).
+
+    Determinism: everything derives from ONE exact integer prefix sum
+    (cum) — boundary tests are integer floor-divisions, the fraction is
+    an integer HALF-UP micro-division.
+
+    Scale shape: the prefix sum is the family's two-phase distributed
+    core (``_two_phase_prefix_sum``, hostile-conf-tested — no global
+    ORDER BY window at scale); the sweep joins the per-doc table to a
+    3-row broadcast length grid and reduces to 3 rows."""
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    c = _two_phase_prefix_sum(docs, "n_tokens").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("start_off") + F.col("n_tokens")).cast("bigint").alias("cum"),
+    )
+    ls = spark.createDataFrame([(x,) for x in CTX_SWEEP_LENGTHS], "ctx_len bigint")
+    per = (
+        c.crossJoin(F.broadcast(ls))
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_tokens") > 0)
+                    & (
+                        F.expr("(cum - n_tokens) div ctx_len")
+                        != F.expr("(cum - 1) div ctx_len")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_straddling"),
+            F.max("cum").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return per.select(
+        "ctx_len",
+        "n_docs",
+        "total_tokens",
+        F.expr("CAST((total_tokens + ctx_len - 1) div ctx_len AS BIGINT)").alias(
+            "n_seqs"
+        ),
+        "n_straddling",
+        (
+            F.expr(
+                "CAST((2 * n_straddling * 1000000 + n_docs) div (2 * n_docs)"
+                " AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("straddle_frac"),
+    )

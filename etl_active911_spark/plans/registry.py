@@ -163,7 +163,7 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x2_threshold_sweep, x2_dedup_method_agreement, x7_clark_evans,
 #:   x7_knox, x3_ann_method_recall, x8_temperature_sweep,
 #:   x6_haar_energy, x4_msttr, x3_ivf_nprobe_sweep,
-#:   x9_dup_quality_matrix, x6_entropy_rate.
+#:   x9_dup_quality_matrix, x6_entropy_rate, x8_context_length_sweep.
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 

@@ -159,6 +159,7 @@ EXTRA_CHECKED = (
     "x3_ivf_nprobe_sweep",
     "x9_dup_quality_matrix",
     "x6_entropy_rate",
+    "x8_context_length_sweep",
 )
 
 BNLJ_ALLOWED.update({
@@ -184,6 +185,7 @@ BNLJ_ALLOWED.update({
     "x7_ripley_k": (2, "3-row broadcast radius grid + 1-row broadcast (N, area) intensity scalar"),
     "x2_dedup_method_agreement": (2, "16-row broadcast seed-centroid crossJoin inside the scoped-persisted SemDeDup cell table — InMemoryRelation plan text repeats it once per self-join side, execution is once (x2_semantic_dedup shape)"),
     "x3_ivf_nprobe_sweep": (7, "16-row seed-centroid broadcast (assignment + probe legs) + 4-row nprobe grid + the exact leg's N_QUERIES-row broadcast — the scoped_persist'd candidate table's InMemoryRelation plan text repeats the bounded upstream once per consumer (appr + counts); execution is once"),
+    "x8_context_length_sweep": (3, "1-row broadcast doc_id-bounds table per prefix-sum subtree (x8_shard_assign shape) + 3-row broadcast context-length grid"),
     "x9_dup_quality_matrix": (1, "1-row broadcast corpus-token-total scalar crossJoined into the 4-row matrix"),
     "x3_ann_method_recall": (2, "exact-baseline leg broadcasts the N_QUERIES-row query block with != self-pair condition (x3_cosine_topk shape); plan text shows it in the hits semi-join and the exact subtree"),
     "x8_temperature_sweep": (1, "4-row broadcast temperature grid crossJoined onto the |sources|-row mass table"),
