@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_active911_spark.io import spread
 from etl_active911_spark.operators.dedup import sql_hash60
 from etl_active911_spark.pipeline import active911 as a911
 from etl_active911_spark.pipeline.fixtures import SYNTH_ALERTS_SQL, synthetic_alerts
@@ -1110,7 +1111,10 @@ def x7_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon_d",
         F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
         F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
-    ).localCheckpoint(eager=True)
+    )
+    # the geo memo is ONE partition (single-file fixture, rule 2): spread
+    # BEFORE the checkpoint or the 9-cell pair pass runs on one core
+    pts = spread(pts).localCheckpoint(eager=True)
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
@@ -1367,6 +1371,7 @@ _CLARK_EVANS_ORACLE = f"""
                CAST(FLOOR(lon_d / {RIPLEY_GRID_DEG}) AS BIGINT) AS cx
         FROM resolved
         WHERE lat_d IS NOT NULL AND lon_d IS NOT NULL
+          AND ({sql_hash60('CAST(id AS STRING)')}) % {RIPLEY_THIN} = 0
     ),
     offy AS (SELECT unnest(range(-1, 2)) AS dy),
     offx AS (SELECT unnest(range(-1, 2)) AS dx),
@@ -1439,13 +1444,21 @@ def x7_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: same recall-exact 9-cell neighbourhood equi-join as
     ``x7_ripley_k`` — work is sum(cell-occupancy x neighbourhood), never
-    n squared; for denser patterns the same deterministic hash-thinning
-    knob applies (thinning changes lambda and the mean together; R stays
-    a valid dispersion test on the thinned pattern). The MIN aggregate
-    combines map-side per partition before the id shuffle."""
+    n squared — over the SAME 1-in-RIPLEY_THIN hash-thinned pattern as
+    ripley (applied in code after the unthinned pass measured 74 s at
+    sf0.1: thinning changes lambda and the mean together, so R stays a
+    valid dispersion test ON THE THINNED PATTERN — the documented
+    estimator). The MIN aggregate combines map-side per partition before
+    the id shuffle."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
     resolved = _resolved(spark, sf_dir)
     pts = (
-        resolved.filter(F.col("lat_d").isNotNull() & F.col("lon_d").isNotNull())
+        resolved.filter(
+            F.col("lat_d").isNotNull()
+            & F.col("lon_d").isNotNull()
+            & (token_hash60(F.col("id").cast("string")) % RIPLEY_THIN == 0)
+        )
         .select(
             "id",
             "lat_d",
@@ -1453,8 +1466,10 @@ def x7_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
             F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
         )
-        .localCheckpoint(eager=True)
     )
+    # spread before the checkpoint: the memo is ONE partition (rule 2) and
+    # this pass is UNTHINNED — serialized, the pair scan is minutes at sf0.1
+    pts = spread(pts).localCheckpoint(eager=True)
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
@@ -1607,6 +1622,7 @@ def _knox_oracle() -> str:
                {_knox_epoch_sql('tt.iso')} AS es
         FROM resolved r JOIN tt ON tt.id = r.id
         WHERE r.lat_d IS NOT NULL AND r.lon_d IS NOT NULL AND tt.iso IS NOT NULL
+          AND ({sql_hash60('CAST(r.id AS STRING)')}) % {RIPLEY_THIN} = 0
     ),
     ptb AS (SELECT id, es, es // {KNOX_TIME_S} AS tb FROM pts),
     offy AS (SELECT unnest(range(-1, 2)) AS dy),
@@ -1673,10 +1689,15 @@ def x7_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: spatial pairs ride the 9-cell neighbourhood equi-join
     (1 km <= the window's 4.19 km proof radius); temporal pairs ride the
-    same trick in 1-D (adjacent hour-bucket equi-join); both are
+    same trick in 1-D (adjacent hour-bucket equi-join); both run over
+    the SAME 1-in-RIPLEY_THIN hash-thinned pattern as ripley (the Knox
+    RATIO is invariant under independent thinning in expectation — X,
+    Ns, Nt and N all scale by p^2; applied in code after the unthinned
+    pass measured 25 s at sf0.1); both are
     sum-of-bucket-occupancy-squared, never n^2, and both reduce to 1-row
     aggregates before the 3-way scalar assembly."""
     from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+    from etl_active911_spark.operators.dedup import token_hash60
 
     r = _resolved(spark, sf_dir)
     iso = parse_alert_time_iso(F.col("sent"))
@@ -1695,6 +1716,7 @@ def x7_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lat_d").isNotNull()
             & F.col("lon_d").isNotNull()
             & F.col("iso").isNotNull()
+            & (token_hash60(F.col("id").cast("string")) % RIPLEY_THIN == 0)
         )
         .select(
             "id",
@@ -1704,8 +1726,9 @@ def x7_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
             epoch.alias("es"),
         )
-        .localCheckpoint(eager=True)
     )
+    # spread before the checkpoint (rule 2; same fix as x7_clark_evans)
+    pts = spread(pts).localCheckpoint(eager=True)
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
