@@ -3309,20 +3309,6 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     force — the eval-only cost that a production run replaces with a
     labeled sample; top-k rides rank-limit pushdown (rule 19)."""
     exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
-    legs = []
-    for name, fn in (("lsh", x3_ann_lsh), ("multiprobe", x3_ann_lsh_multiprobe)):
-        legs.append(
-            fn(spark, sf_dir).select(
-                F.lit(name).alias("method"), "query_id", "vec_id"
-            )
-        )
-    appr = legs[0].unionByName(legs[1])
-    hits = (
-        appr.join(exact, ["query_id", "vec_id"], "left_semi")
-        .groupBy("method")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-    )
-    # candidate counts: same candidate generation the two methods score
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     planes = spark.createDataFrame(
         [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
@@ -3363,9 +3349,11 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from etl_active911_spark.plans.cache import scoped_persist
 
-    qprojs = scoped_persist(
-        "x3_ann_method_recall.projs", projs.filter(F.col("vec_id") < N_QUERIES)
-    )
+    # the projection table feeds the corpus keys AND both query fans —
+    # persist it whole (|corpus| x 32 doubles, tiny) so the explode legs
+    # share one computation
+    projs = scoped_persist("x3_ann_method_recall.projs", projs)
+    qprojs = projs.filter(F.col("vec_id") < N_QUERIES)
     sig = projs.select("vec_id", F.explode(F.array(*band_cols)).alias("band_key"))
     qkeys = (
         qprojs.select(
@@ -3380,14 +3368,47 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(*probe_cols)).alias("band_key"),
         )
     )
-    cand = (
+    cand = scoped_persist(
+        "x3_ann_method_recall.cand",
         sig.join(qkeys, "band_key")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("method", "query_id", "vec_id")
-        .distinct()
+        .distinct(),
     )
     cc = cand.groupBy("method").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    # score the ONE candidate table and rank per method — identical sets
+    # (and therefore identical top-k) to running each method's registered
+    # pipeline, without rebuilding the projection subtree per method
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "method",
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("method", "query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("vec_id")
+    )
+    appr = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("method", "query_id", "vec_id")
+    )
+    hits = (
+        appr.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
     methods = spark.createDataFrame([("lsh",), ("multiprobe",)], "method string")
     denom = N_QUERIES * TOP_K
