@@ -2291,12 +2291,13 @@ def lsh_truth_pairs(docs: DataFrame, df_cap: int = LSH_TRUTH_DF_CAP) -> DataFram
     )
 
 
-_LSH_RECALL_ORACLE = f"""
-    WITH {MINHASH_CTES},
-    found AS (
-        SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5
-    ),
-    pp AS (
+#: Shared oracle CTE chain for the df-capped EXACT ground-truth pairs —
+#: assumes a preceding ``sh`` CTE (from ``MINHASH_CTES``); ends at
+#: ``truth`` (doc_a, doc_b, jac >= 0.5). One definition for BOTH
+#: x2_lsh_recall_eval and x2_threshold_sweep (their Spark sides share
+#: ``shared_truth_pairs``), so the truth spec can never desynchronize
+#: between the two oracles (the SEMDEDUP_CTES discipline).
+LSH_TRUTH_CTES = f"""pp AS (
         SELECT doc_id, g, n_g FROM (
             SELECT doc_id, g, n_g, COUNT(*) OVER (PARTITION BY g) AS df_g
             FROM (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh)
@@ -2315,7 +2316,14 @@ _LSH_RECALL_ORACLE = f"""
                CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
         FROM tp
         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    )"""
+
+_LSH_RECALL_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    found AS (
+        SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5
     ),
+    {LSH_TRUTH_CTES},
     m AS (
         SELECT t.doc_a, t.doc_b, t.jac,
                CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -2565,35 +2573,8 @@ def shared_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SWEEP_ORACLE = f"""
-    WITH toks AS (
-        SELECT doc_id,
-               string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               CASE WHEN len(t) >= 3
-                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                                      i -> array_to_string(t[i:i+2], ' ')))
-                    ELSE [array_to_string(t, ' ')] END AS gs
-        FROM toks
-    ),
-    pp AS (
-        SELECT doc_id, g, n_g FROM (
-            SELECT doc_id, g, n_g, COUNT(*) OVER (PARTITION BY g) AS df_g
-            FROM (SELECT doc_id, UNNEST(gs) AS g, len(gs) AS n_g FROM sh)
-        ) WHERE df_g <= {LSH_TRUTH_DF_CAP}
-    ),
-    tp AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb,
-               COUNT(*) AS inter
-        FROM pp a JOIN pp b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-    ),
-    truth AS (
-        SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
-        FROM tp WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
-    ),
+    WITH {MINHASH_CTES},
+    {LSH_TRUTH_CTES},
     ths AS (
         SELECT CAST(UNNEST([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]) AS DOUBLE)
                AS threshold

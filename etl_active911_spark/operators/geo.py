@@ -1467,8 +1467,7 @@ def x7_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
         )
     )
-    # spread before the checkpoint: the memo is ONE partition (rule 2) and
-    # this pass is UNTHINNED — serialized, the pair scan is minutes at sf0.1
+    # spread before the checkpoint: the memo is ONE partition (rule 2)
     pts = spread(pts).localCheckpoint(eager=True)
     offsets = F.array(
         *[

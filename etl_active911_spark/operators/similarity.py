@@ -223,6 +223,62 @@ _ANN_PLANES_VALUES = ", ".join(
     "(" + ", ".join([str(d)] + [str(_ANN_SIGNS[d][p]) for p in range(ANN_N_PLANES)]) + ")"
     for d in range(EMB_DIM)
 )
+
+
+def _ann_projs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The shared hyperplane projection table (vec_id, p0..p31): literal
+    plane matrix broadcast + posexplode + one 32-SUM codegen aggregate.
+    ONE definition for x3_ann_lsh / x3_ann_lsh_multiprobe /
+    x3_ann_method_recall — their superset/identity guarantees require
+    bit-identical signatures, so the pipeline must never fork."""
+    planes = spark.createDataFrame(
+        [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
+        "d int, " + ", ".join(f"s{p} int" for p in range(ANN_N_PLANES)),
+    )
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    return (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.col("v").cast("double") * F.col(f"s{p}")).alias(f"p{p}")
+                for p in range(ANN_N_PLANES)
+            ]
+        )
+    )
+
+
+def _ann_bit(band: int, j: int, inverted: bool = False) -> Column:
+    c = F.col(f"p{band * ANN_PLANES_PER_BAND + j}") > 0
+    if inverted:
+        return F.when(c, "0").otherwise("1")
+    return F.when(c, "1").otherwise("0")
+
+
+def _ann_band_cols() -> list[Column]:
+    """Index-prefixed band keys (the corpus/single-probe key set)."""
+    return [
+        F.concat(
+            F.lit(f"{band}:"),
+            *[_ann_bit(band, j) for j in range(ANN_PLANES_PER_BAND)],
+        )
+        for band in range(ANN_N_BANDS)
+    ]
+
+
+def _ann_probe_cols() -> list[Column]:
+    """T=1 multi-probe key set: each band's own key plus every
+    Hamming-distance-1 perturbation (strict superset of the band keys)."""
+    return [
+        F.concat(
+            F.lit(f"{band}:"),
+            *[_ann_bit(band, j, j == flip) for j in range(ANN_PLANES_PER_BAND)],
+        )
+        for band in range(ANN_N_BANDS)
+        for flip in range(-1, ANN_PLANES_PER_BAND)
+    ]
+
+
 _ANN_LSH_ORACLE = f"""
     WITH planes(d, {", ".join(f"s{p}" for p in range(ANN_N_PLANES))}) AS (
         VALUES {_ANN_PLANES_VALUES}
@@ -303,32 +359,10 @@ def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     also a pipeline breaker, so band values are computed exactly once.
     """
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    planes = spark.createDataFrame(
-        [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
-        "d int, " + ", ".join(f"s{p} int" for p in range(ANN_N_PLANES)),
+    projs = _ann_projs(spark, emb)
+    sig = projs.select(
+        "vec_id", F.explode(F.array(*_ann_band_cols())).alias("band_key")
     )
-    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
-    projs = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.col("v").cast("double") * F.col(f"s{p}")).alias(f"p{p}")
-                for p in range(ANN_N_PLANES)
-            ]
-        )
-    )
-    band_cols = [
-        F.concat(
-            F.lit(f"{band}:"),
-            *[
-                F.when(F.col(f"p{band * ANN_PLANES_PER_BAND + j}") > 0, "1").otherwise("0")
-                for j in range(ANN_PLANES_PER_BAND)
-            ],
-        )
-        for band in range(ANN_N_BANDS)
-    ]
-    sig = projs.select("vec_id", F.explode(F.array(*band_cols)).alias("band_key"))
     q_sig = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band_key"
     )
@@ -3032,49 +3066,15 @@ def x3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index unchanged; candidates remain actual bucket collisions, never
     a nested loop."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    planes = spark.createDataFrame(
-        [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
-        "d int, " + ", ".join(f"s{p} int" for p in range(ANN_N_PLANES)),
+    projs = _ann_projs(spark, emb)
+    sig = projs.select(
+        "vec_id", F.explode(F.array(*_ann_band_cols())).alias("band_key")
     )
-    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
-    projs = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.col("v").cast("double") * F.col(f"s{p}")).alias(f"p{p}")
-                for p in range(ANN_N_PLANES)
-            ]
-        )
-    )
-
-    def bit(band: int, j: int, inverted: bool) -> Column:
-        c = F.col(f"p{band * ANN_PLANES_PER_BAND + j}") > 0
-        if inverted:
-            return F.when(c, "0").otherwise("1")
-        return F.when(c, "1").otherwise("0")
-
-    band_cols = [
-        F.concat(
-            F.lit(f"{band}:"),
-            *[bit(band, j, False) for j in range(ANN_PLANES_PER_BAND)],
-        )
-        for band in range(ANN_N_BANDS)
-    ]
-    probe_cols = [
-        F.concat(
-            F.lit(f"{band}:"),
-            *[bit(band, j, j == flip) for j in range(ANN_PLANES_PER_BAND)],
-        )
-        for band in range(ANN_N_BANDS)
-        for flip in range(-1, ANN_PLANES_PER_BAND)
-    ]
-    sig = projs.select("vec_id", F.explode(F.array(*band_cols)).alias("band_key"))
     q_sig = (
         projs.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(F.array(*probe_cols)).alias("band_key"),
+            F.explode(F.array(*_ann_probe_cols())).alias("band_key"),
         )
     )
     cand = (
@@ -3310,43 +3310,7 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled sample; top-k rides rank-limit pushdown (rule 19)."""
     exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    planes = spark.createDataFrame(
-        [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
-        "d int, " + ", ".join(f"s{p} int" for p in range(ANN_N_PLANES)),
-    )
-    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
-    projs = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.col("v").cast("double") * F.col(f"s{p}")).alias(f"p{p}")
-                for p in range(ANN_N_PLANES)
-            ]
-        )
-    )
-
-    def bit(band: int, j: int, inverted: bool) -> Column:
-        c = F.col(f"p{band * ANN_PLANES_PER_BAND + j}") > 0
-        if inverted:
-            return F.when(c, "0").otherwise("1")
-        return F.when(c, "1").otherwise("0")
-
-    band_cols = [
-        F.concat(
-            F.lit(f"{band}:"),
-            *[bit(band, j, False) for j in range(ANN_PLANES_PER_BAND)],
-        )
-        for band in range(ANN_N_BANDS)
-    ]
-    probe_cols = [
-        F.concat(
-            F.lit(f"{band}:"),
-            *[bit(band, j, j == flip) for j in range(ANN_PLANES_PER_BAND)],
-        )
-        for band in range(ANN_N_BANDS)
-        for flip in range(-1, ANN_PLANES_PER_BAND)
-    ]
+    projs = _ann_projs(spark, emb)
     from etl_active911_spark.plans.cache import scoped_persist
 
     # the projection table feeds the corpus keys AND both query fans —
@@ -3354,18 +3318,20 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share one computation
     projs = scoped_persist("x3_ann_method_recall.projs", projs)
     qprojs = projs.filter(F.col("vec_id") < N_QUERIES)
-    sig = projs.select("vec_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    sig = projs.select(
+        "vec_id", F.explode(F.array(*_ann_band_cols())).alias("band_key")
+    )
     qkeys = (
         qprojs.select(
             F.lit("lsh").alias("method"),
             F.col("vec_id").alias("query_id"),
-            F.explode(F.array(*band_cols)).alias("band_key"),
+            F.explode(F.array(*_ann_band_cols())).alias("band_key"),
         )
     ).unionByName(
         qprojs.select(
             F.lit("multiprobe").alias("method"),
             F.col("vec_id").alias("query_id"),
-            F.explode(F.array(*probe_cols)).alias("band_key"),
+            F.explode(F.array(*_ann_probe_cols())).alias("band_key"),
         )
     )
     cand = scoped_persist(

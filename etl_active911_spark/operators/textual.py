@@ -3488,8 +3488,9 @@ def _dup_quality_matrix_oracle() -> str:
     SELECT g.is_dup, g.is_quality,
            CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
            CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST((2 * COALESCE(c.n_tokens, 0) * 1000000 + tot.t)
-                // (2 * tot.t) AS DOUBLE) / 1000000.0 AS token_share
+           CAST(CAST((2::HUGEINT * COALESCE(c.n_tokens, 0) * 1000000 + tot.t)
+                     // (2::HUGEINT * tot.t) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS token_share
     FROM grid g
     LEFT JOIN cellagg c ON c.is_dup = g.is_dup AND c.is_quality = g.is_quality
     CROSS JOIN tot
@@ -3552,8 +3553,9 @@ def x9_dup_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
             (
                 F.expr(
-                    "CAST((2 * COALESCE(n_tokens, 0) * 1000000 + t)"
-                    " div (2 * t) AS BIGINT)"
+                    "CAST((2 * CAST(COALESCE(n_tokens, 0) AS DECIMAL(38,0))"
+                    " * 1000000 + t) div (2 * CAST(t AS DECIMAL(38,0)))"
+                    " AS BIGINT)"
                 ).cast("double")
                 / 1000000.0
             ).alias("token_share"),
