@@ -35,6 +35,14 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
+    # Session-scoped connection shared by ~300 oracle executions: DuckDB's
+    # default memory_limit is ~80% of system RAM, which lets its buffer
+    # pool grow against the long-lived Spark JVM until a malloc fails
+    # mid-suite (observed once: a 266 KB allocation OOM'd during the TZ
+    # sweep after the r10 oracle additions). Cap it far above any single
+    # sf0.01 oracle's need and give it a spill directory.
+    con.execute("SET memory_limit='12GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     from etl_active911_spark.io import TABLES
 
     for name in TABLES:
