@@ -2781,17 +2781,55 @@ def metric_overlap(
 #: hub cutoff: in-degree > 2k is the JMLR 2010 convention for "hub"
 _HUB_FACTOR = 2
 
+#: enforced FLOPs bound for the exact-kNN hubness audit (VERDICT r10
+#: item 2): the corpus is deterministically hash-thinned to at most
+#: ~this many vectors BEFORE the GEMM, with the adaptive modulus
+#: t = ceil(n / cap) mirrored in the oracle. 4096 is a no-op at every
+#: fixture scale (sf0.01 = 500 vectors, sf0.1 = 2000 — t = 1, so the
+#: oracle hash stays exact), and caps the audit at ~16.8M dot products
+#: per block pair regardless of corpus size. Hubness skewness is a
+#: distributional property of the embedding SPACE, not the corpus:
+#: under an i.i.d. subsample at fixed k the k-occurrence distribution
+#: (and hence its skewness) converges to the same limit
+#: (Radovanovic et al., JMLR 2010 §4 compute it on samples throughout),
+#: so this is the geo-family measurement-faithful work bound
+#: (geo.py RIPLEY_THIN), not an approximation knob.
+HUBNESS_SAMPLE_CAP = 4096
+
 _SELF_COS = (
     "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
     " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
     "    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
 )
 
-_HUBNESS_ORACLE = f"""
-    WITH scored AS (
-        SELECT a.vec_id AS q, b.vec_id AS nb, {_SELF_COS} AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+
+def hubness_oracle(cap: int) -> str:
+    """Full DuckDB oracle for ``knn_hubness`` at an arbitrary thinning
+    cap — the registered oracle is this at HUBNESS_SAMPLE_CAP (no-op at
+    fixture scale); pytest parity-checks the ENGAGED cut at a small cap."""
+    return _hubness_oracle_head(cap) + _HUBNESS_ORACLE_TAIL
+
+
+def _hubness_oracle_head(cap: int) -> str:
+    from etl_active911_spark.operators.dedup import sql_hash60
+
+    return f"""
+    WITH tparam AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {cap}.0) AS BIGINT)) AS t
+        FROM embeddings
     ),
+    kept AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE ({sql_hash60("CAST(vec_id AS STRING)")})
+              % (SELECT t FROM tparam) = 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS q, b.vec_id AS nb, {_SELF_COS} AS cos
+        FROM kept a JOIN kept b ON a.vec_id <> b.vec_id
+    ),"""
+
+
+_HUBNESS_ORACLE_TAIL = f"""
     knn AS (
         SELECT q, nb FROM (
             SELECT q, nb,
@@ -2802,7 +2840,7 @@ _HUBNESS_ORACLE = f"""
     ),
     deg AS (
         SELECT e.vec_id, CAST(COALESCE(c.d, 0) AS BIGINT) AS d
-        FROM embeddings e
+        FROM kept e
         LEFT JOIN (
             SELECT nb AS vec_id, CAST(COUNT(*) AS BIGINT) AS d
             FROM knn GROUP BY nb
@@ -2835,12 +2873,15 @@ _HUBNESS_ORACLE = f"""
     FROM m
     """
 
+_HUBNESS_ORACLE = hubness_oracle(HUBNESS_SAMPLE_CAP)
+
 
 @query("x3_knn_hubness", _HUBNESS_ORACLE)
 def x3_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3 (r10): kNN-GRAPH HUBNESS AUDIT (Radovanovic, Nanopoulos &
     Ivanovic, JMLR 2010) — build the exact k=5 nearest-neighbor graph
-    over the WHOLE embedding corpus (cosine) and report the k-occurrence
+    over the (hash-thinned, HUBNESS_SAMPLE_CAP-bounded) embedding corpus
+    (cosine) and report the k-occurrence
     (in-degree) distribution: max in-degree, antihub count (never anyone's
     neighbor), hub count (in-degree > 2k), and the SKEWNESS of the
     in-degree distribution — THE standard scalar for "is this embedding
@@ -2865,19 +2906,65 @@ def x3_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (S1, S2, S3) cast-to-double FIRST, then ONE mirrored double
     expression (casting before combining keeps every intermediate
     defined — no BIGINT overflow on pathological hub counts), rounded
-    6dp."""
+    6dp.
+
+    FLOPs bound (VERDICT r10 item 2): the corpus is hash-thinned to
+    ≤ ~HUBNESS_SAMPLE_CAP vectors BEFORE the GEMM with an adaptive
+    modulus t = ceil(n/cap) — deterministic content-addressed cut
+    (token_hash60 of vec_id, the geo-family RIPLEY_THIN idiom),
+    mirrored exactly in the oracle, a calibrated NO-OP at fixture
+    scale (t = 1). Skewness is subsample-stable (see the cap's
+    docstring), so at 100 TB this is a bounded-sample diagnostic, not
+    an O(n²) job."""
+    return knn_hubness(
+        spark,
+        lambda: spread(read_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        ),
+    )
+
+
+def knn_hubness(
+    spark: SparkSession,
+    emb_factory: "Callable[[], DataFrame]",
+    cap: int = HUBNESS_SAMPLE_CAP,
+) -> DataFrame:
+    """Core of ``x3_knn_hubness`` over an arbitrary (vec_id, embedding)
+    frame — split out so pytest pins the ENGAGED thinning cut with a
+    small ``cap`` on the fixture corpus (at the default cap the cut is
+    a no-op at fixture scale by design). Takes a FACTORY so each cogroup
+    side gets fresh attribute ids (Spark's ambiguous-self-join check
+    rejects a shared-lineage cogroup; alias() does not detach dataset-id
+    metadata)."""
     import numpy as np
     import pandas as pd
+
+    from etl_active911_spark.operators.dedup import token_hash60
 
     n_blocks = MATMUL_BLOCKS
     slack = 1e-6
 
-    def side(on: str) -> DataFrame:
-        e = (
-            spread(read_table(spark, sf_dir, "embeddings"))
-            .select("vec_id", "embedding")
-            .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+    def kept_of() -> DataFrame:
+        # adaptive thinning modulus t = ceil(n/cap), derived declaratively
+        # (1-row broadcast, no driver action) and applied as a deterministic
+        # hash cut so Spark and DuckDB keep the identical subsample
+        emb = emb_factory()
+        tdf = emb.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.count(F.lit(1)) / F.lit(float(cap))).cast("bigint"),
+            ).alias("thin_t")
         )
+        return (
+            emb.crossJoin(F.broadcast(tdf))
+            .filter(
+                token_hash60(F.col("vec_id").cast("string")) % F.col("thin_t") == 0
+            )
+            .select("vec_id", "embedding")
+        )
+
+    def side(on: str) -> DataFrame:
+        e = kept_of().withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
         p = spark.createDataFrame(
             [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             "bi int, bj int",
@@ -2936,7 +3023,7 @@ def x3_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(block_topk, "query_id long, vec_id long, cosine double")
     )
     edges = partial_topk(cand, TOP_K)
-    ids = spread(read_table(spark, sf_dir, "embeddings")).select("vec_id")
+    ids = kept_of().select("vec_id")
     indeg = edges.groupBy("vec_id").agg(F.count(F.lit(1)).cast("bigint").alias("dd"))
     deg = ids.join(indeg, "vec_id", "left").select(
         F.coalesce("dd", F.lit(0)).cast("bigint").alias("d")

@@ -18,20 +18,24 @@ WINDOW = 50
 
 # Every §2 family that must be represented inside the scoring window,
 # as a name-prefix (a family is covered if any windowed query matches).
+# The r11 rebalance (VERDICT r10 item 3) trimmed CORE to one query per §2
+# family; n15_/n16_ (beyond-survey SQL-API / recursive-CTE, not §2 ids)
+# left the every-round window and are covered by the local 258-oracle
+# replica plus periodic long-cycle rotation (registry queue comment).
 REQUIRED_FAMILY_PREFIXES = [
     "flagship",
     "o2_", "o5_", "o10_", "o13_", "o15_", "o19_", "o22_",  # O-* pipeline surface
     "a911_pipeline", "a911_features",
-    "n11_", "n12_", "n13_", "n14_", "n15_", "n16_",  # streaming + UDF/SQL/CTE
+    "n11_", "n12_", "n13_", "n14_",  # streaming + UDF surface
     "x1_", "x2_dup_clusters",
     "x4_", "x5_", "x6_", "x7_", "x8_", "x9_",
     "x3_pandas_matmul",
 ]
 
-# The round-9 scoring window (CORRECTNESS_r09.json keys — 50/50 green, so
+# The round-10 scoring window (CORRECTNESS_r10.json keys — 50/50 green, so
 # nothing carries over): the rotation policy requires each round's window
 # to re-earn driver rows for queries this set did NOT score.
-R9_WINDOW = {
+R10_WINDOW = {
     "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
     "o13_response_extract", "o15_time_parse", "o19_links_dedup",
     "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
@@ -42,14 +46,29 @@ R9_WINDOW = {
     "x7_nearest_station", "x3_pandas_matmul", "x2_dup_clusters",
     "o2_source_roundtrip", "x1_exact_dedup", "x8_stratified_sample",
     "x8_train_holdout_split", "x6_ts_dtw", "n13_python_udtf",
-    "n2_join_semi", "n2_join_anti", "n2_join_full_outer",
-    "n4_percentiles", "n6_rollup", "n6_cube", "n6_pivot",
-    "n7_window_lag", "n7_window_distribution", "n9_intersect",
-    "n9_except_all", "x2_substring_spans",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q7_nation_volume", "tpch_q12_priority_by_status",
-    "tpch_q13_order_histogram", "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+    "x4_char_entropy", "x4_pmi_bigrams", "o15_time_parse_pinned_now",
+    "x2_token_decontaminate", "x2_minhash_estimate", "x4_blocklist_gate",
+    "x4_zipf_fit", "x3_embedding_stats", "x3_ann_ivf_add",
+    "x6_cusum_changepoint", "x9_curation_v6",
+    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q11_important_parts",
+    "tpch_q15_top_supplier", "tpch_q16_part_supplier_counts",
+    "tpch_q19_discounted_revenue", "tpch_q20_promotion_suppliers",
+    "x3_ann_ivf_lloyd1",
+}
+
+# The 20-slot r11 rotation queue pinned in r9 and re-pinned by VERDICT r10
+# item 1 — every member must sit inside this round's scoring window.
+PINNED_R11_QUEUE = {
+    "tpch_q22_idle_customers", "n2_correlated_subquery",
+    "n4_approx_percentiles", "n5_approx_count_distinct", "x3_ann_ivf",
+    "x8_budget_effective", "x6_seasonal_strength",
+    "x2_eval_contamination_report", "x7_geofence_assignment",
+    "x5_media_validate", "x2_lsh_recall_eval", "x6_rollup_cascade",
+    "x3_ann_ivf_add_recall", "x3_metric_sensitivity",
+    "x2_cluster_size_histogram", "x6_minmax_downsample",
+    "x7_hotspot_cells", "x2_cluster_template", "x8_split_leakage_audit",
+    "x5_phash_banded_dedup",
 }
 
 
@@ -93,13 +112,23 @@ def test_oracle_dict_is_subset_in_same_order():
     assert o == sorted(o, key=pos.__getitem__)
 
 
+# Approx-sketch queries with no SQL shape (rows-only by design) that the
+# pinned r11 queue deliberately rotates through the window so they earn
+# their weaker driver check once (VERDICT r10 item 1: "the 5 r1/r2
+# stragglers" includes these three). Each carries an independent replica
+# or property test in lieu of an oracle.
+WINDOWED_ROWS_ONLY = {
+    "n4_approx_percentiles", "n5_approx_count_distinct", "x3_ann_ivf",
+}
+
+
 def test_windowed_queries_all_have_oracles_or_documented_rows_only():
-    """Everything in the scoring window should carry a DuckDB oracle —
-    rows-only checks are reserved for approx sketches, all of which sit
-    outside the curated window."""
+    """Everything in the scoring window should carry a DuckDB oracle,
+    except the documented rows-only sketches the pinned r11 queue rotates
+    in (the driver records their weaker rows-only check this round)."""
     names = list(entry.queries())[:WINDOW]
     oracles = entry.oracle_sql()
-    missing = [n for n in names if n not in oracles]
+    missing = [n for n in names if n not in oracles and n not in WINDOWED_ROWS_ONLY]
     assert missing == [], missing
 
 
@@ -112,12 +141,28 @@ def test_rotation_reearns_driver_rows():
     """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
     slots must go to queries the PREVIOUS round's window did not score,
     so hard driver evidence cycles through the whole registry over
-    rounds. r10: all 50 r9 rows were green, so no red row carries over
-    and the whole ROTATION is fresh (all 20 never driver-scored)."""
+    rounds. r11: all 50 r10 rows were green, so no red row carries over
+    and the whole widened ROTATION (27 slots) is fresh."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R9_WINDOW
+    fresh = window - R10_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    assert set(registry.ROTATION) & R9_WINDOW == set()
+    assert set(registry.ROTATION) & R10_WINDOW == set()
+
+
+def test_r11_pinned_queue_executes_exactly():
+    """VERDICT r10 item 1: the 20-slot r11 queue pinned in r9 executes
+    EXACTLY — every named member holds a slot in this round's window."""
+    window = set(list(entry.queries())[:WINDOW])
+    missing = PINNED_R11_QUEUE - window
+    assert missing == set(), sorted(missing)
+
+
+def test_core_is_single_cover_per_family():
+    """VERDICT r10 item 3: CORE carries no family double-covers beyond
+    the mandated flagship + a911 pair — each trimmed slot is a rotation
+    slot the r10 operator wave gets back."""
+    assert len(registry.CORE) == 23
+    assert len(registry.ROTATION) == 27
 
 
 def test_no_duplicate_registration_possible():
