@@ -75,6 +75,59 @@ def _resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _thinned_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-RIPLEY_THIN hash-thinned resolved point pattern at the
+    RIPLEY_GRID_DEG grain, shared by the point-pattern statistics family
+    (``x7_ripley_k`` / ``x7_clark_evans`` / ``x7_knox``) — before r11
+    each independently rebuilt and ``spread().localCheckpoint()``'d this
+    same projection, three checkpoint passes over the suite's heaviest
+    family (VERDICT r10 item 4; rule 25 memo).
+
+    Carries the epoch-seconds column knox needs as a NULLABLE ``es``
+    (null when the alert time fails to parse): ripley and clark_evans
+    ignore ``es`` entirely and filter nothing on it, knox filters
+    ``es IS NOT NULL`` — so sharing the epoch-extended projection is
+    result-identical for all three consumers. ``spread`` before the
+    checkpoint (rule 2): the memo would otherwise be ONE partition and
+    the 9-cell pair passes would run on one core."""
+    from etl_active911_spark.plans.cache import fixture_memo
+
+    def build() -> DataFrame:
+        from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+        from etl_active911_spark.operators.dedup import token_hash60
+
+        r = _resolved(spark, sf_dir)
+        iso = parse_alert_time_iso(F.col("sent"))
+        epoch = (
+            F.datediff(
+                F.to_date(F.substring("iso", 1, 10)), F.lit("1970-01-01")
+            ).cast("long")
+            * 86400
+            + F.substring("iso", 12, 2).cast("long") * 3600
+            + F.substring("iso", 15, 2).cast("long") * 60
+            + F.substring("iso", 18, 2).cast("long")
+        )
+        pts = (
+            r.select("id", "lat_d", "lon_d", iso.alias("iso"))
+            .filter(
+                F.col("lat_d").isNotNull()
+                & F.col("lon_d").isNotNull()
+                & (token_hash60(F.col("id").cast("string")) % RIPLEY_THIN == 0)
+            )
+            .select(
+                "id",
+                "lat_d",
+                "lon_d",
+                F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
+                F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
+                epoch.alias("es"),
+            )
+        )
+        return spread(pts)
+
+    return fixture_memo("geo.thinned_pts", spark, sf_dir, build, table="orders")
+
+
 @query(
     "x7_geo_radius",
     f"""
@@ -1098,23 +1151,9 @@ def x7_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     case. All K radii share ONE pair pass (three conditional counts in
     one 1-row aggregate); bbox, n, and counts broadcast-join into the
     3-row radii table."""
-    from etl_active911_spark.operators.dedup import token_hash60
-
-    resolved = _resolved(spark, sf_dir)
-    pts = resolved.filter(
-        F.col("lat_d").isNotNull()
-        & F.col("lon_d").isNotNull()
-        & (token_hash60(F.col("id").cast("string")) % RIPLEY_THIN == 0)
-    ).select(
-        "id",
-        "lat_d",
-        "lon_d",
-        F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
-        F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
-    )
-    # the geo memo is ONE partition (single-file fixture, rule 2): spread
-    # BEFORE the checkpoint or the 9-cell pair pass runs on one core
-    pts = spread(pts).localCheckpoint(eager=True)
+    # shared thinned-pattern memo (r11): one spread+checkpoint pass
+    # serves ripley/clark_evans/knox; es is ignored here
+    pts = _thinned_pts(spark, sf_dir).select("id", "lat_d", "lon_d", "cy", "cx")
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
@@ -1450,25 +1489,9 @@ def x7_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid dispersion test ON THE THINNED PATTERN — the documented
     estimator). The MIN aggregate combines map-side per partition before
     the id shuffle."""
-    from etl_active911_spark.operators.dedup import token_hash60
-
-    resolved = _resolved(spark, sf_dir)
-    pts = (
-        resolved.filter(
-            F.col("lat_d").isNotNull()
-            & F.col("lon_d").isNotNull()
-            & (token_hash60(F.col("id").cast("string")) % RIPLEY_THIN == 0)
-        )
-        .select(
-            "id",
-            "lat_d",
-            "lon_d",
-            F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
-            F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
-        )
-    )
-    # spread before the checkpoint: the memo is ONE partition (rule 2)
-    pts = spread(pts).localCheckpoint(eager=True)
+    # shared thinned-pattern memo (r11): one spread+checkpoint pass
+    # serves ripley/clark_evans/knox; es is ignored here
+    pts = _thinned_pts(spark, sf_dir).select("id", "lat_d", "lon_d", "cy", "cx")
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
@@ -1695,39 +1718,10 @@ def x7_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass measured 25 s at sf0.1); both are
     sum-of-bucket-occupancy-squared, never n^2, and both reduce to 1-row
     aggregates before the 3-way scalar assembly."""
-    from etl_active911_spark.functions.timeparse import parse_alert_time_iso
-    from etl_active911_spark.operators.dedup import token_hash60
-
-    r = _resolved(spark, sf_dir)
-    iso = parse_alert_time_iso(F.col("sent"))
-    epoch = (
-        F.datediff(F.to_date(F.substring("iso", 1, 10)), F.lit("1970-01-01")).cast(
-            "long"
-        )
-        * 86400
-        + F.substring("iso", 12, 2).cast("long") * 3600
-        + F.substring("iso", 15, 2).cast("long") * 60
-        + F.substring("iso", 18, 2).cast("long")
-    )
-    pts = (
-        r.select("id", "lat_d", "lon_d", iso.alias("iso"))
-        .filter(
-            F.col("lat_d").isNotNull()
-            & F.col("lon_d").isNotNull()
-            & F.col("iso").isNotNull()
-            & (token_hash60(F.col("id").cast("string")) % RIPLEY_THIN == 0)
-        )
-        .select(
-            "id",
-            "lat_d",
-            "lon_d",
-            F.floor(F.col("lat_d") / RIPLEY_GRID_DEG).cast("long").alias("cy"),
-            F.floor(F.col("lon_d") / RIPLEY_GRID_DEG).cast("long").alias("cx"),
-            epoch.alias("es"),
-        )
-    )
-    # spread before the checkpoint (rule 2; same fix as x7_clark_evans)
-    pts = spread(pts).localCheckpoint(eager=True)
+    # shared thinned-pattern memo (r11): one spread+checkpoint pass
+    # serves ripley/clark_evans/knox; knox's iso-notnull filter becomes
+    # the es-notnull filter on the memo's nullable epoch column
+    pts = _thinned_pts(spark, sf_dir).filter(F.col("es").isNotNull())
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
