@@ -176,7 +176,9 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: Rows-only by design (never windowable): x3_ann_pq/brp/ivf_pq/
 #: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
 
-LAST: tuple[str, ...] = ("x3_ann_ivf_partitioned",)
+#: Disk-writing queries pinned to the very end (rule 16): an abort in a
+#: sandboxed/readonly temp dir cannot un-score the sweep.
+LAST: tuple[str, ...] = ("x3_ann_ivf_compact", "x3_ann_ivf_partitioned")
 
 
 def ordered_queries() -> dict[str, QueryFn]:

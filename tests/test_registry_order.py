@@ -97,9 +97,9 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert len(ordered) == len(set(ordered))
 
 
-def test_filesystem_writer_is_registered_last():
+def test_filesystem_writers_are_registered_last():
     names = list(entry.queries())
-    assert names[-1] == "x3_ann_ivf_partitioned"
+    assert names[-2:] == ["x3_ann_ivf_compact", "x3_ann_ivf_partitioned"]
 
 
 def test_oracle_dict_is_subset_in_same_order():
