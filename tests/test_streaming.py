@@ -985,3 +985,58 @@ def test_curation_ingest_stream_matches_batch(spark, tmp_path):
     assert streamed == expected
     # the re-sent duplicate landed on srcC (doc 10), not srcA/srcB
     assert "srcC" in streamed and streamed["srcC"][0] == 1
+
+
+def test_cusum_batch_stream_parity(spark, tmp_path):
+    """Streaming CUSUM twin (r11, VERDICT r10 item 6): the stateful
+    closed-form fold over micro-batches must reproduce the batch
+    operator's alarm set exactly (same baseline, same rounded values)
+    when events arrive in time order (two files split at the median)."""
+    import time as _time
+
+    from etl_active911_spark.operators.timeseries import cusum_alarms
+    from etl_active911_spark.streaming.cusum_stream import (
+        cusum_alarm_stream,
+        cusum_baseline,
+    )
+
+    events = (
+        read_table(spark, SF_ORACLE, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
+    tsmid = lo + (hi - lo) / 2
+    d = str(tmp_path / "cusum_src")
+    events.filter(F.col("ts") <= F.lit(tsmid)).coalesce(1).write.parquet(d + "/b1")
+    _time.sleep(1.1)  # file-stream orders by modification time
+    events.filter(F.col("ts") > F.lit(tsmid)).coalesce(1).write.parquet(d + "/b2")
+
+    baseline = cusum_baseline(events)
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp_ntz, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d + "/*")
+    )
+    (
+        cusum_alarm_stream(src, baseline)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["cusum"])
+        for r in spark.table("cusum_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["cusum"])
+        for r in cusum_alarms(events).collect()
+    }
+    assert got == want
+    assert want, "fixture slice must actually alarm"
