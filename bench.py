@@ -98,6 +98,10 @@ HEADLINE = [
     "x7_knox",
     "x7_clark_evans",
     "x3_ann_method_recall",
+    # round-11 additions (same shared-subset rule): first anchor readings
+    # for the remaining r10-wave heavies (VERDICT r10 item 7)
+    "x3_knn_hubness",
+    "x2_chunk_cross_dup",
 ]
 
 

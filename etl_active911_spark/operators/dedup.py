@@ -2670,3 +2670,152 @@ def x2_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("drop_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r11): boilerplate scrub EXECUTED (C4-style shared-passage removal)
+# ---------------------------------------------------------------------------
+
+#: disjoint segment size for the scrub grain (stride == size: removal must
+#: not double-count tokens, unlike the overlapping x4_doc_chunking grid)
+SCRUB_SEG = 24
+
+_SCRUB_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(text), '\\s+') AS toks,
+               len(string_split_regex(TRIM(text), '\\s+')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, n, {SCRUB_SEG})) AS start
+        FROM base
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CAST(LEAST({SCRUB_SEG}, n - start) AS BIGINT) AS n_tok,
+               md5(array_to_string(toks[start + 1 : start + {SCRUB_SEG}], ' '))
+                   AS seg_md5
+        FROM s
+    ),
+    g AS (
+        SELECT seg_md5,
+               COUNT(DISTINCT doc_id) AS nd,
+               MIN(doc_id) AS canonical_doc
+        FROM c GROUP BY seg_md5
+    )
+    SELECT c.doc_id,
+           CAST(MAX(c.n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN g.nd >= 2 AND c.doc_id <> g.canonical_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_segs,
+           CAST(MAX(c.n) - SUM(CASE WHEN g.nd >= 2 AND c.doc_id <> g.canonical_doc
+                                    THEN c.n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_after,
+           CAST((2 * SUM(CASE WHEN g.nd >= 2 AND c.doc_id <> g.canonical_doc
+                              THEN c.n_tok ELSE 0 END) * 1000000 + MAX(c.n))
+                // (2 * MAX(c.n)) AS BIGINT) / 1000000.0 AS removed_share
+    FROM c JOIN g USING (seg_md5)
+    GROUP BY c.doc_id
+    """
+
+
+@query("x2_boilerplate_scrub", _SCRUB_ORACLE)
+def x2_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r11): SHARED-PASSAGE SCRUB, EXECUTED — the C4 pipeline's
+    line-dedup step (Raffel et al., JMLR 2020 §2.2: any line occurring
+    more than once in the corpus is kept once and removed everywhere
+    else), at the disjoint SCRUB_SEG-token segment grain the fixture's
+    unbroken text affords. Where ``x2_chunk_cross_dup`` REPORTS
+    passage reuse, this op performs the removal and emits the resulting
+    per-document ledger: tokens before, segments, segments removed,
+    tokens after, and removed share — canonical-copy retention (the
+    lowest doc_id owning a segment keeps it) so the corpus never loses
+    content, only repetition. Exact-duplicate docs collapse to one
+    surviving copy's worth of tokens by construction — the doc-level
+    X-1 result falls out of the passage-level rule.
+
+    Determinism: segment identity is the byte-equal md5 re-join of the
+    house whitespace tokenization (x4_doc_chunking's argument); every
+    count is an exact BIGINT; the one ratio is the rule-26b integer
+    HALF-UP micro-division. Canonical ownership (MIN doc_id) is
+    order-free.
+
+    Scale shape: segment construction is the zero-exchange codegen flat
+    map of ``chunk_rows`` (split / sequence-explode / slice / hash —
+    no higher-order-lambda re-inlining, invariant 3); then ONE hash
+    aggregate keyed by seg_md5 (distinct-doc count + min), ONE
+    md5-keyed equi-join back (uniform high-cardinality key — SMJ at
+    scale, never broadcast), ONE doc_id-keyed roll-up. Work is linear
+    in corpus tokens; nothing quadratic, no skew (md5 keys are
+    uniform)."""
+    return boilerplate_scrub_ledger(
+        spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    )
+
+
+def boilerplate_scrub_ledger(docs: DataFrame) -> DataFrame:
+    """Core of ``x2_boilerplate_scrub`` over an arbitrary
+    (doc_id, text) frame — split out so crafted corpora (identical doc
+    pairs, partially-quoted docs) pin the ledger exactly in pytest."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    c = base.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(SCRUB_SEG))
+        ).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n",
+        F.least(F.lit(SCRUB_SEG), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(SCRUB_SEG)), " "
+            )
+        ).alias("seg_md5"),
+    )
+    g = c.groupBy("seg_md5").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    removed = F.when(
+        (F.col("nd") >= 2) & (F.col("doc_id") != F.col("canonical_doc")), 1
+    ).otherwise(0)
+    removed_tok = F.when(
+        (F.col("nd") >= 2) & (F.col("doc_id") != F.col("canonical_doc")),
+        F.col("n_tok"),
+    ).otherwise(F.lit(0))
+    agg = (
+        c.join(g, "seg_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(removed).cast("bigint").alias("n_removed_segs"),
+            F.sum(removed_tok).cast("bigint").alias("removed_tok"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_segs",
+        "n_removed_segs",
+        (F.col("n_tokens") - F.col("removed_tok"))
+        .cast("bigint")
+        .alias("tokens_after"),
+        (
+            F.expr(
+                "CAST((2 * removed_tok * 1000000 + n_tokens)"
+                " div (2 * n_tokens) AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("removed_share"),
+    )

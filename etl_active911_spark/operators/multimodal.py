@@ -1589,3 +1589,97 @@ def x5_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_px long, b0 long, b1 long, b2 long, b3 long, "
         "mean_luma double, std_luma double",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5 (r11): content-addressed blob dedup (exact, digest-keyed)
+# ---------------------------------------------------------------------------
+
+#: deterministic duplicate-payload injection (the synthetic-fixture
+#: idiom): the fixture's 500 texts are all distinct, so every 50th asset
+#: is a re-upload of one of 7 shared payloads — the content-addressed
+#: store's actual workload (the same logo/jingle uploaded under many ids).
+_BLOB_INJECT_SQL = """
+    CASE WHEN doc_id % 50 = 49
+         THEN 'shared asset payload ' || CAST(doc_id % 7 AS STRING)
+         ELSE text END
+"""
+
+_BLOB_DEDUP_ORACLE = f"""
+    WITH m AS (
+        SELECT doc_id,
+               sha256({_BLOB_INJECT_SQL}) AS payload_sha,
+               CAST(octet_length(encode({_BLOB_INJECT_SQL})) AS BIGINT)
+                   AS n_bytes,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime
+        FROM documents
+    )
+    SELECT payload_sha,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(MIN(n_bytes) AS BIGINT) AS n_bytes,
+           CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS wasted_bytes,
+           CAST(COUNT(DISTINCT mime) AS BIGINT) AS n_mimes
+    FROM m
+    GROUP BY payload_sha
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query("x5_media_hash_dedup", _BLOB_DEDUP_ORACLE)
+def x5_media_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r11): CONTENT-ADDRESSED BLOB DEDUP — the exact-duplicate
+    sweep every media lake runs before the expensive perceptual pass
+    (``x5_phash_banded_dedup``): blobs keyed by payload digest, one row
+    per duplicate group with copy count, canonical asset (lowest
+    doc_id), per-copy size, RECLAIMABLE bytes, and the distinct-mime
+    count — the same bytes served under different claimed types is a
+    classic ingest bug this surfaces for free. This is X-1's exact
+    dedup lifted to the binary column: identical pipeline position to a
+    blob store's garbage-collection planner (dedup by digest, keep one
+    canonical object, repoint the rest).
+
+    Determinism: the digest is computed JVM-side (``sha2(bytes, 256)``)
+    and replicated by DuckDB's ``sha256(text)`` over the identical
+    payload bytes (the media fixture's blobs ARE UTF-8 text bytes —
+    x5_media_meta's established equivalence); counts/sizes are exact
+    BIGINTs; canonical choice is MIN (order-free). The fixture's 500
+    payloads are all distinct, so duplicates are INJECTED on the
+    ``doc_id % 50`` slice (7 shared payloads — shared SQL constant,
+    same idiom as x4_unicode_anomaly), giving the report both real
+    groups and a pinned expected shape.
+
+    Scale shape: digests are computed in the scan projection so blob
+    BYTES never shuffle — only the 64-char digest and two ints reach
+    the exchange; one hash aggregate keyed by digest (uniform key, no
+    skew). At 100 TB of media this is the cheapest possible full-corpus
+    pass: scan + narrow shuffle of digests."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    payload = F.when(
+        F.col("doc_id") % 50 == 49,
+        F.concat(F.lit("shared asset payload "), (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(F.col("text"))
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.sha2(F.encode(payload, "utf-8"), 256).alias("payload_sha"),
+            F.length(F.encode(payload, "utf-8")).cast("bigint").alias("n_bytes"),
+            mime.alias("mime"),
+        )
+        .groupBy("payload_sha")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+            ((F.count(F.lit(1)) - 1) * F.min("n_bytes"))
+            .cast("bigint")
+            .alias("wasted_bytes"),
+            F.count_distinct("mime").cast("bigint").alias("n_mimes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

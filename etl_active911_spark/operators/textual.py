@@ -3561,3 +3561,226 @@ def x9_dup_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r11): unicode anomaly audit (mojibake / control bytes / confusables)
+# ---------------------------------------------------------------------------
+
+#: regex character classes shared VERBATIM by Spark (Java regex) and DuckDB
+#: (RE2) — only syntax both engines parse identically: two-digit \xNN
+#: escapes and literal BMP characters (no \p{...} or \u{...}, whose
+#: semantics differ between the engines).
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_REPL_CHAR = "�"
+_CYR_CLASS = f"[{chr(0x0400)}-{chr(0x04FF)}]"
+_LATIN_CLASS = "[A-Za-z]"
+
+#: deterministic anomaly injection — the fixture corpus is clean ASCII, so
+#: both engines append the SAME marker to the same doc_id slices (the geo
+#: synthetic-fixture idiom): control byte, U+FFFD (the mojibake tell), or
+#: a Cyrillic confusable word amid Latin text.
+_UNICODE_INJECT_SQL = f"""
+    CASE CAST(doc_id % 31 AS INT)
+         WHEN 3 THEN text || ' x{chr(7)}y'
+         WHEN 7 THEN text || ' bad{_REPL_CHAR}byte'
+         WHEN 11 THEN text || ' p{chr(0x0430)}yp{chr(0x0430)}l'
+         ELSE text END
+"""
+
+_UNICODE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {_UNICODE_INJECT_SQL} AS tx FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(len(tx) AS BIGINT) AS n_chars,
+               CAST(len(tx) - len(regexp_replace(tx, '{_CTRL_CLASS}', '', 'g'))
+                    AS BIGINT) AS n_control,
+               CAST(len(tx) - len(replace(tx, '{_REPL_CHAR}', ''))
+                    AS BIGINT) AS n_replacement,
+               CAST(len(tx) - len(regexp_replace(tx, '{_CYR_CLASS}', '', 'g'))
+                    AS BIGINT) AS n_cyrillic,
+               CAST(len(tx) - len(regexp_replace(tx, '{_LATIN_CLASS}', '', 'g'))
+                    AS BIGINT) AS n_latin
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_control, n_replacement, n_cyrillic, n_latin,
+           CAST(CASE WHEN n_cyrillic > 0 AND n_latin > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS mixed_script,
+           CAST(CASE WHEN n_control > 0 OR n_replacement > 0
+                          OR (n_cyrillic > 0 AND n_latin > 0)
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_anomalous
+    FROM c
+    """
+
+
+@query("x4_unicode_anomaly", _UNICODE_ORACLE)
+def x4_unicode_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r11): UNICODE ANOMALY AUDIT — the encoding-hygiene gate a web
+    corpus runs before tokenization: per document, counts of (a) C0/DEL
+    control bytes (binary bleed-through / broken extractors), (b) U+FFFD
+    replacement characters (the definitive mojibake tell — some upstream
+    decode already failed), and (c) mixed Latin+Cyrillic script (the
+    classic homoglyph-confusable signature of spam and adversarial SEO
+    text), plus the combined anomaly flag. Pipelines drop or re-decode
+    flagged docs; downstream BPE merges trained on mojibake waste vocab
+    slots.
+
+    Cross-engine exactness: counts come from length deltas under
+    ``regexp_replace`` with character classes restricted to syntax Java
+    regex and RE2 parse identically (two-digit ``\\x`` escapes +
+    literal BMP chars; no ``\\p{...}``); the U+FFFD count uses plain
+    ``replace`` (no regex at all). The fixture corpus is clean, so both
+    engines inject the same markers on the same ``doc_id % 31`` slices
+    (the synthetic-fixture idiom, FIXTURES.md) — injection text is
+    shared via this module's constants.
+
+    Scale shape: a pure per-row projection — zero joins, zero shuffles,
+    zero UDFs; every counter is a codegen string expression over one
+    corpus scan. At 100 TB this is scan-bound and trivially parallel."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    tx = (
+        F.when(F.col("doc_id") % 31 == 3, F.concat("text", F.lit(" x\x07y")))
+        .when(
+            F.col("doc_id") % 31 == 7,
+            F.concat("text", F.lit(f" bad{_REPL_CHAR}byte")),
+        )
+        .when(
+            F.col("doc_id") % 31 == 11,
+            F.concat("text", F.lit(" pаypаl")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+    def n_removed(cls: str) -> F.Column:
+        return (
+            F.length("tx") - F.length(F.regexp_replace("tx", cls, ""))
+        ).cast("bigint")
+
+    c = docs.select("doc_id", tx.alias("tx")).select(
+        "doc_id",
+        F.length("tx").cast("bigint").alias("n_chars"),
+        n_removed(_CTRL_CLASS).alias("n_control"),
+        (F.length("tx") - F.length(F.replace(F.col("tx"), F.lit(_REPL_CHAR))))
+        .cast("bigint")
+        .alias("n_replacement"),
+        n_removed(_CYR_CLASS).alias("n_cyrillic"),
+        n_removed(_LATIN_CLASS).alias("n_latin"),
+    )
+    mixed = (F.col("n_cyrillic") > 0) & (F.col("n_latin") > 0)
+    return c.select(
+        "doc_id",
+        "n_chars",
+        "n_control",
+        "n_replacement",
+        "n_cyrillic",
+        "n_latin",
+        mixed.cast("int").alias("mixed_script"),
+        ((F.col("n_control") > 0) | (F.col("n_replacement") > 0) | mixed)
+        .cast("int")
+        .alias("is_anomalous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r11): code-vs-prose detection
+# ---------------------------------------------------------------------------
+
+#: code-signature characters: brackets, operators, semicolons, underscores
+_CODESYM_CLASS = r"[{}()\[\];=<>+*/_#$|&^%@~\\-]"
+
+#: deterministic code injection on doc_id % 37 slices: a function-like
+#: snippet (heavy symbols) and a config-like snippet (moderate symbols) so
+#: the score has a graded distribution, not one spike.
+_CODE_SNIPPET = "int f(int x) { return (x * 2) + arr[i]; } // fast_path"
+_CODE_CONFIG = "key_name = value(1); opts->flag |= MASK_BITS;"
+
+_CODE_INJECT_SQL = f"""
+    CASE CAST(doc_id % 37 AS INT)
+         WHEN 5 THEN '{_CODE_SNIPPET} ' || text
+         WHEN 9 THEN '{_CODE_CONFIG} ' || text
+         ELSE text END
+"""
+
+#: score threshold in code-symbol chars per 1000 chars (micro-exact)
+CODE_SYM_PER_MILLE = 25
+
+_CODE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {_CODE_INJECT_SQL} AS tx FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(len(tx) AS BIGINT) AS n_chars,
+               CAST(len(tx) - len(regexp_replace(tx, '{_CODESYM_CLASS}', '', 'g'))
+                    AS BIGINT) AS n_sym,
+               CAST(len(tx) - len(regexp_replace(tx, '[0-9]', '', 'g'))
+                    AS BIGINT) AS n_digit
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_sym, n_digit,
+           CAST((2 * n_sym * 1000 + n_chars) // (2 * n_chars) AS BIGINT)
+               AS sym_per_mille,
+           CAST(CASE WHEN (2 * n_sym * 1000 + n_chars) // (2 * n_chars)
+                          >= {CODE_SYM_PER_MILLE}
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_code
+    FROM c
+    """
+
+
+@query("x4_code_detection", _CODE_ORACLE)
+def x4_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r11): CODE-VS-PROSE DETECTION — the routing gate a mixed web
+    corpus needs before language-specific processing: per document, the
+    code-signature symbol count (brackets/operators/semicolons — the
+    character classes that separate source code from prose at >95%
+    precision in practice), digit count, and the symbols-per-1000-chars
+    density with the ``is_code`` routing flag. Misrouted code inflates
+    prose perplexity models and pollutes stopword statistics; misrouted
+    prose wastes code-model capacity — every major pretraining corpus
+    (The Pile, RedPajama) routes on exactly this class of heuristic.
+
+    Determinism: counts are regexp-replace length deltas (shared
+    Java/RE2-safe class); the density is the rule-26b integer HALF-UP
+    per-mille division (``(2·sym·1000 + n) div (2n)``) so the threshold
+    comparison can never sit on a float knife edge — both the score and
+    the flag are exact integers. Clean-fixture injection on
+    ``doc_id % 37`` slices gives the flag both polarities (shared SQL
+    constants, same idiom as x4_unicode_anomaly).
+
+    Scale shape: pure per-row codegen projection over one scan — no
+    joins, no shuffles, no UDFs; scan-bound at any corpus size."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    tx = (
+        F.when(
+            F.col("doc_id") % 37 == 5,
+            F.concat(F.lit(_CODE_SNIPPET + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 37 == 9,
+            F.concat(F.lit(_CODE_CONFIG + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    c = docs.select("doc_id", tx.alias("tx")).select(
+        "doc_id",
+        F.length("tx").cast("bigint").alias("n_chars"),
+        (F.length("tx") - F.length(F.regexp_replace("tx", _CODESYM_CLASS, "")))
+        .cast("bigint")
+        .alias("n_sym"),
+        (F.length("tx") - F.length(F.regexp_replace("tx", "[0-9]", "")))
+        .cast("bigint")
+        .alias("n_digit"),
+    )
+    per_mille = F.expr("(2 * n_sym * 1000 + n_chars) div (2 * n_chars)").cast(
+        "bigint"
+    )
+    return c.select(
+        "doc_id",
+        "n_chars",
+        "n_sym",
+        "n_digit",
+        per_mille.alias("sym_per_mille"),
+        (per_mille >= CODE_SYM_PER_MILLE).cast("int").alias("is_code"),
+    )

@@ -2953,3 +2953,255 @@ def x6_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.log(F.col("n_states").cast("double")), 6))
         .alias("max_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r11): autocorrelation function + Ljung-Box whiteness test
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 3
+#: Ljung-Box 5% critical value for 3 df, in exact micro-units (7.814728
+#: truncated to the 6dp grid the statistic lives on)
+LJUNG_BOX_CRIT_MICRO = 7814728
+
+#: shared CTE text: per-user integer moment sums for lags 1..3 over the
+#: 3dp-quantized series in (ts, event_id) order. Every sum DuckDB takes
+#: over BIGINT auto-widens to HUGEINT; the Spark side mirrors with
+#: DECIMAL(38,0) sums (rule 27 — Spark BIGINT sums wrap silently).
+_ACF_USER_CTES = f"""
+    b AS (
+        SELECT user_id,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS x,
+               LAG(CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT), 1)
+                   OVER w AS x1,
+               LAG(CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT), 2)
+                   OVER w AS x2,
+               LAG(CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT), 3)
+                   OVER w AS x3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    u AS (
+        SELECT user_id,
+               COUNT(*)::HUGEINT AS n,
+               SUM(x)::HUGEINT AS s,
+               SUM(x::HUGEINT * x) AS q,
+               SUM(CASE WHEN x1 IS NOT NULL THEN x::HUGEINT * x1 END) AS sxy1,
+               SUM(CASE WHEN x2 IS NOT NULL THEN x::HUGEINT * x2 END) AS sxy2,
+               SUM(CASE WHEN x3 IS NOT NULL THEN x::HUGEINT * x3 END) AS sxy3,
+               SUM(CASE WHEN x1 IS NOT NULL THEN x END)::HUGEINT AS h1,
+               SUM(CASE WHEN x2 IS NOT NULL THEN x END)::HUGEINT AS h2,
+               SUM(CASE WHEN x3 IS NOT NULL THEN x END)::HUGEINT AS h3,
+               SUM(x1)::HUGEINT AS t1,
+               SUM(x2)::HUGEINT AS t2,
+               SUM(x3)::HUGEINT AS t3
+        FROM b GROUP BY user_id
+    ),
+    uf AS (
+        SELECT *, n * n * q - n * s * s AS den
+        FROM u WHERE n > {ACF_MAX_LAG} AND n * n * q - n * s * s > 0
+    )
+"""
+
+#: micro half-up division with sign handling (DuckDB side): num may be
+#: negative; `//` floors on HUGEINT, so divide magnitudes and re-sign
+def _sql_signed_micro(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN ({num}) >= 0"
+        f" THEN (2 * ({num}) * 1000000 + ({den})) // (2 * ({den}))"
+        f" ELSE -((2 * (-({num})) * 1000000 + ({den})) // (2 * ({den})))"
+        f" END"
+    )
+
+
+def _sql_acf_num(l: int) -> str:
+    return f"n * n * sxy{l} - n * s * (h{l} + t{l}) + (n - {l}) * s * s"
+
+
+_ACF_ORACLE = f"""
+    WITH {_ACF_USER_CTES}
+    SELECT user_id,
+           lag,
+           CAST(n AS BIGINT) AS n,
+           CAST(CASE lag
+                WHEN 1 THEN {_sql_signed_micro(_sql_acf_num(1), "den")}
+                WHEN 2 THEN {_sql_signed_micro(_sql_acf_num(2), "den")}
+                ELSE {_sql_signed_micro(_sql_acf_num(3), "den")}
+                END AS BIGINT) / 1000000.0 AS acf
+    FROM uf CROSS JOIN (VALUES (1), (2), (3)) AS lags(lag)
+    """
+
+
+def _acf_user_stats(ev: DataFrame) -> DataFrame:
+    """Per-user exact integer moment sums for the ACF family — one
+    ordered-window pass + one keyed aggregate, every sum in
+    DECIMAL(38,0) (rule 27: Spark silently wraps BIGINT sums; DuckDB
+    auto-widens to HUGEINT — the decimal mirror keeps both exact at
+    100 TB series lengths)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    b = ev.select(
+        "user_id",
+        x.alias("x"),
+        F.lag(x, 1).over(w).alias("x1"),
+        F.lag(x, 2).over(w).alias("x2"),
+        F.lag(x, 3).over(w).alias("x3"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("x")).alias("s"),
+        F.sum(d("x") * d("x")).alias("q"),
+    ]
+    for l in (1, 2, 3):  # noqa: E741
+        aggs += [
+            F.sum(F.when(F.col(f"x{l}").isNotNull(), d("x") * d(f"x{l}"))).alias(
+                f"sxy{l}"
+            ),
+            F.sum(F.when(F.col(f"x{l}").isNotNull(), d("x"))).alias(f"h{l}"),
+            F.sum(d(f"x{l}")).alias(f"t{l}"),
+        ]
+    u = b.groupBy("user_id").agg(*aggs)
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    return u.withColumn("den", den).filter(
+        (F.col("n") > ACF_MAX_LAG) & (F.col("den") > 0)
+    )
+
+
+def _signed_micro(num, den):
+    """Spark mirror of ``_sql_signed_micro``: rule-26b HALF-UP micro
+    division in DECIMAL(38,0), magnitudes divided and re-signed so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree."""
+    mag = F.expr(
+        f"(2 * abs({num}) * 1000000 + {den}) div (2 * {den})"
+    )
+    return F.when(F.expr(num) >= 0, mag).otherwise(-mag)
+
+
+@query("x6_acf", _ACF_ORACLE)
+def x6_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r11): AUTOCORRELATION FUNCTION at lags 1..3 per user series —
+    the Box-Jenkins identification tool (Box & Jenkins 1970 ch.2): which
+    lags carry linear memory, the first statistic read before fitting
+    any AR/MA structure and the complement of the family's nonlinear
+    memory measures (permutation entropy, Hurst). r_l is evaluated
+    ENTIRELY in integers: with S=Σx, Q=Σx², H/T the lagged head/tail
+    sums and Sxy the lag product sum over the 3dp-quantized series,
+    r_l = (n²·Sxy − n·S·(H+T) + (n−l)·S²) / (n²·Q − n·S²) — numerator
+    and denominator exact 128-bit integers (rule 27; products reach
+    ~1e17 at fixture scale and overflow int64 at ~10×), quotient via
+    the rule-26b HALF-UP micro division with explicit sign handling
+    (Spark `div` truncates, DuckDB `//` floors — magnitudes are divided,
+    then re-signed, so the engines agree on negative correlations).
+    Constant series (den=0) and series shorter than the max lag are
+    excluded by both engines.
+
+    Scale shape: ONE ordered window pass (three LAGs share the frame)
+    + ONE user-keyed aggregate; the 3-row lag explosion joins a 3-row
+    literal table. All exchanges key on user_id — series-bounded, the
+    x6 family's partitioning; nothing quadratic."""
+    return acf_rows(spark, read_table(spark, sf_dir, "events"))
+
+
+def acf_rows(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of ``x6_acf`` over an arbitrary (user_id, ts, event_id,
+    value) frame — split out so closed-form series (alternating ±1 →
+    r_l = ±(n−l)/n exactly) pin the integer pipeline in pytest."""
+    uf = _acf_user_stats(ev)
+    lags = spark.createDataFrame([(1,), (2,), (3,)], "lag int")
+    num = (
+        "CASE lag WHEN 1 THEN n * n * sxy1 - n * s * (h1 + t1) + (n - 1) * s * s"
+        " WHEN 2 THEN n * n * sxy2 - n * s * (h2 + t2) + (n - 2) * s * s"
+        " ELSE n * n * sxy3 - n * s * (h3 + t3) + (n - 3) * s * s END"
+    )
+    return uf.crossJoin(F.broadcast(lags)).select(
+        "user_id",
+        "lag",
+        F.col("n").cast("bigint").alias("n"),
+        (_signed_micro(num, "den").cast("bigint").cast("double") / 1000000.0).alias(
+            "acf"
+        ),
+    )
+
+
+_LJUNG_ORACLE = f"""
+    WITH {_ACF_USER_CTES},
+    r AS (
+        SELECT user_id, n,
+               {_sql_signed_micro(_sql_acf_num(1), "den")} AS r1,
+               {_sql_signed_micro(_sql_acf_num(2), "den")} AS r2,
+               {_sql_signed_micro(_sql_acf_num(3), "den")} AS r3
+        FROM uf
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n,
+           CAST((2 * (n * (n + 2) * (r1 * r1 * (n - 2) * (n - 3)
+                                     + r2 * r2 * (n - 1) * (n - 3)
+                                     + r3 * r3 * (n - 1) * (n - 2)))
+                 + 1000000 * (n - 1) * (n - 2) * (n - 3))
+                // (2 * 1000000 * (n - 1) * (n - 2) * (n - 3)) AS BIGINT)
+               / 1000000.0 AS q_lb,
+           CAST(CASE WHEN (2 * (n * (n + 2) * (r1 * r1 * (n - 2) * (n - 3)
+                                     + r2 * r2 * (n - 1) * (n - 3)
+                                     + r3 * r3 * (n - 1) * (n - 2)))
+                 + 1000000 * (n - 1) * (n - 2) * (n - 3))
+                // (2 * 1000000 * (n - 1) * (n - 2) * (n - 3))
+                > {LJUNG_BOX_CRIT_MICRO} THEN 1 ELSE 0 END AS INTEGER)
+               AS is_nonwhite
+    FROM r
+    """
+
+
+@query("x6_ljung_box", _LJUNG_ORACLE)
+def x6_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r11): LJUNG-BOX PORTMANTEAU TEST (Ljung & Box, Biometrika
+    1978) — the standard whiteness test over the first ACF_MAX_LAG
+    autocorrelations: Q = n(n+2) Σ r_k²/(n−k), compared against the
+    chi-square(3) 5% critical value. The one-number answer to "does
+    this series have ANY linear structure worth modeling", composing
+    ``x6_acf``'s integer machinery: with r_k in exact micro-units, Q is
+    assembled under the common denominator 10⁶·(n−1)(n−2)(n−3) as ONE
+    128-bit integer HALF-UP micro-division (numerator ~n⁴·10¹² — far
+    past int64, decimal(38,0)/HUGEINT territory, rule 27), and the
+    5%-level decision compares micro-integers, never floats. The fixed
+    3-term sum is written as explicit r1/r2/r3 columns, so no
+    aggregation-order float hazard exists anywhere in the chain
+    (rule 26a by construction).
+
+    Scale shape: identical to x6_acf (one window pass + one keyed
+    aggregate), minus the lag explosion — strictly per-user scalar
+    math after the roll-up."""
+    return ljung_rows(read_table(spark, sf_dir, "events"))
+
+
+def ljung_rows(ev: DataFrame) -> DataFrame:
+    """Core of ``x6_ljung_box`` over an arbitrary frame (see
+    ``acf_rows``); the alternating-series pin has the closed form
+    Q = n(n+2)·Σ((n−k)/n)²/(n−k)."""
+    uf = _acf_user_stats(ev)
+    r = uf.select(
+        "user_id",
+        "n",
+        _signed_micro(
+            "n * n * sxy1 - n * s * (h1 + t1) + (n - 1) * s * s", "den"
+        ).alias("r1"),
+        _signed_micro(
+            "n * n * sxy2 - n * s * (h2 + t2) + (n - 2) * s * s", "den"
+        ).alias("r2"),
+        _signed_micro(
+            "n * n * sxy3 - n * s * (h3 + t3) + (n - 3) * s * s", "den"
+        ).alias("r3"),
+    )
+    qnum = (
+        "n * (n + 2) * (r1 * r1 * (n - 2) * (n - 3)"
+        " + r2 * r2 * (n - 1) * (n - 3)"
+        " + r3 * r3 * (n - 1) * (n - 2))"
+    )
+    qden = "1000000 * (n - 1) * (n - 2) * (n - 3)"
+    q_micro = F.expr(f"(2 * ({qnum}) + {qden}) div (2 * ({qden}))").cast("bigint")
+    return r.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        (q_micro.cast("double") / 1000000.0).alias("q_lb"),
+        (q_micro > LJUNG_BOX_CRIT_MICRO).cast("int").alias("is_nonwhite"),
+    )

@@ -192,6 +192,9 @@ BNLJ_ALLOWED.update({
     "x7_knox": (2, "two 1-row broadcast scalars (time-pair count; point/all-pair counts) crossJoined into the Knox assembly"),
     "x7_clark_evans": (2, "two 1-row broadcast scalars (point count; bbox-edge pair) crossJoined into the summary assembly (x7_ripley_k shape)"),
     "x2_threshold_sweep": (3, "5-row broadcast threshold grid (theta join on jac >= threshold; plan text repeats it in the zero-fill left joins) + 1-row corpus-count scalar"),
+    # r11 window (the pinned rotation's first full-plan checks):
+    "tpch_q22_idle_customers": (1, "TPC-H Q22's scalar subquery: 1-row broadcast avg-acctbal-of-positive-customers crossJoined into the idle filter"),
+    "x3_ann_ivf_compact": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape); compaction itself reads back the partitioned layout"),
 })
 
 

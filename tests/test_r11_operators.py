@@ -1,0 +1,199 @@
+"""Hand-derived pins for the round-11 operator wave.
+
+Oracle parity (tests/test_oracle_parity.py) proves Spark == DuckDB;
+these tests prove both equal the MATH: closed-form series for ACF /
+Ljung-Box, crafted corpora for the boilerplate scrub, and injected-slice
+polarity for the text-quality gates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# x6_acf / x6_ljung_box: alternating ±1 series, closed forms
+# ---------------------------------------------------------------------------
+
+N_ALT = 8  # alternating series length → r_l = (-1)^l (n-l)/n exactly
+
+
+@pytest.fixture(scope="module")
+def alt_series(spark):
+    rows = [
+        (1, f"2024-01-01 00:{i:02d}:00", i, 1.0 if i % 2 == 0 else -1.0)
+        for i in range(N_ALT)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_acf_alternating_closed_form(spark, alt_series):
+    """Alternating ±1, mean 0: r_l = (-1)^l (n-l)/n — exact on the
+    micro grid (n=8 → -0.875, 0.75, -0.625)."""
+    from etl_active911_spark.operators.timeseries import acf_rows
+
+    got = {r["lag"]: r["acf"] for r in acf_rows(spark, alt_series).collect()}
+    assert got == {1: -0.875, 2: 0.75, 3: -0.625}
+
+
+def test_ljung_box_alternating_closed_form(spark, alt_series):
+    """Q = n(n+2) Σ r_k²/(n−k) = 8·10·(r1²/7 + r2²/6 + r3²/5) = 22.5
+    exactly for the alternating series; far past the 7.81 critical
+    value → non-white."""
+    from etl_active911_spark.operators.timeseries import ljung_rows
+
+    row = ljung_rows(alt_series).collect()[0]
+    assert row["n"] == N_ALT
+    assert row["q_lb"] == 22.5
+    assert row["is_nonwhite"] == 1
+
+
+def test_ljung_box_iid_like_series_not_flagged(spark):
+    """A low-autocorrelation series (values from a fixed scramble) must
+    not trip the 5% threshold."""
+    from etl_active911_spark.operators.timeseries import ljung_rows
+
+    vals = [-0.8, -0.6, 0.1, 0.2, 0.2, -0.3, 0.3, 0.3, 0.4, 0.8,
+            -0.8, 0.5, 0.2, 0.4, 0.8, -0.2]  # exact Q ≈ 0.031
+    rows = [
+        (7, f"2024-01-01 01:{i:02d}:00", i, v) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    row = ljung_rows(ev).collect()[0]
+    assert row["is_nonwhite"] == 0
+    assert 0.0 <= row["q_lb"] < 7.814728
+
+
+# ---------------------------------------------------------------------------
+# x2_boilerplate_scrub: crafted corpus ledger
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_identical_docs_keep_one_copy(spark):
+    """Two identical docs + one unique: the canonical (lowest doc_id)
+    keeps every token, the twin is fully scrubbed, the unique doc is
+    untouched — C4 semantics (keep once, remove everywhere else)."""
+    from etl_active911_spark.operators.dedup import boilerplate_scrub_ledger
+
+    body = " ".join(f"w{i}" for i in range(30))  # 30 tokens → 2 segments
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "unique text here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_scrub_ledger(docs).collect()}
+    assert got[1]["tokens_after"] == 30 and got[1]["n_removed_segs"] == 0
+    assert got[2]["tokens_after"] == 0 and got[2]["n_removed_segs"] == 2
+    assert got[3]["tokens_after"] == 3 and got[3]["removed_share"] == 0.0
+    assert got[2]["removed_share"] == 1.0
+
+
+def test_scrub_partial_quote_removes_only_shared_segment(spark):
+    """A doc quoting exactly one aligned segment of another loses only
+    that segment's tokens."""
+    from etl_active911_spark.operators.dedup import (
+        SCRUB_SEG,
+        boilerplate_scrub_ledger,
+    )
+
+    seg = " ".join(f"q{i}" for i in range(SCRUB_SEG))
+    own = " ".join(f"o{i}" for i in range(SCRUB_SEG))
+    docs = spark.createDataFrame(
+        [(1, seg + " " + own), (2, seg + " " + " ".join(f"z{i}" for i in range(SCRUB_SEG)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_scrub_ledger(docs).collect()}
+    assert got[1]["n_removed_segs"] == 0  # canonical owner of the quote
+    assert got[2]["n_removed_segs"] == 1
+    assert got[2]["tokens_after"] == SCRUB_SEG  # kept its own half
+
+
+def test_scrub_corpus_conservation(spark):
+    """Fixture-level invariant: tokens_after + removed == tokens_before
+    per doc, summed over the corpus; every doc appears exactly once."""
+    from etl_active911_spark.io import read_table, spread
+    from etl_active911_spark.operators.dedup import boilerplate_scrub_ledger
+
+    docs = spread(read_table(spark, SF_ORACLE, "documents"), "doc_id")
+    led = boilerplate_scrub_ledger(docs)
+    agg = led.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("n_tokens") - F.col("tokens_after")).alias("removed"),
+        F.sum("n_tokens").alias("before"),
+        F.sum("tokens_after").alias("after"),
+    ).collect()[0]
+    assert agg["nd"] == docs.count()
+    assert agg["before"] == agg["after"] + agg["removed"]
+    assert agg["removed"] > 0  # the fixture's exact dups engage the scrub
+
+
+# ---------------------------------------------------------------------------
+# x4_unicode_anomaly / x4_code_detection: injected-slice polarity
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_anomaly_slices(spark):
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x4_unicode_anomaly"](spark, SF_ORACLE).collect()
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r["doc_id"] % 31, []).append(r)
+    assert all(r["n_control"] >= 1 and r["is_anomalous"] == 1 for r in by_mod[3])
+    assert all(r["n_replacement"] >= 1 and r["is_anomalous"] == 1 for r in by_mod[7])
+    assert all(r["mixed_script"] == 1 and r["is_anomalous"] == 1 for r in by_mod[11])
+    clean = [r for m, rs in by_mod.items() if m not in (3, 7, 11) for r in rs]
+    assert clean and all(r["is_anomalous"] == 0 for r in clean)
+
+
+def test_code_detection_slices(spark):
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x4_code_detection"](spark, SF_ORACLE).collect()
+    injected = [r for r in rows if r["doc_id"] % 37 in (5, 9)]
+    clean = [r for r in rows if r["doc_id"] % 37 not in (5, 9)]
+    assert injected and all(r["n_sym"] >= 10 for r in injected)
+    # the flag must fire on injected docs except where a long clean body
+    # dilutes the snippet below threshold — and never on clean docs
+    assert any(r["is_code"] == 1 for r in injected)
+    assert all(r["is_code"] == 0 for r in clean)
+
+
+# ---------------------------------------------------------------------------
+# x5_media_hash_dedup: group arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_media_hash_dedup_groups(spark):
+    """Every reported group is a real duplicate set: n_copies ≥ 2,
+    canonical is the min doc, wasted = (copies−1)·size; the group
+    structure matches the injection rule computed independently in
+    Python (fixture texts are all distinct, so injected re-uploads are
+    the only duplicates)."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x5_media_hash_dedup"](spark, SF_ORACLE).collect()
+    n_docs = read_table(spark, SF_ORACLE, "documents").count()
+    groups: dict[int, list[int]] = {}
+    for i in range(n_docs):
+        if i % 50 == 49:
+            groups.setdefault(i % 7, []).append(i)
+    expected = {
+        (len(ids), min(ids)) for ids in groups.values() if len(ids) >= 2
+    }
+    assert expected, "injection must create ≥1 duplicate group"
+    got = {(r["n_copies"], r["canonical_doc"]) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r["wasted_bytes"] == (r["n_copies"] - 1) * r["n_bytes"]
+        assert r["n_bytes"] == len(b"shared asset payload 0")
