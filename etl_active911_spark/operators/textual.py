@@ -3784,3 +3784,114 @@ def x4_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_mille.alias("sym_per_mille"),
         (per_mille >= CODE_SYM_PER_MILLE).cast("int").alias("is_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r11): curation v8 — encoding hygiene + code routing + post-scrub mass
+# ---------------------------------------------------------------------------
+
+
+def _curation_v8_oracle() -> str:
+    # nests the STANDALONE oracles verbatim (the x6_discord precedent):
+    # the funnel can never desynchronize from the gates it composes
+    from etl_active911_spark.operators.dedup import _SCRUB_ORACLE
+
+    return f"""
+    WITH uni AS (SELECT doc_id, is_anomalous FROM ({_UNICODE_ORACLE})),
+    code AS (SELECT doc_id, is_code FROM ({_CODE_ORACLE})),
+    scrub AS (SELECT doc_id, tokens_after FROM ({_SCRUB_ORACLE})),
+    {quality_ctes()},
+    funnel AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN u.is_anomalous = 0 THEN 1 ELSE 0 END AS fenc,
+               CASE WHEN c.is_code = 0 THEN 1 ELSE 0 END AS fprose,
+               CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fq,
+               s.tokens_after
+        FROM documents d
+        JOIN uni u USING (doc_id)
+        JOIN code c USING (doc_id)
+        JOIN scrub s USING (doc_id)
+        LEFT JOIN quality q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(fenc) AS BIGINT) AS n_encoding_ok,
+           CAST(SUM(fenc * fprose) AS BIGINT) AS n_prose,
+           CAST(SUM(fenc * fprose * fq) AS BIGINT) AS n_final,
+           CAST(SUM(fenc * fprose * fq * tokens_after) AS BIGINT)
+               AS tokens_final,
+           CAST((2 * SUM(fenc * fprose * fq) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) / 1000000.0 AS final_rate
+    FROM funnel GROUP BY source
+    """
+
+
+@query("x9_curation_v8", _curation_v8_oracle())
+def x9_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r11): CURATION v8 — the text-corpus funnel rebuilt on this
+    round's gates, in realistic pipeline order: (1) ENCODING HYGIENE
+    first (``x4_unicode_anomaly`` — mojibake/control-byte/confusable
+    docs are unfixable downstream and cheapest to drop at the scan),
+    (2) CODE ROUTING (``x4_code_detection`` — code docs leave the prose
+    corpus for the code pipeline; routing ≠ quality, so it precedes the
+    quality gate), (3) the Gopher quality gate (memoized
+    ``shared_gopher_rules``), and — the v8 twist — the surviving token
+    mass is counted POST-BOILERPLATE-SCRUB (``x2_boilerplate_scrub``'s
+    ``tokens_after``): the dataset-card number a release actually
+    ships is deduplicated trainable tokens, not raw tokens. Per-source:
+    survivors at each gate, final doc count, FINAL TOKEN MASS, and the
+    micro-exact final rate.
+
+    Oracle-desync-proofing: the funnel's SQL nests the three standalone
+    oracles VERBATIM as subqueries (the x6_discord precedent) plus the
+    shared ``quality_ctes`` — a change to any gate updates the funnel or
+    fails parity loudly; it cannot drift silently.
+
+    Scale shape: three per-doc scalar surfaces (two pure projections,
+    one linear scrub ledger) equi-joined on doc_id + one |sources|-group
+    aggregate; the quality leg is computed once per session (rule 25).
+    The rate is the rule-26b integer HALF-UP micro division."""
+    from etl_active911_spark.operators.dedup import boilerplate_scrub_ledger
+    from etl_active911_spark.plans.registry import QUERIES
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    uni = QUERIES["x4_unicode_anomaly"](spark, sf_dir).select(
+        "doc_id", (F.col("is_anomalous") == 0).cast("int").alias("fenc")
+    )
+    code = QUERIES["x4_code_detection"](spark, sf_dir).select(
+        "doc_id", (F.col("is_code") == 0).cast("int").alias("fprose")
+    )
+    scrub = boilerplate_scrub_ledger(docs).select("doc_id", "tokens_after")
+    quality = shared_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("fq")
+    )
+    funnel = (
+        docs.select("doc_id", "source")
+        .join(uni, "doc_id")
+        .join(code, "doc_id")
+        .join(scrub, "doc_id")
+        .join(quality, "doc_id")
+    )
+    final = F.col("fenc") * F.col("fprose") * F.col("fq")
+    agg = funnel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("fenc").cast("bigint").alias("n_encoding_ok"),
+        F.sum(F.col("fenc") * F.col("fprose")).cast("bigint").alias("n_prose"),
+        F.sum(final).cast("bigint").alias("n_final"),
+        F.sum(final * F.col("tokens_after")).cast("bigint").alias("tokens_final"),
+    )
+    return agg.select(
+        "source",
+        "n_total",
+        "n_encoding_ok",
+        "n_prose",
+        "n_final",
+        "tokens_final",
+        (
+            F.expr(
+                "CAST((2 * n_final * 1000000 + n_total) div (2 * n_total)"
+                " AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("final_rate"),
+    )
