@@ -3080,11 +3080,16 @@ def _signed_micro(num, den):
 
 @query("x6_acf", _ACF_ORACLE)
 def x6_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-6 (r11): AUTOCORRELATION FUNCTION at lags 1..3 per user series —
-    the Box-Jenkins identification tool (Box & Jenkins 1970 ch.2): which
-    lags carry linear memory, the first statistic read before fitting
-    any AR/MA structure and the complement of the family's nonlinear
-    memory measures (permutation entropy, Hurst). r_l is evaluated
+    """X-6 (r11): the STANDARD autocorrelation estimator at lags 1..3
+    per user series — r_l = Σ(x_t−x̄)(x_{t−l}−x̄) / Σ(x_t−x̄)² with the
+    GLOBAL mean and variance (Box & Jenkins 1970 ch.2). Deliberately
+    distinct from ``x6_ts_acf`` (r6), which computes the pairwise-
+    Pearson variant (per-lag means/variances over the overlapping
+    pairs): the two estimators differ at short series and ONLY the
+    standard one is valid input to the Ljung-Box statistic
+    (``x6_ljung_box`` composes this, not the Pearson variant — Ljung &
+    Box's null distribution assumes the common-denominator r_k).
+    r_l is evaluated
     ENTIRELY in integers: with S=Σx, Q=Σx², H/T the lagged head/tail
     sums and Sxy the lag product sum over the 3dp-quantized series,
     r_l = (n²·Sxy − n·S·(H+T) + (n−l)·S²) / (n²·Q − n·S²) — numerator

@@ -67,6 +67,9 @@ TIME_SENSITIVE = [
     "x6_mann_kendall",
     "x6_haar_energy",
     "x6_entropy_rate",
+    # r11: event-time-ordered lag windows (standard ACF + Ljung-Box)
+    "x6_acf",
+    "x6_ljung_box",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
