@@ -3895,3 +3895,200 @@ def x9_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("final_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r11): TextRank keyword extraction (integer-exact PageRank)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_VOCAB = 256  # graph nodes: top tokens by corpus frequency
+TEXTRANK_ITERS = 5  # fixed power iterations (TextRank converges fast)
+TEXTRANK_TOP = 20  # keywords emitted
+#: damping 0.85 in micro-units: base (1-d)·1e6 and the d=85/100 factor
+_TR_BASE = 150000
+
+
+def _textrank_graph_ctes() -> str:
+    return f"""
+    toks AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(1, len(t) + 1)) AS pos
+        FROM toks
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+            FROM pos GROUP BY tok
+        ) WHERE rn <= {TEXTRANK_VOCAB}
+    ),
+    adj AS (
+        SELECT tok, LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM pos
+    ),
+    pairs AS (
+        SELECT LEAST(prev, tok) AS u, GREATEST(prev, tok) AS v
+        FROM adj
+        WHERE prev IS NOT NULL AND prev <> tok
+          AND prev IN (SELECT tok FROM vocab)
+          AND tok IN (SELECT tok FROM vocab)
+    ),
+    wt AS (
+        SELECT u, v, COUNT(*)::HUGEINT AS w FROM pairs GROUP BY u, v
+    ),
+    e AS MATERIALIZED (
+        SELECT u, v, w FROM wt UNION ALL SELECT v AS u, u AS v, w FROM wt
+    ),
+    deg AS MATERIALIZED (SELECT u, SUM(w) AS wd FROM e GROUP BY u)
+    """
+
+
+def _textrank_iter_cte(k: int) -> str:
+    prev = "r0" if k == 1 else f"r{k - 1}"
+    return f"""
+    r{k} AS (
+        SELECT n.tok,
+               {_TR_BASE}::HUGEINT + COALESCE(
+                   SUM((2 * p.r * 85 * e.w + 100 * d.wd) // (200 * d.wd)), 0)
+                   AS r
+        FROM vocab n
+        LEFT JOIN e ON e.v = n.tok
+        LEFT JOIN {prev} p ON p.tok = e.u
+        LEFT JOIN deg d ON d.u = e.u
+        GROUP BY n.tok
+    )"""
+
+
+def _textrank_oracle() -> str:
+    iters = ",".join(_textrank_iter_cte(k) for k in range(1, TEXTRANK_ITERS + 1))
+    return f"""
+    WITH {_textrank_graph_ctes()},
+    r0 AS (SELECT tok, 1000000::HUGEINT AS r FROM vocab),
+    {iters},
+    final AS (
+        SELECT f.tok, f.r, COALESCE(d.wd, 0) AS wd,
+               ROW_NUMBER() OVER (ORDER BY f.r DESC, f.tok) AS rnk
+        FROM r{TEXTRANK_ITERS} f LEFT JOIN deg d ON d.u = f.tok
+    )
+    SELECT tok AS token,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(r AS BIGINT) / 1000000.0 AS rank_score,
+           CAST(wd AS BIGINT) AS w_degree
+    FROM final WHERE rnk <= {TEXTRANK_TOP}
+    """
+
+
+@query("x4_textrank_keywords", _textrank_oracle())
+def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r11): TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau,
+    EMNLP 2004) — corpus-level salient terms via PageRank over the
+    token co-occurrence graph: nodes are the top-TEXTRANK_VOCAB tokens
+    by frequency (the BPE-style bounded-vocab discipline), undirected
+    edges weight adjacent co-occurrence, and TEXTRANK_ITERS weighted
+    power iterations rank centrality. This is the family's first
+    ITERATIVE GRAPH operator on text — frequency (x4_heavy_hitters)
+    rewards common tokens, TF-IDF rewards distinctive ones; TextRank
+    rewards tokens that CONNECT the corpus's topical structure, which
+    is what keyword/tag extraction actually ships.
+
+    INTEGER-EXACT ITERATION — the novel discipline here: ranks live in
+    micro-units; each edge contribution is the rule-26b HALF-UP integer
+    division ((2·r_u·85·w + 100·W_u) div (200·W_u)) evaluated in
+    128-bit (rule 27: r·85·w exceeds int64 at ~10³× fixture edge
+    weights), so the per-node SUM is a sum of EXACT INTEGERS —
+    aggregation order cannot perturb it (rule 26a is structurally
+    impossible), and five iterations cannot accumulate float drift:
+    both engines walk the identical integer trajectory. Ties in the
+    final ranking are exact-integer ties broken on token.
+
+    Scale shape: token explode is one codegen generator; the vocab cut
+    is a bounded top-V (work ∝ vocabulary); adjacency is ONE
+    doc_id-keyed LAG window (no self-join); the iteration state is a
+    V-row table joined to a vocab²-bounded edge list — at 100 TB the
+    corpus is touched ONCE (graph build), and iterations cost O(V²)
+    regardless of corpus size. Spark's loop localCheckpoints the rank
+    table each step (rule 17: ITERATIVE → lineage truncation, the
+    x8_cluster_split lesson); the edge/degree tables are
+    scoped_persist'd (shared subtrees, 5+1 consumers); the oracle
+    mirrors with AS MATERIALIZED (rule 27's re-inlining trap)."""
+    from etl_active911_spark.operators.dedup import tokens
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wv = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    vocab = (
+        pos.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("tok", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") <= TEXTRANK_VOCAB)
+        .select("tok")
+    )
+    wadj = Window.partitionBy("doc_id").orderBy("pos")
+    adj = pos.select("doc_id", "pos", "tok", F.lag("tok").over(wadj).alias("prev"))
+    pairs = (
+        adj.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("tok")))
+        .join(F.broadcast(vocab.select(F.col("tok").alias("prev"))), "prev")
+        .join(F.broadcast(vocab), "tok")
+        .select(
+            F.least("prev", "tok").alias("u"), F.greatest("prev", "tok").alias("v")
+        )
+    )
+    wt = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    e = scoped_persist(
+        "textrank.edges",
+        wt.unionByName(
+            wt.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        ),
+    )
+    deg = scoped_persist(
+        "textrank.deg", e.groupBy("u").agg(F.sum("w").cast("long").alias("wd"))
+    )
+    nodes = vocab.localCheckpoint(eager=True)
+    r = nodes.select("tok", F.lit(1000000).cast("decimal(38,0)").alias("r"))
+    contrib = F.expr(
+        "CAST((2 * CAST(r AS DECIMAL(38,0)) * 85 * w + 100 * CAST(wd AS DECIMAL(38,0)))"
+        " div (200 * CAST(wd AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+    )
+    for _ in range(TEXTRANK_ITERS):
+        inc = (
+            e.join(r.select(F.col("tok").alias("u"), "r"), "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("tok"), contrib.alias("c"))
+            .groupBy("tok")
+            .agg(F.sum("c").alias("inc"))
+        )
+        r = (
+            nodes.join(inc, "tok", "left")
+            .select(
+                "tok",
+                (
+                    F.lit(_TR_BASE).cast("decimal(38,0)")
+                    + F.coalesce(F.col("inc"), F.lit(0).cast("decimal(38,0)"))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)  # rule 17: iterative loop
+        )
+    wr = Window.orderBy(F.col("r").desc(), F.col("tok"))
+    return (
+        r.join(deg.select(F.col("u").alias("tok"), "wd"), "tok", "left")
+        .select(
+            F.col("tok").alias("token"),
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+            "r",
+            F.coalesce("wd", F.lit(0)).cast("bigint").alias("w_degree"),
+        )
+        .filter(F.col("rnk") <= TEXTRANK_TOP)
+        .select(
+            "token",
+            "rnk",
+            (F.col("r").cast("bigint").cast("double") / 1000000.0).alias(
+                "rank_score"
+            ),
+            "w_degree",
+        )
+    )

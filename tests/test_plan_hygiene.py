@@ -160,6 +160,15 @@ EXTRA_CHECKED = (
     "x9_dup_quality_matrix",
     "x6_entropy_rate",
     "x8_context_length_sweep",
+    # r11 additions (queued for the r12/r13 scoring windows)
+    "x4_unicode_anomaly",
+    "x4_code_detection",
+    "x2_boilerplate_scrub",
+    "x5_media_hash_dedup",
+    "x6_acf",
+    "x6_ljung_box",
+    "x9_curation_v8",
+    "x4_textrank_keywords",
 )
 
 BNLJ_ALLOWED.update({
@@ -194,6 +203,7 @@ BNLJ_ALLOWED.update({
     "x2_threshold_sweep": (3, "5-row broadcast threshold grid (theta join on jac >= threshold; plan text repeats it in the zero-fill left joins) + 1-row corpus-count scalar"),
     # r11 window (the pinned rotation's first full-plan checks):
     "tpch_q22_idle_customers": (1, "TPC-H Q22's scalar subquery: 1-row broadcast avg-acctbal-of-positive-customers crossJoined into the idle filter"),
+    "x6_acf": (1, "3-row broadcast lag grid crossJoined onto the per-user moment table (bounded literal side, x6_cross_correlation shape)"),
     "x3_ann_ivf_compact": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape); compaction itself reads back the partitioned layout"),
 })
 

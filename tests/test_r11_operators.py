@@ -197,3 +197,27 @@ def test_media_hash_dedup_groups(spark):
     for r in rows:
         assert r["wasted_bytes"] == (r["n_copies"] - 1) * r["n_bytes"]
         assert r["n_bytes"] == len(b"shared asset payload 0")
+
+
+# ---------------------------------------------------------------------------
+# x4_textrank_keywords: ranking structure
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_structure(spark):
+    """Exactly TOP keywords with dense ranks; every score carries at
+    least the damping base 0.15; ordering is (score desc, token) —
+    integer ties break deterministically."""
+    from etl_active911_spark.operators.textual import TEXTRANK_TOP
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x4_textrank_keywords"](spark, SF_ORACLE).collect()
+    assert len(rows) == TEXTRANK_TOP
+    assert sorted(r["rnk"] for r in rows) == list(range(1, TEXTRANK_TOP + 1))
+    ordered = sorted(rows, key=lambda r: r["rnk"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a["rank_score"], b["token"]) >= (b["rank_score"], a["token"])
+        assert a["rank_score"] >= b["rank_score"]
+    assert all(r["rank_score"] >= 0.15 for r in rows)
+    assert all(r["w_degree"] > 0 for r in rows)
