@@ -4003,18 +4003,20 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines walk the identical integer trajectory. Ties in the
     final ranking are exact-integer ties broken on token.
 
-    Scale shape: token explode is one codegen generator; the vocab cut
-    is a bounded top-V (work ∝ vocabulary); adjacency is ONE
-    doc_id-keyed LAG window (no self-join); the iteration state is a
-    V-row table joined to a vocab²-bounded edge list — at 100 TB the
-    corpus is touched ONCE (graph build), and iterations cost O(V²)
-    regardless of corpus size. Spark's loop localCheckpoints the rank
-    table each step (rule 17: ITERATIVE → lineage truncation, the
-    x8_cluster_split lesson); the edge/degree tables are
-    scoped_persist'd (shared subtrees, 5+1 consumers); the oracle
-    mirrors with AS MATERIALIZED (rule 27's re-inlining trap)."""
+    Scale shape: the CORPUS pass is fully distributed and touched ONCE
+    — token explode is one codegen generator, the vocab cut is the
+    rule-19 WindowGroupLimit top-V prune (work ∝ vocabulary), adjacency
+    is ONE doc_id-keyed LAG window, and pair counting is a keyed
+    aggregate. The GRAPH is then vocab²-bounded BY CONSTANT (≤ V²
+    edges regardless of corpus size), so the power iterations run
+    driver-side over the collected edge list — the documented
+    bounded-collect exception (rule 23; the 2048-row BPE-fit /
+    256-row centroid-fit precedent): pushing a 256-node iteration
+    through 5 distributed jobs is pure scheduler overhead (measured:
+    10.8 s as DataFrame loops vs <0.1 s local, both corpus-size-flat).
+    Arithmetic uses arbitrary-precision Python ints, matching the
+    oracle's HUGEINT trajectory exactly."""
     from etl_active911_spark.operators.dedup import tokens
-    from etl_active911_spark.plans.cache import scoped_persist
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     pos = docs.select(
@@ -4039,56 +4041,29 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wt = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    e = scoped_persist(
-        "textrank.edges",
-        wt.unionByName(
-            wt.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-        ),
-    )
-    deg = scoped_persist(
-        "textrank.deg", e.groupBy("u").agg(F.sum("w").cast("long").alias("wd"))
-    )
-    nodes = vocab.localCheckpoint(eager=True)
-    r = nodes.select("tok", F.lit(1000000).cast("decimal(38,0)").alias("r"))
-    contrib = F.expr(
-        "CAST((2 * CAST(r AS DECIMAL(38,0)) * 85 * w + 100 * CAST(wd AS DECIMAL(38,0)))"
-        " div (200 * CAST(wd AS DECIMAL(38,0))) AS DECIMAL(38,0))"
-    )
+    # bounded collects: V node rows + ≤V² edge rows (constant-bounded by
+    # TEXTRANK_VOCAB, not by corpus size — rule 23's documented exception)
+    node_list = sorted(r["tok"] for r in vocab.collect())
+    half_edges = [(r["u"], r["v"], int(r["w"])) for r in wt.collect()]
+    edges: list[tuple[str, str, int]] = []
+    for u, v, w in half_edges:
+        edges.append((u, v, w))
+        edges.append((v, u, w))
+    wd: dict[str, int] = {}
+    for u, _v, w in edges:
+        wd[u] = wd.get(u, 0) + w
+    rank = {t: 1_000_000 for t in node_list}
     for _ in range(TEXTRANK_ITERS):
-        inc = (
-            e.join(r.select(F.col("tok").alias("u"), "r"), "u")
-            .join(deg, "u")
-            .select(F.col("v").alias("tok"), contrib.alias("c"))
-            .groupBy("tok")
-            .agg(F.sum("c").alias("inc"))
-        )
-        r = (
-            nodes.join(inc, "tok", "left")
-            .select(
-                "tok",
-                (
-                    F.lit(_TR_BASE).cast("decimal(38,0)")
-                    + F.coalesce(F.col("inc"), F.lit(0).cast("decimal(38,0)"))
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)  # rule 17: iterative loop
-        )
-    wr = Window.orderBy(F.col("r").desc(), F.col("tok"))
-    return (
-        r.join(deg.select(F.col("u").alias("tok"), "wd"), "tok", "left")
-        .select(
-            F.col("tok").alias("token"),
-            F.row_number().over(wr).cast("bigint").alias("rnk"),
-            "r",
-            F.coalesce("wd", F.lit(0)).cast("bigint").alias("w_degree"),
-        )
-        .filter(F.col("rnk") <= TEXTRANK_TOP)
-        .select(
-            "token",
-            "rnk",
-            (F.col("r").cast("bigint").cast("double") / 1000000.0).alias(
-                "rank_score"
-            ),
-            "w_degree",
-        )
+        inc = {t: 0 for t in node_list}
+        for u, v, w in edges:
+            den = wd[u]
+            inc[v] += (2 * rank[u] * 85 * w + 100 * den) // (200 * den)
+        rank = {t: _TR_BASE + inc[t] for t in node_list}
+    top = sorted(node_list, key=lambda t: (-rank[t], t))[:TEXTRANK_TOP]
+    return spark.createDataFrame(
+        [
+            (t, i + 1, rank[t] / 1_000_000.0, wd.get(t, 0))
+            for i, t in enumerate(top)
+        ],
+        "token string, rnk long, rank_score double, w_degree long",
     )
