@@ -102,6 +102,10 @@ HEADLINE = [
     # for the remaining r10-wave heavies (VERDICT r10 item 7)
     "x3_knn_hubness",
     "x2_chunk_cross_dup",
+    # round-11 wave: the session's heavier newcomers enter the record
+    "x9_curation_v8",
+    "x4_textrank_keywords",
+    "x2_boilerplate_scrub",
 ]
 
 

@@ -3210,3 +3210,147 @@ def ljung_rows(ev: DataFrame) -> DataFrame:
         (q_micro.cast("double") / 1000000.0).alias("q_lb"),
         (q_micro > LJUNG_BOX_CRIT_MICRO).cast("int").alias("is_nonwhite"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r11): Hampel robust outliers (exact-integer median / MAD)
+# ---------------------------------------------------------------------------
+
+#: Hampel threshold |x − med| > 3·1.4826·MAD, cross-multiplied into the
+#: pure-integer comparison 10000·d2 > 22239·mad4 (d2 = doubled deviation
+#: in 3dp units, mad4 = quadrupled MAD; 22239 = 3·14826/2)
+_HAMPEL_NUM, _HAMPEL_DEN = 22239, 10000
+
+_HAMPEL_ORACLE = f"""
+    WITH b AS (
+        SELECT user_id, event_id, value,
+               CAST(ROUND(value * {_DECOMP_SCALE}) AS BIGINT) AS sv
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, event_id, value, sv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY sv, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM b
+    ),
+    med AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN n % 2 = 1 AND 2 * rn = n + 1 THEN 2 * sv
+                             WHEN n % 2 = 0 AND (2 * rn = n OR 2 * rn = n + 2)
+                                  THEN sv
+                             ELSE 0 END) AS BIGINT) AS m2
+        FROM o GROUP BY user_id
+    ),
+    d AS (
+        SELECT o.user_id, o.event_id, o.value, ABS(2 * o.sv - m.m2) AS d2
+        FROM o JOIN med m USING (user_id)
+    ),
+    dr AS (
+        SELECT user_id, event_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY d2, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM d
+    ),
+    mad AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN n % 2 = 1 AND 2 * rn = n + 1 THEN 2 * d2
+                             WHEN n % 2 = 0 AND (2 * rn = n OR 2 * rn = n + 2)
+                                  THEN d2
+                             ELSE 0 END) AS BIGINT) AS mad4
+        FROM dr GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.value,
+           d.d2 / {2 * _DECOMP_SCALE}.0 AS abs_dev,
+           m.mad4 / {4 * _DECOMP_SCALE}.0 AS mad
+    FROM d JOIN mad m USING (user_id)
+    WHERE m.mad4 > 0 AND {_HAMPEL_DEN} * d.d2 > {_HAMPEL_NUM} * m.mad4
+    """
+
+
+@query("x6_robust_outliers", _HAMPEL_ORACLE)
+def x6_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r11): HAMPEL ROBUST OUTLIERS — the median/MAD outlier filter
+    (Hampel 1974; the identifier robust statistics recommends over
+    z-scores, whose mean AND sd are themselves corrupted by the very
+    outliers being hunted — a 50%-breakdown estimator pair instead of
+    0%): flag every event with |x − median| > 3·1.4826·MAD of its
+    user's series. The family's point-anomaly complement to CUSUM
+    (level shifts) and the matrix-profile discords (shape anomalies).
+
+    EXACT-INTEGER ORDER STATISTICS — the engineering point: exact
+    medians of even-length series are half-integers, and interpolating
+    percentile functions differ subtly across engines, so both medians
+    are computed in DOUBLED integer space from ROW_NUMBER order
+    statistics (odd n: 2·x_{{(n+1)/2}}; even: x_{{n/2}} + x_{{n/2+1}})
+    — m2 and mad4 are exact BIGINTs, the Hampel test cross-multiplies
+    into the pure-integer comparison 10000·d2 > 22239·mad4 (no float
+    anywhere, rule 11/26 satisfied by construction), and the emitted
+    abs_dev/mad are exact dyadic rationals (halves/quarters of 3dp
+    units — exactly representable doubles). Zero-MAD series (>50%
+    identical values) are excluded by both engines — the documented
+    Hampel degenerate case where every other value would flag.
+
+    Scale shape: two ordered windows + two keyed aggregates + two
+    equi-joins, ALL keyed on user_id (series-bounded, one partitioning
+    reused); no corpus-wide window, nothing quadratic."""
+    return hampel_outliers(read_table(spark, sf_dir, "events"))
+
+
+def hampel_outliers(ev: DataFrame) -> DataFrame:
+    """Core of ``x6_robust_outliers`` over an arbitrary (user_id,
+    event_id, value) frame — split out so hand-computed odd/even-median
+    and zero-MAD series pin the integer pipeline in pytest."""
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") * _DECOMP_SCALE).cast("long").alias("sv"),
+    )
+
+    def doubled_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(col, "event_id")
+        wn = Window.partitionBy("user_id")
+        o = df.select(
+            "user_id",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        pick = (
+            F.when(
+                (F.col("n") % 2 == 1) & (2 * F.col("rn") == F.col("n") + 1),
+                2 * F.col(col),
+            )
+            .when(
+                (F.col("n") % 2 == 0)
+                & ((2 * F.col("rn") == F.col("n")) | (2 * F.col("rn") == F.col("n") + 2)),
+                F.col(col),
+            )
+            .otherwise(F.lit(0))
+        )
+        return o.groupBy("user_id").agg(F.sum(pick).cast("bigint").alias(out))
+
+    med = doubled_median(b, "sv", "m2")
+    d = b.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.abs(2 * F.col("sv") - F.col("m2")).alias("d2"),
+    )
+    mad = doubled_median(d, "d2", "mad4")
+    return (
+        d.join(mad, "user_id")
+        .filter(
+            (F.col("mad4") > 0)
+            & (_HAMPEL_DEN * F.col("d2") > _HAMPEL_NUM * F.col("mad4"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("d2").cast("double") / (2.0 * _DECOMP_SCALE)).alias("abs_dev"),
+            (F.col("mad4").cast("double") / (4.0 * _DECOMP_SCALE)).alias("mad"),
+        )
+    )

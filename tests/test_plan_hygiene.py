@@ -169,6 +169,7 @@ EXTRA_CHECKED = (
     "x6_ljung_box",
     "x9_curation_v8",
     "x4_textrank_keywords",
+    "x6_robust_outliers",
 )
 
 BNLJ_ALLOWED.update({

@@ -221,3 +221,53 @@ def test_textrank_structure(spark):
         assert a["rank_score"] >= b["rank_score"]
     assert all(r["rank_score"] >= 0.15 for r in rows)
     assert all(r["w_degree"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# x6_robust_outliers: hand-computed Hampel cases
+# ---------------------------------------------------------------------------
+
+
+def test_hampel_closed_forms(spark, tmp_path):
+    """Odd series [1,2,3,4,100]: med 3, MAD 1 → only 100 flags
+    (abs_dev 97, threshold 4.4478). Even series [1..5,100]: med 3.5,
+    MAD 1.5 → only 100 flags (abs_dev 96.5). Constant-heavy series
+    [5,5,5,5,9]: MAD 0 → excluded entirely."""
+    import duckdb
+
+    from etl_active911_spark.operators.timeseries import _HAMPEL_ORACLE
+
+    rows = []
+    for uid, vals in (
+        (1, [1.0, 2.0, 3.0, 4.0, 100.0]),
+        (2, [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]),
+        (3, [5.0, 5.0, 5.0, 5.0, 9.0]),
+    ):
+        for i, v in enumerate(vals):
+            rows.append((uid, i, v))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(user_id BIGINT, event_id BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)", rows)
+    got = con.sql(_HAMPEL_ORACLE).fetchall()
+    assert {(r[0], r[1]) for r in got} == {(1, 4), (2, 5)}
+    by_uid = {r[0]: r for r in got}
+    assert by_uid[1][3] == 97.0 and by_uid[1][4] == 1.0
+    assert by_uid[2][3] == 96.5 and by_uid[2][4] == 1.5
+
+
+def test_hampel_spark_matches_crafted(spark):
+    """Spark side of the same crafted series through the split core:
+    identical flags."""
+    from etl_active911_spark.operators.timeseries import hampel_outliers
+
+    ev = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])]
+        + [(2, i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 100.0])]
+        + [(3, i, v) for i, v in enumerate([5.0, 5.0, 5.0, 5.0, 9.0])],
+        "user_id long, event_id long, value double",
+    )
+    got = hampel_outliers(ev).collect()
+    assert {(r["user_id"], r["event_id"]) for r in got} == {(1, 4), (2, 5)}
+    by_uid = {r["user_id"]: r for r in got}
+    assert by_uid[1]["abs_dev"] == 97.0 and by_uid[1]["mad"] == 1.0
+    assert by_uid[2]["abs_dev"] == 96.5 and by_uid[2]["mad"] == 1.5
