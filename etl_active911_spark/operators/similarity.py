@@ -3903,3 +3903,191 @@ def x3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r11): exact-integer Gram matrix + PCA projection (whitening prep)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+#: 3dp fixed-point quantization of embedding components for the exact
+#: Gram (the x6 family's _DECOMP_SCALE discipline applied to vectors)
+GRAM_SCALE = 1000
+PCA_TOP_K = 4
+
+_GRAM_ORACLE = f"""
+    WITH q AS (
+        SELECT list_transform(embedding::DOUBLE[],
+                              x -> CAST(ROUND(x * {GRAM_SCALE}) AS BIGINT)) AS qe
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS d),
+    pairs AS (
+        SELECT a.d AS i, b.d AS j FROM dims a, dims b WHERE a.d <= b.d
+    ),
+    g AS (
+        SELECT p.i, p.j,
+               CAST(SUM(qe[p.i]::HUGEINT * qe[p.j]) AS BIGINT) AS sum_prod,
+               CAST(SUM(qe[p.i]) AS BIGINT) AS sum_i,
+               CAST(SUM(qe[p.j]) AS BIGINT) AS sum_j,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q CROSS JOIN pairs p GROUP BY p.i, p.j
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           sum_prod, sum_i, sum_j, n
+    FROM g
+    """
+
+
+@query("x3_embedding_gram", _GRAM_ORACLE)
+def x3_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r11): EXACT-INTEGER GRAM MATRIX of the embedding corpus —
+    the distributed half of PCA/whitening (the preprocessing step that
+    removes the dead/dominant dimensions ``x3_embedding_stats``
+    diagnoses before an IVF/PQ index is built): upper-triangle
+    (i ≤ j) of Qᵀ·Q over 3dp-quantized components, plus the per-dim
+    sums and count needed to center it into a covariance downstream.
+    Quantizing BEFORE the product makes every Gram cell an exact
+    integer, so the corpus-order-dependent float-sum hazard (rule 26a)
+    is structurally absent and DuckDB reproduces the matrix
+    cell-for-cell — a HARD oracle on the one corpus-sized pass of the
+    PCA pipeline (the bounded eigh lives in ``x3_pca_project``).
+
+    Scale shape: each Arrow batch computes its partial Gram as ONE
+    int64 NumPy matmul (d×batch · batch×d — BLAS-shaped, no d²-explode
+    of corpus rows), emitting d(d+1)/2 partial rows per batch; the
+    final reduce is a (i,j)-keyed SUM over batches×2080 tiny rows,
+    accumulated in DECIMAL(38,0) (rule 27: Σq_i·q_j reaches int64 at
+    ~10⁶× fixture corpus — partials stay int64 because batches are
+    bounded by maxRecordsPerBatch). Embedding bytes never shuffle —
+    only the 2080-row partials do."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    qe = emb.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * GRAM_SCALE).cast("long"),
+        ).alias("qe")
+    )
+    iu, ju = np.triu_indices(EMB_DIM)
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf["qe"].tolist(), dtype=np.int64)
+            G = Q.T @ Q
+            s = Q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int32"),
+                    "j": (ju + 1).astype("int32"),
+                    "p_prod": G[iu, ju],
+                    "p_si": s[iu],
+                    "p_sj": s[ju],
+                    "p_n": np.int64(len(pdf)),
+                }
+            )
+
+    partials = qe.mapInPandas(
+        partial_gram,
+        "i int, j int, p_prod long, p_si long, p_sj long, p_n long",
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum(d38("p_prod")).cast("bigint").alias("sum_prod"),
+            F.sum(d38("p_si")).cast("bigint").alias("sum_i"),
+            F.sum(d38("p_sj")).cast("bigint").alias("sum_j"),
+            F.sum(d38("p_n")).cast("bigint").alias("n"),
+        )
+    )
+
+
+def _pca_components(gram_rows) -> tuple:
+    """Deterministic top-k eigendecomposition from the exact Gram rows:
+    covariance assembled cell-by-cell from the integer sums (fixed op
+    order), ``numpy.linalg.eigh`` on the 64×64 symmetric matrix
+    (bounded driver-side work, rule 23's fit-sample exception), sign
+    fixed per component by making its largest-|loading| coordinate
+    positive (first index on ties)."""
+    import numpy as np
+
+    C = np.zeros((EMB_DIM, EMB_DIM), dtype=np.float64)
+    mu = np.zeros(EMB_DIM, dtype=np.float64)
+    n = None
+    for r in gram_rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        n = r["n"]
+        c = (
+            r["sum_prod"] / n - (r["sum_i"] / n) * (r["sum_j"] / n)
+        ) / (GRAM_SCALE * GRAM_SCALE)
+        C[i, j] = c
+        C[j, i] = c
+        mu[i] = (r["sum_i"] / n) / GRAM_SCALE
+        mu[j] = (r["sum_j"] / n) / GRAM_SCALE
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(-vals, kind="stable")[:PCA_TOP_K]
+    W = vecs[:, order]
+    for k in range(W.shape[1]):
+        a = int(np.argmax(np.abs(W[:, k])))
+        if W[a, k] < 0:
+            W[:, k] = -W[:, k]
+    share = float(np.sum(vals[order]) / np.sum(np.clip(vals, 0, None)))
+    return mu, W, vals[order], share
+
+
+@query("x3_pca_project")  # rows-only: eigh is not SQL; bit replica in test_pca_replica.py
+def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r11): PCA PROJECTION of the embedding corpus onto its top
+    PCA_TOP_K principal components — the whitening/dimensionality step
+    between ``x3_embedding_stats``'s anisotropy diagnosis and index
+    construction (PCA-rotated vectors are the standard preconditioner
+    for PQ, whose per-subspace quantizers assume balanced variance —
+    Jégou et al. TPAMI'11 §V.A). The covariance comes from the EXACT
+    integer Gram (``x3_embedding_gram``, hard-oracled), so the only
+    float stages are the bounded 64×64 ``eigh`` on the driver (rule
+    23's fit-sample exception, deterministic LAPACK + a fixed sign
+    convention) and the per-row projection (fixed op order per row —
+    no cross-row accumulation anywhere).
+
+    Rows-only by necessity (eigendecomposition has no SQL form); the
+    evidence substitute is the house bit-level replica standard
+    (test_pca_replica.py: an independent single-process duckdb+numpy
+    implementation of quantize → Gram → covariance → eigh → project
+    reproduces every projected coordinate EXACTLY).
+
+    Scale shape: one corpus scan for the Gram partials (see
+    x3_embedding_gram), one bounded 2080-row collect, one broadcast of
+    (mu, W) into a vectorized Arrow projection pass — embeddings cross
+    Arrow once, nothing corpus-sized shuffles or collects."""
+    import numpy as np
+    import pandas as pd
+
+    gram = x3_embedding_gram(spark, sf_dir).collect()  # bounded: 2080 rows
+    mu, W, _vals, _share = _pca_components(gram)
+    mu_b = mu.tolist()
+    w_b = W.tolist()
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+
+    def project(batches):
+        Wm = np.array(w_b, dtype=np.float64)
+        mv = np.array(mu_b, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Y = np.round((Q - mv) @ Wm, 6)
+            out = {"vec_id": pdf["vec_id"]}
+            for k in range(PCA_TOP_K):
+                out[f"pc{k + 1}"] = Y[:, k]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"pc{k + 1} double" for k in range(PCA_TOP_K)
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(project, schema)

@@ -170,6 +170,8 @@ EXTRA_CHECKED = (
     "x9_curation_v8",
     "x4_textrank_keywords",
     "x6_robust_outliers",
+    "x3_embedding_gram",
+    "x3_pca_project",
 )
 
 BNLJ_ALLOWED.update({
