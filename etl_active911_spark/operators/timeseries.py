@@ -3298,6 +3298,34 @@ def x6_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hampel_outliers(read_table(spark, sf_dir, "events"))
 
 
+def doubled_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Exact per-user median of an integer column in DOUBLED integer
+    space (odd n: 2·x_{(n+1)/2}; even: x_{n/2} + x_{n/2+1}), from
+    ROW_NUMBER order statistics — shared by the batch Hampel operator
+    and the streaming monitor's offline baseline fit."""
+    w = Window.partitionBy("user_id").orderBy(col, "event_id")
+    wn = Window.partitionBy("user_id")
+    o = df.select(
+        "user_id",
+        col,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = (
+        F.when(
+            (F.col("n") % 2 == 1) & (2 * F.col("rn") == F.col("n") + 1),
+            2 * F.col(col),
+        )
+        .when(
+            (F.col("n") % 2 == 0)
+            & ((2 * F.col("rn") == F.col("n")) | (2 * F.col("rn") == F.col("n") + 2)),
+            F.col(col),
+        )
+        .otherwise(F.lit(0))
+    )
+    return o.groupBy("user_id").agg(F.sum(pick).cast("bigint").alias(out))
+
+
 def hampel_outliers(ev: DataFrame) -> DataFrame:
     """Core of ``x6_robust_outliers`` over an arbitrary (user_id,
     event_id, value) frame — split out so hand-computed odd/even-median
@@ -3308,30 +3336,6 @@ def hampel_outliers(ev: DataFrame) -> DataFrame:
         "value",
         F.round(F.col("value") * _DECOMP_SCALE).cast("long").alias("sv"),
     )
-
-    def doubled_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(col, "event_id")
-        wn = Window.partitionBy("user_id")
-        o = df.select(
-            "user_id",
-            col,
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
-        pick = (
-            F.when(
-                (F.col("n") % 2 == 1) & (2 * F.col("rn") == F.col("n") + 1),
-                2 * F.col(col),
-            )
-            .when(
-                (F.col("n") % 2 == 0)
-                & ((2 * F.col("rn") == F.col("n")) | (2 * F.col("rn") == F.col("n") + 2)),
-                F.col(col),
-            )
-            .otherwise(F.lit(0))
-        )
-        return o.groupBy("user_id").agg(F.sum(pick).cast("bigint").alias(out))
-
     med = doubled_median(b, "sv", "m2")
     d = b.join(med, "user_id").select(
         "user_id",

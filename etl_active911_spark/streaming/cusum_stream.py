@@ -110,3 +110,73 @@ def cusum_alarm_stream(events: DataFrame, baseline: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: streaming Hampel monitor (stateless twin of x6_robust_outliers)
+# ---------------------------------------------------------------------------
+
+
+def hampel_baseline(ev: DataFrame) -> DataFrame:
+    """Per-user robust baseline (user_id, m2, mad4) — the doubled-integer
+    median and quadrupled MAD from the batch operator's exact order
+    statistics, fitted offline exactly like ``cusum_baseline``. Zero-MAD
+    users are excluded (the batch operator's documented degenerate
+    case), so joined events from them are unmonitored in both forms."""
+    from etl_active911_spark.operators.timeseries import (
+        _DECOMP_SCALE,
+        doubled_median,
+    )
+
+    b = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * _DECOMP_SCALE).cast("long").alias("sv"),
+    )
+    med = doubled_median(b, "sv", "m2")
+    d = b.join(med, "user_id").select(
+        "user_id", "event_id", F.abs(2 * F.col("sv") - F.col("m2")).alias("d2")
+    )
+    mad = doubled_median(d, "d2", "mad4")
+    return (
+        med.join(mad, "user_id").filter(F.col("mad4") > 0).select(
+            "user_id", "m2", "mad4"
+        )
+    )
+
+
+def hampel_alarm_stream(events: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Streaming Hampel monitor: a STATELESS gate — stream-static inner
+    join to the fitted (m2, mad4) baseline, then the batch operator's
+    exact cross-multiplied integer test per event. No state store at
+    all: the robust baseline regime's entire memory lives in the
+    offline fit, which is what makes Hampel the cheapest deployable
+    point-anomaly monitor (contrast the CUSUM twin's 2-double state).
+    Emits (user_id, event_id, value, abs_dev, mad) identical to the
+    batch rows — batch ≡ stream pinned in tests/test_streaming.py."""
+    from etl_active911_spark.operators.timeseries import (
+        _DECOMP_SCALE,
+        _HAMPEL_DEN,
+        _HAMPEL_NUM,
+    )
+
+    sv = F.round(F.col("value") * _DECOMP_SCALE).cast("long")
+    return (
+        events.select("user_id", "event_id", "value")
+        .join(baseline, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.abs(2 * sv - F.col("m2")).alias("d2"),
+            "mad4",
+        )
+        .filter(_HAMPEL_DEN * F.col("d2") > _HAMPEL_NUM * F.col("mad4"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("d2").cast("double") / (2.0 * _DECOMP_SCALE)).alias("abs_dev"),
+            (F.col("mad4").cast("double") / (4.0 * _DECOMP_SCALE)).alias("mad"),
+        )
+    )

@@ -1040,3 +1040,57 @@ def test_cusum_batch_stream_parity(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture slice must actually alarm"
+
+
+def test_hampel_batch_stream_parity(spark, tmp_path):
+    """Streaming Hampel monitor (r11, stateless gate): stream-static
+    baseline join + integer test must reproduce the batch operator's
+    flagged set exactly, including abs_dev/mad values — order of
+    arrival is irrelevant (no state), so a 2-file split suffices."""
+    import time as _time
+
+    from etl_active911_spark.operators.timeseries import hampel_outliers
+    from etl_active911_spark.streaming.cusum_stream import (
+        hampel_alarm_stream,
+        hampel_baseline,
+    )
+
+    events = (
+        read_table(spark, SF_ORACLE, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
+    tsmid = lo + (hi - lo) / 2
+    d = str(tmp_path / "hampel_src")
+    events.filter(F.col("ts") <= F.lit(tsmid)).coalesce(1).write.parquet(d + "/b1")
+    _time.sleep(1.1)
+    events.filter(F.col("ts") > F.lit(tsmid)).coalesce(1).write.parquet(d + "/b2")
+
+    baseline = hampel_baseline(events)
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp_ntz, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    (
+        hampel_alarm_stream(src, baseline)
+        .writeStream.format("memory")
+        .queryName("hampel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["abs_dev"], r["mad"])
+        for r in spark.table("hampel_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["abs_dev"], r["mad"])
+        for r in hampel_outliers(events).collect()
+    }
+    assert got == want
+    assert want, "fixture slice must flag at least one outlier"
