@@ -2819,3 +2819,184 @@ def boilerplate_scrub_ledger(docs: DataFrame) -> DataFrame:
             / 1000000.0
         ).alias("removed_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r11): URL canonicalization dedup (crawl frontier / recrawl collapse)
+# ---------------------------------------------------------------------------
+
+#: synthetic raw-URL assignment: ~120 logical pages, each reachable
+#: through case/port/www/trailing-slash/tracking-param variants spread
+#: across doc_id slices (the fixture-injection idiom) — the exact
+#: variant surface a crawler's frontier sees for one logical page.
+_URL_RAW_SQL = """
+    CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'https://WWW.Example.COM'
+         WHEN 1 THEN 'https://www.example.com'
+         ELSE 'https://www.example.com:443' END
+    || '/a/' || CAST(doc_id % 120 AS STRING)
+    || CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END
+    || CASE CAST(doc_id % 7 AS INT)
+            WHEN 3 THEN '?utm_source=feed&utm_campaign=x'
+            WHEN 5 THEN '?ref=tw'
+            WHEN 6 THEN '?utm_medium=em&id=7'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 4 THEN '#section2' ELSE '' END
+"""
+
+#: tracking params stripped during canonicalization (shared regex)
+_URL_TRACKING_RE = "^(utm_[a-z]+|ref)="
+
+_URL_DEDUP_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ),
+    s1 AS (  -- drop fragment, split base/query
+        SELECT doc_id, url,
+               regexp_replace(url, '#.*$', '') AS nofrag
+        FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id, url,
+               CASE WHEN strpos(nofrag, '?') > 0
+                    THEN substr(nofrag, 1, strpos(nofrag, '?') - 1)
+                    ELSE nofrag END AS base,
+               CASE WHEN strpos(nofrag, '?') > 0
+                    THEN substr(nofrag, strpos(nofrag, '?') + 1)
+                    ELSE '' END AS qs
+        FROM s1
+    ),
+    s3 AS (  -- lowercase authority, strip default port + www, trailing /
+        SELECT doc_id, url,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           LOWER(regexp_extract(base, '^https?://[^/]+'))
+                           || substr(base, len(regexp_extract(base, '^https?://[^/]+')) + 1),
+                           ':443(/|$)', '\\1'),
+                       '^(https?://)www\\.', '\\1'),
+                   '/$', '') AS cbase,
+               COALESCE(array_to_string(
+                   list_sort(list_filter(string_split(qs, '&'),
+                                         p -> len(p) > 0 AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))),
+                   '&'), '') AS cq
+        FROM s2
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               cbase || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
+        FROM s3
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM canon
+    GROUP BY curl
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query("x2_url_canonical_dedup", _URL_DEDUP_ORACLE)
+def x2_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r11): URL CANONICALIZATION DEDUP — the crawl-side dedup that
+    runs BEFORE any content hashing: collapse scheme-case, default-port,
+    ``www.``, trailing-slash, fragment, and tracking-parameter
+    (``utm_*``/``ref``) variants of the same logical page, keeping real
+    query parameters (an ``id=7`` page does NOT merge with its bare
+    sibling). A recrawl pipeline that skips this re-fetches and
+    re-processes every variant as a new document — this is the cheapest
+    dedup win a web corpus has, and it needs no content at all.
+
+    Canonicalization is decomposed into engine-portable steps: fragment
+    strip (regex), base/query split (strpos arithmetic), authority
+    lowercase + port/www strip (anchored regexes on the extracted
+    authority ONLY — never LOWER() on the whole URL, query values are
+    case-significant), and query-param cleanup as split → filter
+    (shared tracking regex) → SORT → re-join, so parameter ORDER also
+    canonicalizes. The fixture corpus has no URLs, so raw URLs are
+    injected deterministically over doc_id slices (shared SQL constant;
+    the x4_unicode_anomaly idiom) with every variant class present —
+    group structure is pinned in pytest against an independent Python
+    urllib-free replica.
+
+    Scale shape: pure per-row string projection (the lambda operates on
+    a ≤2-element bounded param array — invariant 3 bounded reduction)
+    + ONE canonical-url-keyed hash aggregate; no joins, uniform keys,
+    scan-bound at any crawl size."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://WWW.Example.COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://www.example.com"))
+        .otherwise(F.lit("https://www.example.com:443")),
+        F.lit("/a/"),
+        (F.col("doc_id") % 120).cast("string"),
+        F.when(F.col("doc_id") % 5 == 2, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 3, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("?ref=tw"))
+        .when(F.col("doc_id") % 7 == 6, F.lit("?utm_medium=em&id=7"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 4, F.lit("#section2")).otherwise(F.lit("")),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    nofrag = F.regexp_replace("url", "#.*$", "")
+    s2 = raw.select(
+        "doc_id",
+        "url",
+        F.when(
+            F.instr(nofrag, "?") > 0, F.substring_index(nofrag, "?", 1)
+        )
+        .otherwise(nofrag)
+        .alias("base"),
+        F.when(
+            F.instr(nofrag, "?") > 0,
+            F.expr("substr(regexp_replace(url, '#.*$', ''), instr(regexp_replace(url, '#.*$', ''), '?') + 1)"),
+        )
+        .otherwise(F.lit(""))
+        .alias("qs"),
+    )
+    auth = F.regexp_extract("base", "^https?://[^/]+", 0)
+    cbase = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.concat(
+                    F.lower(auth),
+                    F.expr(
+                        "substr(base, length(regexp_extract(base, '^https?://[^/]+', 0)) + 1)"
+                    ),
+                ),
+                ":443(/|$)",
+                "$1",
+            ),
+            r"^(https?://)www\.",
+            "$1",
+        ),
+        "/$",
+        "",
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("qs", "&"),
+                lambda p: (F.length(p) > 0) & ~p.rlike(_URL_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    canon = s2.select(
+        "doc_id",
+        "url",
+        F.concat(
+            cbase,
+            F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+        ).alias("curl"),
+    )
+    return (
+        canon.groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("url").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -172,6 +172,7 @@ EXTRA_CHECKED = (
     "x6_robust_outliers",
     "x3_embedding_gram",
     "x3_pca_project",
+    "x2_url_canonical_dedup",
 )
 
 BNLJ_ALLOWED.update({

@@ -271,3 +271,63 @@ def test_hampel_spark_matches_crafted(spark):
     by_uid = {r["user_id"]: r for r in got}
     assert by_uid[1]["abs_dev"] == 97.0 and by_uid[1]["mad"] == 1.0
     assert by_uid[2]["abs_dev"] == 96.5 and by_uid[2]["mad"] == 1.5
+
+
+# ---------------------------------------------------------------------------
+# x2_url_canonical_dedup: independent Python replica of the group structure
+# ---------------------------------------------------------------------------
+
+
+def _py_canonical(doc_id: int) -> tuple[str, str]:
+    """Raw + canonical URL per the injection rule, computed with plain
+    Python string logic (no regex) — independent of both engines."""
+    host = ["https://WWW.Example.COM", "https://www.example.com",
+            "https://www.example.com:443"][doc_id % 3]
+    raw = host + f"/a/{doc_id % 120}"
+    if doc_id % 5 == 2:
+        raw += "/"
+    q = {3: "?utm_source=feed&utm_campaign=x", 5: "?ref=tw",
+         6: "?utm_medium=em&id=7"}.get(doc_id % 7, "")
+    raw += q
+    if doc_id % 11 == 4:
+        raw += "#section2"
+    # canonical: lowercase host, no port/www/fragment/trailing-slash,
+    # tracking params stripped, surviving params sorted
+    canon = f"https://example.com/a/{doc_id % 120}"
+    params = [p for p in q.lstrip("?").split("&")
+              if p and not (p.startswith("utm_") or p.startswith("ref="))]
+    if params:
+        canon += "?" + "&".join(sorted(params))
+    return raw, canon
+
+
+def test_url_dedup_matches_python_replica(spark):
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    n_docs = read_table(spark, SF_ORACLE, "documents").count()
+    groups: dict[str, list[int]] = {}
+    variants: dict[str, set[str]] = {}
+    for i in range(n_docs):
+        raw, canon = _py_canonical(i)
+        groups.setdefault(canon, []).append(i)
+        variants.setdefault(canon, set()).add(raw)
+    want = {
+        (c, len(ids), len(variants[c]), min(ids))
+        for c, ids in groups.items()
+        if len(ids) >= 2
+    }
+    got = {
+        (r["canonical_url"], r["n_docs"], r["n_variants"], r["canonical_doc"])
+        for r in QUERIES["x2_url_canonical_dedup"](spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    # the variant surface actually exercises every canonicalization rule:
+    # a real param survives canonicalization (its groups are singletons
+    # at sf0.01 — lcm(7,120) > n — so check the full canonical set) ...
+    assert any("?id=7" in c for c in groups)
+    # ... and no tracking/fragment/www/port debris survives anywhere
+    assert all("utm_" not in c and "#" not in c and "www." not in c
+               and ":443" not in c for c in groups)
+    assert want, "variant collapse must produce multi-doc groups"
