@@ -2750,8 +2750,26 @@ def x2_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, never broadcast), ONE doc_id-keyed roll-up. Work is linear
     in corpus tokens; nothing quadratic, no skew (md5 keys are
     uniform)."""
-    return boilerplate_scrub_ledger(
-        spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    return shared_scrub_ledger(spark, sf_dir)
+
+
+def shared_scrub_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``boilerplate_scrub_ledger`` over the fixture corpus, materialized
+    once per (session, sf_dir) — the ledger is rebuilt by BOTH
+    ``x2_boilerplate_scrub`` and ``x9_curation_v8`` (full corpus scan +
+    two shuffles, ~1.2 s at sf0.1), so it meets the rule-25 bar the same
+    way ``textual.shared_gopher_rules`` does: fixture-fingerprint
+    invalidation, localCheckpoint materialization, tiny result (one row
+    per doc, no text)."""
+    from etl_active911_spark.plans.cache import fixture_memo
+
+    return fixture_memo(
+        "dedup.scrub_ledger",
+        spark,
+        sf_dir,
+        lambda: boilerplate_scrub_ledger(
+            spread(read_table(spark, sf_dir, "documents"), "doc_id")
+        ),
     )
 
 
@@ -2925,20 +2943,10 @@ def x2_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ONE canonical-url-keyed hash aggregate; no joins, uniform keys,
     scan-bound at any crawl size."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    url = F.concat(
-        F.when(F.col("doc_id") % 3 == 0, F.lit("https://WWW.Example.COM"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("https://www.example.com"))
-        .otherwise(F.lit("https://www.example.com:443")),
-        F.lit("/a/"),
-        (F.col("doc_id") % 120).cast("string"),
-        F.when(F.col("doc_id") % 5 == 2, F.lit("/")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 7 == 3, F.lit("?utm_source=feed&utm_campaign=x"))
-        .when(F.col("doc_id") % 7 == 5, F.lit("?ref=tw"))
-        .when(F.col("doc_id") % 7 == 6, F.lit("?utm_medium=em&id=7"))
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 11 == 4, F.lit("#section2")).otherwise(F.lit("")),
-    )
-    raw = docs.select("doc_id", url.alias("url"))
+    # the injection is rule-5 engine-portable SQL (CASE/%/||/CAST AS STRING
+    # only), so Spark evaluates the SAME shared constant the oracle embeds —
+    # a variant-class edit cannot desynchronize the two sides
+    raw = docs.select("doc_id", F.expr(_URL_RAW_SQL).alias("url"))
     nofrag = F.regexp_replace("url", "#.*$", "")
     s2 = raw.select(
         "doc_id",

@@ -3147,23 +3147,23 @@ def knn_hubness(
     n_blocks = MATMUL_BLOCKS
     slack = 1e-6
 
+    # adaptive thinning modulus t = ceil(n/cap): ONE bounded driver scalar
+    # (rule-23 documented exception, the ivf_compact cell-stats precedent)
+    # shared by all three kept_of() consumers — deriving it declaratively
+    # inside kept_of() embedded a full-corpus count aggregate in each
+    # consumer's plan (three redundant corpus scans per run); the scalar is
+    # lineage-independent, only the embedding scan needs the rule-29
+    # factory. The hash cut itself stays deterministic/content-addressed so
+    # Spark and DuckDB keep the identical subsample.
+    n_corpus = emb_factory().count()
+    thin_t = max(1, -(-n_corpus // cap))
+
     def kept_of() -> DataFrame:
-        # adaptive thinning modulus t = ceil(n/cap), derived declaratively
-        # (1-row broadcast, no driver action) and applied as a deterministic
-        # hash cut so Spark and DuckDB keep the identical subsample
-        emb = emb_factory()
-        tdf = emb.agg(
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.ceil(F.count(F.lit(1)) / F.lit(float(cap))).cast("bigint"),
-            ).alias("thin_t")
-        )
-        return (
-            emb.crossJoin(F.broadcast(tdf))
-            .filter(
-                token_hash60(F.col("vec_id").cast("string")) % F.col("thin_t") == 0
-            )
-            .select("vec_id", "embedding")
+        emb = emb_factory().select("vec_id", "embedding")
+        if thin_t == 1:  # calibrated no-op at fixture scale — skip the md5
+            return emb
+        return emb.filter(
+            token_hash60(F.col("vec_id").cast("string")) % F.lit(thin_t) == 0
         )
 
     def side(on: str) -> DataFrame:

@@ -3818,7 +3818,11 @@ def x4_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sym",
         "n_digit",
         per_mille.alias("sym_per_mille"),
-        (per_mille >= CODE_SYM_PER_MILLE).cast("int").alias("is_code"),
+        # CASE-shaped so a zero-length text (per_mille NULL via non-ANSI
+        # div-by-zero) routes to 0 exactly like the oracle's CASE, not to
+        # NULL — latent parity edge, unreachable with the current fixture
+        # but guarded anyway
+        F.when(per_mille >= CODE_SYM_PER_MILLE, 1).otherwise(0).cast("int").alias("is_code"),
     )
 
 
@@ -3894,7 +3898,7 @@ def x9_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries use (_unicode_tx/unicode_anomalous_col, _code_tx/
     code_count_cols/_CODE_PER_MILLE_EXPR) — Spark-side drift is as
     impossible as the oracle-side nesting makes SQL drift."""
-    from etl_active911_spark.operators.dedup import boilerplate_scrub_ledger
+    from etl_active911_spark.operators.dedup import shared_scrub_ledger
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     # both text gates FUSED into one corpus scan (no per-gate rescan or
@@ -3909,11 +3913,15 @@ def x9_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "fenc",
-        (F.expr(_CODE_PER_MILLE_EXPR) < CODE_SYM_PER_MILLE)
+        # oracle: is_code=0 (CASE-guarded, incl. the empty-text NULL
+        # division) → fprose=1; mirror that by sending NULL per-mille to
+        # the prose branch rather than letting NULL < k stay NULL
+        F.when(F.expr(_CODE_PER_MILLE_EXPR) >= CODE_SYM_PER_MILLE, 0)
+        .otherwise(1)
         .cast("int")
         .alias("fprose"),
     )
-    scrub = boilerplate_scrub_ledger(docs).select("doc_id", "tokens_after")
+    scrub = shared_scrub_ledger(spark, sf_dir).select("doc_id", "tokens_after")
     quality = shared_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").cast("int").alias("fq")
     )

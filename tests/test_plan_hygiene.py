@@ -209,7 +209,6 @@ BNLJ_ALLOWED.update({
     "tpch_q22_idle_customers": (1, "TPC-H Q22's scalar subquery: 1-row broadcast avg-acctbal-of-positive-customers crossJoined into the idle filter"),
     "x6_acf": (1, "3-row broadcast lag grid crossJoined onto the per-user moment table (bounded literal side, x6_cross_correlation shape)"),
     "x3_ann_ivf": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape)"),
-    "x3_knn_hubness": (3, "1-row broadcast adaptive thinning modulus t=ceil(n/cap) crossJoined once per kept_of() consumer (side bi, side bj, in-degree universe — r11 enforced FLOPs cut)"),
     "x3_ann_ivf_compact": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape); compaction itself reads back the partitioned layout"),
 })
 
