@@ -1683,3 +1683,167 @@ def x5_media_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5 (r11): ISO-BMFF (MP4) box-tree walk — real container structure parsing
+# ---------------------------------------------------------------------------
+
+#: box types whose payload is a sequence of child boxes (ISO/IEC 14496-12
+#: §4.2 container boxes we emit or commonly meet)
+MP4_CONTAINERS = frozenset({b"moov", b"trak", b"mdia", b"minf", b"stbl", b"udta"})
+
+#: movie/media timescale (ticks per second) written by the synthesizer —
+#: the classic QuickTime 600, so duration_ms = ticks * 1000 // 600 is a
+#: real conversion the parser must perform, not an identity
+MP4_TIMESCALE = 600
+
+#: bytes cut from the file end for the truncated slice (doc_id % 13) —
+#: strictly less than the minimum mdat payload (100), so the mdat HEADER
+#: always survives and the walker's declared-size-vs-EOF check is what
+#: detects the damage
+MP4_TRUNC_BYTES = 17
+
+
+def encode_mp4(ticks: int, width: int, height: int, mdat_n: int,
+               with_free: bool, fill: bytes) -> bytes:
+    """Serialize a genuine, minimal ISO-BMFF container: ftyp [free] moov
+    (mvhd, trak(tkhd, mdia(mdhd))) mdat — every box a big-endian
+    [u32 size][4cc type] header with spec-layout v0 payloads (mvhd 100 B,
+    tkhd 84 B with 16.16 fixed-point dimensions, mdhd 24 B). No codec is
+    needed: container STRUCTURE is pure framing, mdat content is opaque."""
+    import struct as s
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return s.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + s.pack(">I", 0) + b"isom" + b"mp42")
+    free = box(b"free", b"\x00" * 8) if with_free else b""
+    mvhd = box(b"mvhd", s.pack(">IIIII", 0, 0, 0, MP4_TIMESCALE, ticks)
+               + s.pack(">I", 0x00010000) + s.pack(">HH", 0x0100, 0)
+               + b"\x00" * 8 + b"\x00" * 36 + b"\x00" * 24 + s.pack(">I", 2))
+    tkhd = box(b"tkhd", s.pack(">IIIIII", 0, 0, 0, 1, 0, ticks) + b"\x00" * 8
+               + s.pack(">HHHH", 0, 0, 0x0100, 0) + b"\x00" * 36
+               + s.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", s.pack(">IIIII", 0, 0, 0, MP4_TIMESCALE, ticks)
+               + s.pack(">HH", 0x55C4, 0))
+    mdia = box(b"mdia", mdhd)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    body = (fill * (mdat_n // len(fill) + 1))[:mdat_n]
+    return ftyp + free + moov + box(b"mdat", body)
+
+
+def walk_mp4_boxes(buf: bytes) -> dict:
+    """Generic ISO-BMFF walker: iterate [u32 size][4cc] headers, recurse
+    into container boxes, pull typed fields from mvhd (timescale,
+    duration), tkhd (16.16 width/height), and mdat (declared payload
+    size). A box whose declared size overruns its enclosing bound marks
+    the file truncated; a surviving mdat header still reports its
+    DECLARED payload so the repair/refetch pipeline knows the gap size."""
+    out = {"n_boxes": 0, "dur_ms": None, "w": None, "h": None,
+           "mdat": None, "truncated": 0}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            btype = buf[pos + 4:pos + 8]
+            if size < 8 or pos + size > end:
+                out["truncated"] = 1
+                if size >= 8 and btype == b"mdat":
+                    out["n_boxes"] += 1
+                    out["mdat"] = size - 8
+                return
+            out["n_boxes"] += 1
+            p = pos + 8
+            if btype in MP4_CONTAINERS:
+                walk(p, pos + size)
+            elif btype == b"mvhd":
+                ts = int.from_bytes(buf[p + 12:p + 16], "big")
+                dur = int.from_bytes(buf[p + 16:p + 20], "big")
+                out["dur_ms"] = dur * 1000 // ts
+            elif btype == b"tkhd":
+                out["w"] = int.from_bytes(buf[p + 76:p + 80], "big") >> 16
+                out["h"] = int.from_bytes(buf[p + 80:p + 84], "big") >> 16
+            elif btype == b"mdat":
+                out["mdat"] = size - 8
+            pos += size
+
+    walk(0, len(buf))
+    return out
+
+
+_MP4_ORACLE = f"""
+    WITH {_MEDIA_CTE}
+    SELECT doc_id,
+           CAST(8 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_boxes,
+           CAST((({_hexbyte('sha', 0)} * 256 + {_hexbyte('sha', 1)}) * 1000)
+                // {MP4_TIMESCALE} AS BIGINT) AS duration_ms,
+           CAST(16 * (1 + {_hexbyte('sha', 2)} % 64) AS INT) AS width,
+           CAST(16 * (1 + {_hexbyte('sha', 3)} % 64) AS INT) AS height,
+           CAST(100 + ({_hexbyte('sha', 4)} * 256 + {_hexbyte('sha', 5)}) % 4000
+                AS BIGINT) AS mdat_bytes,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS INT) AS truncated
+    FROM m WHERE mime = 'video/mp4'
+    """
+
+
+@query("x5_mp4_box_walk", _MP4_ORACLE)
+def x5_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r11): MP4 CONTAINER STRUCTURE WALK — closes the family's one
+    honestly-unverifiable surface: video containers CAN be validated and
+    typed without any codec, because ISO-BMFF (ISO/IEC 14496-12) framing
+    is pure [size][type] box nesting. Per mp4 blob: synthesize the real
+    container (``encode_mp4`` — genuine ftyp/moov/mvhd/trak/tkhd/mdia/
+    mdhd/mdat boxes with spec v0 layouts, parameters drawn from the
+    payload digest, a ``free`` box on the doc_id % 5 slice, and the
+    doc_id % 13 slice truncated mid-mdat), then PARSE it back with the
+    generic recursive walker: box count, mvhd duration converted through
+    the real timescale-600 arithmetic, tkhd 16.16 fixed-point
+    dimensions, declared mdat payload, and the truncation verdict from
+    the declared-size-vs-EOF bound check (magic sniffing cannot catch
+    this — the damage is 17 bytes INSIDE mdat). The oracle predicts
+    every parsed field closed-form from the digest, so a walker that
+    misreads any offset, endianness, or the fixed-point shift
+    hash-mismatches. Complements ``x5_media_validate`` (which counts
+    these rows unverifiable at the codec level) and ``x5_media_metadata``
+    (BMP/WAV typed extraction).
+
+    Scale shape: one fused mapInPandas pass — blobs cross Arrow once and
+    never shuffle; output is 7 scalars per mp4 row; no joins, no
+    aggregates, scan-bound at any corpus size."""
+    import pandas as pd
+
+    media = media_table(spark, sf_dir).filter(F.col("mime") == "video/mp4")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["bytes"]):
+                d = hashlib.sha256(b).digest()
+                blob = encode_mp4(
+                    ticks=d[0] * 256 + d[1],
+                    width=16 * (1 + d[2] % 64),
+                    height=16 * (1 + d[3] % 64),
+                    mdat_n=100 + (d[4] * 256 + d[5]) % 4000,
+                    with_free=doc_id % 5 == 0,
+                    fill=d,
+                )
+                if doc_id % 13 == 0:
+                    blob = blob[:-MP4_TRUNC_BYTES]
+                r = walk_mp4_boxes(blob)
+                rows.append((doc_id, r["n_boxes"], r["dur_ms"], r["w"],
+                             r["h"], r["mdat"], r["truncated"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_boxes", "duration_ms", "width",
+                         "height", "mdat_bytes", "truncated"],
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, n_boxes long, duration_ms long, width int, "
+        "height int, mdat_bytes long, truncated int",
+    )

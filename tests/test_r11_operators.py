@@ -331,3 +331,66 @@ def test_url_dedup_matches_python_replica(spark):
     assert all("utm_" not in c and "#" not in c and "www." not in c
                and ":443" not in c for c in groups)
     assert want, "variant collapse must produce multi-doc groups"
+
+
+# ---------------------------------------------------------------------------
+# x5_mp4_box_walk: real ISO-BMFF round-trip + damage detection
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_hand_case():
+    """A hand-parameterized container parses back to exactly the values
+    it was built from, through the real box layouts (big-endian sizes,
+    16.16 dimensions, timescale-600 duration conversion)."""
+    from etl_active911_spark.operators.multimodal import encode_mp4, walk_mp4_boxes
+
+    blob = encode_mp4(ticks=900, width=640, height=480, mdat_n=100,
+                      with_free=False, fill=b"\xab")
+    r = walk_mp4_boxes(blob)
+    assert r == {
+        "n_boxes": 8, "dur_ms": 1500,  # 900 ticks / 600 per s = 1.5 s
+        "w": 640, "h": 480, "mdat": 100, "truncated": 0,
+    }
+    # free box counts as a box, changes nothing else
+    r2 = walk_mp4_boxes(encode_mp4(ticks=900, width=640, height=480,
+                                   mdat_n=100, with_free=True, fill=b"\xab"))
+    assert (r2["n_boxes"], r2["dur_ms"], r2["truncated"]) == (9, 1500, 0)
+
+
+def test_mp4_truncation_detected_with_declared_mdat():
+    """Cutting bytes off the end (inside mdat) flips the truncation
+    verdict via the declared-size-vs-EOF check while the surviving mdat
+    header still reports the DECLARED payload — magic-byte sniffing
+    passes this file; the walker must not."""
+    from etl_active911_spark.operators.multimodal import (
+        MP4_TRUNC_BYTES,
+        encode_mp4,
+        walk_mp4_boxes,
+    )
+
+    blob = encode_mp4(ticks=60, width=16, height=16, mdat_n=100,
+                      with_free=False, fill=b"\x01\x02")
+    r = walk_mp4_boxes(blob[:-MP4_TRUNC_BYTES])
+    assert r["truncated"] == 1
+    assert r["mdat"] == 100          # declared, not surviving, payload
+    assert r["n_boxes"] == 8         # every header incl. mdat's was read
+    # damage deeper than the mdat header loses the box entirely
+    header_only = blob[: len(blob) - 100 - 9]  # cut into the mdat HEADER
+    r2 = walk_mp4_boxes(header_only)
+    assert r2["truncated"] == 1 and r2["mdat"] is None
+
+
+def test_mp4_walker_ignores_unknown_leaf_boxes():
+    """A foreign leaf box (skip-over semantics, ISO 14496-12 §4.2) is
+    counted and stepped over without derailing typed extraction."""
+    import struct
+
+    from etl_active911_spark.operators.multimodal import encode_mp4, walk_mp4_boxes
+
+    blob = encode_mp4(ticks=600, width=32, height=64, mdat_n=120,
+                      with_free=False, fill=b"\x00")
+    foreign = struct.pack(">I", 8 + 5) + b"wide "[:4] + b"abcde"
+    r = walk_mp4_boxes(blob + foreign)
+    assert r["truncated"] == 0
+    assert r["n_boxes"] == 9
+    assert (r["dur_ms"], r["w"], r["h"], r["mdat"]) == (1000, 32, 64, 120)
