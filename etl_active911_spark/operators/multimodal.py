@@ -1769,6 +1769,11 @@ def walk_mp4_boxes(buf: bytes) -> dict:
             elif btype == b"mdat":
                 out["mdat"] = size - 8
             pos += size
+        if pos != end:
+            # 1..7 leftover bytes — too short for a box header; a clean
+            # file ends exactly on a box boundary (property-tested on
+            # every prefix cut)
+            out["truncated"] = 1
 
     walk(0, len(buf))
     return out

@@ -394,3 +394,31 @@ def test_mp4_walker_ignores_unknown_leaf_boxes():
     assert r["truncated"] == 0
     assert r["n_boxes"] == 9
     assert (r["dur_ms"], r["w"], r["h"], r["mdat"]) == (1000, 32, 64, 120)
+
+
+def test_mp4_walker_total_on_arbitrary_cuts():
+    """Property: the walker is TOTAL on every prefix of a valid container
+    (never raises, never over-reads) and its truncation verdict is exact —
+    1 for every strict prefix long enough to start a box, 0 only for the
+    complete file. Guards the bound arithmetic against off-by-ones."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_active911_spark.operators.multimodal import encode_mp4, walk_mp4_boxes
+
+    blob = encode_mp4(ticks=1234, width=320, height=240, mdat_n=777,
+                      with_free=True, fill=b"\x5a\xa5")
+
+    # clean parses happen exactly at top-level box boundaries
+    # (ftyp 24 | free 16 | moov 256 | mdat 8+777); any other cut either
+    # overruns a started box or leaves a sub-header tail — both flagged
+    boundaries = {0, 24, 40, 296, len(blob)}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(blob)))
+    def check(cut):
+        r = walk_mp4_boxes(blob[:cut])
+        assert r["truncated"] == (0 if cut in boundaries else 1)
+        assert 0 <= r["n_boxes"] <= 9
+
+    check()
