@@ -4121,3 +4121,146 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "token string, rnk long, rank_score double, w_degree long",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4 (r11): Count-Min sketch with exact-vs-estimate calibration
+# ---------------------------------------------------------------------------
+
+#: CMS geometry — depth (independent hash rows) × width (buckets per row).
+#: The sketch counts BIGRAMS (the fixture's unigram vocabulary is ~31
+#: tokens — sketching it would be an identity check); bigram cardinality
+#: (~10³) against width 64 makes the calibration genuinely exercise
+#: collisions, the thing the op exists to measure.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOPK = 32
+
+
+def _cms_oracle() -> str:
+    from etl_active911_spark.operators.dedup import sql_hash60
+
+    probe = sql_hash60("CAST(d.j AS STRING) || ':' || t.gram")
+    row = sql_hash60("CAST(d.j AS STRING) || ':' || gram")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, w, k FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS k
+            FROM documents
+        ) t WHERE w <> ''
+    ),
+    grams AS (
+        SELECT w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY k)
+                   AS gram
+        FROM toks QUALIFY LEAD(w) OVER (PARTITION BY doc_id ORDER BY k)
+                   IS NOT NULL
+    ),
+    depths AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+    counters AS (
+        SELECT d.j AS j, ({row}) % {CMS_WIDTH} AS bucket,
+               COUNT(*) AS cnt
+        FROM grams CROSS JOIN depths d
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT gram, COUNT(*) AS exact
+        FROM grams GROUP BY gram
+        ORDER BY exact DESC, gram LIMIT {CMS_TOPK}
+    )
+    SELECT t.gram,
+           CAST(t.exact AS BIGINT) AS exact_count,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.cnt) - t.exact AS BIGINT) AS overestimate
+    FROM topk t
+    CROSS JOIN depths d
+    JOIN counters c
+      ON c.j = d.j AND c.bucket = ({probe}) % {CMS_WIDTH}
+    GROUP BY t.gram, t.exact
+    """
+
+
+@query("x4_countmin_sketch", _cms_oracle())
+def x4_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r11): COUNT-MIN SKETCH CALIBRATION (Cormode & Muthukrishnan,
+    J. Algorithms 2005) — THE mergeable fixed-memory sketch for n-gram/
+    URL/entity frequencies at stream scale: d×w counters (4×64 here),
+    each bigram bumping one bucket per hash row, point estimate = MIN
+    across rows (one-sided: never an underestimate). This op builds the
+    sketch AS AGGREGATES over corpus bigrams, then scores it against
+    exact counts on the frequency head — the overestimate column is the
+    measured collision mass that tells an operator whether a chosen
+    width survives their tail-frequency cutoff; the same
+    estimate-vs-truth evidence pattern as ``x2_minhash_estimate``.
+
+    Determinism: bucket hashes are ``token_hash60`` of ``'j:' || gram``
+    (rule-10 cross-engine md5), so Spark and DuckDB build byte-identical
+    counter matrices; bigrams pair via lead() over (doc, position) — the
+    ``x4_pmi_bigrams`` construction; the top-K probe set ties on
+    (exact DESC, gram).
+
+    Scale shape: the sketch is ONE hash aggregate with d·w = 256 groups
+    — map-side partials reduce each executor's gram stream to ≤256 rows
+    before the exchange, the textbook mergeability argument (and why CMS
+    beats exact vocabulary counting at 100 TB: sketch state is CONSTANT,
+    not vocabulary-sized; sketches from shards/days merge by cell-wise
+    addition). The d-fold fan-out is a bounded literal explode (no
+    join); the probe assembly is broadcast equi-joins over ≤256- and
+    ≤K·d-row tables. The exact leg exists only because this is the
+    calibration op; production reads the sketch alone."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("k", "w")
+    ).filter(F.col("w") != "")
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("k"))
+    grams = (
+        toks.select("doc_id", "k", "w", nxt.alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .select(F.concat_ws(" ", "w", "w2").alias("gram"))
+    )
+    return countmin_calibration(grams)
+
+
+def countmin_calibration(grams: DataFrame) -> DataFrame:
+    """Core of ``x4_countmin_sketch`` over an arbitrary single-column
+    ``gram`` frame — split out so crafted corpora pin the counter
+    arithmetic against an independent Python md5 replica in pytest."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    depth = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
+
+    def bucket_of(gram: Column) -> Column:
+        return (
+            token_hash60(F.concat(F.col("j").cast("string"), F.lit(":"), gram))
+            % CMS_WIDTH
+        )
+
+    counters = (
+        grams.select("gram", depth)
+        .select("j", bucket_of(F.col("gram")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), "gram")
+        .limit(CMS_TOPK)
+    )
+    probe = topk.select("gram", "exact", depth).select(
+        "gram", "exact", "j", bucket_of(F.col("gram")).alias("bucket")
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("gram", "exact")
+        .agg(F.min("cnt").alias("estimate"))
+    )
+    return est.select(
+        "gram",
+        F.col("exact").cast("bigint").alias("exact_count"),
+        F.col("estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("estimate") - F.col("exact")).cast("bigint").alias("overestimate"),
+    )

@@ -422,3 +422,58 @@ def test_mp4_walker_total_on_arbitrary_cuts():
         assert 0 <= r["n_boxes"] <= 9
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# x4_countmin_sketch: CMS guarantees against an independent Python replica
+# ---------------------------------------------------------------------------
+
+
+def _py_cms_estimate(all_grams, gram):
+    """Independent CMS replica: same md5-60bit bucket hash (CLAUDE.md
+    rule 10: int(md5hex[:15],16) == token_hash60), pure Python counters."""
+    import hashlib as hl
+    from collections import Counter
+
+    from etl_active911_spark.operators.textual import CMS_DEPTH, CMS_WIDTH
+
+    def bucket(j, g):
+        return int(hl.md5(f"{j}:{g}".encode()).hexdigest()[:15], 16) % CMS_WIDTH
+
+    counters = Counter((j, bucket(j, g)) for g in all_grams for j in range(CMS_DEPTH))
+    return min(counters[(j, bucket(j, gram))] for j in range(CMS_DEPTH))
+
+
+def test_cms_crafted_corpus_matches_python_replica(spark):
+    """Every (exact, estimate) cell on a crafted gram multiset equals the
+    independent replica, and the one-sided guarantee holds cell-by-cell."""
+    from etl_active911_spark.operators.textual import countmin_calibration
+
+    all_grams = (
+        ["a b"] * 5 + ["b a"] * 3 + ["c d"] * 2 + ["d c"] + ["e f"] * 4
+    )
+    grams = spark.createDataFrame([(g,) for g in all_grams], "gram string")
+    got = {r["gram"]: r for r in countmin_calibration(grams).collect()}
+    from collections import Counter
+
+    exact = Counter(all_grams)
+    assert set(got) == set(exact)
+    for g, r in got.items():
+        assert r["exact_count"] == exact[g]
+        assert r["cms_estimate"] == _py_cms_estimate(all_grams, g)
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_count"]
+        assert r["cms_estimate"] >= r["exact_count"]  # one-sided, always
+
+
+def test_cms_fixture_one_sided_and_collisions_exercised(spark):
+    """On the fixture corpus the estimate never undershoots (CMS
+    guarantee) AND the width genuinely collides (every head bigram
+    carries positive collision mass) — the calibration would be an
+    identity check otherwise."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["x4_countmin_sketch"](spark, SF_ORACLE).collect()
+    assert len(rows) == 32
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert sum(1 for r in rows if r["overestimate"] > 0) >= 16
