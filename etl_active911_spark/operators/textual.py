@@ -4224,23 +4224,29 @@ def x4_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_calibration(grams)
 
 
+def cms_keyed(grams: DataFrame) -> DataFrame:
+    """(j, bucket) cell key per gram occurrence × depth row — the shared
+    projection under the batch sketch, the probe side, and the streaming
+    twin (tests/test_streaming.py: the same aggregate run as a Structured
+    Streaming stateful aggregation accumulates the identical matrix)."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    depth = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
+    bucket = (
+        token_hash60(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("gram"))
+        )
+        % CMS_WIDTH
+    )
+    return grams.select("*", depth).select("*", bucket.alias("bucket"))
+
+
 def countmin_calibration(grams: DataFrame) -> DataFrame:
     """Core of ``x4_countmin_sketch`` over an arbitrary single-column
     ``gram`` frame — split out so crafted corpora pin the counter
     arithmetic against an independent Python md5 replica in pytest."""
-    from etl_active911_spark.operators.dedup import token_hash60
-
-    depth = F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j")
-
-    def bucket_of(gram: Column) -> Column:
-        return (
-            token_hash60(F.concat(F.col("j").cast("string"), F.lit(":"), gram))
-            % CMS_WIDTH
-        )
-
     counters = (
-        grams.select("gram", depth)
-        .select("j", bucket_of(F.col("gram")).alias("bucket"))
+        cms_keyed(grams)
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -4250,9 +4256,7 @@ def countmin_calibration(grams: DataFrame) -> DataFrame:
         .orderBy(F.col("exact").desc(), "gram")
         .limit(CMS_TOPK)
     )
-    probe = topk.select("gram", "exact", depth).select(
-        "gram", "exact", "j", bucket_of(F.col("gram")).alias("bucket")
-    )
+    probe = cms_keyed(topk)
     est = (
         probe.join(F.broadcast(counters), ["j", "bucket"])
         .groupBy("gram", "exact")

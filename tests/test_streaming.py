@@ -1094,3 +1094,54 @@ def test_hampel_batch_stream_parity(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture slice must flag at least one outlier"
+
+
+def test_cms_stream_accumulates_batch_matrix(spark, tmp_path):
+    """Streaming Count-Min (X-4 r11): the counter matrix is a native
+    Structured Streaming stateful aggregation — two availableNow drains
+    over one checkpoint (a restart between arrivals) must accumulate
+    EXACTLY the batch sketch of everything seen, cell for cell: CMS
+    merge is cell-wise addition, which is precisely what the engine's
+    partial-agg state recovery implements. Mode is complete (the sketch
+    is d·w=256 rows of global state — bounded by construction, no
+    watermark needed)."""
+    from etl_active911_spark.operators.textual import cms_keyed
+
+    schema = "gram string"
+    g1 = [(f"w{i % 13} w{(i * 7) % 13}",) for i in range(300)]
+    g2 = [(f"w{i % 11} w{(i * 5) % 13}",) for i in range(200)]
+    src_dir = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    spark.createDataFrame(g1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            cms_keyed(src)
+            .groupBy("j", "bucket")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("cms_counters")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(g2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+
+    got = {
+        (r["j"], r["bucket"]): r["count"]
+        for r in spark.sql("SELECT * FROM cms_counters").collect()
+    }
+    want = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_keyed(spark.createDataFrame(g1 + g2, schema))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(want) > 50
