@@ -568,6 +568,80 @@ def _pair_member_sigs(spark: SparkSession, sf_dir: str):
     return pairs, a, b
 
 
+#: streaming-gate decision threshold: signature agreement ≥ 32/64, i.e.
+#: estimated Jaccard ≥ 0.5 — matched to the banding's design threshold
+NEARDUP_TAU_EQ = 32
+
+_STREAM_NEARDUP_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    est AS (
+        SELECT c.doc_a, c.doc_b, ({_MINHASH_EST_NEQ_SQL}) AS n_eq
+        FROM cand c
+        JOIN sigs a ON a.doc_id = c.doc_a
+        JOIN sigs b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_eq AS BIGINT) AS n_matching_hashes,
+           ROUND(CAST(n_eq AS DOUBLE) / {N_HASHES}, 6) AS est_jaccard
+    FROM est WHERE n_eq >= {NEARDUP_TAU_EQ}
+    """
+
+
+@query("x2_stream_neardup", _STREAM_NEARDUP_ORACLE)
+def x2_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r11): the BATCH EQUIVALENT of the streaming near-dup gate
+    (``streaming/neardup_ingest.py``): LSH candidates decided by
+    SIGNATURE AGREEMENT alone (n_eq ≥ NEARDUP_TAU_EQ of 64 — estimated
+    Jaccard ≥ 0.5), no exact-Jaccard verification — because the
+    streaming gate never holds raw text, only sketches. Where
+    ``x2_minhash_lsh`` publishes exact-verified pairs, this publishes
+    the sketch-decided ones — the honest contract for dedup-at-ingest,
+    whose accuracy against exact Jaccard is exactly what
+    ``x2_minhash_estimate`` measures. Every emitted pair is discovered
+    exactly once by the stream (when its later member arrives; band
+    membership is append-only), so the stream's union of emissions over
+    ANY arrival split equals this query —
+    tests/test_streaming.py::test_neardup_stream_matches_batch pins it.
+
+    Scale shape: candidates via the join-free bucket-and-explode (rule
+    18) with the LSH_MAX_BUCKET flood guard; signatures computed only
+    for candidate members (semi-join) and scoped_persist'd because the
+    table joins once per pair side (rule 17/18 — same shape as
+    x2_minhash_estimate)."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    cands = lsh_candidate_pairs(docs)
+    member_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sigs = scoped_persist(
+        "x2_stream_neardup.sigs",
+        minhash_signatures(docs.join(member_ids, "doc_id", "left_semi")),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_eq = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_eq = term if n_eq is None else n_eq + term
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.cast("bigint").alias("n_matching_hashes"),
+            F.round(n_eq.cast("double") / N_HASHES, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("n_matching_hashes") >= NEARDUP_TAU_EQ)
+    )
+
+
 _BBIT_EQ_SQL = " + ".join(
     f"(CASE WHEN a.h{i} % 2 = b.h{i} % 2 THEN 1 ELSE 0 END)" for i in range(N_HASHES)
 )

@@ -1145,3 +1145,98 @@ def test_cms_stream_accumulates_batch_matrix(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 50
+
+
+def test_neardup_stream_matches_batch(spark, tmp_path):
+    """Streaming near-dup gate (X-2 r11): two availableNow drains over one
+    checkpoint — the second batch contains a cross-arrival near-dup of a
+    batch-1 doc AND a within-batch near-dup pair — must emit exactly the
+    batch equivalent's pair set (x2_stream_neardup semantics: LSH
+    candidates decided by signature agreement, no raw-text state)."""
+    from etl_active911_spark.operators.dedup import (
+        NEARDUP_TAU_EQ,
+        N_HASHES,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_active911_spark.streaming import neardup_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old stone "
+        "well in the cold morning light before the town square fills"
+    )
+    other = (
+        "volcanic islands drift across turquoise water while seabirds "
+        "circle thermal columns hunting silver fish beneath foam crests"
+    )
+    third = (
+        "engine diagnostics report nominal pressure in every valve as "
+        "technicians review telemetry from the overnight calibration runs"
+    )
+    b1 = [
+        (1, base),
+        (2, base + " and vendors"),       # within-B1 near-dup of 1
+        (3, other),
+        (4, third),
+    ]
+    b2 = [
+        (11, base + " as bells ring"),    # cross-arrival near-dup of 1/2
+        (12, other + " at golden dusk"),  # cross-arrival near-dup of 3
+        (13, "completely unrelated short text about medieval pottery glazes and kiln temperature curves"),
+    ]
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "nd_src")
+    sig_dir = str(tmp_path / "nd_sigs")
+    pairs_dir = str(tmp_path / "nd_pairs")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = neardup_ingest.run_neardup_stream(src, sig_dir, pairs_dir, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_matching_hashes"], r["est_jaccard"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+
+    # batch fold of everything, same estimator (the x2_stream_neardup core
+    # over a crafted corpus instead of the fixture)
+    docs = spark.createDataFrame(b1 + b2, schema)
+    cands = lsh_candidate_pairs(docs)
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_eq = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_eq = term if n_eq is None else n_eq + term
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_matching_hashes"], r["est_jaccard"])
+        for r in cands.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.cast("bigint").alias("n_matching_hashes"),
+            F.round(n_eq.cast("double") / N_HASHES, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("n_matching_hashes") >= NEARDUP_TAU_EQ)
+        .collect()
+    }
+    assert got == want
+    pairs_only = {(a_, b_) for a_, b_, *_ in got}
+    assert (1, 2) in pairs_only        # within-batch discovery
+    assert (1, 11) in pairs_only       # cross-arrival discovery
+    assert (3, 12) in pairs_only       # second family, cross-arrival
+    assert not any(13 in p or 4 in p for p in pairs_only)
