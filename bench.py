@@ -106,6 +106,10 @@ HEADLINE = [
     "x9_curation_v8",
     "x4_textrank_keywords",
     "x2_boilerplate_scrub",
+    # late-r11 additions: the streaming near-dup gate's batch equivalent
+    # (the minhash signature pipeline is its cost) and the CMS calibration
+    "x2_stream_neardup",
+    "x4_countmin_sketch",
 ]
 
 
