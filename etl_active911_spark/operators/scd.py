@@ -72,3 +72,95 @@ def n18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-24 (r11): CDC changelog apply (MERGE INTO semantics as a window op)
+# ---------------------------------------------------------------------------
+
+#: entities per snapshot — the changelog synthesizes ~ |orders| / 3000
+#: change events per entity, giving every entity a multi-event history
+CDC_ENTITIES = 3000
+
+_CDC_APPLY_ORACLE = f"""
+    WITH changelog AS (
+        SELECT o_orderkey % {CDC_ENTITIES} AS entity_id,
+               o_orderkey AS seq,
+               CASE CAST(o_orderkey % 7 AS INT)
+                    WHEN 0 THEN 'D'
+                    WHEN 1 THEN 'U' WHEN 2 THEN 'U'
+                    ELSE 'I' END AS op,
+               ROUND(o_totalprice, 2) AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    latest AS (
+        SELECT entity_id, seq, op, price, status,
+               ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY seq DESC)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY entity_id) AS n_changes
+        FROM changelog
+    )
+    SELECT entity_id,
+           CAST(seq AS BIGINT) AS last_seq,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           price,
+           status
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@query("n24_cdc_apply", _CDC_APPLY_ORACLE)
+def n24_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-24 (r11): CDC CHANGELOG APPLY — fold an insert/update/delete
+    change stream into the current snapshot, the lakehouse MERGE INTO /
+    Delta CDF pattern and the batch half of the keyed upsert sink
+    (streaming/jobs.py applies the same last-writer-wins contract
+    incrementally): per entity, the highest-sequence event wins; a
+    terminal delete removes the entity from the snapshot entirely
+    (earlier versions notwithstanding). Emits the surviving snapshot
+    with per-entity change counts — the audit a CDC consumer reconciles
+    against the upstream database.
+
+    The changelog is synthesized from ``orders`` (entity = o_orderkey %
+    {CDC_ENTITIES}, seq = o_orderkey — globally unique, so last-wins is
+    well-defined; op from o_orderkey % 7 giving ~1/7 terminal-delete
+    probability per event and every entity a multi-event history).
+
+    Scale shape: ONE window pass over ONE shuffle keyed by entity_id
+    (row_number and the change count share the exchange — plan-checked:
+    one hashpartitioning, two Window nodes), then a per-row filter. The
+    rank-limit prune (rule 19) deliberately does NOT fire here: the
+    change-count aggregate needs every history row, so a pruned rank
+    leg would force a SECOND pass over the changelog — one full-row
+    pass beats two. No joins. At 100 TB the snapshot write would
+    bucket by entity_id — the upsert sink's layout."""
+    orders = read_table(spark, sf_dir, "orders")
+    log = orders.select(
+        (F.col("o_orderkey") % CDC_ENTITIES).alias("entity_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 7 <= 2, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    w = Window.partitionBy("entity_id")
+    latest = log.select(
+        "entity_id",
+        "seq",
+        "op",
+        "price",
+        "status",
+        F.row_number().over(w.orderBy(F.col("seq").desc())).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_changes"),
+    )
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "entity_id",
+        F.col("seq").cast("bigint").alias("last_seq"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+        "price",
+        "status",
+    )

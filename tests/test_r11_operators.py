@@ -477,3 +477,41 @@ def test_cms_fixture_one_sided_and_collisions_exercised(spark):
     assert len(rows) == 32
     assert all(r["overestimate"] >= 0 for r in rows)
     assert sum(1 for r in rows if r["overestimate"] > 0) >= 16
+
+
+# ---------------------------------------------------------------------------
+# n24_cdc_apply: last-writer-wins fold with terminal-delete semantics
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_semantics_crafted(spark):
+    """I→U keeps the latest values; a terminal D removes the entity even
+    with earlier live versions; a D followed by a later I resurrects it —
+    exactly MERGE INTO / upsert-sink last-writer-wins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "I", 5.0, "O"), (1, 20, "U", 7.5, "F"),            # survives as seq 20
+            (2, 11, "I", 1.0, "O"), (2, 21, "D", 1.0, "O"),            # deleted
+            (3, 12, "D", 0.0, "O"), (3, 22, "I", 9.0, "P"),            # resurrected
+            (4, 13, "I", 4.0, "O"),                                    # single insert
+        ],
+        "entity_id long, seq long, op string, price double, status string",
+    )
+    w = Window.partitionBy("entity_id")
+    latest = log.select(
+        "*",
+        F.row_number().over(w.orderBy(F.col("seq").desc())).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_changes"),
+    )
+    got = {
+        r["entity_id"]: (r["seq"], r["n_changes"], r["price"], r["status"])
+        for r in latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).collect()
+    }
+    assert got == {
+        1: (20, 2, 7.5, "F"),
+        3: (22, 2, 9.0, "P"),
+        4: (13, 1, 4.0, "O"),
+    }
