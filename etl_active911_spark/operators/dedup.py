@@ -377,6 +377,7 @@ def lsh_candidate_pairs(
     *,
     oracle_pure: bool = False,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -388,8 +389,13 @@ def lsh_candidate_pairs(
     size filter runs on the aggregated list, so per-task memory holds one
     id array per bucket — 8 bytes/id — while the n² explode never fires
     for dropped buckets).
+
+    Pass a precomputed (persisted) ``sigs`` table when the caller also
+    consumes signatures itself — otherwise the corpus signature pipeline,
+    the dominant cost, would execute once per consumer (rule 17).
     """
-    sigs = minhash_signatures(docs, id_col, text_col)
+    if sigs is None:
+        sigs = minhash_signatures(docs, id_col, text_col)
     bands = lsh_band_rows(sigs, oracle_pure)
     # bucket-and-explode, NOT a self-join: a self-join evaluates the whole
     # signature pipeline once per side (Spark cannot reuse an exchange
@@ -599,9 +605,15 @@ def x2_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose accuracy against exact Jaccard is exactly what
     ``x2_minhash_estimate`` measures. Every emitted pair is discovered
     exactly once by the stream (when its later member arrives; band
-    membership is append-only), so the stream's union of emissions over
-    ANY arrival split equals this query —
-    tests/test_streaming.py::test_neardup_stream_matches_batch pins it.
+    membership is append-only), so the stream's union of emissions
+    equals this query for every arrival split in which no band bucket
+    ever exceeds ``LSH_MAX_BUCKET`` — beyond the cap the stream has
+    already emitted the pairs it discovered while the bucket was small
+    and cannot retract them, so it emits a prefix-discovered SUBSET of
+    nothing (the batch fold drops the whole flooded bucket); both
+    regimes are pinned in
+    tests/test_streaming.py::test_neardup_stream_matches_batch and
+    ::test_neardup_stream_flood_guard_total_size.
 
     Scale shape: ONE scoped_persist'd corpus signature pass feeds the
     banding AND both sides of the agreement join (the signature pipeline
@@ -617,20 +629,17 @@ def x2_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = scoped_persist(
         "x2_stream_neardup.sigs", minhash_signatures(docs)
     )
-    size_ok = (F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET)
-    buckets = (
-        lsh_band_rows(sigs)
-        .groupBy("band_key")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(size_ok)
-        .select("ids")
-    )
-    cands = (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    cands = lsh_candidate_pairs(docs, sigs=sigs)
+    return signature_agreement_pairs(cands, sigs)
+
+
+def signature_agreement_pairs(cands: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Decide candidate pairs by signature agreement: (doc_a, doc_b,
+    n_matching_hashes, est_jaccard) rows where n_eq ≥ ``NEARDUP_TAU_EQ``
+    of N_HASHES — the SINGLE definition of the sketch-only dedup verdict,
+    shared by the batch equivalent (``x2_stream_neardup``), the streaming
+    gate (streaming/neardup_ingest.py), and the stream≡batch pin, so the
+    threshold/estimator cannot drift between them."""
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],

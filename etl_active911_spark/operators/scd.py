@@ -147,13 +147,22 @@ def n24_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
+    return cdc_fold(log)
+
+
+def cdc_fold(log: DataFrame) -> DataFrame:
+    """Core of ``n24_cdc_apply`` over an arbitrary (entity_id, seq, op,
+    value...) changelog — split out so crafted I/U/D/resurrect histories
+    pin the fold itself in pytest (not a copy of it)."""
+    value_cols = [
+        c for c in log.columns if c not in ("entity_id", "seq", "op")
+    ]
     w = Window.partitionBy("entity_id")
     latest = log.select(
         "entity_id",
         "seq",
         "op",
-        "price",
-        "status",
+        *value_cols,
         F.row_number().over(w.orderBy(F.col("seq").desc())).alias("rn"),
         F.count(F.lit(1)).over(w).alias("n_changes"),
     )
@@ -161,6 +170,5 @@ def n24_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
         F.col("seq").cast("bigint").alias("last_seq"),
         F.col("n_changes").cast("bigint").alias("n_changes"),
-        "price",
-        "status",
+        *value_cols,
     )

@@ -4209,7 +4209,7 @@ def x4_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); the probe assembly is broadcast equi-joins over ≤256- and
     ≤K·d-row tables. The exact leg exists only because this is the
     calibration op; production reads the sketch alone."""
-    from etl_active911_spark.operators.dedup import token_hash60
+    from etl_active911_spark.plans.cache import scoped_persist
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
@@ -4221,7 +4221,11 @@ def x4_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select(F.concat_ws(" ", "w", "w2").alias("gram"))
     )
-    return countmin_calibration(grams)
+    # the tokenize/window gram pipeline feeds BOTH the counter aggregate
+    # and the exact top-K leg (rule 17: shared subtree -> scoped_persist)
+    return countmin_calibration(
+        scoped_persist("x4_countmin_sketch.grams", grams)
+    )
 
 
 def cms_keyed(grams: DataFrame) -> DataFrame:

@@ -374,10 +374,16 @@ def test_mp4_truncation_detected_with_declared_mdat():
     assert r["truncated"] == 1
     assert r["mdat"] == 100          # declared, not surviving, payload
     assert r["n_boxes"] == 8         # every header incl. mdat's was read
-    # damage deeper than the mdat header loses the box entirely
-    header_only = blob[: len(blob) - 100 - 9]  # cut into the mdat HEADER
-    r2 = walk_mp4_boxes(header_only)
+    # cut INSIDE the 8-byte mdat header (4 of 8 bytes survive): too short
+    # to read a box header, so the declared payload is lost and the
+    # sub-header-tail branch flags it; every earlier box still walked
+    r2 = walk_mp4_boxes(blob[: len(blob) - 104])
     assert r2["truncated"] == 1 and r2["mdat"] is None
+    assert r2["n_boxes"] == 7  # ftyp + moov subtree; mdat header unreadable
+    # deeper damage — into moov's own extent — flags at the moov header
+    # and never walks its children
+    r3 = walk_mp4_boxes(blob[: len(blob) - 109])
+    assert r3["truncated"] == 1 and r3["mdat"] is None and r3["n_boxes"] == 1
 
 
 def test_mp4_walker_ignores_unknown_leaf_boxes():
@@ -488,8 +494,7 @@ def test_cdc_apply_semantics_crafted(spark):
     """I→U keeps the latest values; a terminal D removes the entity even
     with earlier live versions; a D followed by a later I resurrects it —
     exactly MERGE INTO / upsert-sink last-writer-wins."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    from etl_active911_spark.operators.scd import cdc_fold
 
     log = spark.createDataFrame(
         [
@@ -500,15 +505,9 @@ def test_cdc_apply_semantics_crafted(spark):
         ],
         "entity_id long, seq long, op string, price double, status string",
     )
-    w = Window.partitionBy("entity_id")
-    latest = log.select(
-        "*",
-        F.row_number().over(w.orderBy(F.col("seq").desc())).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n_changes"),
-    )
     got = {
-        r["entity_id"]: (r["seq"], r["n_changes"], r["price"], r["status"])
-        for r in latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).collect()
+        r["entity_id"]: (r["last_seq"], r["n_changes"], r["price"], r["status"])
+        for r in cdc_fold(log).collect()
     }
     assert got == {
         1: (20, 2, 7.5, "F"),

@@ -1154,10 +1154,9 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
     batch equivalent's pair set (x2_stream_neardup semantics: LSH
     candidates decided by signature agreement, no raw-text state)."""
     from etl_active911_spark.operators.dedup import (
-        NEARDUP_TAU_EQ,
-        N_HASHES,
         lsh_candidate_pairs,
         minhash_signatures,
+        signature_agreement_pairs,
     )
     from etl_active911_spark.streaming import neardup_ingest
 
@@ -1187,12 +1186,15 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
     schema = "doc_id long, text string"
     src_dir = str(tmp_path / "nd_src")
     sig_dir = str(tmp_path / "nd_sigs")
+    bands_dir = str(tmp_path / "nd_bands")
     pairs_dir = str(tmp_path / "nd_pairs")
     ckpt = str(tmp_path / "nd_ckpt")
 
     def drain():
         src = spark.readStream.schema(schema).parquet(src_dir)
-        q = neardup_ingest.run_neardup_stream(src, sig_dir, pairs_dir, ckpt)
+        q = neardup_ingest.run_neardup_stream(
+            src, sig_dir, bands_dir, pairs_dir, ckpt
+        )
         q.awaitTermination(120)
 
     spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src_dir)
@@ -1205,34 +1207,15 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(pairs_dir).collect()
     }
 
-    # batch fold of everything, same estimator (the x2_stream_neardup core
-    # over a crafted corpus instead of the fixture)
+    # batch fold of everything through the SAME shared helpers the
+    # registered x2_stream_neardup uses (crafted corpus, not the fixture)
     docs = spark.createDataFrame(b1 + b2, schema)
-    cands = lsh_candidate_pairs(docs)
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
-    )
-    n_eq = None
-    for i in range(N_HASHES):
-        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        n_eq = term if n_eq is None else n_eq + term
     want = {
         (r["doc_a"], r["doc_b"], r["n_matching_hashes"], r["est_jaccard"])
-        for r in cands.join(a, "doc_a").join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_eq.cast("bigint").alias("n_matching_hashes"),
-            F.round(n_eq.cast("double") / N_HASHES, 6).alias("est_jaccard"),
-        )
-        .filter(F.col("n_matching_hashes") >= NEARDUP_TAU_EQ)
-        .collect()
+        for r in signature_agreement_pairs(
+            lsh_candidate_pairs(docs, sigs=sigs), sigs
+        ).collect()
     }
     assert got == want
     pairs_only = {(a_, b_) for a_, b_, *_ in got}
@@ -1240,3 +1223,58 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
     assert (1, 11) in pairs_only       # cross-arrival discovery
     assert (3, 12) in pairs_only       # second family, cross-arrival
     assert not any(13 in p or 4 in p for p in pairs_only)
+
+
+def test_neardup_stream_flood_guard_total_size(spark, tmp_path):
+    """The hot-bucket guard accounts for TOTAL bucket size (historical +
+    arriving), so a flood fed one batch at a time stops producing pairs
+    the moment the bucket crosses the cap — and the documented one-sided
+    divergence holds: the stream keeps the pairs it discovered while the
+    bucket was small, the batch fold drops the whole flooded bucket."""
+    from etl_active911_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        signature_agreement_pairs,
+    )
+    from etl_active911_spark.streaming import neardup_ingest
+
+    same = (
+        "identical licence boilerplate repeated verbatim across mirror "
+        "sites with the same words in the same order every single time"
+    )
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "fl_src")
+    sig_dir = str(tmp_path / "fl_sigs")
+    bands_dir = str(tmp_path / "fl_bands")
+    pairs_dir = str(tmp_path / "fl_pairs")
+    ckpt = str(tmp_path / "fl_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = neardup_ingest.run_neardup_stream(
+            src, sig_dir, bands_dir, pairs_dir, ckpt, max_bucket=2
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, same), (2, same)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    drain()  # bucket size 2 <= cap: (1,2) emitted
+    spark.createDataFrame([(3, same)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    drain()  # totals 3 > cap in EVERY bucket: nothing new emitted
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == {(1, 2)}
+
+    # batch fold at the same cap drops the whole flooded bucket
+    docs = spark.createDataFrame([(1, same), (2, same), (3, same)], schema)
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    batch_pairs = signature_agreement_pairs(
+        lsh_candidate_pairs(docs, sigs=sigs, max_bucket=2), sigs
+    ).collect()
+    assert batch_pairs == []
