@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_active911_spark.io import read_table
+from etl_active911_spark.io import read_table, spread
 from etl_active911_spark.plans.registry import query
 
 
@@ -1764,4 +1764,104 @@ def n21_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents").cast("double") / tot.cast("double"), 6).alias(
             "revenue_share"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-26 (r11): JSONL ingest with dead-letter routing (semi-structured scan)
+# ---------------------------------------------------------------------------
+
+_JSONL_ORACLE = """
+    WITH j AS (
+        SELECT source,
+               CASE WHEN doc_id % 9 = 4 THEN '#' ELSE '' END
+               || '{"doc_id": ' || CAST(doc_id AS STRING)
+               || ', "source": "' || source
+               || '", "n": ' || CAST(n_chars AS STRING) || '}' AS raw
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN json_valid(raw) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+           CAST(SUM(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dead,
+           CAST(SUM(CASE WHEN json_valid(raw)
+                          AND json_extract_string(raw, '$.source') = source
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_source_match,
+           CAST(SUM(CASE WHEN json_valid(raw)
+                         THEN CAST(json_extract_string(raw, '$.n') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS n_chars_total,
+           CAST((2 * SUM(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) * 1000000
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) / 1000000.0
+               AS dead_rate
+    FROM j GROUP BY source
+    """
+
+
+@query("n26_jsonl_deadletter", _JSONL_ORACLE)
+def n26_jsonl_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-26 (r11): SEMI-STRUCTURED JSONL INGEST WITH DEAD-LETTER ROUTING —
+    the landing-zone scan every event pipeline starts with: parse each
+    line as JSON (Spark: ``from_json``, the engine's PERMISSIVE
+    semi-structured path — a malformed line yields a NULL struct instead
+    of failing the job), route unparseable lines to the dead-letter
+    accounting instead of silently dropping them, and reconcile the
+    parsed payload against the envelope (``n_source_match`` — parsed
+    source field == file-level source). Completes the O-4 error-router
+    story for file scans: the reference dead-letters failed HTTP
+    results; this dead-letters failed semi-structured rows.
+
+    Fixture JSONL lines are synthesized by identical string concat in
+    both engines (rule-5 portable pieces only) with a '#'-prefix
+    corruption on the ``doc_id % 9 = 4`` slice — unambiguously invalid
+    JSON under any parser, so Jackson (Spark) and DuckDB's JSON cannot
+    disagree about validity. Dead rate is the rule-26b half-up micro
+    division. Every output is an exact BIGINT or the micro-rate.
+
+    Scale shape: one per-row projection (string build + one JSON parse)
+    feeding a |sources|-group hash aggregate — scan-bound; the map-side
+    partial reduces each executor to |sources| rows. No joins, no UDFs;
+    from_json runs in the JVM inside whole-stage codegen."""
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "source": "'),
+        F.col("source"),
+        F.lit('", "n": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    raw = F.when(
+        F.col("doc_id") % 9 == 4, F.concat(F.lit("#"), line)
+    ).otherwise(line)
+    parsed = F.from_json(raw, "doc_id BIGINT, source STRING, n BIGINT")
+    j = docs.select("source", parsed.alias("p"))
+    good = F.col("p.doc_id").isNotNull()
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("bigint").alias("n_dead"),
+        F.sum(F.when(good & (F.col("p.source") == F.col("source")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_source_match"),
+        F.sum(F.when(good, F.col("p.n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_chars_total"),
+    )
+    return agg.select(
+        "source",
+        "n_lines",
+        "n_good",
+        "n_dead",
+        "n_source_match",
+        "n_chars_total",
+        (
+            F.expr(
+                "CAST((2 * n_dead * 1000000 + n_lines) div (2 * n_lines)"
+                " AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("dead_rate"),
     )

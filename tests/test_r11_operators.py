@@ -514,3 +514,18 @@ def test_cdc_apply_semantics_crafted(spark):
         3: (22, 2, 9.0, "P"),
         4: (13, 1, 4.0, "O"),
     }
+
+
+def test_jsonl_deadletter_null_struct_semantics(spark):
+    """Pins the from_json PERMISSIVE contract n26 relies on: a malformed
+    line parses to a NULL struct (not an error, not a partial row), and
+    a valid line round-trips every field."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"doc_id": 7, "source": "web", "n": 42}',), ('#{"doc_id": 7}',)],
+        "raw string",
+    ).select(F.from_json("raw", "doc_id BIGINT, source STRING, n BIGINT").alias("p"))
+    rows = df.select("p.doc_id", "p.source", "p.n").collect()
+    assert (rows[0]["doc_id"], rows[0]["source"], rows[0]["n"]) == (7, "web", 42)
+    assert rows[1]["doc_id"] is None and rows[1]["source"] is None
