@@ -1865,3 +1865,79 @@ def n26_jsonl_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("dead_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r11): k-anonymity / l-diversity release audit
+# ---------------------------------------------------------------------------
+
+K_ANON_MIN = 5   # minimum equivalence-class size (k-anonymity)
+L_DIV_MIN = 3    # minimum distinct sensitive values per class (l-diversity)
+
+_KANON_ORACLE = f"""
+    WITH cls AS (
+        SELECT c_nationkey AS nation,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS acctbal_band,
+               COUNT(*) AS k,
+               COUNT(DISTINCT c_mktsegment) AS l
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT nation,
+           acctbal_band,
+           CAST(k AS BIGINT) AS k,
+           CAST(l AS BIGINT) AS l,
+           CAST(CASE WHEN k < {K_ANON_MIN} THEN 1 ELSE 0 END AS INTEGER)
+               AS viol_k,
+           CAST(CASE WHEN l < {L_DIV_MIN} THEN 1 ELSE 0 END AS INTEGER)
+               AS viol_l
+    FROM cls
+    WHERE k < {K_ANON_MIN} OR l < {L_DIV_MIN}
+    """
+
+
+@query("x9_k_anonymity_audit", _KANON_ORACLE)
+def x9_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r11): K-ANONYMITY / L-DIVERSITY RELEASE AUDIT (Sweeney,
+    IJUFKS 2002; Machanavajjhala et al., TKDD 2007) — the privacy gate a
+    dataset release runs before publishing joinable records: group the
+    table by its quasi-identifier projection (here nation × account-
+    balance band — the attributes an adversary can link from outside)
+    and flag every equivalence class that is re-identifying (k <
+    {K_ANON_MIN} members) or sensitive-value-homogeneous (fewer than
+    {L_DIV_MIN} distinct market segments — l-diversity guards the case
+    where a class is large but everyone in it shares the sensitive
+    value). Emits the violating classes with their k and l so the
+    release pipeline can suppress or generalize exactly those rows —
+    the companion gate to ``x4_pii_redact`` (which scrubs direct
+    identifiers; this audits indirect ones).
+
+    Determinism: the balance band is FLOOR(acctbal / 2000.0) on the
+    double — floor semantics agree across engines for negative balances
+    (integer ``div`` would not: rule 28 — Spark truncates toward zero
+    where DuckDB floors, so the band expression deliberately stays in
+    double floor); counts are exact BIGINTs.
+
+    Scale shape: ONE hash aggregate keyed by the QI projection
+    (map-side partial combine; class count ≪ rows) + a per-row filter.
+    No joins, no windows — scan-bound at any table size."""
+    cust = read_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(2000.0))
+        .cast("bigint")
+        .alias("acctbal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+    )
+    return cls.filter(
+        (F.col("k") < K_ANON_MIN) | (F.col("l") < L_DIV_MIN)
+    ).select(
+        "nation",
+        "acctbal_band",
+        "k",
+        "l",
+        F.when(F.col("k") < K_ANON_MIN, 1).otherwise(0).cast("int").alias("viol_k"),
+        F.when(F.col("l") < L_DIV_MIN, 1).otherwise(0).cast("int").alias("viol_l"),
+    )

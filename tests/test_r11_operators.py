@@ -529,3 +529,51 @@ def test_jsonl_deadletter_null_struct_semantics(spark):
     rows = df.select("p.doc_id", "p.source", "p.n").collect()
     assert (rows[0]["doc_id"], rows[0]["source"], rows[0]["n"]) == (7, "web", 42)
     assert rows[1]["doc_id"] is None and rows[1]["source"] is None
+
+
+def test_k_anonymity_audit_crafted_semantics(spark):
+    """A 2-member class violates k; a large-but-homogeneous class
+    violates l only; a large diverse class is absent from the report."""
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.operators.relational import K_ANON_MIN, L_DIV_MIN
+
+    rows = (
+        # class (1, band 0): 2 members, 2 segments -> viol_k only... l=2 < 3 also
+        [(1, 100.0, "A"), (1, 200.0, "B")]
+        # class (2, band 0): 6 members, 1 segment -> viol_l only
+        + [(2, float(50 * i), "A") for i in range(6)]
+        # class (3, band 0): 6 members, 3 segments -> clean
+        + [(3, float(60 * i), ["A", "B", "C"][i % 3]) for i in range(6)]
+    )
+    cust = spark.createDataFrame(
+        rows, "c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    cls = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+    )
+    got = {
+        r["nation"]: (r["k"], r["l"])
+        for r in cls.filter(
+            (F.col("k") < K_ANON_MIN) | (F.col("l") < L_DIV_MIN)
+        ).collect()
+    }
+    assert got == {1: (2, 2), 2: (6, 1)}  # nation 3 clean, absent
+
+
+def test_k_anonymity_band_floors_negative_balances(spark):
+    """The band expression must FLOOR a negative balance (-999.5 -> band
+    -1), not truncate toward zero (band 0) — the rule-28 hazard the
+    docstring pins; a truncating band would merge debtors into band 0."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(-999.5,), (-1.0,), (0.0,), (1999.99,), (2000.0,)], "c_acctbal double"
+    ).select(
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("b")
+    )
+    assert [r["b"] for r in df.collect()] == [-1, -1, 0, 0, 1]
