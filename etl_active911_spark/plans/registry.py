@@ -172,7 +172,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x6_ljung_box, x9_curation_v8, x4_textrank_keywords,
 #:   x6_robust_outliers, x2_url_canonical_dedup, x3_embedding_gram,
 #:   x5_mp4_box_walk, x4_countmin_sketch, x2_stream_neardup,
-#:   n24_cdc_apply, n26_jsonl_deadletter, x9_k_anonymity_audit), then the
+#:   n24_cdc_apply, n26_jsonl_deadletter, x9_k_anonymity_audit,
+#:   n11_watermark_planner), then the
 #:   long-cycle refresh of the seven ex-CORE rows (x4_lang_id,
 #:   x5_media_decode_real, x8_train_holdout_split, x6_ts_dtw,
 #:   n13_python_udtf, n15_sql_api, n16_recursive_cte). Every r10-wave

@@ -219,3 +219,145 @@ def n11_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", F.col("n_events").cast("bigint")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-11 (r11): watermark planner — out-of-orderness accounting
+# ---------------------------------------------------------------------------
+
+#: candidate watermark delays (seconds) to cost out
+WM_GRID = (10, 60, 300, 3600)
+#: synthesized ingest-delay window (seconds): the fixture's event_id order
+#: IS event-time order (zero measured lateness — a degenerate dial), so a
+#: deterministic per-event network delay hash(event_id) % WM_DELAY_MAX is
+#: added to form the ARRIVAL sequence, the standard delay model and the
+#: same clean-fixture injection idiom as x4_unicode_anomaly
+WM_DELAY_MAX = 600
+
+
+def _wm_oracle() -> str:
+    from etl_active911_spark.operators.dedup import sql_hash60
+
+    h = sql_hash60("CAST(event_id AS STRING)")
+    return f"""
+    WITH arr AS (
+        SELECT event_id, ts,
+               ts + to_seconds(CAST(({h}) % {WM_DELAY_MAX} AS BIGINT))
+                   AS arrival
+        FROM events
+    ),
+    lat AS (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY arrival, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS seen
+        FROM arr
+    ),
+    d AS (
+        SELECT CASE WHEN seen IS NULL OR seen <= ts THEN 0
+                    ELSE date_diff('microsecond', ts, seen) // 1000000
+               END AS late_s
+        FROM lat
+    ),
+    grid AS (SELECT unnest([{", ".join(str(g) for g in WM_GRID)}]) AS delay_s)
+    SELECT CAST(g.delay_s AS BIGINT) AS delay_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.late_s > g.delay_s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST((2 * SUM(CASE WHEN d.late_s > g.delay_s THEN 1 ELSE 0 END)
+                 * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               / 1000000.0 AS drop_rate
+    FROM grid g CROSS JOIN d
+    GROUP BY g.delay_s
+    """
+
+
+@query("n11_watermark_planner", _wm_oracle())
+def n11_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-11 (r11): WATERMARK PLANNER — the design dial every streaming
+    job sets blind: for each candidate ``withWatermark`` delay, how many
+    events would arrive LATER than it and be dropped from stateful
+    aggregation? Lateness of an event = how far the maximum event time
+    already ingested has run ahead of it when it arrives — exactly the
+    quantity Spark's global watermark tracks. Arrival order is the event
+    time plus a deterministic hash(event_id) % {WM_DELAY_MAX} s network
+    delay (the fixture's ingest order is perfectly time-sorted, which
+    would read 0 at every delay — injection note on ``WM_DELAY_MAX``).
+    The output table (delay → dropped count + micro-exact drop rate) is
+    read directly against an SLA: pick the smallest delay whose drop
+    rate clears it, instead of folklore defaults.
+
+    Determinism: the delay is the rule-10 cross-engine md5 hash; tie
+    order is (arrival, event_id) with unique event_id; lateness is an
+    exact integer-microsecond difference floored to seconds; the rate is
+    the rule-26b half-up micro division; all timestamps stay NTZ
+    (ordering and date_trunc are session-independent, rule 3).
+
+    Scale shape: the global running max is computed TWO-PHASE, never as
+    one unpartitioned window over the corpus: (1) slice = date_trunc
+    hour of arrival, per-slice MAX(ts) via hash aggregate; (2) a running
+    max over the slice summaries (one row per hour — tiny); (3) the
+    per-event prefix max WITHIN its slice (window partitioned by slice)
+    merged with the broadcast prior-slice max. The grid fan-out is a
+    4-row literal explode into one hash aggregate. Same discipline as
+    the x8 prefix-sum family (SCALE.md invariant 9)."""
+    from pyspark.sql import Window
+
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    delay = token_hash60(F.col("event_id").cast("string")) % WM_DELAY_MAX
+    arr = ev.select(
+        "event_id",
+        "ts",
+        (
+            F.col("ts")
+            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), delay)
+        ).alias("arrival"),
+    ).withColumn("slice", F.date_trunc("hour", F.col("arrival")))
+    smax = arr.groupBy("slice").agg(F.max("ts").alias("smax"))
+    ws = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)
+    prev = smax.select("slice", F.max("smax").over(ws).alias("prev_max"))
+    wrow = (
+        Window.partitionBy("slice")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = (
+        arr.join(F.broadcast(prev), "slice")
+        .withColumn("inb", F.max("ts").over(wrow))
+        .withColumn("seen", F.greatest("prev_max", "inb"))
+    )
+    late_s = F.when(
+        F.col("seen").isNull() | (F.col("seen") <= F.col("ts")), F.lit(0)
+    ).otherwise(
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, ts, seen)") / F.lit(1000000)
+        )
+    )
+    d = j.select(late_s.cast("bigint").alias("late_s"))
+    grid = F.explode(
+        F.array(*[F.lit(g) for g in WM_GRID])
+    ).alias("delay_s")
+    agg = (
+        d.select("late_s", grid)
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_s") > F.col("delay_s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+    return agg.select(
+        F.col("delay_s").cast("bigint").alias("delay_s"),
+        "n_events",
+        "n_dropped",
+        (
+            F.expr(
+                "CAST((2 * n_dropped * 1000000 + n_events)"
+                " div (2 * n_events) AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("drop_rate"),
+    )

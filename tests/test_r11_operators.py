@@ -577,3 +577,25 @@ def test_k_anonymity_band_floors_negative_balances(spark):
         F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("b")
     )
     assert [r["b"] for r in df.collect()] == [-1, -1, 0, 0, 1]
+
+
+def test_watermark_planner_dial_shape(spark):
+    """The planner's cost curve must be monotone (a longer watermark
+    never drops more), engaged at the short end (the injected delays
+    make real out-of-orderness), and zero once the delay exceeds
+    WM_DELAY_MAX (lateness is bounded by the injected delay window)."""
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+    from etl_active911_spark.streaming.windows import WM_DELAY_MAX, WM_GRID
+
+    load_all()
+    rows = {
+        r["delay_s"]: r
+        for r in QUERIES["n11_watermark_planner"](spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == set(WM_GRID)
+    drops = [rows[g]["n_dropped"] for g in sorted(WM_GRID)]
+    assert drops == sorted(drops, reverse=True)  # monotone non-increasing
+    assert drops[0] > 0                          # dial engaged
+    assert rows[max(WM_GRID)]["n_dropped"] == 0 and max(WM_GRID) >= WM_DELAY_MAX
+    for r in rows.values():
+        assert r["n_events"] == rows[WM_GRID[0]]["n_events"]
