@@ -1776,7 +1776,8 @@ _JSONL_ORACLE = """
         SELECT source,
                CASE WHEN doc_id % 9 = 4 THEN '#' ELSE '' END
                || '{"doc_id": ' || CAST(doc_id AS STRING)
-               || ', "source": "' || source
+               || ', "source": "'
+               || CASE WHEN doc_id % 11 = 5 THEN 'rogue' ELSE source END
                || '", "n": ' || CAST(n_chars AS STRING) || '}' AS raw
         FROM documents
     )
@@ -1808,7 +1809,9 @@ def n26_jsonl_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     of failing the job), route unparseable lines to the dead-letter
     accounting instead of silently dropping them, and reconcile the
     parsed payload against the envelope (``n_source_match`` — parsed
-    source field == file-level source). Completes the O-4 error-router
+    source field == file-level source; the ``doc_id % 11 = 5`` slice
+    embeds a contradicting source in VALID JSON so the reconciliation
+    genuinely discriminates). Completes the O-4 error-router
     story for file scans: the reference dead-letters failed HTTP
     results; this dead-letters failed semi-structured rows.
 
@@ -1828,7 +1831,12 @@ def n26_jsonl_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('{"doc_id": '),
         F.col("doc_id").cast("string"),
         F.lit(', "source": "'),
-        F.col("source"),
+        # rogue-source slice: VALID JSON whose payload contradicts the
+        # envelope — makes n_source_match a real extraction check, not an
+        # identity with n_good (the mismatch a mis-routed upload produces)
+        F.when(F.col("doc_id") % 11 == 5, F.lit("rogue")).otherwise(
+            F.col("source")
+        ),
         F.lit('", "n": '),
         F.col("n_chars").cast("string"),
         F.lit("}"),
@@ -1904,8 +1912,8 @@ def x9_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table by its quasi-identifier projection (here nation × account-
     balance band — the attributes an adversary can link from outside)
     and flag every equivalence class that is re-identifying (k <
-    {K_ANON_MIN} members) or sensitive-value-homogeneous (fewer than
-    {L_DIV_MIN} distinct market segments — l-diversity guards the case
+    K_ANON_MIN members) or sensitive-value-homogeneous (fewer than
+    L_DIV_MIN distinct market segments — l-diversity guards the case
     where a class is large but everyone in it shares the sensitive
     value). Emits the violating classes with their k and l so the
     release pipeline can suppress or generalize exactly those rows —
@@ -1921,7 +1929,14 @@ def x9_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE hash aggregate keyed by the QI projection
     (map-side partial combine; class count ≪ rows) + a per-row filter.
     No joins, no windows — scan-bound at any table size."""
-    cust = read_table(spark, sf_dir, "customer")
+    return kanon_violations(read_table(spark, sf_dir, "customer"))
+
+
+def kanon_violations(cust: DataFrame) -> DataFrame:
+    """Core of ``x9_k_anonymity_audit`` over an arbitrary
+    (c_nationkey, c_acctbal, c_mktsegment) frame — split out so crafted
+    class structures and the negative-balance floor pin exercise the
+    SHIPPED expressions in pytest (the cdc_fold pattern)."""
     cls = cust.groupBy(
         F.col("c_nationkey").alias("nation"),
         F.floor(F.col("c_acctbal") / F.lit(2000.0))

@@ -280,7 +280,7 @@ def n11_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation? Lateness of an event = how far the maximum event time
     already ingested has run ahead of it when it arrives — exactly the
     quantity Spark's global watermark tracks. Arrival order is the event
-    time plus a deterministic hash(event_id) % {WM_DELAY_MAX} s network
+    time plus a deterministic hash(event_id) %% WM_DELAY_MAX seconds network
     delay (the fixture's ingest order is perfectly time-sorted, which
     would read 0 at every delay — injection note on ``WM_DELAY_MAX``).
     The output table (delay → dropped count + micro-exact drop rate) is
@@ -303,18 +303,31 @@ def n11_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     the x8 prefix-sum family (SCALE.md invariant 9)."""
     from pyspark.sql import Window
 
+    from etl_active911_spark.io import spread
     from etl_active911_spark.operators.dedup import token_hash60
+    from etl_active911_spark.plans.cache import scoped_persist
 
-    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
-    delay = token_hash60(F.col("event_id").cast("string")) % WM_DELAY_MAX
-    arr = ev.select(
+    # spread BEFORE the per-row md5 (rule 2: single-file fixture = one
+    # partition), keyed by event_id so downstream keyed work reuses it
+    ev = spread(
+        read_table(spark, sf_dir, "events").select("event_id", "ts"),
         "event_id",
-        "ts",
-        (
-            F.col("ts")
-            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), delay)
-        ).alias("arrival"),
-    ).withColumn("slice", F.date_trunc("hour", F.col("arrival")))
+    )
+    delay = token_hash60(F.col("event_id").cast("string")) % WM_DELAY_MAX
+    # arr feeds BOTH the slice-max (broadcast) leg and the probe leg — a
+    # broadcast self-join re-evaluates the subtree per side (rule 18), so
+    # the hashed-arrival pass is persisted once (rule 17)
+    arr = scoped_persist(
+        "n11_watermark_planner.arr",
+        ev.select(
+            "event_id",
+            "ts",
+            (
+                F.col("ts")
+                + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), delay)
+            ).alias("arrival"),
+        ).withColumn("slice", F.date_trunc("hour", F.col("arrival"))),
+    )
     smax = arr.groupBy("slice").agg(F.max("ts").alias("smax"))
     ws = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)
     prev = smax.select("slice", F.max("smax").over(ws).alias("prev_max"))

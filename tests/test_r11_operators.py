@@ -534,9 +534,7 @@ def test_jsonl_deadletter_null_struct_semantics(spark):
 def test_k_anonymity_audit_crafted_semantics(spark):
     """A 2-member class violates k; a large-but-homogeneous class
     violates l only; a large diverse class is absent from the report."""
-    from pyspark.sql import functions as F
-
-    from etl_active911_spark.operators.relational import K_ANON_MIN, L_DIV_MIN
+    from etl_active911_spark.operators.relational import kanon_violations
 
     rows = (
         # class (1, band 0): 2 members, 2 segments -> viol_k only... l=2 < 3 also
@@ -549,34 +547,29 @@ def test_k_anonymity_audit_crafted_semantics(spark):
     cust = spark.createDataFrame(
         rows, "c_nationkey int, c_acctbal double, c_mktsegment string"
     )
-    cls = cust.groupBy(
-        F.col("c_nationkey").alias("nation"),
-        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("b"),
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
-    )
     got = {
-        r["nation"]: (r["k"], r["l"])
-        for r in cls.filter(
-            (F.col("k") < K_ANON_MIN) | (F.col("l") < L_DIV_MIN)
-        ).collect()
+        r["nation"]: (r["k"], r["l"], r["viol_k"], r["viol_l"])
+        for r in kanon_violations(cust).collect()
     }
-    assert got == {1: (2, 2), 2: (6, 1)}  # nation 3 clean, absent
+    assert got == {1: (2, 2, 1, 1), 2: (6, 1, 0, 1)}  # nation 3 clean, absent
 
 
 def test_k_anonymity_band_floors_negative_balances(spark):
     """The band expression must FLOOR a negative balance (-999.5 -> band
     -1), not truncate toward zero (band 0) — the rule-28 hazard the
     docstring pins; a truncating band would merge debtors into band 0."""
-    from pyspark.sql import functions as F
+    from etl_active911_spark.operators.relational import kanon_violations
 
-    df = spark.createDataFrame(
-        [(-999.5,), (-1.0,), (0.0,), (1999.99,), (2000.0,)], "c_acctbal double"
-    ).select(
-        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("b")
+    cust = spark.createDataFrame(
+        [(9, b, "A") for b in (-999.5, -1.0, 0.0, 1999.99, 2000.0)],
+        "c_nationkey int, c_acctbal double, c_mktsegment string",
     )
-    assert [r["b"] for r in df.collect()] == [-1, -1, 0, 0, 1]
+    got = {
+        r["acctbal_band"]: r["k"] for r in kanon_violations(cust).collect()
+    }
+    # floor: the two debtors form band -1 (truncation toward zero would
+    # merge them into band 0); all classes tiny, so all are reported
+    assert got == {-1: 2, 0: 2, 1: 1}
 
 
 def test_watermark_planner_dial_shape(spark):

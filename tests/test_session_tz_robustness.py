@@ -70,6 +70,8 @@ TIME_SENSITIVE = [
     # r11: event-time-ordered lag windows (standard ACF + Ljung-Box)
     "x6_acf",
     "x6_ljung_box",
+    # r11 late wave: interval arithmetic + date_trunc + ts-ordered windows
+    "n11_watermark_planner",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
