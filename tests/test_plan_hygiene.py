@@ -117,6 +117,14 @@ EXTRA_CHECKED = (
     "x9_curation_v7",
     "x2_bbit_minhash",
     "x4_template_detection",
+    # r11 late-wave additions (post-window; hygiene-gated here)
+    "x5_mp4_box_walk",
+    "x4_countmin_sketch",
+    "x2_stream_neardup",
+    "n24_cdc_apply",
+    "n26_jsonl_deadletter",
+    "x9_k_anonymity_audit",
+    "n11_watermark_planner",
     "x6_gap_detection",
     "x3_ann_ivf_delete",
     "x9_gate_ablation",
