@@ -1278,3 +1278,58 @@ def test_neardup_stream_flood_guard_total_size(spark, tmp_path):
         lsh_candidate_pairs(docs, sigs=sigs, max_bucket=2), sigs
     ).collect()
     assert batch_pairs == []
+
+
+def test_neardup_stream_split_invariance_one_doc_batches(spark, tmp_path):
+    """The gate's core contract — the union of emissions equals the batch
+    fold for ANY arrival split (no bucket over cap) — at the adversarial
+    granularity: every doc arrives in its OWN micro-batch, so every
+    near-dup pair must be discovered on the cross-arrival (index) path,
+    none on the within-batch path."""
+    from etl_active911_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        signature_agreement_pairs,
+    )
+    from etl_active911_spark.streaming import neardup_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old stone "
+        "well in the cold morning light before the town square fills"
+    )
+    docs = [
+        (1, base),
+        (2, "volcanic islands drift across turquoise water while seabirds circle thermal columns hunting silver fish"),
+        (3, base + " with vendors"),
+        (4, base + " as bells ring"),
+    ]
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "sp_src")
+    sig_dir = str(tmp_path / "sp_sigs")
+    bands_dir = str(tmp_path / "sp_bands")
+    pairs_dir = str(tmp_path / "sp_pairs")
+    ckpt = str(tmp_path / "sp_ckpt")
+
+    for row in docs:
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        neardup_ingest.run_neardup_stream(
+            src, sig_dir, bands_dir, pairs_dir, ckpt
+        ).awaitTermination(120)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_matching_hashes"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    full = spark.createDataFrame(docs, schema)
+    sigs = minhash_signatures(full).localCheckpoint(eager=True)
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_matching_hashes"])
+        for r in signature_agreement_pairs(
+            lsh_candidate_pairs(full, sigs=sigs), sigs
+        ).collect()
+    }
+    assert got == want
+    assert {(a, b) for a, b, _ in got} >= {(1, 3), (1, 4), (3, 4)}
