@@ -4091,3 +4091,69 @@ def x3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pc{k + 1} double" for k in range(PCA_TOP_K)
     )
     return emb.select("vec_id", "embedding").mapInPandas(project, schema)
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r11): exact MIPS top-k (max-inner-product search)
+# ---------------------------------------------------------------------------
+
+_MIPS_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qe, e.embedding::DOUBLE[]) AS ip
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, ip,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(ip, 6) DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(ip, 6) AS inner_product, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query("x3_mips_topk", _MIPS_ORACLE)
+def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r11): exact MAX-INNER-PRODUCT top-k — the similarity-search
+    API's third scoring mode after cosine (x3_cosine_topk) and radius
+    (x3_range_search): rank by the RAW dot product, magnitude included.
+    This is the retrieval mode recommendation and reward models actually
+    serve (user·item, query·document with learned importance in the
+    norm) — cosine deliberately erases the very signal MIPS keeps, so a
+    cosine index silently mis-ranks it. MIPS is not a metric (no
+    triangle inequality), which is why LSH/IVF families need the
+    norm-augmentation reduction (Bachrach et al., RecSys 2014): append
+    sqrt(M² − |x|²) to each corpus vector and 0 to queries, and
+    cosine order in d+1 dims equals inner-product order —
+    tests/test_r11_operators.py pins that equivalence against this
+    operator, making every existing cosine index in the family (LSH,
+    IVF, PQ) reusable for MIPS at scale.
+
+    Plan shape: identical to the cosine baseline — broadcast query
+    block, one codegen corpus scan, ``partial_topk``'s map-side
+    WindowGroupLimit selector (rule 19); ranking ties on (round 6,
+    vec_id), canonical policy 4."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        dot(F.col("qe"), F.col("embedding")).alias("cosine"),
+    )
+    return partial_topk(scored, TOP_K).select(
+        "query_id",
+        "vec_id",
+        F.col("cosine").alias("inner_product"),
+        "rnk",
+    )

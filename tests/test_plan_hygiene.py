@@ -125,6 +125,7 @@ EXTRA_CHECKED = (
     "n26_jsonl_deadletter",
     "x9_k_anonymity_audit",
     "n11_watermark_planner",
+    "x3_mips_topk",
     "x6_gap_detection",
     "x3_ann_ivf_delete",
     "x9_gate_ablation",
@@ -217,6 +218,7 @@ BNLJ_ALLOWED.update({
     "tpch_q22_idle_customers": (1, "TPC-H Q22's scalar subquery: 1-row broadcast avg-acctbal-of-positive-customers crossJoined into the idle filter"),
     "x6_acf": (1, "3-row broadcast lag grid crossJoined onto the per-user moment table (bounded literal side, x6_cross_correlation shape)"),
     "x3_ann_ivf": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape)"),
+    "x3_mips_topk": (1, "broadcast N_QUERIES-row query block, != self-pair condition (x3_cosine_topk shape)"),
     "x3_ann_ivf_compact": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape); compaction itself reads back the partitioned layout"),
 })
 

@@ -592,3 +592,54 @@ def test_watermark_planner_dial_shape(spark):
     assert rows[max(WM_GRID)]["n_dropped"] == 0 and max(WM_GRID) >= WM_DELAY_MAX
     for r in rows.values():
         assert r["n_events"] == rows[WM_GRID[0]]["n_events"]
+
+
+def test_mips_norm_augmentation_equivalence(spark):
+    """The Bachrach RecSys'14 reduction the docstring stakes the scale
+    path on: append sqrt(M² − |x|²) to corpus vectors and 0 to queries,
+    and cosine ORDER in d+1 dims equals inner-product order — so every
+    cosine index in the family serves MIPS. Checked per query against
+    the shipped operator's ranking."""
+    import math
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    got = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in QUERIES["x3_mips_topk"](spark, SF_ORACLE).collect()
+    }
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in read_table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    M = max(math.sqrt(sum(v * v for v in e)) for e in emb.values())
+    aug = {
+        i: e + [math.sqrt(max(0.0, M * M - sum(v * v for v in e)))]
+        for i, e in emb.items()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for qid in range(20):
+        qhat = emb[qid] + [0.0]
+        # augmented-cosine ranking == raw inner-product ranking, with the
+        # operator's (round-6 score, vec_id) tie policy applied to ip
+        by_aug = sorted(
+            (i for i in emb if i != qid),
+            key=lambda i: (
+                -round(sum(x * y for x, y in zip(emb[qid], emb[i])), 6),
+                i,
+            ),
+        )[:5]
+        aug_order = sorted(
+            (i for i in emb if i != qid),
+            key=lambda i: (-cos(qhat, aug[i]), i),
+        )[:5]
+        assert aug_order == by_aug  # reduction preserves the order
+        assert [got[(qid, r)] for r in range(1, 6)] == by_aug  # operator too
