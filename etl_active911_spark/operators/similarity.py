@@ -107,6 +107,32 @@ _EXACT_TOPK_ORACLE = f"""
     """
 
 
+def _query_scored_pairs(emb: DataFrame, normalize: bool) -> DataFrame:
+    """Broadcast-query scored-pairs scaffold shared by the three exact
+    scoring modes (cosine top-k, cosine radius, MIPS top-k): query block
+    = vec_id < N_QUERIES (tiny, explicitly broadcast), one codegen corpus
+    scan, != self-pair exclusion; norms hoisted to per-VECTOR projections
+    when normalizing (computed n + n_q times, not per pair). Returns
+    (query_id, vec_id, cosine) — the score column keeps partial_topk's
+    expected name whether or not it is normalized."""
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        *([l2norm(F.col("embedding")).alias("nrm")] if normalize else []),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *([l2norm(F.col("embedding")).alias("qnrm")] if normalize else []),
+    )
+    score = dot(F.col("qe"), F.col("embedding"))
+    if normalize:
+        score = score / (F.col("qnrm") * F.col("nrm"))
+    return corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", score.alias("cosine"))
+
+
 @query("x3_cosine_topk", _EXACT_TOPK_ORACLE)
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-3 exact baseline: brute-force cosine top-k for a query subset.
@@ -117,28 +143,7 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred rows — no all-pairs shuffle into N_QUERIES partitions.
     """
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    # norms hoisted to per-VECTOR projections (computed n + n_q times, not
-    # per pair — the interpreted higher-order l2norm was 2/3 of the
-    # per-pair lambda work)
-    corpus = emb.select(
-        "vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm")
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        l2norm(F.col("embedding")).alias("qnrm"),
-    )
-    scored = (
-        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            (dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    return partial_topk(scored, TOP_K)
+    return partial_topk(_query_scored_pairs(emb, normalize=True), TOP_K)
 
 
 RANGE_TAU = 0.3  # cosine radius for the range-search variant
@@ -172,21 +177,9 @@ def x3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage (no merge step at all — strictly cheaper than top-k).
     Thresholds on ROUND(cos, 6) in both engines (canonical policy 4)."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    corpus = emb.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        l2norm(F.col("embedding")).alias("qnrm"),
-    )
     return (
-        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
-            ).alias("cosine"),
-        )
+        _query_scored_pairs(emb, normalize=True)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= RANGE_TAU)
     )
 
@@ -4141,17 +4134,7 @@ def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit selector (rule 19); ranking ties on (round 6,
     vec_id), canonical policy 4."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    scored = emb.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        dot(F.col("qe"), F.col("embedding")).alias("cosine"),
-    )
-    return partial_topk(scored, TOP_K).select(
+    return partial_topk(_query_scored_pairs(emb, normalize=False), TOP_K).select(
         "query_id",
         "vec_id",
         F.col("cosine").alias("inner_product"),

@@ -603,6 +603,7 @@ def test_mips_norm_augmentation_equivalence(spark):
     import math
 
     from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.similarity import N_QUERIES, TOP_K
     from etl_active911_spark.plans.registry import QUERIES, load_all
 
     load_all()
@@ -620,26 +621,33 @@ def test_mips_norm_augmentation_equivalence(spark):
         for i, e in emb.items()
     }
 
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        return num / (
-            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
-        )
+    def ip(a, b):
+        return sum(x * y for x, y in zip(a, b))
 
-    for qid in range(20):
+    def cos(a, b):
+        return ip(a, b) / (math.sqrt(ip(a, a)) * math.sqrt(ip(b, b)))
+
+    def half_up6(x):
+        # Spark F.round is BigDecimal HALF_UP (away from zero) — NOT
+        # Python round()'s banker's rounding (CLAUDE.md rule 11)
+        s = 1 if x >= 0 else -1
+        return s * math.floor(abs(x) * 1_000_000 + 0.5)
+
+    for qid in range(N_QUERIES):
         qhat = emb[qid] + [0.0]
-        # augmented-cosine ranking == raw inner-product ranking, with the
-        # operator's (round-6 score, vec_id) tie policy applied to ip
-        by_aug = sorted(
-            (i for i in emb if i != qid),
-            key=lambda i: (
-                -round(sum(x * y for x, y in zip(emb[qid], emb[i])), 6),
-                i,
-            ),
-        )[:5]
-        aug_order = sorted(
-            (i for i in emb if i != qid),
-            key=lambda i: (-cos(qhat, aug[i]), i),
-        )[:5]
-        assert aug_order == by_aug  # reduction preserves the order
-        assert [got[(qid, r)] for r in range(1, 6)] == by_aug  # operator too
+        others = [i for i in emb if i != qid]
+        ips = {i: ip(emb[qid], emb[i]) for i in others}
+        coss = {i: cos(qhat, aug[i]) for i in others}
+        # (1) the Bachrach reduction on EXACT values: augmented cosine is
+        # strictly order-preserving in the raw inner product (no rounding
+        # on either side, so 6dp score collisions cannot false-fail this).
+        # Equivalent to the all-pairs check: walk others sorted by ip DESC
+        # and require cos strictly decreasing wherever ip strictly does.
+        by_ip = sorted(others, key=lambda i: -ips[i])
+        for a, b in zip(by_ip, by_ip[1:]):
+            if ips[a] > ips[b]:
+                assert coss[a] > coss[b]
+        # (2) the operator matches the half-up-rounded ip ranking with the
+        # canonical (score DESC, vec_id) tie policy
+        want = sorted(others, key=lambda i: (-half_up6(ips[i]), i))[:TOP_K]
+        assert [got[(qid, r)] for r in range(1, TOP_K + 1)] == want

@@ -1127,7 +1127,7 @@ def test_cms_stream_accumulates_batch_matrix(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     drain()
     spark.createDataFrame(g2, schema).coalesce(1).write.mode("append").parquet(src_dir)
@@ -1195,7 +1195,7 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
         q = neardup_ingest.run_neardup_stream(
             src, sig_dir, bands_dir, pairs_dir, ckpt
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src_dir)
     drain()
@@ -1254,7 +1254,7 @@ def test_neardup_stream_flood_guard_total_size(spark, tmp_path):
         q = neardup_ingest.run_neardup_stream(
             src, sig_dir, bands_dir, pairs_dir, ckpt, max_bucket=2
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     spark.createDataFrame([(1, same), (2, same)], schema).coalesce(1).write.mode(
         "append"
@@ -1315,7 +1315,7 @@ def test_neardup_stream_split_invariance_one_doc_batches(spark, tmp_path):
             "append"
         ).parquet(src_dir)
         src = spark.readStream.schema(schema).parquet(src_dir)
-        neardup_ingest.run_neardup_stream(
+        assert neardup_ingest.run_neardup_stream(
             src, sig_dir, bands_dir, pairs_dir, ckpt
         ).awaitTermination(120)
 
