@@ -3105,3 +3105,76 @@ def x2_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r11): crawl-frontier politeness scheduling
+# ---------------------------------------------------------------------------
+
+_FRONTIER_ORACLE = """
+    WITH f AS (
+        SELECT 'h' || CAST(doc_id % 7 AS STRING) || '.example.com' AS host,
+               '/p/' || CAST(doc_id AS STRING) AS path,
+               doc_id
+        FROM documents
+    ),
+    w AS (
+        SELECT host, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS wave
+        FROM f
+    )
+    SELECT CAST(wave AS BIGINT) AS wave,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM w GROUP BY wave
+    """
+
+
+@query("x2_frontier_schedule", _FRONTIER_ORACLE)
+def x2_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r11): CRAWL-FRONTIER POLITENESS SCHEDULING — the step after
+    URL canonicalization and dedup (``x2_url_canonical_dedup``): assign
+    every frontier URL a fetch WAVE such that no wave contains two URLs
+    from the same host (one-request-per-host-per-interval politeness).
+    The wave id is simply the URL's rank within its host — wave k is the
+    k-th politeness slot — so the per-wave profile (URL count, distinct
+    hosts) exposes the long-tail host skew that actually bounds crawl
+    throughput: total crawl time = max per-host URL count × crawl delay,
+    no matter how many fetchers run. Frontier hosts/paths are
+    synthesized deterministically over doc_id slices (7 hosts — the
+    fixture-injection idiom).
+
+    Scale shape: ONE window over ONE host-keyed shuffle (rank within
+    host), then a wave-keyed hash aggregate; hosts are the natural
+    partition key of a frontier and the per-host rank is exactly the
+    per-key sequential structure a real scheduler persists. No joins."""
+    from pyspark.sql import Window
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    f = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        "doc_id",
+    )
+    w = f.select(
+        "host",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("host").orderBy("doc_id"))
+        .alias("wave"),
+    )
+    return w.groupBy("wave").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    ).select(
+        F.col("wave").cast("bigint").alias("wave"),
+        "n_urls",
+        "n_hosts",
+        "first_doc",
+        "last_doc",
+    )

@@ -126,6 +126,7 @@ EXTRA_CHECKED = (
     "x9_k_anonymity_audit",
     "n11_watermark_planner",
     "x3_mips_topk",
+    "x2_frontier_schedule",
     "x6_gap_detection",
     "x3_ann_ivf_delete",
     "x9_gate_ablation",

@@ -651,3 +651,17 @@ def test_mips_norm_augmentation_equivalence(spark):
         # canonical (score DESC, vec_id) tie policy
         want = sorted(others, key=lambda i: (-half_up6(ips[i]), i))[:TOP_K]
         assert [got[(qid, r)] for r in range(1, TOP_K + 1)] == want
+
+
+def test_frontier_schedule_politeness_invariant(spark):
+    """No wave may contain two URLs from the same host (the politeness
+    constraint the op exists to enforce): per-wave n_urls == n_hosts for
+    every wave, waves are dense 1..max, and the URL total is conserved."""
+    from etl_active911_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x2_frontier_schedule"](spark, SF_ORACLE).collect()
+    assert all(r["n_urls"] == r["n_hosts"] for r in rows)
+    waves = sorted(r["wave"] for r in rows)
+    assert waves == list(range(1, len(waves) + 1))
+    assert sum(r["n_urls"] for r in rows) == 500  # sf0.01 documents
