@@ -1874,3 +1874,112 @@ def x8_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("straddle_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r11): tamper-evident release lineage (hash-chained shard manifest)
+# ---------------------------------------------------------------------------
+
+LINEAGE_SHARD = 64  # docs per shard in the chained manifest
+
+
+def _lineage_chain_sql(shards_rel: str) -> str:
+    """The hash-chain recursion, shared verbatim by Spark (over a temp
+    view) and DuckDB (over a CTE): chain_i = md5(chain_{i-1} ||
+    shard_md5_i), seeded with md5(shard_md5_0). Strictly increasing
+    shard_id, so UNION ALL terminates without fixpoint dedup
+    (CLAUDE.md rule 14)."""
+    return f"""
+    WITH RECURSIVE chain AS (
+        SELECT shard_id, n_docs, shard_md5, md5(shard_md5) AS chain_md5
+        FROM {shards_rel} WHERE shard_id = 0
+        UNION ALL
+        SELECT s.shard_id, s.n_docs, s.shard_md5,
+               md5(c.chain_md5 || s.shard_md5)
+        FROM chain c JOIN {shards_rel} s ON s.shard_id = c.shard_id + 1
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           shard_md5, chain_md5
+    FROM chain
+    """
+
+
+_LINEAGE_ORACLE = f"""
+    WITH RECURSIVE shards AS (
+        SELECT doc_id // {LINEAGE_SHARD} AS shard_id,
+               COUNT(*) AS n_docs,
+               md5(string_agg(md5(text), '' ORDER BY doc_id)) AS shard_md5
+        FROM documents GROUP BY 1
+    ),
+    chain AS (
+        SELECT shard_id, n_docs, shard_md5, md5(shard_md5) AS chain_md5
+        FROM shards WHERE shard_id = 0
+        UNION ALL
+        SELECT s.shard_id, s.n_docs, s.shard_md5,
+               md5(c.chain_md5 || s.shard_md5)
+        FROM chain c JOIN shards s ON s.shard_id = c.shard_id + 1
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           shard_md5, chain_md5
+    FROM chain
+    """
+
+
+@query("x9_lineage_chain", _LINEAGE_ORACLE)
+def x9_lineage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r11): TAMPER-EVIDENT RELEASE LINEAGE — the integrity layer on
+    top of ``x9_release_manifest``: shard content digests folded into a
+    HASH CHAIN (chain_i = md5(chain_{i-1} || shard_md5_i)), so the final
+    link commits to every byte of every shard IN ORDER. A consumer
+    verifying a published dataset recomputes the chain; any modified,
+    dropped, reordered, or inserted shard changes every downstream link —
+    the same construction as a git history or transparency log, and the
+    answer to "is this EXACTLY the corpus the model card points to?".
+
+    Shard digests: per-doc md5 folded per shard over the doc_id order
+    (Spark: sort_array over the ≤{LINEAGE_SHARD}-element collected list —
+    a BOUNDED higher-order transform, invariant-3 exempt; DuckDB:
+    ordered string_agg). The chain itself runs as the SAME recursive
+    UNION ALL SQL in both engines (strictly increasing shard_id — rule
+    14 termination), over shard DIGESTS, never rows.
+
+    Scale shape: one doc_id-keyed hash aggregate builds the shard table
+    (map-side partial md5s; shard count = corpus/{LINEAGE_SHARD});
+    the recursion walks |shards| single-row steps — sequential BY
+    CONSTRUCTION (each link commits to the previous), which is the
+    point of a chain; the walked relation is the tiny digest table, so
+    depth, not width, is the only cost."""
+    from etl_active911_spark.io import spread
+
+    return lineage_chain(
+        spark, spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    )
+
+
+def lineage_chain(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Core of ``x9_lineage_chain`` over an arbitrary (doc_id, text)
+    frame — split out so the tamper-evidence property (one flipped byte
+    re-links every downstream chain entry, earlier links untouched) is
+    pinned on crafted corpora in pytest."""
+    shards = (
+        docs.select(
+            F.expr(f"doc_id div {LINEAGE_SHARD}").alias("shard_id"),
+            F.struct("doc_id", F.md5("text").alias("h")).alias("dh"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list("dh")), lambda s: s["h"]
+                    ),
+                )
+            ).alias("shard_md5"),
+        )
+    )
+    shards.createOrReplaceTempView("x9_lineage_shards")
+    return spark.sql(_lineage_chain_sql("x9_lineage_shards"))

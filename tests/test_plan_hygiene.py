@@ -127,6 +127,7 @@ EXTRA_CHECKED = (
     "n11_watermark_planner",
     "x3_mips_topk",
     "x2_frontier_schedule",
+    "x9_lineage_chain",
     "x6_gap_detection",
     "x3_ann_ivf_delete",
     "x9_gate_ablation",

@@ -665,3 +665,46 @@ def test_frontier_schedule_politeness_invariant(spark):
     waves = sorted(r["wave"] for r in rows)
     assert waves == list(range(1, len(waves) + 1))
     assert sum(r["n_urls"] for r in rows) == 500  # sf0.01 documents
+
+
+def test_lineage_chain_tamper_evidence(spark):
+    """One flipped byte in one document changes its shard's digest and
+    EVERY downstream chain link while leaving earlier links untouched —
+    the property that makes the final link a commitment to the whole
+    ordered release. Also: dropping the last shard changes nothing
+    upstream (append-only extension), and the chain recomputes
+    deterministically."""
+    from etl_active911_spark.operators.sampling import LINEAGE_SHARD, lineage_chain
+
+    n = 3 * LINEAGE_SHARD  # exactly 3 shards
+    docs = [(i, f"document body {i}") for i in range(n)]
+    base = {
+        r["shard_id"]: (r["shard_md5"], r["chain_md5"])
+        for r in lineage_chain(
+            spark, spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert sorted(base) == [0, 1, 2]
+    # deterministic recompute
+    again = {
+        r["shard_id"]: (r["shard_md5"], r["chain_md5"])
+        for r in lineage_chain(
+            spark, spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert again == base
+    # tamper with one doc in the MIDDLE shard
+    tampered = [
+        (i, t + "!") if i == LINEAGE_SHARD + 7 else (i, t) for i, t in docs
+    ]
+    tam = {
+        r["shard_id"]: (r["shard_md5"], r["chain_md5"])
+        for r in lineage_chain(
+            spark, spark.createDataFrame(tampered, "doc_id long, text string")
+        ).collect()
+    }
+    assert tam[0] == base[0]                        # upstream untouched
+    assert tam[1][0] != base[1][0]                  # tampered shard digest
+    assert tam[1][1] != base[1][1]                  # ...and its link
+    assert tam[2][0] == base[2][0]                  # shard 2 bytes unchanged
+    assert tam[2][1] != base[2][1]                  # but its link re-chains
