@@ -726,3 +726,119 @@ def x2_cluster_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("template_prefix"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r11): transitive over-merge audit (weakest link / edge density)
+# ---------------------------------------------------------------------------
+
+
+def _overmerge_oracle() -> str:
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS (
+        SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+        FROM verified WHERE jac >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, dst FROM walk
+        UNION
+        SELECT src, src FROM edges
+    ),
+    comp AS (
+        SELECT doc_id, MIN(dst) AS component FROM reach GROUP BY doc_id
+    ),
+    sizes AS (
+        SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    ),
+    ce AS (
+        SELECT c.component, p.jaccard
+        FROM prs p JOIN comp c ON c.doc_id = p.doc_a
+    ),
+    agg AS (
+        SELECT component, COUNT(*) AS n_edges,
+               MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+        FROM ce GROUP BY component
+    )
+    SELECT s.component,
+           CAST(s.sz AS BIGINT) AS size,
+           CAST(a.n_edges AS BIGINT) AS n_edges,
+           a.min_jaccard, a.max_jaccard,
+           CAST((2 * (2 * a.n_edges * 1000000) + s.sz * (s.sz - 1))
+                // (2 * s.sz * (s.sz - 1)) AS BIGINT) / 1000000.0
+               AS edge_density
+    FROM sizes s JOIN agg a ON a.component = s.component
+    WHERE s.sz >= 3
+    """
+
+
+@query("x2_overmerge_audit", _overmerge_oracle())
+def x2_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r11): TRANSITIVE OVER-MERGE AUDIT — connected-component
+    dedup's one structural failure mode: A≈B and B≈C chain A and C into
+    one cluster even when A and C share almost nothing, so the keeper
+    silently "represents" documents it doesn't resemble. Per cluster of
+    size ≥ 3: member count, VERIFIED edge count, the weakest and
+    strongest edge Jaccard, and the edge density 2E/(s(s-1)) — a cluster
+    with density ≪ 1 and a low min_jaccard is a chain, not a clique, and
+    is the cluster a release pipeline re-splits (or spot-checks) before
+    trusting one-keeper-per-component. Complements
+    ``x2_cluster_size_histogram`` (how big) with HOW COHESIVE.
+
+    Determinism: edges are the memoized verified pairs (round-6
+    Jaccard); density is the rule-26b half-up micro division (numerator
+    ≤ 4·10⁶·C(s,2) — int64-safe far past fixture scale).
+
+    Scale shape: rides the rule-25 pair-graph memo and the O(log n)
+    component labels both already computed for the dedup family; the
+    audit itself is two keyed aggregates and one tiny join on component
+    ids — nothing corpus-sized moves."""
+    from etl_active911_spark.operators.dedup import shared_verified_pairs
+
+    return overmerge_audit_rows(shared_verified_pairs(spark, sf_dir))
+
+
+def overmerge_audit_rows(pairs: DataFrame) -> DataFrame:
+    """Core of ``x2_overmerge_audit`` over an arbitrary verified-pair
+    frame (doc_a, doc_b, jaccard) — split out so the chain-vs-clique
+    polarity is pinned on crafted graphs in pytest."""
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    ce = pairs.join(
+        comp.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    ).select("component", "jaccard")
+    agg = ce.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        sizes.filter(F.col("sz") >= 3)
+        .join(agg, "component")
+        .select(
+            "component",
+            F.col("sz").cast("bigint").alias("size"),
+            "n_edges",
+            "min_jaccard",
+            "max_jaccard",
+            (
+                F.expr(
+                    "CAST((2 * (2 * n_edges * 1000000) + sz * (sz - 1))"
+                    " div (2 * sz * (sz - 1)) AS BIGINT)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("edge_density"),
+        )
+    )

@@ -180,7 +180,7 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   operator therefore has a driver row by r13, per the verdict's
 #:   deadline (all but two land by r12).
 #: r14 queue (overflow past r13's exactly-full 27): x3_mips_topk,
-#: x2_frontier_schedule, x9_lineage_chain, and any
+#: x2_frontier_schedule, x9_lineage_chain, x2_overmerge_audit, and any
 #: further late-r11/r12-round additions, in registration order.
 #: Rows-only by design (never windowable): x3_pca_project (r11),
 #: x3_ann_pq/brp/ivf_pq/

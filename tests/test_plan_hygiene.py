@@ -128,6 +128,7 @@ EXTRA_CHECKED = (
     "x3_mips_topk",
     "x2_frontier_schedule",
     "x9_lineage_chain",
+    "x2_overmerge_audit",
     "x6_gap_detection",
     "x3_ann_ivf_delete",
     "x9_gate_ablation",

@@ -708,3 +708,31 @@ def test_lineage_chain_tamper_evidence(spark):
     assert tam[1][1] != base[1][1]                  # ...and its link
     assert tam[2][0] == base[2][0]                  # shard 2 bytes unchanged
     assert tam[2][1] != base[2][1]                  # but its link re-chains
+
+
+def test_overmerge_audit_chain_vs_clique(spark):
+    """The audit's polarity: a 3-clique reads density 1.0 with tight
+    jaccard; a 3-chain (A-B, B-C, no A-C edge) reads density 2/3 with the
+    weak link exposed — the chained over-merge signature."""
+    from etl_active911_spark.operators.clustering import overmerge_audit_rows
+
+    pairs = spark.createDataFrame(
+        [
+            # clique: docs 1,2,3 fully connected, strong
+            (1, 2, 0.9), (1, 3, 0.88), (2, 3, 0.92),
+            # chain: 10-11-12, weak middle, no closing edge
+            (10, 11, 0.55), (11, 12, 0.52),
+            # a pair (size-2 cluster) must be absent from the audit
+            (20, 21, 0.7),
+        ],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {r["component"]: r for r in overmerge_audit_rows(pairs).collect()}
+    assert set(got) == {1, 10}
+    clique, chain = got[1], got[10]
+    assert (clique["size"], clique["n_edges"]) == (3, 3)
+    assert clique["edge_density"] == 1.0
+    assert clique["min_jaccard"] == 0.88
+    assert (chain["size"], chain["n_edges"]) == (3, 2)
+    assert chain["edge_density"] == 0.666667  # 2/3 half-up at 6dp
+    assert chain["min_jaccard"] == 0.52
