@@ -594,15 +594,15 @@ def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm is a fat right tail here, LONG before the pair list itself
     becomes the problem.
 
-    Scale shape: components ride the memoized pair graph + the O(log n)
-    star engine (rule 25); the rest is two keyed aggregates, the first
-    on component (near-dup clusters ≪ corpus), the second on the
-    handful of distinct sizes."""
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    Scale shape: components come straight from the memoized star-engine
+    labels (``shared_component_labels``, rule 25); the rest is two keyed
+    aggregates, the first on component (near-dup clusters ≪ corpus),
+    the second on the handful of distinct sizes."""
+    from etl_active911_spark.operators.dedup import shared_component_labels
     from etl_active911_spark.io import read_table
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
+    comp = shared_component_labels(spark, sf_dir)
     assigned = docs.join(comp, "doc_id", "left").select(
         F.coalesce("component", F.col("doc_id")).alias("component")
     )
@@ -682,12 +682,13 @@ def x2_cluster_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible in both engines); fixture texts are ASCII so
     lexicographic min/max agree byte-for-byte across engines.
 
-    Scale shape: components ride the memoized pair graph (rule 25);
-    the min/max aggregate is cluster-keyed; the position explode is
-    bounded by min member length per cluster (clusters ≪ corpus)."""
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    Scale shape: components come straight from the memoized star-engine
+    labels (``shared_component_labels``, rule 25); the min/max aggregate
+    is cluster-keyed; the position explode is bounded by min member
+    length per cluster (clusters ≪ corpus)."""
+    from etl_active911_spark.operators.dedup import shared_component_labels
 
-    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
+    comp = shared_component_labels(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     ab = (
         docs.join(comp, "doc_id")
@@ -801,20 +802,33 @@ def x2_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard); density is the rule-26b half-up micro division (numerator
     ≤ 4·10⁶·C(s,2) — int64-safe far past fixture scale).
 
-    Scale shape: rides the rule-25 pair-graph memo and the O(log n)
-    component labels both already computed for the dedup family; the
-    audit itself is two keyed aggregates and one tiny join on component
-    ids — nothing corpus-sized moves."""
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    Scale shape: rides the rule-25 pair-graph memo and the memoized
+    O(log n) star-contraction component labels
+    (``shared_component_labels``) the dedup family shares; the audit
+    itself is two keyed aggregates and one tiny join on component ids —
+    nothing corpus-sized moves."""
+    from etl_active911_spark.operators.dedup import (
+        shared_component_labels,
+        shared_verified_pairs,
+    )
 
-    return overmerge_audit_rows(shared_verified_pairs(spark, sf_dir))
+    return overmerge_audit_rows(
+        shared_verified_pairs(spark, sf_dir),
+        comp=shared_component_labels(spark, sf_dir),
+    )
 
 
-def overmerge_audit_rows(pairs: DataFrame) -> DataFrame:
+def overmerge_audit_rows(pairs: DataFrame, comp: DataFrame | None = None) -> DataFrame:
     """Core of ``x2_overmerge_audit`` over an arbitrary verified-pair
     frame (doc_a, doc_b, jaccard) — split out so the chain-vs-clique
-    polarity is pinned on crafted graphs in pytest."""
-    comp = connected_components(pairs)
+    polarity is pinned on crafted graphs in pytest. ``comp`` lets the
+    registered query pass the memoized labels; the default computes them
+    with the star engine — this audit TARGETS chain-shaped clusters, the
+    worst case for min-label propagation's O(diameter) rounds, so the
+    O(log n)-for-any-graph engine is the only safe default (ADVICE r11
+    item 2)."""
+    if comp is None:
+        comp = connected_components_star(pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     ce = pairs.join(
         comp.withColumnRenamed("doc_id", "doc_a"), "doc_a"

@@ -872,6 +872,29 @@ def clear_pairs_memo() -> None:
     _PAIRS_MEMO.clear()
 
 
+def shared_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) labels of the verified near-dup pair graph —
+    the O(log n) star-contraction components over
+    :func:`shared_verified_pairs`, materialized once per (session,
+    sf_dir) via the rule-25 ``fixture_memo`` (ADVICE r11 item 2 /
+    VERDICT r11 precedent: six registered queries rebuilt this exact
+    iterative computation per call — cluster-size histogram, cluster
+    template, overmerge audit, cluster split, dup-weighted mixture, and
+    the curation funnels' non-keeper sets). The result is one row per
+    clustered doc (≪ corpus), well under the memo's smallness bar, and
+    the star loop's localCheckpoint discipline (rule 17) composes with
+    the memo's own checkpoint."""
+    from etl_active911_spark.operators.clustering import connected_components_star
+    from etl_active911_spark.plans.cache import fixture_memo
+
+    return fixture_memo(
+        "dedup.component_labels",
+        spark,
+        sf_dir,
+        lambda: connected_components_star(shared_verified_pairs(spark, sf_dir)),
+    )
+
+
 def near_dup_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -2982,13 +3005,15 @@ _URL_DEDUP_ORACLE = f"""
         FROM s1
     ),
     s3 AS (  -- lowercase authority, strip default port + www, trailing /
+             -- (:443 strip carries 'g': Spark's regexp_replace is
+             --  replace-all, rule 6 / ADVICE r11 item 3)
         SELECT doc_id, url,
                regexp_replace(
                    regexp_replace(
                        regexp_replace(
                            LOWER(regexp_extract(base, '^https?://[^/]+'))
                            || substr(base, len(regexp_extract(base, '^https?://[^/]+')) + 1),
-                           ':443(/|$)', '\\1'),
+                           ':443(/|$)', '\\1', 'g'),
                        '^(https?://)www\\.', '\\1'),
                    '/$', '') AS cbase,
                COALESCE(array_to_string(

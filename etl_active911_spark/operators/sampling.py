@@ -169,18 +169,17 @@ def x8_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own doc_id. The no-straddle property is asserted in
     tests/test_extensions.py.
 
-    Components come from the O(log n) star-contraction engine
-    (``connected_components_star`` — r5, VERDICT r04 item 4; previously
-    the O(diameter) label propagator via x2_dup_clusters), applied to the
-    verified MinHash pairs directly: the split needs (doc_id, component)
-    only, so the keeper join x2_dup_clusters performs is skipped too.
-    Both components engines remain equivalence-tested against the same
-    recursive-closure oracle (x2_dup_clusters / x2_dup_clusters_star)."""
-    from etl_active911_spark.operators.clustering import connected_components_star
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    Components come from the memoized O(log n) star-contraction labels
+    (``shared_component_labels`` — r5/r12, VERDICT r04 item 4 + ADVICE
+    r11 item 2; previously the O(diameter) label propagator via
+    x2_dup_clusters): the split needs (doc_id, component) only, so the
+    keeper join x2_dup_clusters performs is skipped too. Both components
+    engines remain equivalence-tested against the same recursive-closure
+    oracle (x2_dup_clusters / x2_dup_clusters_star)."""
+    from etl_active911_spark.operators.dedup import shared_component_labels
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
+    comp = shared_component_labels(spark, sf_dir)
     key = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         docs.join(comp, "doc_id", "left")
@@ -1434,14 +1433,17 @@ def x8_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserting it, and the doc-split column quantifies the eval
     contamination a team ships if they skip the cluster split.
 
-    Scale shape: pairs ride the memoized graph (rule 25); the component
-    lookup is two pair-sized joins; everything after is one 1-row
-    aggregate over pair-count rows."""
-    from etl_active911_spark.operators.clustering import connected_components_star
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    Scale shape: pairs and component labels both ride the rule-25 memos
+    (``shared_verified_pairs`` / ``shared_component_labels``); the
+    component lookup is two pair-sized joins; everything after is one
+    1-row aggregate over pair-count rows."""
+    from etl_active911_spark.operators.dedup import (
+        shared_component_labels,
+        shared_verified_pairs,
+    )
 
     pairs = shared_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components_star(pairs)
+    comp = shared_component_labels(spark, sf_dir)
     ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
     cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
     f = (
@@ -1601,17 +1603,17 @@ def x8_dup_weighted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple of 1e-6, so the double sum is order-exact far beyond corpus
     scale — the mean-cos discipline); only the final ratios round.
 
-    Scale shape: components ride the memoized pair graph + O(log n)
-    star engine (rule 25); sizes and the weight join key on component
-    (clusters ≪ corpus); one |sources|-group rollup."""
+    Scale shape: components come straight from the memoized star-engine
+    labels (``shared_component_labels``, rule 25); sizes and the weight
+    join key on component (clusters ≪ corpus); one |sources|-group
+    rollup."""
     from pyspark.sql import functions as F
 
     from etl_active911_spark.io import read_table
-    from etl_active911_spark.operators.clustering import connected_components_star
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    from etl_active911_spark.operators.dedup import shared_component_labels
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    comp = connected_components_star(shared_verified_pairs(spark, sf_dir))
+    comp = shared_component_labels(spark, sf_dir)
     assigned = docs.join(comp, "doc_id", "left").select(
         "doc_id", "source", F.coalesce("component", F.col("doc_id")).alias("component")
     )

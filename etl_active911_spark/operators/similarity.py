@@ -1157,16 +1157,22 @@ _IVF_COMPACT_ORACLE = f"""
         FROM assigned GROUP BY cell
     )
     SELECT cell,
+           -- n_live > 0 mirrors ivf_compact_index's zero-live exclusion
+           -- (dynamic overwrite cannot clear an all-dead cell, so the
+           -- Spark side leaves it in place — ADVICE r11 item 1)
            CAST(CASE WHEN CAST(n_dead AS DOUBLE) / (n_live + n_dead)
                           > CAST({IVF_DELETE_COMPACT} AS DOUBLE)
+                          AND n_live > 0
                      THEN 1 ELSE 0 END AS INTEGER) AS compacted,
            CAST(CASE WHEN CAST(n_dead AS DOUBLE) / (n_live + n_dead)
                           > CAST({IVF_DELETE_COMPACT} AS DOUBLE)
+                          AND n_live > 0
                      THEN n_live ELSE n_live + n_dead END AS BIGINT)
                AS n_physical_rows,
            n_live,
            CAST(CASE WHEN CAST(n_dead AS DOUBLE) / (n_live + n_dead)
                           > CAST({IVF_DELETE_COMPACT} AS DOUBLE)
+                          AND n_live > 0
                      THEN 0 ELSE n_dead END AS BIGINT)
                AS n_tombstoned_remaining
     FROM agg
@@ -1241,7 +1247,8 @@ def x3_ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = F.col("n_tombstoned_remaining").cast("double") / F.col(
             "n_physical_rows"
         )
-        flag = frac > F.lit(IVF_DELETE_COMPACT)
+        # same zero-live exclusion as ivf_compact_index / the oracle
+        flag = (frac > F.lit(IVF_DELETE_COMPACT)) & (F.col("n_live") > 0)
         return pre.select(
             "cell",
             flag.cast("int").alias("compacted"),

@@ -1169,17 +1169,15 @@ def x9_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    # non-keepers straight from the star components over the shared pair
-    # graph (the x8_cluster_split shortcut, r7): a doc is dropped iff it is
-    # in a cluster and not its min — x2_dup_clusters' keeper groupBy+join
-    # adds nothing the component labels don't already say, and the
-    # O(log n) star engine is the faster of the two equivalence-tested
-    # components engines
-    from etl_active911_spark.operators.clustering import connected_components_star
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    # non-keepers straight from the memoized star-engine component labels
+    # (the x8_cluster_split shortcut, r7; shared_component_labels memo,
+    # r12): a doc is dropped iff it is in a cluster and not its min —
+    # x2_dup_clusters' keeper groupBy+join adds nothing the component
+    # labels don't already say
+    from etl_active911_spark.operators.dedup import shared_component_labels
 
     non_keepers = (
-        connected_components_star(shared_verified_pairs(spark, sf_dir))
+        shared_component_labels(spark, sf_dir)
         .filter(F.col("doc_id") != F.col("component"))
         .select("doc_id")
     )
@@ -1826,17 +1824,15 @@ def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     quality = shared_gopher_rules(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    # non-keepers straight from the star components over the shared pair
-    # graph (the x8_cluster_split shortcut, r7): a doc is dropped iff it is
-    # in a cluster and not its min — x2_dup_clusters' keeper groupBy+join
-    # adds nothing the component labels don't already say, and the
-    # O(log n) star engine is the faster of the two equivalence-tested
-    # components engines
-    from etl_active911_spark.operators.clustering import connected_components_star
-    from etl_active911_spark.operators.dedup import shared_verified_pairs
+    # non-keepers straight from the memoized star-engine component labels
+    # (the x8_cluster_split shortcut, r7; shared_component_labels memo,
+    # r12): a doc is dropped iff it is in a cluster and not its min —
+    # x2_dup_clusters' keeper groupBy+join adds nothing the component
+    # labels don't already say
+    from etl_active911_spark.operators.dedup import shared_component_labels
 
     non_keepers = (
-        connected_components_star(shared_verified_pairs(spark, sf_dir))
+        shared_component_labels(spark, sf_dir)
         .filter(F.col("doc_id") != F.col("component"))
         .select("doc_id")
     )

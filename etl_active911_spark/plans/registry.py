@@ -85,6 +85,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the 20-slot r11 queue EXACTLY as pinned in r9/r10 (VERDICT r10 item 1)
 # plus the first 7 of the recorded r12 queue, so the r10 wave's driver
 # debt clears by r13 (queue math below).
+#
+# r12 (VERDICT r11 item 1): CORRECTNESS_r11 came back 47/47 green on every
+# oracled row (3 rows-only by design). CORE unchanged; ROTATION executes
+# the pinned r12 queue EXACTLY — the remaining 27 named r10-wave queries
+# (queue-math note below, re-pinned verbatim in VERDICT r11 item 1). All
+# 27 carry DuckDB oracles and CORE is fully oracled, so the r12 window is
+# 50/50 hash-checked — this also delivers VERDICT r11 item 5's ask one
+# round early (the rows-only x3_ann_ivf/n4/n5 rows rotate out naturally).
+# Iterative/job-running members (dbscan, knox, ann recall sweeps) sit at
+# the tail so an abort there cannot un-score the rest of the sweep.
 CORE: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "o2_source_roundtrip",
@@ -111,80 +121,70 @@ CORE: tuple[str, ...] = (
     "x9_curation_pipeline",
 )
 
-#: r11 rotation — the 20-slot queue pinned in r9 and re-pinned in r10
-#: (VERDICT r10 item 1): the 5 r1/r2 stragglers + 14 named r9-wave
-#: queries + x5_phash_banded_dedup in the reserved slot — plus 7 pulled
-#: forward from the recorded r12 queue head (VERDICT r10 item 3's
-#: widened window). Job-running/iterative members (streaming ingest,
-#: IVF index ops) sit at the tail so an abort there cannot un-score the
-#: rest of the sweep.
+#: r12 rotation — the 27-slot queue pinned in r11's queue-math note and
+#: re-pinned verbatim in VERDICT r11 item 1: the remaining 27 named
+#: r10-wave queries, in the pinned order. Every member carries a DuckDB
+#: oracle, so with the fully-oracled CORE the r12 window is 50/50
+#: hash-checked (VERDICT r11 item 5 delivered a round early).
 ROTATION: tuple[str, ...] = (
-    # --- the pinned 20-slot r11 queue ---
-    "tpch_q22_idle_customers",
-    "n2_correlated_subquery",
-    "n4_approx_percentiles",
-    "n5_approx_count_distinct",
-    "x8_budget_effective",
-    "x6_seasonal_strength",
-    "x2_eval_contamination_report",
-    "x7_geofence_assignment",
-    "x5_media_validate",
-    "x2_lsh_recall_eval",
-    "x6_rollup_cascade",
-    "x3_metric_sensitivity",
-    "x2_cluster_size_histogram",
-    "x6_minmax_downsample",
-    "x7_hotspot_cells",
-    "x2_cluster_template",
-    "x8_split_leakage_audit",
-    "x5_phash_banded_dedup",
-    # --- +7 pulled forward from the r12 queue head ---
-    "x5_media_metadata",
-    "x4_dup_ngram_fraction",
-    "x9_curation_v7",
-    "x2_bbit_minhash",
-    "x4_template_detection",
-    # --- job-running tail (abort here cannot un-score the sweep) ---
-    "x3_ann_stream_ingest",
-    "x3_ann_ivf_delete",
-    "x3_ann_ivf",
-    "x3_ann_ivf_add_recall",
+    "x6_gap_detection",
+    "x6_burstiness",
+    "x4_doc_chunking",
+    "x2_chunk_cross_dup",
+    "x6_permutation_entropy",
+    "x7_moran_i",
+    "n21_attribution",
+    "x6_sax_words",
+    "x6_cross_correlation",
+    "x7_ripley_k",
+    "x3_knn_hubness",
+    "x5_silence_gate",
+    "x5_image_histogram",
+    "x6_hurst",
+    "x7_dbscan_labels",
+    "x6_mann_kendall",
+    "x3_ann_lsh_multiprobe",
+    "x2_threshold_sweep",
+    "x2_dedup_method_agreement",
+    "x7_clark_evans",
+    "x7_knox",
+    "x3_ann_method_recall",
+    "x8_temperature_sweep",
+    "x6_haar_energy",
+    "x4_msttr",
+    "x3_ivf_nprobe_sweep",
+    "x9_dup_quality_matrix",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: QUEUE MATH after the r11 rebalance (window = 23 CORE + 27 ROTATION):
-#: r11 scores the full pinned r11 queue (so every windowable oracle query
-#: registered through r9 has a driver-green row, closing VERDICT r09
-#: item 4's coverage window) PLUS 7 of the r10 wave.
-#: r12 queue (27 slots): the remaining 29 named r10-wave queries minus a
-#:   2-query tail — x6_gap_detection, x6_burstiness, x4_doc_chunking,
-#:   x2_chunk_cross_dup, x6_permutation_entropy, x7_moran_i,
-#:   n21_attribution, x6_sax_words, x6_cross_correlation, x7_ripley_k,
-#:   x3_knn_hubness, x5_silence_gate, x5_image_histogram, x6_hurst,
-#:   x7_dbscan_labels, x6_mann_kendall, x3_ann_lsh_multiprobe,
-#:   x2_threshold_sweep, x2_dedup_method_agreement, x7_clark_evans,
-#:   x7_knox, x3_ann_method_recall, x8_temperature_sweep, x6_haar_energy,
-#:   x4_msttr, x3_ivf_nprobe_sweep, x9_dup_quality_matrix (27 slots).
-#: r13 queue: the r10-wave tail (x6_entropy_rate,
-#:   x8_context_length_sweep), the r11-round additions (x4_unicode_anomaly,
-#:   x4_code_detection, x2_boilerplate_scrub, x5_media_hash_dedup, x6_acf,
-#:   x6_ljung_box, x9_curation_v8, x4_textrank_keywords,
-#:   x6_robust_outliers, x2_url_canonical_dedup, x3_embedding_gram,
-#:   x5_mp4_box_walk, x4_countmin_sketch, x2_stream_neardup,
-#:   n24_cdc_apply, n26_jsonl_deadletter, x9_k_anonymity_audit,
-#:   n11_watermark_planner), then the
-#:   long-cycle refresh of the seven ex-CORE rows (x4_lang_id,
-#:   x5_media_decode_real, x8_train_holdout_split, x6_ts_dtw,
-#:   n13_python_udtf, n15_sql_api, n16_recursive_cte). Every r10-wave
-#:   operator therefore has a driver row by r13, per the verdict's
-#:   deadline (all but two land by r12).
+#: QUEUE MATH after the r12 rotation (window = 23 CORE + 27 ROTATION):
+#: r12 scores the remaining 27 r10-wave queries (ROTATION above), so
+#: every r10-wave operator except the 2-query tail has a driver row.
+#: r13 queue (27 slots, all oracled — verified in
+#:   tests/test_registry_order.py — so the r13 window is 50/50
+#:   hash-checked, VERDICT r11 item 5): the r10-wave tail
+#:   (x6_entropy_rate, x8_context_length_sweep), the r11-round additions
+#:   (x4_unicode_anomaly, x4_code_detection, x2_boilerplate_scrub,
+#:   x5_media_hash_dedup, x6_acf, x6_ljung_box, x9_curation_v8,
+#:   x4_textrank_keywords, x6_robust_outliers, x2_url_canonical_dedup,
+#:   x3_embedding_gram, x5_mp4_box_walk, x4_countmin_sketch,
+#:   x2_stream_neardup, n24_cdc_apply, n26_jsonl_deadletter,
+#:   x9_k_anonymity_audit, n11_watermark_planner), then the long-cycle
+#:   refresh of the seven ex-CORE rows (x4_lang_id, x5_media_decode_real,
+#:   x8_train_holdout_split, x6_ts_dtw, n13_python_udtf, n15_sql_api,
+#:   n16_recursive_cte). Every r10-wave operator therefore has a driver
+#:   row by r13, per the verdict's deadline.
 #: r14 queue (overflow past r13's exactly-full 27): x3_mips_topk,
-#: x2_frontier_schedule, x9_lineage_chain, x2_overmerge_audit, and any
-#: further late-r11/r12-round additions, in registration order.
-#: Rows-only by design (never windowable): x3_pca_project (r11),
-#: x3_ann_pq/brp/ivf_pq/
-#: ivf_partitioned, x4_compression_ratio, x4_bpe_encode.
+#: x2_frontier_schedule, x9_lineage_chain, x2_overmerge_audit, the
+#: r11-verdict sketch error-bound companions (n4_percentile_error_bound,
+#: n5_acd_error_bound), and further r12-round additions, in registration
+#: order.
+#: Rows-only by design (never windowable): n4_approx_percentiles,
+#: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
+#: oracled error-bound/seeded companions are windowable instead),
+#: x3_pca_project, x3_ann_pq/brp/ivf_pq/ivf_partitioned,
+#: x4_compression_ratio, x4_bpe_encode.
 
 #: Disk-writing queries pinned to the very end (rule 16): an abort in a
 #: sandboxed/readonly temp dir cannot un-score the sweep.

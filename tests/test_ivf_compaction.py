@@ -148,6 +148,50 @@ def test_unflagged_cell_files_untouched(compacted_index):
         assert sorted(os.listdir(os.path.join(path, d))) == files, d
 
 
+def test_all_dead_cell_excluded_and_oracle_mirrors_it(spark, tmp_path):
+    """ADVICE r11 item 1: a cell whose rows are ALL tombstoned cannot be
+    cleared by dynamic partition overwrite (there is nothing to write),
+    so ``ivf_compact_index`` leaves it in place and excludes it from the
+    returned list — and the oracle must encode the SAME rule
+    (``AND n_live > 0``) or a fully-dead cell would silently break
+    Spark-vs-oracle parity if the delete rate ever rises."""
+    from etl_active911_spark.operators.similarity import (
+        _IVF_COMPACT_ORACLE,
+        ivf_compact_index,
+    )
+
+    path = str(tmp_path / "index")
+    rows = [
+        # cell 0: 4 rows, all dead -> past threshold but zero live
+        *[(i, [1.0, 0.0], 0) for i in range(4)],
+        # cell 1: 4 rows, 3 dead 1 live -> flagged and compactable
+        *[(i, [0.0, 1.0], 1) for i in range(10, 14)],
+        # cell 2: 4 rows, 0 dead -> below threshold, untouched
+        *[(i, [0.5, 0.5], 2) for i in range(20, 24)],
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, cell INT")
+    df.write.partitionBy("cell").mode("overwrite").parquet(path)
+    tombstones = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 10, 11, 12)], "vec_id INT"
+    )
+
+    flagged = ivf_compact_index(spark, path, tombstones)
+    assert flagged == [1], flagged  # all-dead cell 0 excluded
+
+    post = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    }
+    # cell 0 left fully in place; cell 1 reduced to its one live row;
+    # cell 2 untouched
+    assert post == (
+        {(i, 0) for i in range(4)} | {(13, 1)} | {(i, 2) for i in range(20, 24)}
+    )
+
+    # the oracle mirrors the zero-live exclusion in every CASE arm
+    assert _IVF_COMPACT_ORACLE.count("AND n_live > 0") == 3
+
+
 def test_probe_equivalence_after_compaction(spark, compacted_index):
     """The serving path (probe + tombstone anti-join) is bit-identical
     over the compacted layout."""

@@ -41,6 +41,34 @@ def test_compact_band_keys_generate_identical_candidates(spark):
     assert compact == pure and len(compact) > 0
 
 
+def test_fixture_buckets_stay_below_hot_bucket_cap(spark):
+    """ADVICE r11 item 4: the x2_stream_neardup oracle derives candidates
+    from the UNCAPPED shared ``cand`` CTE while the Spark side applies
+    ``lsh_candidate_pairs``' LSH_MAX_BUCKET guard — parity holds only
+    because the cap is a calibrated NO-OP on the fixtures. Pin that
+    calibration: the largest band bucket on the fixture corpus must stay
+    below the cap (with margin), so a fixture regeneration that grows a
+    flood breaks HERE loudly instead of as a silent oracle mismatch."""
+    from etl_active911_spark.operators.dedup import lsh_band_rows, minhash_signatures
+
+    docs = spread(read_table(spark, SF_ORACLE, "documents"), "doc_id")
+    biggest = (
+        lsh_band_rows(minhash_signatures(docs))
+        .groupBy("band_key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # margin: the cap must not merely hold, it must hold with headroom —
+    # half the cap keeps the no-op assumption safe under modest growth
+    assert biggest <= LSH_MAX_BUCKET // 2, (
+        f"largest fixture band bucket = {biggest}: the LSH_MAX_BUCKET "
+        "no-op calibration the capped-Spark vs uncapped-oracle queries "
+        "rely on is about to break — mirror the cap in the oracle cand "
+        "CTEs before raising this bound"
+    )
+
+
 def _adversarial_corpus(spark):
     """N_FLOOD exact copies of one text + a small family of near-dups of a
     DIFFERENT text + unique filler docs. doc_id 0..N_FLOOD-1 = the flood."""

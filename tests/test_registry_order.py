@@ -32,43 +32,45 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-10 scoring window (CORRECTNESS_r10.json keys — 50/50 green, so
-# nothing carries over): the rotation policy requires each round's window
-# to re-earn driver rows for queries this set did NOT score.
-R10_WINDOW = {
-    "flagship_revenue_by_nation", "o5_base64_roundtrip", "o10_coord_resolve",
-    "o13_response_extract", "o15_time_parse", "o19_links_dedup",
-    "o22_error_accounting", "a911_pipeline_flat", "a911_features_nested",
-    "n11_tumbling_window", "n12_session_window", "n14_stream_stream_join",
-    "n13_pandas_scalar", "n15_sql_api", "n16_recursive_cte",
-    "x4_token_stats", "x4_lang_id", "x9_curation_pipeline",
-    "x5_media_decode", "x5_media_decode_real", "x6_ts_pattern_match",
-    "x7_nearest_station", "x3_pandas_matmul", "x2_dup_clusters",
-    "o2_source_roundtrip", "x1_exact_dedup", "x8_stratified_sample",
-    "x8_train_holdout_split", "x6_ts_dtw", "n13_python_udtf",
-    "x4_char_entropy", "x4_pmi_bigrams", "o15_time_parse_pinned_now",
-    "x2_token_decontaminate", "x2_minhash_estimate", "x4_blocklist_gate",
-    "x4_zipf_fit", "x3_embedding_stats", "x3_ann_ivf_add",
-    "x6_cusum_changepoint", "x9_curation_v6",
-    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q11_important_parts",
-    "tpch_q15_top_supplier", "tpch_q16_part_supplier_counts",
-    "tpch_q19_discounted_revenue", "tpch_q20_promotion_suppliers",
-    "x3_ann_ivf_lloyd1",
-}
-
-# The 20-slot r11 rotation queue pinned in r9 and re-pinned by VERDICT r10
-# item 1 — every member must sit inside this round's scoring window.
-PINNED_R11_QUEUE = {
+# The round-11 scoring window (CORRECTNESS_r11.json keys — 47/47 green on
+# every oracled row, 3 rows-only by design, so nothing carries over): the
+# rotation policy requires each round's window to re-earn driver rows for
+# queries this set did NOT score.
+R11_WINDOW = {
+    "flagship_revenue_by_nation", "o2_source_roundtrip",
+    "o5_base64_roundtrip", "o10_coord_resolve", "o13_response_extract",
+    "o15_time_parse", "o19_links_dedup", "o22_error_accounting",
+    "a911_pipeline_flat", "a911_features_nested", "n11_tumbling_window",
+    "n12_session_window", "n13_pandas_scalar", "n14_stream_stream_join",
+    "x1_exact_dedup", "x2_dup_clusters", "x3_pandas_matmul",
+    "x4_token_stats", "x5_media_decode", "x6_ts_pattern_match",
+    "x7_nearest_station", "x8_stratified_sample", "x9_curation_pipeline",
     "tpch_q22_idle_customers", "n2_correlated_subquery",
-    "n4_approx_percentiles", "n5_approx_count_distinct", "x3_ann_ivf",
+    "n4_approx_percentiles", "n5_approx_count_distinct",
     "x8_budget_effective", "x6_seasonal_strength",
     "x2_eval_contamination_report", "x7_geofence_assignment",
     "x5_media_validate", "x2_lsh_recall_eval", "x6_rollup_cascade",
-    "x3_ann_ivf_add_recall", "x3_metric_sensitivity",
-    "x2_cluster_size_histogram", "x6_minmax_downsample",
-    "x7_hotspot_cells", "x2_cluster_template", "x8_split_leakage_audit",
-    "x5_phash_banded_dedup",
+    "x3_metric_sensitivity", "x2_cluster_size_histogram",
+    "x6_minmax_downsample", "x7_hotspot_cells", "x2_cluster_template",
+    "x8_split_leakage_audit", "x5_phash_banded_dedup", "x5_media_metadata",
+    "x4_dup_ngram_fraction", "x9_curation_v7", "x2_bbit_minhash",
+    "x4_template_detection", "x3_ann_stream_ingest", "x3_ann_ivf_delete",
+    "x3_ann_ivf", "x3_ann_ivf_add_recall",
+}
+
+# The 27-slot r12 rotation queue pinned in the r11 registry queue-math
+# note and re-pinned verbatim by VERDICT r11 item 1 — every named member
+# must sit inside this round's scoring window.
+PINNED_R12_QUEUE = {
+    "x6_gap_detection", "x6_burstiness", "x4_doc_chunking",
+    "x2_chunk_cross_dup", "x6_permutation_entropy", "x7_moran_i",
+    "n21_attribution", "x6_sax_words", "x6_cross_correlation",
+    "x7_ripley_k", "x3_knn_hubness", "x5_silence_gate",
+    "x5_image_histogram", "x6_hurst", "x7_dbscan_labels",
+    "x6_mann_kendall", "x3_ann_lsh_multiprobe", "x2_threshold_sweep",
+    "x2_dedup_method_agreement", "x7_clark_evans", "x7_knox",
+    "x3_ann_method_recall", "x8_temperature_sweep", "x6_haar_energy",
+    "x4_msttr", "x3_ivf_nprobe_sweep", "x9_dup_quality_matrix",
 }
 
 
@@ -112,23 +114,14 @@ def test_oracle_dict_is_subset_in_same_order():
     assert o == sorted(o, key=pos.__getitem__)
 
 
-# Approx-sketch queries with no SQL shape (rows-only by design) that the
-# pinned r11 queue deliberately rotates through the window so they earn
-# their weaker driver check once (VERDICT r10 item 1: "the 5 r1/r2
-# stragglers" includes these three). Each carries an independent replica
-# or property test in lieu of an oracle.
-WINDOWED_ROWS_ONLY = {
-    "n4_approx_percentiles", "n5_approx_count_distinct", "x3_ann_ivf",
-}
-
-
-def test_windowed_queries_all_have_oracles_or_documented_rows_only():
-    """Everything in the scoring window should carry a DuckDB oracle,
-    except the documented rows-only sketches the pinned r11 queue rotates
-    in (the driver records their weaker rows-only check this round)."""
+def test_windowed_queries_all_have_oracles():
+    """Every query in the r12 scoring window carries a DuckDB oracle —
+    the r12 window is 50/50 hash-checked (VERDICT r11 item 5: the
+    rows-only sketches earned their weaker driver row in r11 and rotate
+    out; their error-bound companions are oracled)."""
     names = list(entry.queries())[:WINDOW]
     oracles = entry.oracle_sql()
-    missing = [n for n in names if n not in oracles and n not in WINDOWED_ROWS_ONLY]
+    missing = [n for n in names if n not in oracles]
     assert missing == [], missing
 
 
@@ -141,19 +134,19 @@ def test_rotation_reearns_driver_rows():
     """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
     slots must go to queries the PREVIOUS round's window did not score,
     so hard driver evidence cycles through the whole registry over
-    rounds. r11: all 50 r10 rows were green, so no red row carries over
-    and the whole widened ROTATION (27 slots) is fresh."""
+    rounds. r12: all 47 oracled r11 rows were green, so no red row
+    carries over and the whole ROTATION (27 slots) is fresh."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R10_WINDOW
+    fresh = window - R11_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    assert set(registry.ROTATION) & R10_WINDOW == set()
+    assert set(registry.ROTATION) & R11_WINDOW == set()
 
 
-def test_r11_pinned_queue_executes_exactly():
-    """VERDICT r10 item 1: the 20-slot r11 queue pinned in r9 executes
+def test_r12_pinned_queue_executes_exactly():
+    """VERDICT r11 item 1: the 27-slot r12 queue pinned in r11 executes
     EXACTLY — every named member holds a slot in this round's window."""
     window = set(list(entry.queries())[:WINDOW])
-    missing = PINNED_R11_QUEUE - window
+    missing = PINNED_R12_QUEUE - window
     assert missing == set(), sorted(missing)
 
 
