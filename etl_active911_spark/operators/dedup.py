@@ -554,16 +554,18 @@ def x2_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pair_member_sigs(spark: SparkSession, sf_dir: str):
     """(pairs, a, b): the memoized verified-pair graph plus the pair
     members' minhash signatures aliased per side — shared by the
-    signature-accuracy evals (x2_minhash_estimate, x2_bbit_minhash);
-    one persist key, so a session computes the signature table once."""
-    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    signature-accuracy evals (x2_minhash_estimate, x2_bbit_minhash).
+    Member signatures are a semi-join OF the session-wide
+    ``shared_minhash_sigs`` memo (r12 — previously recomputed from text
+    per eval); scoped_persist'd because the small member table joins
+    once per pair side (rule 18)."""
     pairs = shared_verified_pairs(spark, sf_dir)
     member_ids = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
     sigs = scoped_persist(
         "x2_minhash_estimate.sigs",
-        minhash_signatures(docs.join(member_ids, "doc_id", "left_semi")),
+        shared_minhash_sigs(spark, sf_dir).join(member_ids, "doc_id", "left_semi"),
     )
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
@@ -615,20 +617,17 @@ def x2_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_neardup_stream_matches_batch and
     ::test_neardup_stream_flood_guard_total_size.
 
-    Scale shape: ONE scoped_persist'd corpus signature pass feeds the
-    banding AND both sides of the agreement join (the signature pipeline
-    is the dominant cost and it has three consumers — rule 17);
-    candidates via the join-free bucket-and-explode (rule 18) with the
-    LSH_MAX_BUCKET flood guard. The persisted table is 64 longs per doc
-    — the same constant-per-doc state the streaming gate stores."""
+    Scale shape: ONE memoized corpus signature pass
+    (``shared_minhash_sigs`` — rule 25, VERDICT r11 item 3: this is the
+    same 64-hash sketch the whole minhash family derives) feeds the
+    banding AND both sides of the agreement join; candidates via the
+    join-free bucket-and-explode (rule 18) with the LSH_MAX_BUCKET flood
+    guard (a calibrated no-op on the fixtures, pinned in
+    test_lsh_hardening.py — the oracle's cand CTE is uncapped). The
+    memoized table is 64 longs per doc — the same constant-per-doc
+    state the streaming gate stores."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    # ONE signature pass serves both the banding and the agreement join
-    # (lsh_candidate_pairs would recompute the corpus signature pipeline
-    # internally — its dominant cost; fresh-session A/B at sf0.1:
-    # 4.48 -> 3.56 s warm, 15.4 -> 12.6 s cold)
-    sigs = scoped_persist(
-        "x2_stream_neardup.sigs", minhash_signatures(docs)
-    )
+    sigs = shared_minhash_sigs(spark, sf_dir)
     cands = lsh_candidate_pairs(docs, sigs=sigs)
     return signature_agreement_pairs(cands, sigs)
 
@@ -742,9 +741,12 @@ def verified_near_dup_pairs(
     persist_key: str = "dedup.verified_pairs",
     oracle_pure: bool = False,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verification ≥ threshold.
-    Input must carry (doc_id, text); returns (doc_a, doc_b, jaccard)."""
+    Input must carry (doc_id, text); returns (doc_a, doc_b, jaccard).
+    ``sigs``: a precomputed/memoized signature table (doc_id, h0..h63)
+    to band instead of recomputing the corpus signature pipeline."""
     # scoped_persist: the (tiny) pair list feeds BOTH the semi-join below
     # and the verification join — without materialization the whole
     # signature+band subtree evaluates twice (measured +50%). persist()
@@ -754,7 +756,9 @@ def verified_near_dup_pairs(
     # one live entry across the parity sweep (ADVICE r02).
     cands = scoped_persist(
         persist_key,
-        lsh_candidate_pairs(docs, oracle_pure=oracle_pure, max_bucket=max_bucket),
+        lsh_candidate_pairs(
+            docs, oracle_pure=oracle_pure, max_bucket=max_bucket, sigs=sigs
+        ),
     )
     # exact verification touches only docs that appear in a candidate pair
     # (semi-join first — shingle arrays for the other 99.9% of the corpus
@@ -805,10 +809,18 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, so the ORACLE-CHECKED entry must not silently drop pairs if a
     band bucket ever exceeds LSH_MAX_BUCKET under fixture growth. The cap
     stays on for the scale entry points (``near_dup_dedup``,
-    ``x2_incremental_neardup``), whose contract documents it."""
+    ``x2_incremental_neardup``), whose contract documents it.
+
+    Signatures come from the session-wide ``shared_minhash_sigs`` memo
+    (VERDICT r11 item 3): the signature pipeline is this query's
+    dominant cost and the identical sketch feeds x2_stream_neardup and
+    the band-occupancy/incremental/estimate queries."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     return verified_near_dup_pairs(
-        docs, persist_key="x2_minhash_lsh.cands", max_bucket=None
+        docs,
+        persist_key="x2_minhash_lsh.cands",
+        max_bucket=None,
+        sigs=shared_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -870,6 +882,32 @@ def clear_pairs_memo() -> None:
         except Exception:
             pass
     _PAIRS_MEMO.clear()
+
+
+def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus 64-hash MinHash signature table (doc_id, h0..h63),
+    materialized once per (session, sf_dir) — VERDICT r11 item 3: the
+    signature pipeline (shingle explode → 64 flat min aggregates) is the
+    dominant cost of the whole minhash family, and FOUR registered
+    queries rebuilt it per call (``x2_minhash_lsh`` → every
+    ``shared_verified_pairs`` consumer, ``x2_stream_neardup``,
+    ``x2_incremental_neardup``, ``x2_minhash_band_occupancy``) plus the
+    member-subset evals (``x2_minhash_estimate``/``x2_bbit_minhash``)
+    which now semi-join from it. The table is one fixed-width row per
+    document (65 longs, no text — the same constant-per-doc state the
+    streaming gate stores), comfortably under the rule-25 smallness bar.
+
+    Values are independent of partitioning and of the other rows
+    (per-doc min over affine hashes), so every consumer is
+    result-identical to its previous private rebuild."""
+    return fixture_memo(
+        "dedup.minhash_sigs",
+        spark,
+        sf_dir,
+        lambda: minhash_signatures(
+            spread(read_table(spark, sf_dir, "documents"), "doc_id")
+        ),
+    )
 
 
 def shared_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,7 +1766,7 @@ def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-involving ones, so incremental == full-recompute is the pinned
     contract."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    sigs = minhash_signatures(docs)
+    sigs = shared_minhash_sigs(spark, sf_dir)  # rule-25 memo (r12)
     bands = lsh_band_rows(sigs).withColumn("is_delta", (F.col("doc_id") % 10 == 0))
     # same hot-bucket guard as lsh_candidate_pairs (VERDICT r04 item 7):
     # the all_ids list is the skew exposure on the delta path — a flooded
@@ -1977,14 +2015,18 @@ def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw 3-gram buckets are Zipf-headed, so the uncapped form degrades
     far earlier; the cut is mirrored in the oracle so it is checked
     semantics, not a silent cap. Set sizes are derived from the SAME
-    grouped bucket table the pairs explode from (one shuffle feeds
-    both)."""
+    grouped bucket table the pairs explode from — scoped_persist'd
+    (r12): the static plan showed NO ReusedExchange between the two
+    consumers, so without materialization the shingle-explode +
+    collect_list pipeline ran twice (quiet interleaved A/B at sf0.1:
+    1.71 → 1.56 s median-of-5; rule 17 shared-subtree policy)."""
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     postings = shingle_rows(docs, k=3).withColumnRenamed("shingle", "g").distinct()
-    grouped = (
+    grouped = scoped_persist(
+        "x2_containment.grouped",
         postings.groupBy("g")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") <= CONTAIN_DF_CUT)
+        .filter(F.size("ids") <= CONTAIN_DF_CUT),
     )
     sizes = (
         grouped.select(F.explode("ids").alias("doc_id"))
@@ -2639,12 +2681,11 @@ def x2_minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: bucket = length(bin(s)) − 1 (integer-exact log2);
     pair counts are exact integers; only the share divides.
 
-    Scale shape: the signature/banding pipeline is x2_minhash_lsh's own
-    (codegen shingles → 64 flat min aggregates → band keys); occupancy
-    is one band_key-keyed count (the same shuffle candidate generation
-    pays), then bucket-grain windows over ≤ ~30 rows."""
-    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    bands = lsh_band_rows(minhash_signatures(docs), oracle_pure=True)
+    Scale shape: signatures are the session-wide ``shared_minhash_sigs``
+    memo (the same sketch x2_minhash_lsh bands — rule 25, r12);
+    occupancy is one band_key-keyed count (the same shuffle candidate
+    generation pays), then bucket-grain windows over ≤ ~30 rows."""
+    bands = lsh_band_rows(shared_minhash_sigs(spark, sf_dir), oracle_pure=True)
     occ = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("s"))
     # integer div: float division would lose exactness past 2^53 pairs
     pairs = F.expr("s * (s - 1) div 2").cast("long")
