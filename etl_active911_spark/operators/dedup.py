@@ -2934,15 +2934,18 @@ def shared_scrub_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def boilerplate_scrub_ledger(docs: DataFrame) -> DataFrame:
-    """Core of ``x2_boilerplate_scrub`` over an arbitrary
-    (doc_id, text) frame — split out so crafted corpora (identical doc
-    pairs, partially-quoted docs) pin the ledger exactly in pytest."""
+def scrub_segment_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, n_tok, seg_md5): the disjoint SCRUB_SEG-token segment
+    rows of a (doc_id, text) frame — the SINGLE definition of segment
+    identity, shared by the batch fold (``boilerplate_scrub_ledger``)
+    and the at-ingest gate (streaming/scrub_ingest.py) so the chunking
+    can never drift between them (the ``signature_agreement_pairs``
+    precedent)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n")
     )
-    c = base.select(
+    return base.select(
         "doc_id",
         "n",
         F.explode(
@@ -2961,26 +2964,22 @@ def boilerplate_scrub_ledger(docs: DataFrame) -> DataFrame:
             )
         ).alias("seg_md5"),
     )
-    g = c.groupBy("seg_md5").agg(
-        F.count_distinct("doc_id").alias("nd"),
-        F.min("doc_id").alias("canonical_doc"),
-    )
-    removed = F.when(
-        (F.col("nd") >= 2) & (F.col("doc_id") != F.col("canonical_doc")), 1
-    ).otherwise(0)
-    removed_tok = F.when(
-        (F.col("nd") >= 2) & (F.col("doc_id") != F.col("canonical_doc")),
-        F.col("n_tok"),
-    ).otherwise(F.lit(0))
-    agg = (
-        c.join(g, "seg_md5")
-        .groupBy("doc_id")
-        .agg(
-            F.max("n").cast("bigint").alias("n_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
-            F.sum(removed).cast("bigint").alias("n_removed_segs"),
-            F.sum(removed_tok).cast("bigint").alias("removed_tok"),
-        )
+
+
+def scrub_doc_rollup(c: DataFrame, removed_flag: Column) -> DataFrame:
+    """Per-doc scrub ledger from segment rows ``c`` (doc_id, n, n_tok,
+    seg_md5, + whatever columns ``removed_flag`` reads): tokens before,
+    segments, removed segments, tokens after, removed share (rule-26b
+    integer HALF-UP micro-division). Shared by the batch fold and the
+    streaming gate — ownership POLICY differs (batch: global MIN doc_id;
+    stream: first writer), the ledger arithmetic must not."""
+    removed = F.when(removed_flag, 1).otherwise(0)
+    removed_tok = F.when(removed_flag, F.col("n_tok")).otherwise(F.lit(0))
+    agg = c.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+        F.sum(removed).cast("bigint").alias("n_removed_segs"),
+        F.sum(removed_tok).cast("bigint").alias("removed_tok"),
     )
     return agg.select(
         "doc_id",
@@ -2997,6 +2996,21 @@ def boilerplate_scrub_ledger(docs: DataFrame) -> DataFrame:
             ).cast("double")
             / 1000000.0
         ).alias("removed_share"),
+    )
+
+
+def boilerplate_scrub_ledger(docs: DataFrame) -> DataFrame:
+    """Core of ``x2_boilerplate_scrub`` over an arbitrary
+    (doc_id, text) frame — split out so crafted corpora (identical doc
+    pairs, partially-quoted docs) pin the ledger exactly in pytest."""
+    c = scrub_segment_rows(docs)
+    g = c.groupBy("seg_md5").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    return scrub_doc_rollup(
+        c.join(g, "seg_md5"),
+        (F.col("nd") >= 2) & (F.col("doc_id") != F.col("canonical_doc")),
     )
 
 

@@ -323,6 +323,99 @@ def n5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Rank-slack for the percentile-sketch bound check: percentile_approx
+#: at accuracy 10000 guarantees rank error ≤ n/10000 (1e-4 of the group);
+#: the check brackets the sketch value between the EXACT 0.495/0.505
+#: quantiles — 50× that guarantee, so the row is deterministic-green for
+#: any sketch that honors its contract, and red only on a real defect.
+N4_BOUND_EPS = 0.005
+
+#: Relative-error margin for the HLL bound check: rsd=0.01 is one
+#: standard deviation; 5σ makes the flag deterministic-true for any
+#: correctly-functioning sketch on fixed data (HLL++ is deterministic
+#: given the input set — no runtime randomness).
+N5_BOUND_RSD_MULT = 5.0
+
+
+@query(
+    "n4_percentile_error_bound",
+    f"""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, {0.5 - N4_BOUND_EPS}), 6) AS lo_bound,
+           ROUND(quantile_cont(l_extendedprice, {0.5 + N4_BOUND_EPS}), 6) AS hi_bound,
+           CAST(1 AS INTEGER) AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def n4_percentile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-4 companion (VERDICT r11 item 5): an ORACLED check on the
+    rows-only percentile sketch — per group, the approx p50
+    (``percentile_approx``, accuracy 10000) must land inside the EXACT
+    [q(0.495), q(0.5+0.005)] value bracket (50× the sketch's rank-error
+    guarantee). The oracle computes the same exact bracket and asserts
+    ``within_bound = 1``: a misbehaving sketch emits 0 on the Spark side
+    and the driver's value hash goes red. Spark's exact ``percentile``
+    matches DuckDB's ``quantile_cont`` definition (proven by
+    ``n4_percentiles``' green row); the flag itself compares UNROUNDED
+    values, the published bracket rounds for display only."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("approx"),
+            F.percentile("l_extendedprice", F.lit(0.5 - N4_BOUND_EPS)).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(0.5 + N4_BOUND_EPS)).alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("lo", 6).alias("lo_bound"),
+            F.round("hi", 6).alias("hi_bound"),
+            (
+                (F.col("approx") >= F.col("lo")) & (F.col("approx") <= F.col("hi"))
+            ).cast("int").alias("within_bound"),
+        )
+    )
+
+
+@query(
+    "n5_acd_error_bound",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS INTEGER) AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def n5_acd_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-5 companion (VERDICT r11 item 5): an ORACLED check on the
+    rows-only HLL sketch — per group, ``approx_count_distinct``
+    (rsd=0.01) must sit within 5σ relative error of the exact
+    ``countDistinct``. The oracle recomputes the exact count and asserts
+    ``within_bound = 1``; HLL++ is deterministic for a fixed input set,
+    so the flag cannot flap — it goes red only if the sketch (or a
+    fixture regeneration) breaks the bound for real."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("exact_parts").cast("bigint").alias("exact_parts"),
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.lit(N5_BOUND_RSD_MULT * 0.01) * F.col("exact_parts")
+            ).cast("int").alias("within_bound"),
+        )
+    )
+
+
 @query(
     "n6_rollup",
     """

@@ -185,6 +185,9 @@ EXTRA_CHECKED = (
     "x3_embedding_gram",
     "x3_pca_project",
     "x2_url_canonical_dedup",
+    # r12 additions (queued for the r14 scoring window)
+    "n4_percentile_error_bound",
+    "n5_acd_error_bound",
 )
 
 BNLJ_ALLOWED.update({

@@ -1333,3 +1333,111 @@ def test_neardup_stream_split_invariance_one_doc_batches(spark, tmp_path):
     }
     assert got == want
     assert {(a, b) for a, b, _ in got} >= {(1, 3), (1, 4), (3, 4)}
+
+
+def _seg(tag: str) -> str:
+    """Exactly SCRUB_SEG tokens, unique per tag — one scrub segment."""
+    from etl_active911_spark.operators.dedup import SCRUB_SEG
+
+    return " ".join(f"{tag}{i}" for i in range(SCRUB_SEG))
+
+
+def test_scrub_stream_matches_batch(spark, tmp_path):
+    """Streaming boilerplate scrub (X-2 r12, VERDICT r11 item 6): two
+    availableNow drains over one checkpoint — batch 2 contains a
+    cross-arrival duplicate of a batch-1 segment AND a within-batch
+    duplicate pair — must emit exactly the batch fold's per-doc ledger
+    (first-writer ownership == global MIN doc_id because arrival is
+    doc_id-ordered). A replay of batch 1 afterwards must add nothing
+    (re-delivery guard)."""
+    from etl_active911_spark.operators.dedup import boilerplate_scrub_ledger
+    from etl_active911_spark.streaming import scrub_ingest
+
+    A, B, C, D, E = (_seg(t) for t in ("alpha", "beta", "gamma", "delta", "eps"))
+    b1 = [
+        (1, A + " " + B),   # owns A and B
+        (2, A + " " + C),   # A removed (doc 1 owns), owns C
+        (3, D),             # unique
+    ]
+    b2 = [
+        (11, B + " " + E),  # B removed cross-arrival (doc 1 owns), owns E
+        (12, E),            # within-batch-2 dup of E: doc 11 owns (min id)
+    ]
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "sc_src")
+    ledger_dir = str(tmp_path / "sc_ledger")
+    out_dir = str(tmp_path / "sc_out")
+    ckpt = str(tmp_path / "sc_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = scrub_ingest.run_scrub_stream(src, ledger_dir, out_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+
+    def rows(df):
+        return {
+            (
+                r["doc_id"], r["n_tokens"], r["n_segs"], r["n_removed_segs"],
+                r["tokens_after"], r["removed_share"],
+            )
+            for r in df.collect()
+        }
+
+    got = rows(spark.read.parquet(out_dir))
+    want = rows(boilerplate_scrub_ledger(spark.createDataFrame(b1 + b2, schema)))
+    assert got == want
+    by_doc = {t[0]: t for t in got}
+    assert by_doc[1][3] == 0          # canonical copy keeps everything
+    assert by_doc[2][3] == 1          # within-batch dup scrubbed
+    assert by_doc[11][3] == 1         # cross-arrival dup scrubbed
+    assert by_doc[12][3] == 1         # within-batch-2 dup scrubbed
+    assert by_doc[3][3] == 0          # unique doc untouched
+
+    # replay batch 1: the re-delivery guard must add no rows
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    assert rows(spark.read.parquet(out_dir)) == want
+
+
+def test_scrub_stream_out_of_order_divergence(spark, tmp_path):
+    """The documented one-sided divergence: when a duplicate arrives
+    BEFORE its smaller-doc_id sibling, the stream scrubs by arrival
+    precedence (first writer keeps) while the batch fold re-assigns
+    ownership to the MIN doc_id — the honest at-ingest contract
+    (scrub_ingest module docstring)."""
+    from etl_active911_spark.operators.dedup import boilerplate_scrub_ledger
+    from etl_active911_spark.streaming import scrub_ingest
+
+    A = _seg("omega")
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "oo_src")
+    ledger_dir = str(tmp_path / "oo_ledger")
+    out_dir = str(tmp_path / "oo_out")
+    ckpt = str(tmp_path / "oo_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = scrub_ingest.run_scrub_stream(src, ledger_dir, out_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    # doc 20 arrives FIRST and claims the segment; doc 5 arrives later
+    spark.createDataFrame([(20, A)], schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    spark.createDataFrame([(5, A)], schema).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+
+    stream = {r["doc_id"]: r["n_removed_segs"] for r in spark.read.parquet(out_dir).collect()}
+    assert stream == {20: 0, 5: 1}  # arrival precedence
+
+    batch = {
+        r["doc_id"]: r["n_removed_segs"]
+        for r in boilerplate_scrub_ledger(
+            spark.createDataFrame([(20, A), (5, A)], schema)
+        ).collect()
+    }
+    assert batch == {5: 0, 20: 1}  # MIN-doc_id canonical
