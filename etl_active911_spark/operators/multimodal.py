@@ -1852,3 +1852,121 @@ def x5_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_boxes long, duration_ms long, width int, "
         "height int, mdat_bytes long, truncated int",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5 (r12): cross-modal dedup report (text clusters × asset digests)
+# ---------------------------------------------------------------------------
+
+#: deterministic paired-asset assignment (shared SQL constant, rule 5):
+#: the asset attached to a document is content-derived — the sha of its
+#: 80-char head (the shared thumbnail/logo/header image near-dup texts
+#: typically carry) — except a fixed quarter of uploads (doc_id % 4 = 3)
+#: whose asset is doc-unique (fresh photography attached to recycled
+#: text). This gives the report all three verdict classes on the fixture
+#: (full_dup / partial_asset_reuse / text_only_dup) so the oracle hash
+#: exercises every CASE arm.
+_XMODAL_ASSET_SQL = """
+    CASE WHEN doc_id % 4 = 3
+         THEN 'unique asset ' || CAST(doc_id AS STRING)
+         ELSE substr(text, 1, 80) END
+"""
+
+
+def _cross_modal_oracle() -> str:
+    from etl_active911_spark.operators.clustering import component_ctes
+
+    return f"""
+    WITH RECURSIVE {component_ctes()},
+    assets AS (
+        SELECT doc_id, sha256({_XMODAL_ASSET_SQL}) AS payload_sha
+        FROM documents
+    ),
+    joined AS (
+        SELECT a.component, s.payload_sha
+        FROM assigned a JOIN assets s USING (doc_id)
+    ),
+    per_sha AS (
+        SELECT component, payload_sha, COUNT(*) AS n_sha
+        FROM joined GROUP BY component, payload_sha
+    ),
+    per_comp AS (
+        SELECT component,
+               CAST(SUM(n_sha) AS BIGINT) AS n_members,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_assets,
+               CAST(SUM(CASE WHEN n_sha >= 2 THEN n_sha ELSE 0 END)
+                    AS BIGINT) AS n_asset_reused_members
+        FROM per_sha GROUP BY component
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           n_members, n_distinct_assets, n_asset_reused_members,
+           CASE WHEN n_distinct_assets = 1 THEN 'full_dup'
+                WHEN n_asset_reused_members >= 2 THEN 'partial_asset_reuse'
+                ELSE 'text_only_dup' END AS paired_decision
+    FROM per_comp WHERE n_members >= 2
+    """
+
+
+@query("x5_cross_modal_dedup", _cross_modal_oracle())
+def x5_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r12, VERDICT r11 item 7): CROSS-MODAL DEDUP REPORT — the
+    paired-data decision multimodal training needs: when two documents
+    are TEXT near-duplicates, is the attached asset ALSO reused? Per
+    text near-dup cluster (the x2 connected components), the member
+    count, the distinct content-addressed asset digests among members
+    (``x5_media_hash_dedup``'s digest assignment), the number of members
+    whose asset is shared with another member, and the verdict the
+    pipeline acts on:
+
+    * ``full_dup`` — one asset serves the whole cluster: the (text,
+      image) pairs are full duplicates, keep ONE pair;
+    * ``partial_asset_reuse`` — some members share an asset: dedup
+      text per x2 but audit the asset mapping before dropping pairs;
+    * ``text_only_dup`` — every member carries a distinct asset: the
+      texts are near-dups but the PAIRS are not — dropping to one text
+      would discard unique images.
+
+    Scale shape (the verdict's bar: "over the two existing memos, zero
+    new scans"): cluster labels are the memoized
+    ``dedup.shared_component_labels`` (no MinHash or star-loop rerun);
+    asset digests are a scan-side projection (sha2 in the scan — blob
+    bytes never shuffle, the x5_media_hash_dedup shape) over the one
+    documents scan this query owns; then two keyed aggregates on
+    (component, sha) / component — cluster-sized, ≪ corpus. Asset
+    assignment is the ``_XMODAL_ASSET_SQL`` shared constant (all three
+    verdict classes fire on the fixture: 14/1/8 at sf0.01)."""
+    from etl_active911_spark.operators.dedup import shared_component_labels
+
+    docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    payload = F.when(
+        F.col("doc_id") % 4 == 3,
+        F.concat(F.lit("unique asset "), F.col("doc_id").cast("string")),
+    ).otherwise(F.substring("text", 1, 80))
+    assets = docs.select(
+        "doc_id", F.sha2(F.encode(payload, "utf-8"), 256).alias("payload_sha")
+    )
+    comp = shared_component_labels(spark, sf_dir)
+    joined = assets.join(comp, "doc_id", "left").select(
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        "payload_sha",
+    )
+    per_sha = joined.groupBy("component", "payload_sha").agg(
+        F.count(F.lit(1)).alias("n_sha")
+    )
+    per_comp = per_sha.groupBy("component").agg(
+        F.sum("n_sha").cast("bigint").alias("n_members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_assets"),
+        F.sum(F.when(F.col("n_sha") >= 2, F.col("n_sha")).otherwise(0))
+        .cast("bigint")
+        .alias("n_asset_reused_members"),
+    )
+    return per_comp.filter(F.col("n_members") >= 2).select(
+        F.col("component").cast("bigint").alias("component"),
+        "n_members",
+        "n_distinct_assets",
+        "n_asset_reused_members",
+        F.when(F.col("n_distinct_assets") == 1, "full_dup")
+        .when(F.col("n_asset_reused_members") >= 2, "partial_asset_reuse")
+        .otherwise("text_only_dup")
+        .alias("paired_decision"),
+    )

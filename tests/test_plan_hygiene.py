@@ -188,6 +188,7 @@ EXTRA_CHECKED = (
     # r12 additions (queued for the r14 scoring window)
     "n4_percentile_error_bound",
     "n5_acd_error_bound",
+    "x5_cross_modal_dedup",
 )
 
 BNLJ_ALLOWED.update({
