@@ -110,6 +110,11 @@ HEADLINE = [
     # (the minhash signature pipeline is its cost) and the CMS calibration
     "x2_stream_neardup",
     "x4_countmin_sketch",
+    # round-12 additions (same shared-subset rule): the cross-modal dedup
+    # report and the two sketch error-bound companions get first readings
+    "x5_cross_modal_dedup",
+    "n4_percentile_error_bound",
+    "n5_acd_error_bound",
 ]
 
 

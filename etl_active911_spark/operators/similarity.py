@@ -2064,6 +2064,107 @@ def semantic_dup_pairs(m: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X-2 (r12): semantic eval-set contamination (embedding-level leakage audit)
+# ---------------------------------------------------------------------------
+
+#: eval-slice rule: ~2.7% of vectors play the held-out eval set (a
+#: deterministic doc-id hash is what a real split uses; a modulus is the
+#: fixture equivalent). The audit is exact over the remaining train set.
+SEMCONTAM_EVAL_MOD = 37
+SEMCONTAM_EVAL_REM = 5
+
+#: contamination threshold: same τ as the SemDeDup family — an eval item
+#: whose nearest train neighbor is a semantic duplicate is contaminated.
+SEMCONTAM_TAU = SEMDEDUP_TAU
+
+_SEMCONTAM_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id AS eval_id, ee AS qe, nrm AS qn FROM n
+        WHERE vec_id % {SEMCONTAM_EVAL_MOD} = {SEMCONTAM_EVAL_REM}
+    ),
+    tr AS (
+        SELECT vec_id, ee, nrm FROM n
+        WHERE vec_id % {SEMCONTAM_EVAL_MOD} <> {SEMCONTAM_EVAL_REM}
+    ),
+    sc AS (
+        SELECT e.eval_id, t.vec_id,
+               ROUND(list_dot_product(e.qe, t.ee) / (e.qn * t.nrm), 6) AS cos
+        FROM ev e CROSS JOIN tr t
+    ),
+    best AS (
+        SELECT eval_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY eval_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM sc
+    )
+    SELECT CAST(eval_id AS BIGINT) AS eval_id,
+           CAST(vec_id AS BIGINT) AS train_vec_id,
+           cos AS top_cosine,
+           CAST(CASE WHEN cos >= {SEMCONTAM_TAU} THEN 1 ELSE 0 END AS INTEGER)
+               AS contaminated
+    FROM best WHERE rn = 1
+    """
+
+
+@query("x2_semantic_contamination", _SEMCONTAM_ORACLE)
+def x2_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r12): SEMANTIC EVAL-SET CONTAMINATION — the embedding-level
+    leg of the decontamination story: ``x2_eval_contamination_report`` /
+    ``x2_token_decontaminate`` catch verbatim and token-level leakage,
+    but a PARAPHRASED eval item shares no n-grams with its train twin —
+    it shares an embedding neighborhood (the SemDeDup observation,
+    arXiv:2303.09540, applied across the train/eval boundary). Per
+    held-out eval vector: its exact nearest train neighbor, the cosine,
+    and the contaminated verdict (cosine ≥ the SemDeDup τ) — the audit a
+    lab runs before trusting a benchmark number.
+
+    Determinism: cosine rounded to 6dp BEFORE the rank (rule 4), vec_id
+    tie-break; the flag compares the same rounded value in both engines.
+
+    Scale shape: the eval set is the SMALL side by construction (held-out
+    benchmarks are ≪ train) — it broadcasts, the train corpus is scanned
+    ONCE with per-row cosines against the broadcast block, and the
+    per-eval argmax is a (struct-max) hash aggregate with map-side
+    partials, so the shuffle carries |eval| rows per partition, never
+    scores (rule 23: no collect; the x3_cosine_topk plan family). Exact
+    by design — a leakage AUDIT is the one place recall shortcuts are
+    self-defeating; the banded/IVF variants remain the serving path."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    is_eval = F.col("vec_id") % SEMCONTAM_EVAL_MOD == SEMCONTAM_EVAL_REM
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("qe"),
+        l2norm(F.col("embedding")).alias("qn"),
+    )
+    tr = emb.filter(~is_eval).select(
+        "vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "eval_id",
+        "vec_id",
+        F.round(
+            dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cos"),
+    )
+    # per-eval argmax as ONE struct-max hash aggregate (map-side combine;
+    # cos desc then vec_id asc via negated id — no per-eval sort window)
+    best = scored.groupBy("eval_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid"))).alias("b")
+    )
+    return best.select(
+        F.col("eval_id").cast("bigint").alias("eval_id"),
+        (-F.col("b.nid")).cast("bigint").alias("train_vec_id"),
+        F.col("b.cos").alias("top_cosine"),
+        (F.col("b.cos") >= SEMCONTAM_TAU).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X-3h (r5): MMR diversity re-ranking (maximal marginal relevance)
 # ---------------------------------------------------------------------------
 

@@ -178,7 +178,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: r14 queue (overflow past r13's exactly-full 27): x3_mips_topk,
 #: x2_frontier_schedule, x9_lineage_chain, x2_overmerge_audit, the
 #: r11-verdict sketch error-bound companions (n4_percentile_error_bound,
-#: n5_acd_error_bound), and further r12-round additions, in registration
+#: n5_acd_error_bound), and the r12-round additions
+#: (x5_cross_modal_dedup, x2_semantic_contamination), in registration
 #: order.
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their

@@ -189,9 +189,11 @@ EXTRA_CHECKED = (
     "n4_percentile_error_bound",
     "n5_acd_error_bound",
     "x5_cross_modal_dedup",
+    "x2_semantic_contamination",
 )
 
 BNLJ_ALLOWED.update({
+    "x2_semantic_contamination": (1, "broadcast eval-slice embedding block (held-out benchmark side, ≪ train by construction) cross-scored against ONE train scan — the x3_cosine_topk shape"),
     "x8_epoch_shuffle": (2, "1-row broadcast hash-bounds table, once per prefix-sum subtree"),
     "x5_aspect_bucket_pack": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree"),
     "x4_vocab_growth": (6, "prefix-sum bounds rows + 1-row corpus-count scalar (3 one-row BNLJs); the scoped_persist'd subtree EXECUTES once but its InMemoryRelation plan text repeats per consumer"),
