@@ -146,6 +146,24 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial_topk(_query_scored_pairs(emb, normalize=True), TOP_K)
 
 
+def shared_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact cosine top-k ground truth (``x3_cosine_topk``'s result),
+    memoized per (session, sf_dir) — rule 25 (r12): THREE recall evals
+    rebuild this same brute-force leg per call (``x3_ann_recall_eval``,
+    ``x3_ann_method_recall``, ``x3_ivf_nprobe_sweep``), and at any scale
+    the exact leg is the eval family's dominant cost. The memo payload
+    is N_QUERIES × TOP_K rows — trivially under the smallness bar."""
+    from etl_active911_spark.plans.cache import fixture_memo
+
+    return fixture_memo(
+        "similarity.exact_topk",
+        spark,
+        sf_dir,
+        lambda: x3_cosine_topk(spark, sf_dir),
+        table="embeddings",
+    )
+
+
 RANGE_TAU = 0.3  # cosine radius for the range-search variant
 
 
@@ -2386,7 +2404,7 @@ def x3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: two bounded result tables (queries × k rows each) joined on
     (query_id, vec_id) and rolled up; cost is the two underlying
     pipelines, both already scale-shaped."""
-    exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = shared_exact_topk(spark, sf_dir).select("query_id", "vec_id")
     approx = x3_ann_ivf_seeded(spark, sf_dir).select(
         F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
     )
@@ -3699,7 +3717,7 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed once); the exact leg is the N_QUERIES-row broadcast brute
     force — the eval-only cost that a production run replaces with a
     labeled sample; top-k rides rank-limit pushdown (rule 19)."""
-    exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = shared_exact_topk(spark, sf_dir).select("query_id", "vec_id")
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     projs = _ann_projs(spark, emb)
     from etl_active911_spark.plans.cache import scoped_persist
@@ -3978,7 +3996,7 @@ def x3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("nprobe", "query_id", "vec_id")
     )
-    exact = x3_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = shared_exact_topk(spark, sf_dir).select("query_id", "vec_id")
     hits = (
         appr.join(exact, ["query_id", "vec_id"], "left_semi")
         .groupBy("nprobe")
