@@ -2154,24 +2154,47 @@ def x2_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-defeating; the banded/IVF variants remain the serving path."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     is_eval = F.col("vec_id") % SEMCONTAM_EVAL_MOD == SEMCONTAM_EVAL_REM
-    ev = emb.filter(is_eval).select(
+    ev = semcontam_eval_block(emb.filter(is_eval))
+    tr = emb.filter(~is_eval).select("vec_id", "embedding")
+    return semantic_contamination_rows(tr, ev)
+
+
+def semcontam_eval_block(ev: DataFrame) -> DataFrame:
+    """(eval_id, qe, qn) eval block from a (vec_id, embedding) frame —
+    the static side of the contamination check, shared by the batch
+    audit and the at-ingest gate."""
+    return ev.select(
         F.col("vec_id").alias("eval_id"),
         F.col("embedding").alias("qe"),
         l2norm(F.col("embedding")).alias("qn"),
     )
-    tr = emb.filter(~is_eval).select(
-        "vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm")
+
+
+def _contam_scored(tr: DataFrame, ev: DataFrame) -> DataFrame:
+    """(eval_id, vec_id, cos): every train row scored against the
+    broadcast eval block at 6dp — the shared scoring core of both
+    contamination orientations."""
+    return (
+        tr.select("vec_id", "embedding", l2norm(F.col("embedding")).alias("nrm"))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "eval_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
     )
-    scored = tr.crossJoin(F.broadcast(ev)).select(
-        "eval_id",
-        "vec_id",
-        F.round(
-            dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
-        ).alias("cos"),
-    )
-    # per-eval argmax as ONE struct-max hash aggregate (map-side combine;
-    # cos desc then vec_id asc via negated id — no per-eval sort window)
-    best = scored.groupBy("eval_id").agg(
+
+
+def semantic_contamination_rows(tr: DataFrame, ev: DataFrame) -> DataFrame:
+    """Per-EVAL nearest-train-neighbor verdict rows over an arbitrary
+    train frame (vec_id, embedding) and eval block (eval_id, qe, qn) —
+    the SINGLE definition of the eval-side contamination audit. The
+    per-eval argmax is ONE struct-max hash aggregate (map-side combine;
+    cos desc then vec_id asc via negated id — no per-eval sort
+    window)."""
+    best = _contam_scored(tr, ev).groupBy("eval_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid"))).alias("b")
     )
     return best.select(
@@ -2180,6 +2203,85 @@ def x2_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.cos").alias("top_cosine"),
         (F.col("b.cos") >= SEMCONTAM_TAU).cast("int").alias("contaminated"),
     )
+
+
+def train_contamination_rows(tr: DataFrame, ev: DataFrame) -> DataFrame:
+    """Per-TRAIN-row contamination verdict — the flipped orientation the
+    INGEST gate needs ('does this arriving training document contaminate
+    any eval item?'): for each train vector, its nearest eval item, the
+    cosine, and the quarantine flag (cos ≥ τ). Stateless per row, so the
+    streaming gate (streaming/contamination_ingest.py) emits each verdict
+    exactly once at arrival and the union over ANY split equals this
+    batch fold — the strongest stream≡batch contract in the ingest trio.
+    Shared by the registered ``x2_contamination_gate`` and the stream."""
+    best = _contam_scored(tr, ev).groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("eval_id")).alias("nid"))).alias("b")
+    )
+    return best.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        (-F.col("b.nid")).cast("bigint").alias("top_eval_id"),
+        F.col("b.cos").alias("top_cosine"),
+        (F.col("b.cos") >= SEMCONTAM_TAU).cast("int").alias("quarantined"),
+    )
+
+
+_CONTAM_GATE_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id AS eval_id, ee AS qe, nrm AS qn FROM n
+        WHERE vec_id % {SEMCONTAM_EVAL_MOD} = {SEMCONTAM_EVAL_REM}
+    ),
+    tr AS (
+        SELECT vec_id, ee, nrm FROM n
+        WHERE vec_id % {SEMCONTAM_EVAL_MOD} <> {SEMCONTAM_EVAL_REM}
+    ),
+    sc AS (
+        SELECT t.vec_id, e.eval_id,
+               ROUND(list_dot_product(e.qe, t.ee) / (e.qn * t.nrm), 6) AS cos
+        FROM tr t CROSS JOIN ev e
+    ),
+    best AS (
+        SELECT vec_id, eval_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, eval_id) AS rn
+        FROM sc
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(eval_id AS BIGINT) AS top_eval_id,
+           cos AS top_cosine,
+           CAST(CASE WHEN cos >= {SEMCONTAM_TAU} THEN 1 ELSE 0 END AS INTEGER)
+               AS quarantined
+    FROM best WHERE rn = 1
+    """
+
+
+@query("x2_contamination_gate", _CONTAM_GATE_ORACLE)
+def x2_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r12): the INGEST-side orientation of the semantic
+    contamination check — per TRAIN vector, its nearest eval-benchmark
+    item and the quarantine verdict (cos ≥ τ): the batch fold of the
+    streaming gate (streaming/contamination_ingest.py) that keeps
+    benchmark-contaminating documents out of a training corpus AT
+    ARRIVAL, completing the ingest-time quartet (near-dup, curation,
+    boilerplate, contamination). ``x2_semantic_contamination`` answers
+    'which eval items are burned'; this answers 'which train docs to
+    quarantine' — both ride the same scored core so τ and the estimator
+    cannot drift.
+
+    Scale shape: identical to the audit (broadcast eval block, one train
+    scan, per-train struct-max with map-side combine — the shuffle
+    carries one row per train vector, never scores); stateless per row,
+    which is what makes the streaming twin's union-over-any-split
+    equality exact."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    is_eval = F.col("vec_id") % SEMCONTAM_EVAL_MOD == SEMCONTAM_EVAL_REM
+    ev = semcontam_eval_block(emb.filter(is_eval))
+    tr = emb.filter(~is_eval).select("vec_id", "embedding")
+    return train_contamination_rows(tr, ev)
 
 
 # ---------------------------------------------------------------------------

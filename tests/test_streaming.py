@@ -1441,3 +1441,60 @@ def test_scrub_stream_out_of_order_divergence(spark, tmp_path):
         ).collect()
     }
     assert batch == {5: 0, 20: 1}  # MIN-doc_id canonical
+
+
+def test_contamination_stream_matches_batch(spark, tmp_path):
+    """Streaming contamination gate (X-2 r12): two availableNow drains
+    plus a replay over one checkpoint — the union of per-arrival verdict
+    rows must equal the registered batch fold EXACTLY for this (and any)
+    split: the gate is stateless per row, the strongest stream≡batch
+    contract in the ingest family."""
+    from etl_active911_spark.io import read_table, spread
+    from etl_active911_spark.operators.similarity import (
+        SEMCONTAM_EVAL_MOD,
+        SEMCONTAM_EVAL_REM,
+        semcontam_eval_block,
+        train_contamination_rows,
+    )
+    from etl_active911_spark.streaming import contamination_ingest
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_ORACLE
+
+    emb = spread(read_table(spark, SF_ORACLE, "embeddings"))
+    is_eval = F.col("vec_id") % SEMCONTAM_EVAL_MOD == SEMCONTAM_EVAL_REM
+    ev = semcontam_eval_block(emb.filter(is_eval)).localCheckpoint(eager=True)
+    train = emb.filter(~is_eval).select("vec_id", "embedding")
+
+    src_dir = str(tmp_path / "ct_src")
+    out_dir = str(tmp_path / "ct_out")
+    ckpt = str(tmp_path / "ct_ckpt")
+    b1 = train.filter(F.col("vec_id") % 2 == 0)
+    b2 = train.filter(F.col("vec_id") % 2 == 1)
+
+    def drain():
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src_dir)
+        q = contamination_ingest.run_contamination_stream(src, ev, out_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    # replay batch 1: the re-delivery guard must add nothing
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+
+    def rows(df):
+        return {
+            (r["vec_id"], r["top_eval_id"], r["top_cosine"], r["quarantined"])
+            for r in df.collect()
+        }
+
+    got = rows(spark.read.parquet(out_dir))
+    want = rows(train_contamination_rows(train, ev))
+    assert got == want and len(got) > 0
+    # sanity: the fixture exercises both verdict classes
+    flags = {q for *_, q in got}
+    assert flags == {0, 1}
