@@ -1713,8 +1713,11 @@ def x3_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X-3g: IVF with an ORACLE-CHECKED Lloyd refinement step
 # ---------------------------------------------------------------------------
 
-_IVF_LLOYD_ORACLE = f"""
-    WITH n AS (
+#: Shared CTE chain for one oracled spherical Lloyd step, ending at
+#: ``cells1`` (the post-update assignment) with ``sc1`` still in scope —
+#: composed verbatim by the lloyd1 serving oracle AND the rebalance-plan
+#: oracle (the hoist-shared-SQL discipline, ADVICE r09 item 3).
+_IVF_LLOYD_CTES = f"""n AS (
         SELECT vec_id, embedding::DOUBLE[] AS ee,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings
@@ -1764,7 +1767,10 @@ _IVF_LLOYD_ORACLE = f"""
                                       ORDER BY ROUND(cos, 6) DESC, cell) AS rn
             FROM sc1
         ) t WHERE rn = 1
-    ),
+    )"""
+
+_IVF_LLOYD_ORACLE = f"""
+    WITH {_IVF_LLOYD_CTES},
     probes AS (
         SELECT vec_id AS query_id, cell FROM (
             SELECT vec_id, cell,
@@ -1811,7 +1817,43 @@ def x3_ann_ivf_lloyd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on a 256-row sample; this query proves the update step
     itself distributes — at 100 TB each Lloyd sweep is one explode +
     one (cell, dim)-keyed aggregate over n·64 rows, no collect."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    n, cells0, sc1, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
+    probes = (
+        sc1.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        cells1.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(n.select("vec_id", "ee", "nrm"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (dot(F.col("qe"), F.col("ee")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+def _lloyd_step(emb: DataFrame):
+    """(n, cells0, sc1, cells1): the stages of one oracled spherical
+    Lloyd step — seed assignment, distributed centroid update (posexplode
+    → (cell, pos)-keyed mean, invariant 3's flat shape), re-scoring, and
+    the post-update assignment. Shared by ``x3_ann_ivf_lloyd1`` (probe +
+    re-rank tail) and ``x3_ann_ivf_rebalance_plan`` (assignment-churn
+    inventory) — the Spark twin of the hoisted ``_IVF_LLOYD_CTES``."""
     n = emb.select(
         "vec_id",
         F.col("embedding").alias("ee"),
@@ -1853,31 +1895,108 @@ def x3_ann_ivf_lloyd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
-    probes = (
-        sc1.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
+    return n, cells0, sc1, cells1
+
+
+_IVF_REBALANCE_ORACLE = f"""
+    WITH {_IVF_LLOYD_CTES},
+    moves AS (
+        SELECT c0.vec_id, c0.cell AS from_cell, c1.cell AS to_cell
+        FROM cells0 c0 JOIN cells1 c1 USING (vec_id)
+    ),
+    before AS (
+        SELECT from_cell AS cell, CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM moves GROUP BY from_cell
+    ),
+    after AS (
+        SELECT to_cell AS cell, CAST(COUNT(*) AS BIGINT) AS n_after
+        FROM moves GROUP BY to_cell
+    ),
+    outs AS (
+        SELECT from_cell AS cell, CAST(COUNT(*) AS BIGINT) AS n_out
+        FROM moves WHERE from_cell <> to_cell GROUP BY from_cell
+    ),
+    ins AS (
+        SELECT to_cell AS cell, CAST(COUNT(*) AS BIGINT) AS n_in
+        FROM moves WHERE from_cell <> to_cell GROUP BY to_cell
+    ),
+    cellids AS (SELECT DISTINCT cell FROM seeds)
+    SELECT c.cell,
+           COALESCE(b.n_before, 0) AS n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           COALESCE(i.n_in, 0) AS n_in,
+           COALESCE(o.n_out, 0) AS n_out,
+           CAST(CASE WHEN COALESCE(i.n_in, 0) + COALESCE(o.n_out, 0) > 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS needs_rewrite
+    FROM cellids c
+    LEFT JOIN before b USING (cell)
+    LEFT JOIN after a USING (cell)
+    LEFT JOIN ins i USING (cell)
+    LEFT JOIN outs o USING (cell)
+    """
+
+
+@query("x3_ann_ivf_rebalance_plan", _IVF_REBALANCE_ORACLE)
+def x3_ann_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r12): IVF REBALANCE PLANNER — the maintenance signal between
+    serving and re-fitting: after one oracled Lloyd centroid update, the
+    per-cell assignment-churn inventory (members before/after, vectors
+    moving in/out, and whether the cell's directory would need a physical
+    rewrite). This is the number an index operator reads to decide WHEN
+    the drift justifies paying ``x3_ann_ivf_compact``-style partition
+    rewrites — completing the lifecycle dial set: add → update → delete →
+    compact → REBALANCE-when-worth-it. Every column is an exact BIGINT
+    count off the bit-matched Lloyd assignments (no division, no float) —
+    both engines walk the identical argmax trajectories, so the
+    inventory is a hard hash row.
+
+    Scale shape: inherits the lloyd1 stages (one corpus scan, bounded
+    16-row centroid broadcasts, one posexplode + (cell,pos)-keyed mean);
+    the inventory itself is four cell-keyed counts over the assignment
+    tables joined on the 16-row cell id list."""
+    _, cells0, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    moves = scoped_persist(
+        "x3_ann_ivf_rebalance.moves",
+        cells0.select("vec_id", F.col("cell").alias("from_cell")).join(
+            cells1.select("vec_id", F.col("cell").alias("to_cell")), "vec_id"
+        ),
     )
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe"), F.col("nrm").alias("qn")
+    moved = F.col("from_cell") != F.col("to_cell")
+    before = moves.groupBy(F.col("from_cell").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
     )
-    scored = (
-        cells1.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .join(n.select("vec_id", "ee", "nrm"), "vec_id")
-        .join(F.broadcast(q), "query_id")
+    after = moves.groupBy(F.col("to_cell").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after")
+    )
+    outs = (
+        moves.filter(moved)
+        .groupBy(F.col("from_cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_out"))
+    )
+    ins = (
+        moves.filter(moved)
+        .groupBy(F.col("to_cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    )
+    cellids = spark.range(IVF_N_CELLS).select(F.col("id").cast("int").alias("cell"))
+    out = (
+        cellids.join(before, "cell", "left")
+        .join(after, "cell", "left")
+        .join(ins, "cell", "left")
+        .join(outs, "cell", "left")
         .select(
-            "query_id",
-            "vec_id",
-            (dot(F.col("qe"), F.col("ee")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+            "cell",
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce("n_in", F.lit(0)).cast("bigint").alias("n_in"),
+            F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
         )
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rnk")
+    return out.withColumn(
+        "needs_rewrite",
+        ((F.col("n_in") + F.col("n_out")) > 0).cast("int"),
     )
 
 

@@ -191,11 +191,13 @@ EXTRA_CHECKED = (
     "x5_cross_modal_dedup",
     "x2_semantic_contamination",
     "x2_contamination_gate",
+    "x3_ann_ivf_rebalance_plan",
 )
 
 BNLJ_ALLOWED.update({
     "x2_semantic_contamination": (1, "broadcast eval-slice embedding block (held-out benchmark side, ≪ train by construction) cross-scored against ONE train scan — the x3_cosine_topk shape"),
     "x2_contamination_gate": (1, "same broadcast eval block, flipped per-train argmax — the gate orientation of the contamination audit"),
+    "x3_ann_ivf_rebalance_plan": (12, "broadcast 16-row seed/updated-centroid tables (the x3_ann_ivf_lloyd1 bounded sides): 3 crossJoin legs (assign0 + the two-stage re-assign) embedded in the scoped_persist'd moves table, whose InMemoryRelation plan text repeats them once per consumer (before/after/ins/outs) — execution is once"),
     "x8_epoch_shuffle": (2, "1-row broadcast hash-bounds table, once per prefix-sum subtree"),
     "x5_aspect_bucket_pack": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree"),
     "x4_vocab_growth": (6, "prefix-sum bounds rows + 1-row corpus-count scalar (3 one-row BNLJs); the scoped_persist'd subtree EXECUTES once but its InMemoryRelation plan text repeats per consumer"),
