@@ -1,0 +1,121 @@
+"""Round-12 operator pins: the rule-25 memo wave's result-identity
+contracts (VERDICT r11 items 3+4's "result-identical, exceptAll empty"
+standard), the contamination family's tie-break/threshold semantics, and
+the rebalance planner's conservation laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_shared_minhash_sigs_is_result_identical_and_memo_hits(spark):
+    """The signature memo must equal a fresh private rebuild row-for-row
+    (both directions), and a second call within the session must return
+    the SAME materialized DataFrame (memo hit, not a rebuild)."""
+    from etl_active911_spark.io import read_table, spread
+    from etl_active911_spark.operators.dedup import (
+        minhash_signatures,
+        shared_minhash_sigs,
+    )
+
+    memo = shared_minhash_sigs(spark, SF_ORACLE)
+    assert shared_minhash_sigs(spark, SF_ORACLE) is memo  # session memo hit
+    fresh = minhash_signatures(spread(read_table(spark, SF_ORACLE, "documents"), "doc_id"))
+    assert memo.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(memo).count() == 0
+
+
+def test_shared_component_labels_match_star_engine(spark):
+    from etl_active911_spark.operators.clustering import connected_components_star
+    from etl_active911_spark.operators.dedup import (
+        shared_component_labels,
+        shared_verified_pairs,
+    )
+
+    memo = shared_component_labels(spark, SF_ORACLE)
+    assert shared_component_labels(spark, SF_ORACLE) is memo
+    fresh = connected_components_star(shared_verified_pairs(spark, SF_ORACLE))
+    assert memo.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(memo).count() == 0
+
+
+def test_geo_pair_graph_memo_is_result_identical(spark):
+    from etl_active911_spark.operators.geo import (
+        _colocated_pairs,
+        _grid_points,
+        _shared_pair_graph,
+    )
+
+    memo = _shared_pair_graph(spark, SF_ORACLE)
+    assert _shared_pair_graph(spark, SF_ORACLE) is memo
+    fresh = _colocated_pairs(_grid_points(spark, SF_ORACLE))
+    assert memo.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(memo).count() == 0
+
+
+def test_shared_exact_topk_matches_cosine_topk(spark):
+    from etl_active911_spark.operators.similarity import (
+        shared_exact_topk,
+        x3_cosine_topk,
+    )
+
+    memo = shared_exact_topk(spark, SF_ORACLE)
+    assert shared_exact_topk(spark, SF_ORACLE) is memo
+    fresh = x3_cosine_topk(spark, SF_ORACLE)
+    assert memo.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(memo).count() == 0
+
+
+def test_contamination_tie_break_and_threshold(spark):
+    """Crafted semantics: (a) two eval items at the SAME rounded cosine —
+    the verdict names the LOWER eval_id; (b) the quarantine flag is ≥ τ
+    INCLUSIVE (an exact-τ cosine flags)."""
+    from etl_active911_spark.operators.similarity import (
+        SEMCONTAM_TAU,
+        semcontam_eval_block,
+        train_contamination_rows,
+    )
+
+    # eval 10 and 20 are identical vectors -> identical cosines to any
+    # train row; eval 30 is orthogonal to train vec 1
+    ev = semcontam_eval_block(
+        spark.createDataFrame(
+            [(10, [1.0, 0.0]), (20, [1.0, 0.0]), (30, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    # train 1 aligned with eval 10/20 (cos 1.0 -> quarantined, tie-break
+    # 10); train 2 = (−sin θ, cos θ) with θ = acos(τ): cosine vs eval
+    # 30's (0, 1) axis is EXACTLY τ (the inclusive-threshold case) while
+    # the (1, 0) evals sit at −sin θ < τ, so eval 30 is the argmax
+    import math
+
+    theta = math.acos(SEMCONTAM_TAU)
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-math.sin(theta), math.cos(theta)])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in train_contamination_rows(tr, ev).collect()}
+    assert got[1]["top_eval_id"] == 10  # tie-break: lower eval id
+    assert got[1]["top_cosine"] == 1.0 and got[1]["quarantined"] == 1
+    # vec 2: nearest is eval 30 at exactly tau (rounded) -> flag fires
+    assert got[2]["quarantined"] == 1
+    assert abs(got[2]["top_cosine"] - round(SEMCONTAM_TAU, 6)) <= 1e-6
+
+
+def test_rebalance_plan_conservation(spark):
+    """Vectors are conserved by the Lloyd re-assignment: Σn_before ==
+    Σn_after == corpus size, and global in/out movement balances."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.similarity import x3_ann_ivf_rebalance_plan
+
+    rows = x3_ann_ivf_rebalance_plan(spark, SF_ORACLE).collect()
+    n_vecs = read_table(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r["n_before"] for r in rows) == n_vecs
+    assert sum(r["n_after"] for r in rows) == n_vecs
+    assert sum(r["n_in"] for r in rows) == sum(r["n_out"] for r in rows)
+    for r in rows:
+        assert r["n_after"] == r["n_before"] + r["n_in"] - r["n_out"]
+        assert r["needs_rewrite"] == int(r["n_in"] + r["n_out"] > 0)
