@@ -111,10 +111,14 @@ HEADLINE = [
     "x2_stream_neardup",
     "x4_countmin_sketch",
     # round-12 additions (same shared-subset rule): the cross-modal dedup
-    # report and the two sketch error-bound companions get first readings
+    # report, the two sketch error-bound companions, and the round's
+    # heavier newcomers (contamination gate = one corpus × eval-block
+    # scan; rebalance planner = the Lloyd stages) get first readings
     "x5_cross_modal_dedup",
     "n4_percentile_error_bound",
     "n5_acd_error_bound",
+    "x2_contamination_gate",
+    "x3_ann_ivf_rebalance_plan",
 ]
 
 
