@@ -2306,21 +2306,57 @@ def _contam_scored(tr: DataFrame, ev: DataFrame) -> DataFrame:
     )
 
 
+#: Order-preserving int64 encoding of (rounded cosine, tie-break id):
+#: enc = (cos_micro + 1_000_001) · 2⁴¹ + (2⁴⁰ − id). A struct-max
+#: aggregate plans as SortAggregate (struct ordering is not
+#: hash-aggregable — caught by the r12 .explain audit: map-side it
+#: sorts the full |train|×|eval| scored stream), while a plain BIGINT
+#: MAX stays a HashAggregate with map-side combine. Bounds: cos_micro ∈
+#: [−10⁶, 10⁶] so the first term ≤ 2·10⁶·2⁴¹ ≈ 4.4e18 < int64; ids must
+#: be < 2⁴⁰ (~10¹² — any realistic corpus id space; guarded below).
+_CONTAM_ENC_M = 1 << 41
+_CONTAM_ENC_ID = 1 << 40
+
+
+def _argmax_enc(cos: Column, tie_id: Column) -> Column:
+    micro = F.round(cos * 1_000_000).cast("long")
+    return (micro + F.lit(1_000_001)) * F.lit(_CONTAM_ENC_M) + (
+        F.lit(_CONTAM_ENC_ID) - tie_id
+    )
+
+
+def _argmax_dec(best: DataFrame, id_alias: str) -> DataFrame:
+    """(key, enc) → (key, <id_alias>, top_cosine): invert _argmax_enc.
+    Integer div/pmod only (enc is positive, so truncation == floor and
+    no rule-28 sign divergence); cosine = micro/10⁶ — IEEE division is
+    correctly rounded, so this equals ROUND(cos, 6)'s double bit-for-bit."""
+    rid = (F.lit(_CONTAM_ENC_ID) - F.pmod(F.col("enc"), F.lit(_CONTAM_ENC_M))).cast(
+        "bigint"
+    )
+    micro = F.expr(f"enc div {_CONTAM_ENC_M}") - F.lit(1_000_001)
+    return best.select(
+        F.col(best.columns[0]),
+        rid.alias(id_alias),
+        (micro.cast("double") / 1_000_000.0).alias("top_cosine"),
+    )
+
+
 def semantic_contamination_rows(tr: DataFrame, ev: DataFrame) -> DataFrame:
     """Per-EVAL nearest-train-neighbor verdict rows over an arbitrary
     train frame (vec_id, embedding) and eval block (eval_id, qe, qn) —
     the SINGLE definition of the eval-side contamination audit. The
-    per-eval argmax is ONE struct-max hash aggregate (map-side combine;
-    cos desc then vec_id asc via negated id — no per-eval sort
-    window)."""
-    best = _contam_scored(tr, ev).groupBy("eval_id").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid"))).alias("b")
+    per-eval argmax is ONE encoded-BIGINT MAX hash aggregate (map-side
+    combine; cos desc then vec_id asc folded into the ``_argmax_enc``
+    order-preserving encoding — no per-eval sort window, no
+    SortAggregate)."""
+    best = (
+        _contam_scored(tr, ev)
+        .groupBy("eval_id")
+        .agg(F.max(_argmax_enc(F.col("cos"), F.col("vec_id"))).alias("enc"))
     )
-    return best.select(
-        F.col("eval_id").cast("bigint").alias("eval_id"),
-        (-F.col("b.nid")).cast("bigint").alias("train_vec_id"),
-        F.col("b.cos").alias("top_cosine"),
-        (F.col("b.cos") >= SEMCONTAM_TAU).cast("int").alias("contaminated"),
+    dec = _argmax_dec(best.select(F.col("eval_id").cast("bigint").alias("eval_id"), "enc"), "train_vec_id")
+    return dec.withColumn(
+        "contaminated", (F.col("top_cosine") >= SEMCONTAM_TAU).cast("int")
     )
 
 
@@ -2332,15 +2368,16 @@ def train_contamination_rows(tr: DataFrame, ev: DataFrame) -> DataFrame:
     streaming gate (streaming/contamination_ingest.py) emits each verdict
     exactly once at arrival and the union over ANY split equals this
     batch fold — the strongest stream≡batch contract in the ingest trio.
-    Shared by the registered ``x2_contamination_gate`` and the stream."""
-    best = _contam_scored(tr, ev).groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("eval_id")).alias("nid"))).alias("b")
+    Shared by the registered ``x2_contamination_gate`` and the stream;
+    same encoded-BIGINT hash-aggregate argmax as the audit."""
+    best = (
+        _contam_scored(tr, ev)
+        .groupBy("vec_id")
+        .agg(F.max(_argmax_enc(F.col("cos"), F.col("eval_id"))).alias("enc"))
     )
-    return best.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        (-F.col("b.nid")).cast("bigint").alias("top_eval_id"),
-        F.col("b.cos").alias("top_cosine"),
-        (F.col("b.cos") >= SEMCONTAM_TAU).cast("int").alias("quarantined"),
+    dec = _argmax_dec(best.select(F.col("vec_id").cast("bigint").alias("vec_id"), "enc"), "top_eval_id")
+    return dec.withColumn(
+        "quarantined", (F.col("top_cosine") >= SEMCONTAM_TAU).cast("int")
     )
 
 

@@ -119,3 +119,23 @@ def test_rebalance_plan_conservation(spark):
     for r in rows:
         assert r["n_after"] == r["n_before"] + r["n_in"] - r["n_out"]
         assert r["needs_rewrite"] == int(r["n_in"] + r["n_out"] > 0)
+
+
+def test_contamination_argmax_stays_hash_aggregate(spark):
+    """The argmax rides the order-preserving BIGINT encoding so it plans
+    as a partial+final HashAggregate — a struct-max would silently fall
+    back to SortAggregate (map-side sort of the full scored stream, the
+    regression the r12 .explain audit caught)."""
+    from etl_active911_spark.plans import registry
+    from tests.conftest import SF_SMOKE
+
+    registry.load_all()
+    for name in ("x2_contamination_gate", "x2_semantic_contamination"):
+        df = registry.QUERIES[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortAggregate" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name  # partial + final
