@@ -236,6 +236,18 @@ BNLJ_ALLOWED.update({
 })
 
 
+#: query -> (max SortAggregate occurrences, why the sort-based aggregate
+#: is the right plan there). A struct-valued MAX/max_by silently falls
+#: back to SortAggregate (map-side sort of the full input stream) — the
+#: r12 .explain sweep found exactly ONE across the whole window, kept
+#: deliberately; anything new must be justified here or reformulated
+#: (the contamination argmax's int64 order-encoding is the template).
+SORTAGG_ALLOWED: dict[str, tuple[int, str]] = {
+    "o19_links_dedup": (2, "last-wins max_by(struct(link), seq): the payload is the whole link row (int64 order-encoding inapplicable); partial still combines map-side — one row per (id, callsign) on the wire — and the alternatives cost a second corpus shuffle (SCALE.md r12 note)"),
+    "x2_cluster_template": (4, "MIN(text)/MAX(text) over STRING — var-width buffers are not hash-aggregable, so Spark's fallback is correct; input is cluster MEMBER rows only (docs broadcast-joined to the tiny component table), so the local sort is cluster-sized, never corpus-sized; plan text carries the subtree twice (lcp + first-diff consumers)"),
+}
+
+
 @pytest.mark.parametrize("name", registry.PRIORITY + registry.LAST + EXTRA_CHECKED)
 def test_windowed_query_plan_hygiene(spark, name):
     plan = (
@@ -251,4 +263,17 @@ def test_windowed_query_plan_hygiene(spark, name):
         f"{name}: {bnlj} BroadcastNestedLoopJoin(s) planned, allowlist permits {cap} "
         f"— if the new nested loop has a constant-bounded side, extend BNLJ_ALLOWED "
         f"with its justification"
+    )
+    # SCALE.md invariant 4: no row-at-a-time Python in any windowed plan —
+    # Arrow granularity only (pandas_udf / mapInPandas / mapInArrow)
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF planned (BatchEvalPython) — "
+        f"use a pandas_udf / mapInPandas formulation"
+    )
+    sortagg = plan.count("SortAggregate")
+    scap, _swhy = SORTAGG_ALLOWED.get(name, (0, ""))
+    assert sortagg <= scap, (
+        f"{name}: {sortagg} SortAggregate(s) planned, allowlist permits {scap} "
+        f"— a struct-valued max/min probably fell out of hash aggregation; "
+        f"reformulate (int64 order-encoding) or justify in SORTAGG_ALLOWED"
     )
