@@ -158,6 +158,37 @@ def test_core_is_single_cover_per_family():
     assert len(registry.ROTATION) == 27
 
 
+# The 27-slot r13 queue pinned in the registry's queue-math note —
+# pinned HERE too so the r13 rotation can be executed verbatim, and so
+# the registry's "all oracled, verified in tests/test_registry_order.py"
+# claim is mechanical.
+PINNED_R13_QUEUE = (
+    "x6_entropy_rate", "x8_context_length_sweep", "x4_unicode_anomaly",
+    "x4_code_detection", "x2_boilerplate_scrub", "x5_media_hash_dedup",
+    "x6_acf", "x6_ljung_box", "x9_curation_v8", "x4_textrank_keywords",
+    "x6_robust_outliers", "x2_url_canonical_dedup", "x3_embedding_gram",
+    "x5_mp4_box_walk", "x4_countmin_sketch", "x2_stream_neardup",
+    "n24_cdc_apply", "n26_jsonl_deadletter", "x9_k_anonymity_audit",
+    "n11_watermark_planner", "x4_lang_id", "x5_media_decode_real",
+    "x8_train_holdout_split", "x6_ts_dtw", "n13_python_udtf",
+    "n15_sql_api", "n16_recursive_cte",
+)
+
+
+def test_r13_queue_is_exactly_full_and_all_oracled():
+    """The recorded r13 queue fills the 27 rotation slots exactly, every
+    member is registered, none is already in CORE, and every member
+    carries a DuckDB oracle — so executing it keeps the r13 window
+    50/50 hash-checked (VERDICT r11 item 5)."""
+    registry.load_all()
+    assert len(PINNED_R13_QUEUE) == len(registry.ROTATION) == 27
+    assert len(set(PINNED_R13_QUEUE)) == 27
+    assert set(PINNED_R13_QUEUE) & set(registry.CORE) == set()
+    for n in PINNED_R13_QUEUE:
+        assert n in registry.QUERIES, n
+        assert n in registry.ORACLES, f"{n}: rows-only query in the r13 queue"
+
+
 def test_no_duplicate_registration_possible():
     registry.load_all()
     # names are valid python-ish identifiers (driver uses them as keys/files)
