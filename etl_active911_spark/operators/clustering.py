@@ -856,3 +856,169 @@ def overmerge_audit_rows(pairs: DataFrame, comp: DataFrame | None = None) -> Dat
             ).alias("edge_density"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r12): cluster drift between corpus snapshots (incremental dedup ops)
+# ---------------------------------------------------------------------------
+
+#: delta slice: the same ``doc_id % 10 = 0`` convention as
+#: ``x2_incremental_neardup`` — the base snapshot is everything else.
+DRIFT_DELTA_MOD = 10
+
+
+def _cluster_drift_oracle() -> str:
+    """Two recursive component closures over the SAME materialized
+    verified-pair table (rule 27: prs is referenced by both edge sets —
+    without AS MATERIALIZED DuckDB re-inlines the whole MinHash chain per
+    reference): the FULL components and the BASE components (pairs whose
+    endpoints are both non-delta — pairwise Jaccard is membership-
+    independent, so base pairs are exactly the full pairs restricted to
+    base docs)."""
+    from etl_active911_spark.operators.dedup import MINHASH_CTES
+
+    return f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    prs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5
+    ),
+    fedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION SELECT doc_b, doc_a FROM prs
+    ),
+    fwalk(src, dst) AS (
+        SELECT src, dst FROM fedges
+        UNION
+        SELECT w.src, e.dst FROM fwalk w JOIN fedges e ON w.dst = e.src
+    ),
+    freach AS (
+        SELECT src AS doc_id, dst FROM fwalk
+        UNION SELECT src, src FROM fedges
+    ),
+    fcomp AS (SELECT doc_id, MIN(dst) AS component FROM freach GROUP BY doc_id),
+    bedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        WHERE doc_a % {DRIFT_DELTA_MOD} <> 0 AND doc_b % {DRIFT_DELTA_MOD} <> 0
+        UNION
+        SELECT doc_b, doc_a FROM prs
+        WHERE doc_a % {DRIFT_DELTA_MOD} <> 0 AND doc_b % {DRIFT_DELTA_MOD} <> 0
+    ),
+    bwalk(src, dst) AS (
+        SELECT src, dst FROM bedges
+        UNION
+        SELECT w.src, e.dst FROM bwalk w JOIN bedges e ON w.dst = e.src
+    ),
+    breach AS (
+        SELECT src AS doc_id, dst FROM bwalk
+        UNION SELECT src, src FROM bedges
+    ),
+    bcomp AS (SELECT doc_id, MIN(dst) AS base_component FROM breach GROUP BY doc_id),
+    members AS (
+        SELECT f.component, f.doc_id,
+               CASE WHEN f.doc_id % {DRIFT_DELTA_MOD} = 0 THEN 1 ELSE 0 END AS is_delta,
+               -- base docs outside any base pair are their own base
+               -- component (singletons key by themselves, the assigned
+               -- COALESCE idiom)
+               CASE WHEN f.doc_id % {DRIFT_DELTA_MOD} = 0 THEN NULL
+                    ELSE COALESCE(b.base_component, f.doc_id) END AS base_component
+        FROM fcomp f LEFT JOIN bcomp b ON b.doc_id = f.doc_id
+    ),
+    agg AS (
+        SELECT component,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_delta) AS BIGINT) AS n_delta_docs,
+               CAST(COUNT(DISTINCT base_component) AS BIGINT) AS n_prior_components
+        FROM members GROUP BY component
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           n_docs, n_delta_docs, n_prior_components,
+           CASE WHEN n_delta_docs = n_docs THEN 'new'
+                WHEN n_prior_components >= 2 THEN 'merged'
+                ELSE 'grown' END AS drift_class
+    FROM agg
+    WHERE n_delta_docs >= 1 AND n_docs >= 2
+    """
+
+
+@query("x2_cluster_drift", _cluster_drift_oracle())
+def x2_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r12): CLUSTER DRIFT between corpus snapshots — the report an
+    INCREMENTAL dedup pipeline owes its operator when a delta lands
+    (``x2_incremental_neardup`` finds the delta's pairs; this says what
+    those pairs DO to the cluster structure): for every full-corpus
+    near-dup cluster touched by the delta (``doc_id % 10 = 0``), the
+    member count, delta-member count, the number of PRIOR (base-
+    snapshot) clusters its base members came from, and the verdict:
+
+    * ``new`` — every member is a delta doc (a dup family born today);
+    * ``grown`` — one prior cluster gained members (cheap: the keeper
+      is unchanged or monotonically re-keyed);
+    * ``merged`` — ≥2 prior clusters were BRIDGED by delta docs — the
+      case incremental keeper-assignment must special-case, because
+      previously-independent keepers now collide.
+
+    Base components need NO second pipeline run: pairwise Jaccard is
+    corpus-membership-independent, so the base pair graph is exactly the
+    memoized full pair graph restricted to base-only endpoints; base
+    singletons key by themselves (the x8_cluster_split COALESCE idiom).
+
+    Scale shape: rides the rule-25 pair-graph memo + the memoized full
+    labels; the ONLY extra work is one O(log n) star contraction over
+    the base-filtered pair list (pairs ≪ corpus) and two cluster-keyed
+    aggregates. Oracle: two recursive closures over one AS MATERIALIZED
+    pair CTE (rule 27)."""
+    from etl_active911_spark.operators.dedup import (
+        shared_component_labels,
+        shared_verified_pairs,
+    )
+
+    return cluster_drift_rows(
+        shared_verified_pairs(spark, sf_dir),
+        fcomp=shared_component_labels(spark, sf_dir),
+    )
+
+
+def cluster_drift_rows(
+    pairs: DataFrame,
+    fcomp: DataFrame | None = None,
+    delta_mod: int = DRIFT_DELTA_MOD,
+) -> DataFrame:
+    """Core of ``x2_cluster_drift`` over an arbitrary verified-pair
+    frame — split out so the MERGED class (two prior clusters bridged by
+    a delta doc — unreachable on the fixture's pair-sized clusters) is
+    pinned on crafted graphs in pytest. ``fcomp`` lets the registered
+    query pass the memoized full labels."""
+    if fcomp is None:
+        fcomp = connected_components_star(pairs)
+    is_delta_expr = F.col("doc_id") % delta_mod == 0
+    base_pairs = pairs.filter(
+        (F.col("doc_a") % delta_mod != 0) & (F.col("doc_b") % delta_mod != 0)
+    )
+    bcomp = connected_components_star(base_pairs).select(
+        "doc_id", F.col("component").alias("base_component")
+    )
+    members = fcomp.join(bcomp, "doc_id", "left").select(
+        "component",
+        is_delta_expr.cast("int").alias("is_delta"),
+        F.when(is_delta_expr, F.lit(None).cast("long")).otherwise(
+            F.coalesce("base_component", F.col("doc_id"))
+        ).alias("base_component"),
+    )
+    agg = members.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_delta").cast("bigint").alias("n_delta_docs"),
+        F.count_distinct("base_component").cast("bigint").alias("n_prior_components"),
+    )
+    return (
+        agg.filter((F.col("n_delta_docs") >= 1) & (F.col("n_docs") >= 2))
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            "n_docs",
+            "n_delta_docs",
+            "n_prior_components",
+            F.when(F.col("n_delta_docs") == F.col("n_docs"), "new")
+            .when(F.col("n_prior_components") >= 2, "merged")
+            .otherwise("grown")
+            .alias("drift_class"),
+        )
+    )

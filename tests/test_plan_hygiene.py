@@ -192,6 +192,7 @@ EXTRA_CHECKED = (
     "x2_semantic_contamination",
     "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan",
+    "x2_cluster_drift",
 )
 
 BNLJ_ALLOWED.update({

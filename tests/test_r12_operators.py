@@ -139,3 +139,33 @@ def test_contamination_argmax_stays_hash_aggregate(spark):
         )
         assert "SortAggregate" not in plan, name
         assert plan.count("HashAggregate") >= 2, name  # partial + final
+
+
+def test_cluster_drift_merged_class_on_crafted_bridge(spark):
+    """The MERGED verdict (unreachable on the fixture's pair-sized
+    clusters): two base clusters {1,2} and {3,4} bridged by delta doc 10
+    must report one full cluster with n_prior_components = 2 and class
+    'merged'; an all-delta pair {20, 30} reports 'new'; base pair {5, 6}
+    grown by delta 40 reports 'grown'."""
+    from etl_active911_spark.operators.clustering import cluster_drift_rows
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2),    # base cluster A
+            (3, 4),    # base cluster B
+            (1, 10),   # delta bridge...
+            (10, 3),   # ...merging A and B
+            (20, 30),  # all-delta family
+            (5, 6),    # base cluster C
+            (6, 40),   # delta grows C
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r["component"]: r for r in cluster_drift_rows(pairs).collect()}
+    assert got[1]["drift_class"] == "merged"
+    assert got[1]["n_docs"] == 5 and got[1]["n_delta_docs"] == 1
+    assert got[1]["n_prior_components"] == 2
+    assert got[20]["drift_class"] == "new"
+    assert got[20]["n_docs"] == got[20]["n_delta_docs"] == 2
+    assert got[5]["drift_class"] == "grown"
+    assert got[5]["n_prior_components"] == 1 and got[5]["n_delta_docs"] == 1
