@@ -4268,3 +4268,214 @@ def countmin_calibration(grams: DataFrame) -> DataFrame:
         F.col("estimate").cast("bigint").alias("cms_estimate"),
         (F.col("estimate") - F.col("exact")).cast("bigint").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4t (r12): normalization-gain audit — what each normalization stage
+# buys the deduplicator
+# ---------------------------------------------------------------------------
+
+# ASCII punctuation to strip at the most aggressive stage. Enumerated
+# literally (no ranges, no [, ], \, ') so Java regex and RE2 parse the
+# class identically and the text embeds in single-quoted SQL unchanged.
+_NORM_PUNCT_CLASS = '[!"#$%&()*+,./:;<=>?@^_{|}~-]'
+
+_NORM_GAIN_ORACLE = f"""
+    WITH aug AS (
+        SELECT source, text AS t FROM documents
+        UNION ALL
+        SELECT source, UPPER(text) FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT source, regexp_replace(text, ' ', '  ', 'g')
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT source, text || ' !!!' FROM documents WHERE doc_id % 11 = 0
+    ),
+    stages AS (
+        SELECT source,
+               md5(t) AS m0,
+               md5(LOWER(t)) AS m1,
+               md5(TRIM(regexp_replace(LOWER(t), '\\s+', ' ', 'g'))) AS m2,
+               md5(TRIM(regexp_replace(
+                   regexp_replace(
+                       TRIM(regexp_replace(LOWER(t), '\\s+', ' ', 'g')),
+                       '{_NORM_PUNCT_CLASS}', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS m3
+        FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT m0) AS BIGINT) AS d_raw,
+           CAST(COUNT(DISTINCT m1) AS BIGINT) AS d_casefold,
+           CAST(COUNT(DISTINCT m2) AS BIGINT) AS d_wscollapse,
+           CAST(COUNT(DISTINCT m3) AS BIGINT) AS d_punctstrip,
+           CAST(COUNT(DISTINCT m0) - COUNT(DISTINCT m1) AS BIGINT) AS casefold_gain,
+           CAST(COUNT(DISTINCT m1) - COUNT(DISTINCT m2) AS BIGINT) AS ws_gain,
+           CAST(COUNT(DISTINCT m2) - COUNT(DISTINCT m3) AS BIGINT) AS punct_gain
+    FROM stages
+    GROUP BY source
+    """
+
+
+@query("x4_normalization_gain", _NORM_GAIN_ORACLE)
+def x4_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r12): stage-wise normalization-gain audit — the pipeline
+    decision "is casefolding / whitespace collapsing / punctuation
+    stripping worth running before exact dedup?" quantified as the extra
+    documents each successive stage collapses, per source. The fixture
+    corpus has no natural case/spacing variants, so variants are INJECTED
+    identically in both engines (the ``x4_pii_redact`` injection
+    discipline): every ``doc_id % 11 = 0`` document contributes an
+    UPPER-cased copy (collapses at the casefold stage), a double-spaced
+    copy (collapses at the whitespace stage), and a punctuation-appended
+    copy (collapses only at the punctuation stage). Spark injects via a
+    single-scan ``explode`` (no self-join, CLAUDE.md rule 29); the oracle
+    uses UNION ALL (row-set identical).
+
+    Scale shape: each stage is hashed to md5 scan-side, so DISTINCT
+    counting shuffles 32-byte digests, never document text (the
+    ``x1_exact_dedup`` rule); the multi-distinct aggregate Expands to
+    4 hash rows per document — still hash-width, and the group key
+    (source) is low-cardinality. Stages are cumulative (casefold →
+    +collapse/trim → +punct-strip then re-collapse), so gains are
+    non-negative by construction."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    variants = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.array(
+            F.col("text"),
+            F.upper("text"),
+            F.regexp_replace("text", " ", "  "),
+            F.concat(F.col("text"), F.lit(" !!!")),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    aug = docs.select("source", F.explode(variants).alias("t"))
+    lower = F.lower("t")
+    ws = F.trim(F.regexp_replace(lower, r"\s+", " "))
+    punct = F.trim(
+        F.regexp_replace(F.regexp_replace(ws, _NORM_PUNCT_CLASS, ""), r"\s+", " ")
+    )
+    staged = aug.select(
+        "source",
+        F.md5(F.col("t")).alias("m0"),
+        F.md5(lower).alias("m1"),
+        F.md5(ws).alias("m2"),
+        F.md5(punct).alias("m3"),
+    )
+    agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("m0").cast("bigint").alias("d_raw"),
+        F.countDistinct("m1").cast("bigint").alias("d_casefold"),
+        F.countDistinct("m2").cast("bigint").alias("d_wscollapse"),
+        F.countDistinct("m3").cast("bigint").alias("d_punctstrip"),
+    )
+    return agg.select(
+        "source",
+        "n_rows",
+        "d_raw",
+        "d_casefold",
+        "d_wscollapse",
+        "d_punctstrip",
+        (F.col("d_raw") - F.col("d_casefold")).cast("bigint").alias("casefold_gain"),
+        (F.col("d_casefold") - F.col("d_wscollapse")).cast("bigint").alias("ws_gain"),
+        (F.col("d_wscollapse") - F.col("d_punctstrip")).cast("bigint").alias("punct_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-4u (r12): tokenizer fertility by predicted language
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(LOWER(text)), '\\s+') AS toks,
+               CAST(len(regexp_extract_all(LOWER(text),
+                   '{BPE_ISH_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT)
+                   AS n_bpe,
+               CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+                   AS n_ch
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_bpe, n_ch,
+               {", ".join(f"CAST({_score_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
+        FROM t
+    ),
+    p AS (
+        SELECT {_LANG_PRED_SQL} AS predicted_lang, n_bpe, n_ch FROM s
+    ),
+    g AS (
+        SELECT predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_ch) AS BIGINT) AS n_chars
+        FROM p GROUP BY predicted_lang
+    )
+    SELECT predicted_lang, n_docs, n_tokens, n_chars,
+           CASE WHEN n_chars = 0 THEN NULL
+                ELSE CAST((2::HUGEINT * n_tokens * 100000000 + n_chars)
+                          // (2::HUGEINT * n_chars) AS BIGINT)
+           END AS fertility_micro
+    FROM g
+    """
+
+
+@query("x4_fertility_by_lang", _FERTILITY_ORACLE)
+def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r12): tokenizer fertility per predicted language — BPE-ish
+    tokens per 100 non-whitespace characters, the per-language
+    tokenizer-cost lens a multilingual mixture planner reads before
+    setting sampling weights (a language whose fertility is 2x pays 2x
+    the context budget per character). Language is the same stopword-hit
+    argmax ``x4_lang_id`` registers (shared STOPWORDS/_LANG_ORDER
+    constants and tie-break order); token counts are the shared
+    ``BPE_ISH_PATTERN`` (``x4_bpe_token_count``), so all three queries
+    report one consistent story.
+
+    Fertility is a ratio of two corpus sums → rule-26/27 arithmetic:
+    exact BIGINT sums, half-up division in micro-units performed in
+    128-bit space (DECIMAL(38,0) / HUGEINT — the numerator is
+    2·tokens·10^8, which overflows int64 at ~4.6e10 corpus tokens, i.e.
+    well inside 100 TB scale). Non-negative operands, so truncating
+    ``div`` == floor on both engines (rule 28 n/a).
+
+    Scale shape: one scan → per-doc scores in codegen → one partial+final
+    hash aggregate on a ≤5-value key. No joins, no UDFs."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+
+    def stopword_hits(lang: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).cast("bigint")
+
+    scored = docs.select(
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)).cast("bigint").alias("n_bpe"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("n_ch"),
+        *[stopword_hits(l).alias(f"s_{l}") for l in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    for l in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
+    g = (
+        scored.select(pred.alias("predicted_lang"), "n_bpe", "n_ch")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("n_tokens"),
+            F.sum("n_ch").cast("bigint").alias("n_chars"),
+        )
+    )
+    fert = F.expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 200000000 + n_chars)"
+        " div (CAST(n_chars AS DECIMAL(38,0)) * 2) AS BIGINT)"
+    )
+    return g.select(
+        "predicted_lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.when(F.col("n_chars") == 0, F.lit(None).cast("bigint"))
+        .otherwise(fert)
+        .alias("fertility_micro"),
+    )

@@ -193,6 +193,9 @@ EXTRA_CHECKED = (
     "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan",
     "x2_cluster_drift",
+    # r12 late-session additions (queued for the r14+ scoring windows)
+    "x4_normalization_gain",
+    "x4_fertility_by_lang",
 )
 
 BNLJ_ALLOWED.update({
