@@ -4388,8 +4388,7 @@ def x4_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FERTILITY_ORACLE = f"""
     WITH t AS (
-        SELECT doc_id,
-               string_split_regex(TRIM(LOWER(text)), '\\s+') AS toks,
+        SELECT lang,
                CAST(len(regexp_extract_all(LOWER(text),
                    '{BPE_ISH_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT)
                    AS n_bpe,
@@ -4397,22 +4396,14 @@ _FERTILITY_ORACLE = f"""
                    AS n_ch
         FROM documents
     ),
-    s AS (
-        SELECT doc_id, n_bpe, n_ch,
-               {", ".join(f"CAST({_score_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
-        FROM t
-    ),
-    p AS (
-        SELECT {_LANG_PRED_SQL} AS predicted_lang, n_bpe, n_ch FROM s
-    ),
     g AS (
-        SELECT predicted_lang,
+        SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
                CAST(SUM(n_ch) AS BIGINT) AS n_chars
-        FROM p GROUP BY predicted_lang
+        FROM t GROUP BY lang
     )
-    SELECT predicted_lang, n_docs, n_tokens, n_chars,
+    SELECT lang, n_docs, n_tokens, n_chars,
            CASE WHEN n_chars = 0 THEN NULL
                 ELSE CAST((2::HUGEINT * n_tokens * 100000000 + n_chars)
                           // (2::HUGEINT * n_chars) AS BIGINT)
@@ -4423,15 +4414,19 @@ _FERTILITY_ORACLE = f"""
 
 @query("x4_fertility_by_lang", _FERTILITY_ORACLE)
 def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-4 (r12): tokenizer fertility per predicted language — BPE-ish
-    tokens per 100 non-whitespace characters, the per-language
-    tokenizer-cost lens a multilingual mixture planner reads before
-    setting sampling weights (a language whose fertility is 2x pays 2x
-    the context budget per character). Language is the same stopword-hit
-    argmax ``x4_lang_id`` registers (shared STOPWORDS/_LANG_ORDER
-    constants and tie-break order); token counts are the shared
-    ``BPE_ISH_PATTERN`` (``x4_bpe_token_count``), so all three queries
-    report one consistent story.
+    """X-4 (r12): tokenizer fertility per language — BPE-ish tokens per
+    100 non-whitespace characters, the per-language tokenizer-cost lens a
+    multilingual mixture planner reads before setting sampling weights (a
+    language whose fertility is 2x pays 2x the context budget per
+    character). Grouped by the LABELED ``lang`` column: the
+    ``x4_lang_id`` stopword heuristic is degenerate on this synthetic
+    corpus (every doc argmaxes to 'en' — its ``agrees`` column measures
+    exactly that), so predicted-language grouping would collapse to one
+    row; on a real corpus the same aggregate composes with any
+    classifier output. Token counts are the shared ``BPE_ISH_PATTERN``
+    (``x4_bpe_token_count``), so the two queries report one consistent
+    story — and the zh rows genuinely differ (no whitespace → long
+    unsegmented runs, the fertility outlier this lens exists to catch).
 
     Fertility is a ratio of two corpus sums → rule-26/27 arithmetic:
     exact BIGINT sums, half-up division in micro-units performed in
@@ -4443,23 +4438,13 @@ def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan → per-doc scores in codegen → one partial+final
     hash aggregate on a ≤5-value key. No joins, no UDFs."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
-
-    def stopword_hits(lang: str) -> Column:
-        return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).cast("bigint")
-
     scored = docs.select(
+        "lang",
         F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)).cast("bigint").alias("n_bpe"),
         F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("n_ch"),
-        *[stopword_hits(l).alias(f"s_{l}") for l in _LANG_ORDER],
     )
-    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
-    pred = F.lit(None).cast("string")
-    for l in reversed(_LANG_ORDER):
-        pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
     g = (
-        scored.select(pred.alias("predicted_lang"), "n_bpe", "n_ch")
-        .groupBy("predicted_lang")
+        scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_bpe").cast("bigint").alias("n_tokens"),
@@ -4471,7 +4456,7 @@ def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (CAST(n_chars AS DECIMAL(38,0)) * 2) AS BIGINT)"
     )
     return g.select(
-        "predicted_lang",
+        "lang",
         "n_docs",
         "n_tokens",
         "n_chars",
