@@ -1970,3 +1970,169 @@ def x5_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("text_only_dup")
         .alias("paired_decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5k (r12): gain-invariant audio envelope fingerprint — perceptual
+# near-dup for audio (the WAV twin of x5_phash_banded_dedup)
+# ---------------------------------------------------------------------------
+
+#: envelope frame length in samples (fixed-rate fixture: 8 kHz mono)
+ENV_FRAME = 250
+#: quantization levels per frame (3 bits)
+ENV_LEVELS = 8
+
+# Fixture injection (a function of doc_id, identical in both engines):
+# audio assets (doc_id % 3 = 1) come in CONTENT groups g = doc_id % 7 —
+# same waveform shape — replicated at a per-copy GAIN in {1, 2, 4}
+# (re-mastered / volume-normalized variants: byte-DIFFERENT payloads the
+# digest dedup x5_media_hash_dedup structurally cannot collapse).
+_ENV_G = "CAST(doc_id % 7 AS BIGINT)"
+# gain index rides doc_id // 21, NOT doc_id // 7: with audio doc_ids
+# ≡ 1 (mod 3) and g = doc_id % 7, CRT fixes doc_id mod 21 per group, so
+# (doc_id // 7) % 3 = (doc_id % 21) // 7 would be CONSTANT per group —
+# every group would carry exactly one gain and the invariance would be
+# vacuous (caught by tests/test_audio_envelope.py).
+_ENV_GAIN = "(CASE CAST((doc_id // 21) % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)"
+_ENV_N = "(1000 + 150 * (doc_id % 7))"
+
+_AUDIO_ENVELOPE_ORACLE = f"""
+    WITH au AS (
+        SELECT doc_id, {_ENV_G} AS g, {_ENV_GAIN} AS gain, {_ENV_N} AS n,
+               (3 + 11 * (doc_id % 7)) AS a, (1000 + 97 * (doc_id % 7)) AS b
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    sm AS (
+        SELECT doc_id, g, gain, a, b, n // {ENV_FRAME} AS m,
+               unnest(range(({ENV_FRAME}) * (n // {ENV_FRAME}))) AS i
+        FROM au
+    ),
+    sv AS (
+        SELECT doc_id, g, gain, m, i // {ENV_FRAME} AS f,
+               ((a * i + b) % 3276 - 1638)
+                   * (1 + (g + (i // {ENV_FRAME}) * (i // {ENV_FRAME})) % 5)
+                   * gain AS s
+        FROM sm
+    ),
+    fr AS (
+        SELECT doc_id, ANY_VALUE(g) AS g, ANY_VALUE(gain) AS gain,
+               ANY_VALUE(m) AS m, f, SUM(s * s) AS e
+        FROM sv GROUP BY doc_id, f
+    ),
+    qz AS (
+        SELECT doc_id, g, gain, m, f,
+               LEAST(({ENV_LEVELS} * e) // MAX(e) OVER (PARTITION BY doc_id), {ENV_LEVELS - 1}) AS q
+        FROM fr
+    ),
+    fp AS (
+        SELECT doc_id, ANY_VALUE(g) AS g, ANY_VALUE(gain) AS gain,
+               CAST(ANY_VALUE(m) AS BIGINT) AS n_frames,
+               CAST(SUM(q * CAST(power(2, 3 * f) AS BIGINT)) AS BIGINT) AS fingerprint_code
+        FROM qz GROUP BY doc_id
+    )
+    SELECT n_frames, fingerprint_code,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COUNT(DISTINCT g * 10 + gain) AS BIGINT) AS n_byte_classes,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+    FROM fp
+    GROUP BY n_frames, fingerprint_code
+    HAVING COUNT(*) >= 2
+    """
+
+
+def audio_envelope_rows(media: DataFrame) -> DataFrame:
+    """(doc_id, payload_sha, n_frames, fingerprint_code) per audio asset:
+    REAL WAV bytes are encoded on the executors (fixture waveform groups
+    at per-copy gains), then decoded back OUT of the byte stream —
+    RIFF header walk, little-endian int16 samples, the ``decode_wav``
+    discipline — and fingerprinted: per-frame energy E_f = Σ s², peak-
+    normalized 3-bit quantization q_f = min(8·E_f // max E, 7), packed
+    little-endian into one int64. Quantizing the RATIO E_f / max E makes
+    the code exactly gain-invariant (⌊8·g²E_f / g²E_max⌋ = ⌊8·E_f /
+    E_max⌋ for integer g — floors of equal rationals), so re-mastered
+    copies collide while different waveforms do not. All arithmetic is
+    exact int64 (rule 26a structurally absent); one fused Arrow pass,
+    blob bytes never leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload_sha": [], "n_frames": [], "fingerprint_code": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id % 7
+                gain = (1, 2, 4)[(doc_id // 21) % 3]
+                n = 1000 + 150 * g
+                a, b = 3 + 11 * g, 1000 + 97 * g
+                i = np.arange(n, dtype=np.int64)
+                f = i // ENV_FRAME
+                w = 1 + (g + f * f) % 5
+                s = (((a * i + b) % 3276 - 1638) * w * gain).astype("<i2")
+                data = s.tobytes()
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                # decode from the BYTES (not the local array): header walk
+                (data_len,) = struct.unpack_from("<I", wav, 40)
+                dec = np.frombuffer(wav, dtype="<i2", count=data_len // 2, offset=44).astype(np.int64)
+                m = len(dec) // ENV_FRAME
+                e = (dec[: m * ENV_FRAME] ** 2).reshape(m, ENV_FRAME).sum(axis=1)
+                q = np.minimum(ENV_LEVELS * e // e.max(), ENV_LEVELS - 1)
+                code = int((q << (3 * np.arange(m, dtype=np.int64))).sum())
+                out["doc_id"].append(doc_id)
+                out["payload_sha"].append(hashlib.sha256(wav).hexdigest())
+                out["n_frames"].append(m)
+                out["fingerprint_code"].append(code)
+            yield pd.DataFrame(out)
+
+    audio = media.filter(F.col("mime") == "audio/wav").select("doc_id")
+    return audio.mapInPandas(
+        run, "doc_id long, payload_sha string, n_frames long, fingerprint_code long"
+    )
+
+
+@query("x5_audio_envelope_dedup", _AUDIO_ENVELOPE_ORACLE)
+def x5_audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r12): PERCEPTUAL AUDIO NEAR-DUP — the audio twin of the image
+    family's ``x5_phash_banded_dedup``: every WAV asset is reduced to a
+    gain-invariant energy-envelope fingerprint (``audio_envelope_rows``)
+    and deduplicated at fingerprint grain. Clusters where ``n_assets >
+    n_byte_classes`` hold byte-IDENTICAL copies (digest dedup catches
+    those too); clusters where ``n_byte_classes ≥ 2`` are the perceptual
+    win — re-mastered (gain-scaled) variants with DISTINCT payload
+    digests that only this fingerprint can collapse. The oracle
+    re-derives every sample, frame energy, quantized level, and packed
+    code closed-form from the injected integer waveform, so a decoder
+    that misreads the header, endianness, frame split, or quantization
+    hash-mismatches.
+
+    Spark-side ``n_byte_classes`` counts DATA-derived payload digests;
+    the oracle counts injected (waveform, gain) classes — equal because
+    the encoding is injective (different groups ⇒ different byte
+    lengths; same group, different gain ⇒ different samples), which the
+    crafted test pins.
+
+    Scale shape: one fused Arrow pass per asset (encode → decode →
+    fingerprint), then ONE hash aggregate keyed by the 2-int fingerprint
+    class; blob bytes never shuffle — only (int64, digest) rows. No pair
+    explosion anywhere (fingerprint equality is the candidate rule), so
+    no hot-bucket cap is needed."""
+    rows = audio_envelope_rows(media_table(spark, sf_dir))
+    return (
+        rows.groupBy("n_frames", "fingerprint_code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.countDistinct("payload_sha").cast("bigint").alias("n_byte_classes"),
+            F.min("doc_id").cast("bigint").alias("rep_doc"),
+        )
+        .filter(F.col("n_assets") >= 2)
+        .select("n_frames", "fingerprint_code", "n_assets", "n_byte_classes", "rep_doc")
+    )

@@ -196,6 +196,7 @@ EXTRA_CHECKED = (
     # r12 late-session additions (queued for the r14+ scoring windows)
     "x4_normalization_gain",
     "x4_fertility_by_lang",
+    "x5_audio_envelope_dedup",
 )
 
 BNLJ_ALLOWED.update({
