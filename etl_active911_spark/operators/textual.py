@@ -4464,3 +4464,125 @@ def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fert)
         .alias("fertility_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4v (r12): PII gate — per-doc verdicts + per-source release accounting
+# (batch fold of streaming/pii_ingest.py)
+# ---------------------------------------------------------------------------
+
+#: a document matching at least this many PII instances is quarantined
+#: for manual scrubbing instead of auto-redacted
+PII_QUARANTINE_MIN = 2
+
+
+def pii_verdict_rows(docs: DataFrame) -> DataFrame:
+    """Per-document PII verdict over (doc_id, source, text) rows: the
+    ``x4_pii_redact`` injection + counting (same _PII_* patterns), plus
+    the gate decision — ``quarantined = 1`` iff total matches ≥
+    PII_QUARANTINE_MIN (dense-PII documents go to manual scrubbing; the
+    rest are safe to auto-redact). Shared by the registered batch fold
+    (``x4_pii_gate``) and the at-ingest stream
+    (``streaming/pii_ingest.py``) so the threshold and patterns cannot
+    drift — the ``train_contamination_rows`` discipline. Pure per-row
+    function: no shuffle, no state."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ssn 987-65-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+
+    def n_matches(pat: str) -> Column:
+        return (F.size(F.split(F.col("aug"), pat)) - 1).cast("bigint")
+
+    counted = docs.select("doc_id", "source", aug.alias("aug")).select(
+        "doc_id",
+        "source",
+        n_matches(_PII_EMAIL).alias("n_emails"),
+        n_matches(_PII_PHONE).alias("n_phones"),
+        n_matches(_PII_SSN).alias("n_ssns"),
+    )
+    total = F.col("n_emails") + F.col("n_phones") + F.col("n_ssns")
+    return counted.select(
+        "*",
+        F.when(total >= PII_QUARANTINE_MIN, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("quarantined"),
+    )
+
+
+_PII_GATE_ORACLE = f"""
+    WITH aug AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ssn 987-65-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END AS aug
+        FROM documents
+    ),
+    c AS (
+        SELECT source,
+               CAST(len(string_split_regex(aug, '{_PII_EMAIL}')) - 1 AS BIGINT) AS ne,
+               CAST(len(string_split_regex(aug, '{_PII_PHONE}')) - 1 AS BIGINT) AS np,
+               CAST(len(string_split_regex(aug, '{_PII_SSN}')) - 1 AS BIGINT) AS ns
+        FROM aug
+    ),
+    v AS (
+        SELECT source, ne, np, ns,
+               CASE WHEN ne + np + ns >= {PII_QUARANTINE_MIN} THEN 1 ELSE 0 END AS q
+        FROM c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q) AS BIGINT) AS n_quarantined,
+           CAST(COUNT(*) - SUM(q) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN q = 0 THEN ne ELSE 0 END) AS BIGINT) AS admitted_emails,
+           CAST(SUM(CASE WHEN q = 0 THEN np ELSE 0 END) AS BIGINT) AS admitted_phones,
+           CAST(SUM(CASE WHEN q = 0 THEN ns ELSE 0 END) AS BIGINT) AS admitted_ssns
+    FROM v
+    GROUP BY source
+    """
+
+
+@query("x4_pii_gate", _PII_GATE_ORACLE)
+def x4_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r12): the PII RELEASE ACCOUNTING a data release owes its
+    audit trail — per source: documents quarantined for manual scrubbing
+    (≥ PII_QUARANTINE_MIN matches) vs admitted to auto-redaction, and
+    the admitted docs' residual match counts (the redaction workload).
+    Batch fold of the at-ingest gate (``streaming/pii_ingest.py``): both
+    ride ``pii_verdict_rows``, and the verdict is a pure per-row
+    function, so the stream's emitted verdicts aggregate to exactly this
+    query for ANY arrival split (pinned in tests/test_pii_ingest.py).
+
+    Scale shape: one scan → per-row regex counts in codegen → one
+    partial+final hash aggregate on the low-cardinality source key."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    v = pii_verdict_rows(docs)
+    admitted = F.col("quarantined") == 0
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("quarantined").cast("bigint").alias("n_quarantined"),
+        (F.count(F.lit(1)) - F.sum("quarantined")).cast("bigint").alias("n_admitted"),
+        F.sum(F.when(admitted, F.col("n_emails")).otherwise(0)).cast("bigint").alias("admitted_emails"),
+        F.sum(F.when(admitted, F.col("n_phones")).otherwise(0)).cast("bigint").alias("admitted_phones"),
+        F.sum(F.when(admitted, F.col("n_ssns")).otherwise(0)).cast("bigint").alias("admitted_ssns"),
+    )

@@ -197,6 +197,7 @@ EXTRA_CHECKED = (
     "x4_normalization_gain",
     "x4_fertility_by_lang",
     "x5_audio_envelope_dedup",
+    "x4_pii_gate",
 )
 
 BNLJ_ALLOWED.update({
