@@ -119,6 +119,15 @@ HEADLINE = [
     "n5_acd_error_bound",
     "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan",
+    # late-r12 additions (same shared-subset rule): the session's four
+    # newcomers — normalization-gain audit, per-language fertility, the
+    # audio envelope near-dup (Arrow encode+decode per asset), and the
+    # PII gate fold
+    "x4_normalization_gain",
+    "x4_fertility_by_lang",
+    "x5_audio_envelope_dedup",
+    "x4_pii_gate",
+    "x5_video_framehash_dedup",
 ]
 
 

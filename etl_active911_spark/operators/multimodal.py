@@ -2136,3 +2136,216 @@ def x5_audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_assets") >= 2)
         .select("n_frames", "fingerprint_code", "n_assets", "n_byte_classes", "rep_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# X-5l (r12): video near-dup via frame-hash overlap — completes the
+# perceptual-dedup modality trio (image pHash / audio envelope / video)
+# ---------------------------------------------------------------------------
+
+#: minimum frame-set Jaccard (micro-units) for a near-dup verdict
+VIDEO_JAC_MIN_MICRO = 500_000
+#: flood cap on classes sharing one frame hash (3 by construction here)
+VIDEO_MAX_BUCKET = 64
+
+# Fixture injection (a function of doc_id, identical in both engines):
+# video assets (doc_id % 3 = 2) come in CONTENT groups g = doc_id % 5,
+# each group published as three EDITS (variant rides doc_id // 15 — the
+# audio gate's CRT lesson: doc_id mod 15 is fixed per (mod-3, mod-5)
+# class, so any //5 or //3 variant index would be constant per group):
+#   e=0 full cut      — shared frames j ∈ 0..11
+#   e=1 trimmed tail  — shared frames j ∈ 0..9   (Jaccard vs e=0: 10/12)
+#   e=2 re-edit       — shared j ∈ 2..11 + 2 unique title frames
+# so within a group every edit pair overlaps ≥ 8/16 ≥ τ, and distinct
+# groups share nothing.
+
+_VIDEO_FRAMES_CTES = """
+    vids AS (
+        SELECT doc_id, doc_id % 5 AS g, (doc_id // 15) % 3 AS e
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+        SELECT doc_id, g, e,
+               unnest(range(CASE WHEN e = 1 THEN 10 ELSE 12 END)) AS idx
+        FROM vids
+    ),
+    fh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(
+                   CASE WHEN e = 2 AND idx < 2
+                        THEN 'vu:' || CAST(g AS STRING) || ':' || CAST(idx AS STRING)
+                        ELSE 'vf:' || CAST(g AS STRING) || ':' || CAST(idx AS STRING)
+                   END), 1, 15)) AS BIGINT) AS vh
+        FROM fr
+    )
+"""
+
+_VIDEO_DEDUP_ORACLE = f"""
+    WITH {_VIDEO_FRAMES_CTES},
+    sig AS (
+        SELECT doc_id,
+               md5(string_agg(CAST(vh AS STRING), ',' ORDER BY vh)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM fh GROUP BY doc_id
+    ),
+    cls AS (
+        SELECT s, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_videos,
+               ANY_VALUE(n_frames) AS n_frames
+        FROM sig GROUP BY s
+    ),
+    cfr AS (
+        SELECT c.rep, c.n_videos, c.n_frames, f.vh
+        FROM cls c JOIN sig g ON g.doc_id = c.rep JOIN fh f ON f.doc_id = c.rep
+    ),
+    ok AS (
+        SELECT vh FROM cfr GROUP BY vh
+        HAVING COUNT(*) BETWEEN 2 AND {VIDEO_MAX_BUCKET}
+    ),
+    pairs AS (
+        SELECT a.rep AS rep_a, b.rep AS rep_b,
+               a.n_videos AS n_videos_a, b.n_videos AS n_videos_b,
+               a.n_frames AS f_a, b.n_frames AS f_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_frames
+        FROM cfr a JOIN cfr b ON a.vh = b.vh AND a.rep < b.rep
+        JOIN ok ON ok.vh = a.vh
+        GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    scored AS (
+        SELECT rep_a, rep_b, n_videos_a, n_videos_b, shared_frames,
+               CAST(f_a + f_b - shared_frames AS BIGINT) AS union_frames,
+               CAST((2 * shared_frames * 1000000 + (f_a + f_b - shared_frames))
+                    // (2 * (f_a + f_b - shared_frames)) AS BIGINT) AS jac_micro
+        FROM pairs
+    )
+    SELECT rep_a, rep_b, n_videos_a, n_videos_b, shared_frames, union_frames, jac_micro
+    FROM scored WHERE jac_micro >= {VIDEO_JAC_MIN_MICRO}
+    UNION ALL
+    SELECT rep AS rep_a, rep AS rep_b, n_videos AS n_videos_a,
+           n_videos AS n_videos_b, n_frames AS shared_frames,
+           n_frames AS union_frames, CAST(1000000 AS BIGINT) AS jac_micro
+    FROM cls WHERE n_videos >= 2
+    """
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """(doc_id, vh) rows: one 60-bit frame hash per sampled keyframe of
+    each video asset (``token_hash60`` over the injected frame keys —
+    a real pipeline plugs the decoded-frame pHash here; the Spark shape
+    is identical). All JVM expressions over ≤12-element bounded arrays."""
+    from etl_active911_spark.operators.dedup import token_hash60
+
+    vids = media.filter(F.col("mime") == "video/mp4").select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("g"),
+        (F.expr("doc_id div 15") % 3).alias("e"),
+    )
+
+    def keys(prefix: str, seq) -> F.Column:
+        return F.transform(
+            seq,
+            lambda j: F.concat_ws(
+                "", F.lit(prefix), F.col("g").cast("string"), F.lit(":"), j.cast("string")
+            ),
+        )
+
+    shared_full = keys("vf:", F.sequence(F.lit(0), F.lit(11)))
+    shared_trim = keys("vf:", F.sequence(F.lit(0), F.lit(9)))
+    reedit = F.concat(
+        keys("vu:", F.sequence(F.lit(0), F.lit(1))),
+        keys("vf:", F.sequence(F.lit(2), F.lit(11))),
+    )
+    frames = (
+        F.when(F.col("e") == 1, shared_trim)
+        .when(F.col("e") == 2, reedit)
+        .otherwise(shared_full)
+    )
+    return vids.select("doc_id", F.explode(frames).alias("k")).select(
+        "doc_id", token_hash60(F.col("k")).alias("vh")
+    )
+
+
+@query("x5_video_framehash_dedup", _VIDEO_DEDUP_ORACLE)
+def x5_video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r12): VIDEO NEAR-DUP via keyframe-hash overlap — the video
+    member of the perceptual-dedup trio (image ``x5_phash_banded_dedup``,
+    audio ``x5_audio_envelope_dedup``): a video is its SET of sampled
+    frame hashes; re-edited copies (trimmed, re-titled) share most
+    frames, so frame-set Jaccard ≥ τ is the dedup verdict — the standard
+    keyframe-fingerprint design (the X-2 shingle/MinHash idea lifted to
+    frames, evaluated EXACTLY here because frame sets are bounded).
+
+    Shape (all the house dedup disciplines at once): exact pre-collapse
+    of byte-identical frame SETS to classes first (an md5 set-signature —
+    a million re-uploads are ONE class member); candidate generation is
+    join-free bucket-and-explode per frame hash (rule 18) with the flood
+    cap; and the bucket co-occurrence COUNT of a class pair *is*
+    |A ∩ B|, so candidates and the exact intersection arrive in one
+    aggregate — no second verification pass. Jaccard in rule-26 half-up
+    micro-units (non-negative, so Spark div == DuckDB //). Self-rows
+    report exact-dup classes (rep_a = rep_b, jac 1.0), the phash-family
+    convention.
+
+    Scale shape: shuffles carry (doc_id, int64) frame rows and class-
+    grain structs only; the pair explosion is bounded by the bucket cap;
+    one aggregate per stage, no join operators in the candidate path."""
+    fh = video_frame_hashes(media_table(spark, sf_dir))
+    per_video = fh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("vh")).alias("fs")
+    )
+    # group by the sorted frame array ITSELF: a var-width GROUPING KEY
+    # stays in HashAggregate (it's var-width aggregation BUFFERS that
+    # fall to SortAggregate, rule 30 — carrying fs via first(fs) did);
+    # the oracle's md5 set-signature partitions rows identically
+    classes = per_video.groupBy("fs").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+    )
+    exact = classes.filter(F.col("n_videos") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.col("n_videos").alias("n_videos_a"),
+        F.col("n_videos").alias("n_videos_b"),
+        F.size("fs").cast("bigint").alias("shared_frames"),
+        F.size("fs").cast("bigint").alias("union_frames"),
+        F.lit(1_000_000).cast("bigint").alias("jac_micro"),
+    )
+    cfr = classes.select(
+        F.struct(
+            "rep", "n_videos", F.size("fs").cast("bigint").alias("n_frames")
+        ).alias("m"),
+        F.explode("fs").alias("vh"),
+    )
+    buckets = (
+        cfr.groupBy("vh")
+        .agg(F.collect_list("m").alias("ms"))
+        .filter(F.size("ms").between(2, VIDEO_MAX_BUCKET))
+        .select("ms")
+    )
+    co = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.rep") < F.col("b.rep"))
+        .groupBy(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.n_videos").alias("n_videos_a"),
+            F.col("b.n_videos").alias("n_videos_b"),
+            F.col("a.n_frames").alias("f_a"),
+            F.col("b.n_frames").alias("f_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_frames"))
+    )
+    un = F.col("f_a") + F.col("f_b") - F.col("shared_frames")
+    near = co.select(
+        "rep_a",
+        "rep_b",
+        "n_videos_a",
+        "n_videos_b",
+        "shared_frames",
+        un.cast("bigint").alias("union_frames"),
+        F.expr(
+            "CAST((2 * shared_frames * 1000000 + (f_a + f_b - shared_frames))"
+            " div (2 * (f_a + f_b - shared_frames)) AS BIGINT)"
+        ).alias("jac_micro"),
+    ).filter(F.col("jac_micro") >= VIDEO_JAC_MIN_MICRO)
+    return near.unionByName(exact)

@@ -198,6 +198,7 @@ EXTRA_CHECKED = (
     "x4_fertility_by_lang",
     "x5_audio_envelope_dedup",
     "x4_pii_gate",
+    "x5_video_framehash_dedup",
 )
 
 BNLJ_ALLOWED.update({

@@ -1,0 +1,65 @@
+"""Pins for x5_video_framehash_dedup (multimodal.py): the overlap
+profiles its injection promises, half-up micro rounding in both
+directions, cross-group separation, and the join-free candidate path."""
+
+from __future__ import annotations
+
+from etl_active911_spark.operators.multimodal import (
+    media_table,
+    video_frame_hashes,
+    x5_video_framehash_dedup,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_overlap_profiles_and_separation(spark):
+    """Every content group must surface exactly its three edit pairs at
+    the closed-form Jaccards — 10/12 → 833333 (rounds DOWN), 10/14 →
+    714286 (rounds UP), 8/14 → 571429 (rounds UP) — plus exact self-rows;
+    and no cross-group pair survives τ."""
+    rows = x5_video_framehash_dedup(spark, SF_ORACLE).collect()
+    assert rows
+    near = [r for r in rows if r.rep_a != r.rep_b]
+    exact = [r for r in rows if r.rep_a == r.rep_b]
+    assert exact and all(r.jac_micro == 1_000_000 and r.n_videos_a >= 2 for r in exact)
+    # reps are videos (doc_id % 3 == 2); near-dup pairs stay within one
+    # content group (doc_id % 5)
+    for r in near:
+        assert r.rep_a % 3 == 2 and r.rep_b % 3 == 2
+        assert r.rep_a % 5 == r.rep_b % 5, f"cross-group pair survived: {r}"
+    jacs = sorted({r.jac_micro for r in near})
+    assert jacs == [571_429, 714_286, 833_333], jacs
+    # each of the 5 groups contributes all 3 edit pairs at sf0.01
+    groups = {r.rep_a % 5 for r in near}
+    assert groups == set(range(5))
+    per_group = {}
+    for r in near:
+        per_group.setdefault(r.rep_a % 5, set()).add(r.jac_micro)
+    assert all(len(v) == 3 for v in per_group.values())
+
+
+def test_candidate_path_is_join_free(spark):
+    """Candidate generation + intersection counting is bucket-and-explode
+    (CLAUDE.md rule 18): the near-dup leg's plan must contain no join
+    operator at all (the only union is with the class self-rows)."""
+    plan = (
+        x5_video_framehash_dedup(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert op not in plan, (op, plan[:2000])
+
+
+def test_frame_sets_bounded(spark):
+    """Frame fan-out is bounded (10 or 12 per video) — the explode can
+    never be corpus-shaped."""
+    fh = video_frame_hashes(media_table(spark, SF_ORACLE))
+    sizes = {r.n for r in fh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert sizes <= {10, 12}
