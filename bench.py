@@ -128,6 +128,7 @@ HEADLINE = [
     "x5_audio_envelope_dedup",
     "x4_pii_gate",
     "x5_video_framehash_dedup",
+    "x2_license_propagation",
 ]
 
 

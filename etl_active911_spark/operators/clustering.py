@@ -1022,3 +1022,104 @@ def cluster_drift_rows(
             .alias("drift_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r12): license-aware dedup — rights propagation across near-dup
+# clusters (the governance decision collapsing copies forces)
+# ---------------------------------------------------------------------------
+
+#: license ladder, least → most restrictive (rank = index)
+LICENSE_LADDER = ("cc0", "cc-by", "cc-by-nc", "proprietary")
+
+_LIC_CASE = (
+    "CASE CAST({x} AS INT) "
+    + " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(LICENSE_LADDER))
+    + " END"
+)
+
+
+def _license_prop_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {component_ctes()},
+    mem AS (
+        SELECT component, doc_id, CAST(doc_id % 4 AS BIGINT) AS rank
+        FROM assigned
+        QUALIFY COUNT(*) OVER (PARTITION BY component) >= 2
+    ),
+    agg AS (
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper,
+               CAST(MAX(rank) AS BIGINT) AS effective_rank,
+               CAST(COUNT(DISTINCT rank) AS BIGINT) AS n_distinct_licenses
+        FROM mem GROUP BY component
+    )
+    SELECT component, n_members, keeper,
+           {_LIC_CASE.format(x="keeper % 4")} AS keeper_license,
+           {_LIC_CASE.format(x="effective_rank")} AS effective_license,
+           n_distinct_licenses,
+           (effective_rank > keeper % 4) AS keeper_understates
+    FROM agg
+    """
+
+
+@query("x2_license_propagation", _license_prop_oracle())
+def x2_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r12): LICENSE PROPAGATION across near-dup clusters — the
+    governance rule dedup forces: when a cluster collapses to one
+    keeper, the kept text is near-identical to EVERY member, so the
+    release must carry the cluster's most restrictive license, not the
+    keeper's own (conservative derivative-work reading — the standard
+    posture for mixed-rights training corpora). Per ≥2-member cluster:
+    the keeper (MIN doc_id, the family's canonical-copy rule), the
+    keeper's own license, the propagated effective license (MAX ladder
+    rank over members), and ``keeper_understates`` — the audit flag:
+    shipping the keeper under its own license tag would understate the
+    cluster's rights (the legal hazard this query exists to surface).
+    Licenses are INJECTED as ``doc_id % 4`` over the license ladder
+    (identically in both engines, the house injection discipline).
+
+    Scale shape: reads ONLY the memoized component labels (rule 25 —
+    zero corpus scans: the license rank is a pure function of doc_id,
+    and cluster membership is one row per clustered doc ≪ corpus); one
+    member-count window + one component-keyed hash aggregate. The
+    keeper's license needs no argmax aggregate (rule 30 dodge): rank is
+    a function of doc_id, so ``keeper % 4`` recovers it from the MIN."""
+    from pyspark.sql import Column, Window
+
+    from etl_active911_spark.operators.dedup import shared_component_labels
+
+    comp = shared_component_labels(spark, sf_dir)
+    w = Window.partitionBy("component")
+    mem = (
+        comp.select(
+            "component",
+            "doc_id",
+            (F.col("doc_id") % 4).cast("bigint").alias("rank"),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("sz") >= 2)
+    )
+    agg = mem.groupBy(F.col("component").cast("bigint").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("keeper"),
+        F.max("rank").cast("bigint").alias("effective_rank"),
+        F.countDistinct("rank").cast("bigint").alias("n_distinct_licenses"),
+    )
+
+    def lic(col: Column) -> Column:
+        out = F.lit(None).cast("string")
+        for i, name in enumerate(LICENSE_LADDER):
+            out = F.when(col == i, F.lit(name)).otherwise(out)
+        return out
+
+    return agg.select(
+        "component",
+        "n_members",
+        "keeper",
+        lic(F.col("keeper") % 4).alias("keeper_license"),
+        lic(F.col("effective_rank")).alias("effective_license"),
+        "n_distinct_licenses",
+        (F.col("effective_rank") > F.col("keeper") % 4).alias("keeper_understates"),
+    )

@@ -199,6 +199,7 @@ EXTRA_CHECKED = (
     "x5_audio_envelope_dedup",
     "x4_pii_gate",
     "x5_video_framehash_dedup",
+    "x2_license_propagation",
 )
 
 BNLJ_ALLOWED.update({

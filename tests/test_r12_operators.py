@@ -169,3 +169,29 @@ def test_cluster_drift_merged_class_on_crafted_bridge(spark):
     assert got[20]["n_docs"] == got[20]["n_delta_docs"] == 2
     assert got[5]["drift_class"] == "grown"
     assert got[5]["n_prior_components"] == 1 and got[5]["n_delta_docs"] == 1
+
+
+def test_license_propagation_invariants(spark):
+    """x2_license_propagation: the propagated license is never LESS
+    restrictive than the keeper's own; the understate flag is exactly
+    rank(effective) > rank(keeper); and both audit classes fire at
+    sf0.01 (clean single-license clusters AND understated keepers)."""
+    from etl_active911_spark.operators.clustering import (
+        LICENSE_LADDER,
+        x2_license_propagation,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = x2_license_propagation(spark, SF_ORACLE).collect()
+    assert rows
+    rank = {n: i for i, n in enumerate(LICENSE_LADDER)}
+    for r in rows:
+        assert r.n_members >= 2
+        assert rank[r.effective_license] >= rank[r.keeper_license]
+        assert r.keeper_understates == (
+            rank[r.effective_license] > rank[r.keeper_license]
+        )
+        assert r.keeper_license == LICENSE_LADDER[r.keeper % 4]
+        assert 1 <= r.n_distinct_licenses <= len(LICENSE_LADDER)
+    flags = {r.keeper_understates for r in rows}
+    assert flags == {True, False}
