@@ -129,6 +129,7 @@ HEADLINE = [
     "x4_pii_gate",
     "x5_video_framehash_dedup",
     "x2_license_propagation",
+    "x5_geotag_privacy_audit",
 ]
 
 

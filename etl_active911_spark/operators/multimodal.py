@@ -2349,3 +2349,130 @@ def x5_video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jac_micro"),
     ).filter(F.col("jac_micro") >= VIDEO_JAC_MIN_MICRO)
     return near.unionByName(exact)
+
+
+# ---------------------------------------------------------------------------
+# X-5m (r12): geotag privacy audit — EXIF GPS vs sensitive geofences
+# (the multimodal × geo privacy composition)
+# ---------------------------------------------------------------------------
+
+#: dispatch zones whose contents must not ship with location metadata
+SENSITIVE_FENCES = ("f2", "f6")
+
+_GEOTAG_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               CAST(3900 + doc_id % 200 AS BIGINT) AS lat_c,
+               CAST(-10600 + doc_id % 150 AS BIGINT) AS lon_c
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 <> 3
+    ),
+    fences AS ({fences}),
+    fc AS (
+        SELECT fence_id,
+               CAST(lat_min * 100 AS BIGINT) AS lat_min_c,
+               CAST(lat_max * 100 AS BIGINT) AS lat_max_c,
+               CAST(lon_min * 100 AS BIGINT) AS lon_min_c,
+               CAST(lon_max * 100 AS BIGINT) AS lon_max_c
+        FROM fences
+    ),
+    j AS (
+        SELECT g.doc_id, g.lat_c, g.lon_c, f.fence_id,
+               CASE WHEN f.fence_id IN ({sens}) THEN 1 ELSE 0 END AS sens
+        FROM g LEFT JOIN fc f
+          ON g.lat_c >= f.lat_min_c AND g.lat_c < f.lat_max_c
+         AND g.lon_c >= f.lon_min_c AND g.lon_c < f.lon_max_c
+    )
+    SELECT doc_id, lat_c, lon_c,
+           CAST(COUNT(fence_id) AS BIGINT) AS n_fences,
+           CAST(COALESCE(SUM(sens), 0) AS BIGINT) AS n_sensitive,
+           (COALESCE(SUM(sens), 0) >= 1) AS scrub_location
+    FROM j GROUP BY doc_id, lat_c, lon_c
+    """
+
+
+def geotag_rows(media: DataFrame) -> DataFrame:
+    """(doc_id, lat_c, lon_c) for every GEOTAGGED image asset: an
+    EXIF-style GPS blob (fixed-point centi-degrees at a documented byte
+    offset) is written and parsed back OUT of the bytes — the
+    ``x5_media_metadata`` discipline, so an extractor that misreads
+    offset/endianness/signedness diverges. Untagged assets
+    (doc_id % 4 = 3) emit nothing. Coordinates stay EXACT INTEGERS
+    end-to-end (centi-degrees), so containment has no float path at
+    all."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "lat_c": [], "lon_c": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 4 == 3:
+                    continue  # no GPS tag on this asset
+                blob = b"GPS1" + struct.pack(
+                    "<ii", 3900 + doc_id % 200, -10600 + doc_id % 150
+                )
+                lat_c, lon_c = struct.unpack_from("<ii", blob, 4)
+                out["doc_id"].append(doc_id)
+                out["lat_c"].append(lat_c)
+                out["lon_c"].append(lon_c)
+            yield pd.DataFrame(out)
+
+    imgs = media.filter(F.col("mime") == "image/png").select("doc_id")
+    return imgs.mapInPandas(run, "doc_id long, lat_c long, lon_c long")
+
+
+def _geotag_oracle() -> str:
+    from etl_active911_spark.operators.geo import _FENCES_SQL
+
+    return _GEOTAG_ORACLE.format(
+        fences=_FENCES_SQL, sens=", ".join(f"'{f}'" for f in SENSITIVE_FENCES)
+    )
+
+
+@query("x5_geotag_privacy_audit", _geotag_oracle())
+def x5_geotag_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 (r12): GEOTAG PRIVACY AUDIT — the multimodal × geo privacy
+    composition a release pipeline owes its geotagged assets: every
+    image carrying EXIF GPS is tested against the dispatch-zone fence
+    table (the ``x7_geofence_assignment`` fences, integer centi-degree
+    bounds — quarter-degree fence edges ×100 are IEEE-exact), and any
+    asset inside a SENSITIVE zone is flagged ``scrub_location`` (strip
+    the GPS tag before release; publishing precise coordinates of a
+    sensitive site is the multimodal sibling of the text PII gate).
+    Per-asset: containing-fence count, sensitive-fence count, verdict.
+    Zones overlap (an asset counts in each); tagged assets outside all
+    fences report zero (LEFT containment join).
+
+    Scale shape: one Arrow pass parses GPS out of the bytes (blobs never
+    shuffle); the containment join is a bounded BNLJ against the
+    broadcast 6-row fence side (the x7_geofence_assignment note: at
+    thousands of fences, grid-bucket equi-join replaces it); the roll-up
+    keys on doc_id. Everything after the parse is exact int64."""
+    g = geotag_rows(media_table(spark, sf_dir))
+    from etl_active911_spark.operators.geo import _FENCES_SQL
+
+    fences = spark.sql(_FENCES_SQL).select(
+        "fence_id",
+        (F.col("lat_min") * 100).cast("bigint").alias("lat_min_c"),
+        (F.col("lat_max") * 100).cast("bigint").alias("lat_max_c"),
+        (F.col("lon_min") * 100).cast("bigint").alias("lon_min_c"),
+        (F.col("lon_max") * 100).cast("bigint").alias("lon_max_c"),
+    )
+    contained = (
+        (F.col("lat_c") >= F.col("lat_min_c"))
+        & (F.col("lat_c") < F.col("lat_max_c"))
+        & (F.col("lon_c") >= F.col("lon_min_c"))
+        & (F.col("lon_c") < F.col("lon_max_c"))
+    )
+    sens = (
+        F.when(F.col("fence_id").isin(*SENSITIVE_FENCES), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    j = g.join(F.broadcast(fences), on=contained, how="left").select(
+        "doc_id", "lat_c", "lon_c", "fence_id", sens.alias("sens")
+    )
+    return j.groupBy("doc_id", "lat_c", "lon_c").agg(
+        F.count("fence_id").cast("bigint").alias("n_fences"),
+        F.coalesce(F.sum("sens"), F.lit(0)).cast("bigint").alias("n_sensitive"),
+        (F.coalesce(F.sum("sens"), F.lit(0)) >= 1).alias("scrub_location"),
+    )

@@ -200,6 +200,7 @@ EXTRA_CHECKED = (
     "x4_pii_gate",
     "x5_video_framehash_dedup",
     "x2_license_propagation",
+    "x5_geotag_privacy_audit",
 )
 
 BNLJ_ALLOWED.update({
@@ -241,6 +242,8 @@ BNLJ_ALLOWED.update({
     "x3_ann_ivf": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape)"),
     "x3_mips_topk": (1, "broadcast N_QUERIES-row query block, != self-pair condition (x3_cosine_topk shape)"),
     "x3_ann_ivf_compact": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape); compaction itself reads back the partitioned layout"),
+    # late-r12 session additions:
+    "x5_geotag_privacy_audit": (1, "broadcast 6-row fence table containment theta join — the x7_geofence_assignment bounded side"),
 })
 
 

@@ -195,3 +195,23 @@ def test_license_propagation_invariants(spark):
         assert 1 <= r.n_distinct_licenses <= len(LICENSE_LADDER)
     flags = {r.keeper_understates for r in rows}
     assert flags == {True, False}
+
+
+def test_geotag_privacy_audit_classes(spark):
+    """x5_geotag_privacy_audit: untagged assets (doc_id % 4 == 3) never
+    appear; tagged assets outside every fence report zero; both scrub
+    verdicts fire; and n_sensitive <= n_fences always."""
+    from etl_active911_spark.operators.multimodal import x5_geotag_privacy_audit
+    from tests.conftest import SF_ORACLE
+
+    rows = x5_geotag_privacy_audit(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 3 == 0 and r.doc_id % 4 != 3
+        assert 0 <= r.n_sensitive <= r.n_fences
+        assert r.scrub_location == (r.n_sensitive >= 1)
+        assert 3900 <= r.lat_c <= 4099 and -10600 <= r.lon_c <= -10451
+    verdicts = {r.scrub_location for r in rows}
+    assert verdicts == {True, False}
+    assert any(r.n_fences == 0 for r in rows)     # tagged but outside all zones
+    assert any(r.n_fences >= 2 for r in rows)     # overlapping zones counted per fence
