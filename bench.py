@@ -130,6 +130,7 @@ HEADLINE = [
     "x5_video_framehash_dedup",
     "x2_license_propagation",
     "x5_geotag_privacy_audit",
+    "x2_deletion_propagation",
 ]
 
 

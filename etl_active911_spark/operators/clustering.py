@@ -1123,3 +1123,107 @@ def x2_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_licenses",
         (F.col("effective_rank") > F.col("keeper") % 4).alias("keeper_understates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-2 (r12): deletion propagation — right-to-erasure amplification across
+# near-dup clusters (the governance twin of license propagation)
+# ---------------------------------------------------------------------------
+
+#: injected erasure requests: every 13th document files one
+_DELETE_MOD = 13
+
+
+def _deletion_prop_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {component_ctes()},
+    mem AS (
+        SELECT component, doc_id,
+               CASE WHEN doc_id % {_DELETE_MOD} = 0 THEN 1 ELSE 0 END AS req
+        FROM assigned
+        QUALIFY COUNT(*) OVER (PARTITION BY component) >= 2
+    ),
+    cl AS (
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(req) AS BIGINT) AS n_direct_requests
+        FROM mem GROUP BY component
+    ),
+    tainted AS (
+        SELECT component, n_members, n_direct_requests,
+               CAST(n_members - n_direct_requests AS BIGINT) AS n_collateral
+        FROM cl WHERE n_direct_requests >= 1
+    )
+    SELECT component, n_members, n_direct_requests, n_collateral
+    FROM tainted
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS component,
+           CAST(COALESCE(SUM(n_members), 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(SUM(n_direct_requests), 0) AS BIGINT) AS n_direct_requests,
+           CAST(COALESCE(SUM(n_collateral), 0) AS BIGINT) AS n_collateral
+    FROM tainted
+    """
+
+
+@query("x2_deletion_propagation", _deletion_prop_oracle())
+def x2_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r12): DELETION PROPAGATION — right-to-erasure across near-dup
+    clusters, the governance twin of ``x2_license_propagation``: when a
+    document owner requests erasure, every near-duplicate copy carries
+    (essentially) the same content, so an honest purge removes the WHOLE
+    cluster — and the pipeline owes its operator the amplification
+    inventory before executing: per tainted ≥2-member cluster, members,
+    direct requests, and ``n_collateral`` (copies purged only
+    transitively — the amplification the erasure audit must disclose).
+    A corpus-total row (component NULL) ships in the same schema so the
+    headline factor (total purged / total requested) reads off one
+    result. Requests are injected as ``doc_id % {mod} = 0`` (the house
+    injection discipline). Singleton documents amplify by exactly 1 and
+    are out of scope here (their purge is the trivial delete-by-key
+    path); clusters are where erasure cost is non-obvious.
+
+    Scale shape: reads ONLY the memoized component labels (zero corpus
+    scans — the request flag is a pure function of doc_id); one member
+    window + one component-keyed aggregate + a tainted-only total
+    (tainted clusters ≪ corpus)."""
+    from pyspark.sql import Window
+
+    from etl_active911_spark.operators.dedup import shared_component_labels
+
+    comp = shared_component_labels(spark, sf_dir)
+    w = Window.partitionBy("component")
+    mem = (
+        comp.select(
+            "component",
+            "doc_id",
+            F.when(F.col("doc_id") % _DELETE_MOD == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("req"),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("sz") >= 2)
+    )
+    cl = mem.groupBy(F.col("component").cast("bigint").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("req").cast("bigint").alias("n_direct_requests"),
+    )
+    tainted = cl.filter(F.col("n_direct_requests") >= 1).select(
+        "component",
+        "n_members",
+        "n_direct_requests",
+        (F.col("n_members") - F.col("n_direct_requests"))
+        .cast("bigint")
+        .alias("n_collateral"),
+    )
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    tainted = scoped_persist("x2_deletion_propagation.tainted", tainted)
+    total = tainted.agg(
+        F.lit(None).cast("bigint").alias("component"),
+        F.coalesce(F.sum("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
+        F.coalesce(F.sum("n_direct_requests"), F.lit(0))
+        .cast("bigint")
+        .alias("n_direct_requests"),
+        F.coalesce(F.sum("n_collateral"), F.lit(0)).cast("bigint").alias("n_collateral"),
+    )
+    return tainted.unionByName(total)

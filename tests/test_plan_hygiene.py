@@ -201,6 +201,7 @@ EXTRA_CHECKED = (
     "x5_video_framehash_dedup",
     "x2_license_propagation",
     "x5_geotag_privacy_audit",
+    "x2_deletion_propagation",
 )
 
 BNLJ_ALLOWED.update({

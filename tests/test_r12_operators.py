@@ -215,3 +215,25 @@ def test_geotag_privacy_audit_classes(spark):
     assert verdicts == {True, False}
     assert any(r.n_fences == 0 for r in rows)     # tagged but outside all zones
     assert any(r.n_fences >= 2 for r in rows)     # overlapping zones counted per fence
+
+
+def test_deletion_propagation_invariants(spark):
+    """x2_deletion_propagation: collateral = members − requests per
+    tainted cluster; the NULL-component total row equals the sum of the
+    cluster rows; amplification > 1 actually occurs at sf0.01 (some
+    purge removes copies nobody asked about)."""
+    from etl_active911_spark.operators.clustering import x2_deletion_propagation
+    from tests.conftest import SF_ORACLE
+
+    rows = x2_deletion_propagation(spark, SF_ORACLE).collect()
+    clusters = [r for r in rows if r.component is not None]
+    totals = [r for r in rows if r.component is None]
+    assert len(totals) == 1 and clusters
+    t = totals[0]
+    for r in clusters:
+        assert r.n_direct_requests >= 1
+        assert r.n_collateral == r.n_members - r.n_direct_requests >= 0
+    assert t.n_members == sum(r.n_members for r in clusters)
+    assert t.n_direct_requests == sum(r.n_direct_requests for r in clusters)
+    assert t.n_collateral == sum(r.n_collateral for r in clusters)
+    assert t.n_collateral >= 1  # amplification is real, not vacuous
