@@ -131,6 +131,7 @@ HEADLINE = [
     "x2_license_propagation",
     "x5_geotag_privacy_audit",
     "x2_deletion_propagation",
+    "x9_release_scorecard",
 ]
 
 

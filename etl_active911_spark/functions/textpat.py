@@ -11,3 +11,14 @@ module import, and each module's oracles reference the other's CTEs).
 # RE2∩Java-regex common subset so Spark and DuckDB tokenize identically
 # (value-level extraction equality verified, not just counts).
 BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+# PII patterns (X-4k) — conservative regex subset (character classes,
+# bounded repeats — no lookaround, no \d shorthands) so Java regex and
+# RE2 agree byte-for-byte. Hoisted here (r12) so clustering's
+# release-scorecard oracle builder can embed them at decoration time
+# without a circular import (the BPE_ISH_PATTERN precedent above).
+PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_PHONE = "\\+1-555-[0-9][0-9][0-9][0-9]"
+PII_SSN = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+#: a document matching at least this many PII instances is quarantined
+PII_QUARANTINE_MIN = 2

@@ -1227,3 +1227,206 @@ def x2_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_collateral"), F.lit(0)).cast("bigint").alias("n_collateral"),
     )
     return tainted.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r12): release scorecard — the ship/no-ship gate composing the
+# corpus audits (capstone of the governance family)
+# ---------------------------------------------------------------------------
+
+#: (gate name, threshold in micro-units): a release ships only if every
+#: metric is <= its threshold
+SCORECARD_GATES = (
+    ("exact_dup_rate", 250_000),
+    ("neardup_mass", 250_000),
+    ("pii_quarantine_rate", 500_000),
+    ("license_conflict_rate", 0),
+)
+
+
+def _scorecard_oracle() -> str:
+    from etl_active911_spark.functions.textpat import (
+        PII_EMAIL as _PII_EMAIL,
+        PII_PHONE as _PII_PHONE,
+        PII_SSN as _PII_SSN,
+        PII_QUARANTINE_MIN,
+    )
+
+    th = dict(SCORECARD_GATES)
+    return f"""
+    WITH RECURSIVE {component_ctes()},
+    d AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS dh
+        FROM documents
+    ),
+    mem AS (
+        SELECT component, doc_id FROM assigned
+        QUALIFY COUNT(*) OVER (PARTITION BY component) >= 2
+    ),
+    pc AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(doc_id) AS keeper, MAX(doc_id % 4) AS eff
+        FROM mem GROUP BY component
+    ),
+    cm AS (
+        SELECT CAST(COALESCE(SUM(n_members), 0) AS BIGINT) AS clustered,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(SUM(CASE WHEN eff > keeper % 4 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS conflicts
+        FROM pc
+    ),
+    aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ssn 987-65-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END AS aug
+        FROM documents
+    ),
+    pii AS (
+        SELECT CAST(SUM(CASE WHEN
+                   (len(string_split_regex(aug, '{_PII_EMAIL}')) - 1)
+                 + (len(string_split_regex(aug, '{_PII_PHONE}')) - 1)
+                 + (len(string_split_regex(aug, '{_PII_SSN}')) - 1)
+                 >= {PII_QUARANTINE_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS q
+        FROM aug
+    ),
+    gates AS MATERIALIZED (
+        SELECT 'exact_dup_rate' AS gate,
+               CAST((2 * (d.n - d.dh) * 1000000 + d.n) // (2 * d.n) AS BIGINT) AS metric_micro,
+               CAST({th["exact_dup_rate"]} AS BIGINT) AS threshold_micro
+        FROM d
+        UNION ALL
+        SELECT 'neardup_mass',
+               CAST((2 * cm.clustered * 1000000 + d.n) // (2 * d.n) AS BIGINT),
+               CAST({th["neardup_mass"]} AS BIGINT)
+        FROM cm, d
+        UNION ALL
+        SELECT 'pii_quarantine_rate',
+               CAST((2 * pii.q * 1000000 + d.n) // (2 * d.n) AS BIGINT),
+               CAST({th["pii_quarantine_rate"]} AS BIGINT)
+        FROM pii, d
+        UNION ALL
+        SELECT 'license_conflict_rate',
+               CAST(CASE WHEN cm.n_clusters = 0 THEN 0
+                    ELSE (2 * cm.conflicts * 1000000 + cm.n_clusters)
+                         // (2 * cm.n_clusters) END AS BIGINT),
+               CAST({th["license_conflict_rate"]} AS BIGINT)
+        FROM cm
+    )
+    SELECT gate, metric_micro, threshold_micro,
+           (metric_micro <= threshold_micro) AS passed
+    FROM gates
+    UNION ALL
+    SELECT 'ALL', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           BOOL_AND(metric_micro <= threshold_micro)
+    FROM gates
+    """
+
+
+@query("x9_release_scorecard", _scorecard_oracle())
+def x9_release_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r12): the RELEASE SCORECARD — one ship/no-ship surface
+    composing the corpus audits a data release must clear: exact-dup
+    rate (content-hash), near-dup cluster mass (fraction of docs inside
+    ≥2-member clusters), PII quarantine rate (the ``x4_pii_gate``
+    verdicts), and the license-conflict rate (``x2_license_propagation``
+    understates ÷ clusters — threshold ZERO: any conflict blocks the
+    release). Per-gate rows carry the metric, threshold, and verdict in
+    exact micro-units; the 'ALL' row is the release decision
+    (``BOOL_AND`` over gates — at sf0.01 license conflicts exist, so
+    the scorecard honestly reads no-ship with the blocking gate
+    visible). Thresholds live in ``SCORECARD_GATES`` (one shared
+    constant for both engines).
+
+    Rule-27 note: the oracle's ``gates`` CTE embeds the recursive
+    component closure AND the PII regex chain and is referenced twice
+    (rows + BOOL_AND) — ``AS MATERIALIZED`` so DuckDB cannot re-inline
+    the heavy chain per reference (the x7_knox lesson).
+
+    Scale shape: the cluster gates read the memoized component labels
+    (zero extra corpus passes); the hash and PII gates are each one
+    scan → one scalar aggregate; the assembly is 1-row crossJoins
+    (bounded BNLJs, allowlisted); the 4-row gate table is
+    scoped_persist'd so the ALL row reuses it (rule 17)."""
+    from etl_active911_spark.io import read_table, spread
+    from etl_active911_spark.operators.dedup import shared_component_labels
+    from etl_active911_spark.operators.textual import pii_verdict_rows
+    from pyspark.sql import Window
+
+    th = dict(SCORECARD_GATES)
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    d = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("dh"),
+    )
+    comp = shared_component_labels(spark, sf_dir)
+    w = Window.partitionBy("component")
+    mem = comp.withColumn("sz", F.count(F.lit(1)).over(w)).filter(F.col("sz") >= 2)
+    pc = mem.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").alias("keeper"),
+        F.max(F.col("doc_id") % 4).alias("eff"),
+    )
+    cm = pc.agg(
+        F.coalesce(F.sum("n_members"), F.lit(0)).cast("bigint").alias("clustered"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.coalesce(
+            F.sum(F.when(F.col("eff") > F.col("keeper") % 4, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("conflicts"),
+    )
+    pii = pii_verdict_rows(docs.select("doc_id", "source", "text")).agg(
+        F.sum("quarantined").cast("bigint").alias("q")
+    )
+
+    def rate(num: str, den: str) -> F.Column:
+        return F.expr(f"CAST((2 * {num} * 1000000 + {den}) div (2 * {den}) AS BIGINT)")
+
+    g1 = d.select(
+        F.lit("exact_dup_rate").alias("gate"),
+        rate("(n - dh)", "n").alias("metric_micro"),
+        F.lit(th["exact_dup_rate"]).cast("bigint").alias("threshold_micro"),
+    )
+    g2 = cm.crossJoin(F.broadcast(d)).select(
+        F.lit("neardup_mass").alias("gate"),
+        rate("clustered", "n").alias("metric_micro"),
+        F.lit(th["neardup_mass"]).cast("bigint").alias("threshold_micro"),
+    )
+    g3 = pii.crossJoin(F.broadcast(d)).select(
+        F.lit("pii_quarantine_rate").alias("gate"),
+        rate("q", "n").alias("metric_micro"),
+        F.lit(th["pii_quarantine_rate"]).cast("bigint").alias("threshold_micro"),
+    )
+    g4 = cm.select(
+        F.lit("license_conflict_rate").alias("gate"),
+        F.when(F.col("n_clusters") == 0, F.lit(0).cast("bigint"))
+        .otherwise(rate("conflicts", "n_clusters"))
+        .alias("metric_micro"),
+        F.lit(th["license_conflict_rate"]).cast("bigint").alias("threshold_micro"),
+    )
+    gates = scoped_persist(
+        "x9_release_scorecard.gates",
+        g1.unionByName(g2).unionByName(g3).unionByName(g4),
+    )
+    rows = gates.select(
+        "gate",
+        "metric_micro",
+        "threshold_micro",
+        (F.col("metric_micro") <= F.col("threshold_micro")).alias("passed"),
+    )
+    allrow = gates.agg(
+        F.lit("ALL").alias("gate"),
+        F.lit(None).cast("bigint").alias("metric_micro"),
+        F.lit(None).cast("bigint").alias("threshold_micro"),
+        F.bool_and(F.col("metric_micro") <= F.col("threshold_micro")).alias("passed"),
+    )
+    return rows.unionByName(allrow)

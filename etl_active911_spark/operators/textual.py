@@ -822,9 +822,15 @@ def x4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Conservative regex subset (character classes, bounded repeats — no
 # lookaround, no \d shorthands) so Java regex and RE2 agree byte-for-byte.
-_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
-_PII_PHONE = "\\+1-555-[0-9][0-9][0-9][0-9]"
-_PII_SSN = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+# Hoisted to functions/textpat.py (leaf module, r12) so decoration-time
+# oracle builders in other modules (clustering's release scorecard) can
+# embed the patterns without a circular import; re-exported here for
+# existing call sites.
+from etl_active911_spark.functions.textpat import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_PHONE as _PII_PHONE,
+    PII_SSN as _PII_SSN,
+)
 
 
 @query(
@@ -4471,9 +4477,9 @@ def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (batch fold of streaming/pii_ingest.py)
 # ---------------------------------------------------------------------------
 
-#: a document matching at least this many PII instances is quarantined
-#: for manual scrubbing instead of auto-redacted
-PII_QUARANTINE_MIN = 2
+#: quarantine threshold hoisted to functions/textpat.py (leaf module,
+#: with the PII patterns); re-exported here for existing call sites
+from etl_active911_spark.functions.textpat import PII_QUARANTINE_MIN  # noqa: E402
 
 
 def pii_verdict_rows(docs: DataFrame) -> DataFrame:

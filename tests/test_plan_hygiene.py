@@ -202,6 +202,7 @@ EXTRA_CHECKED = (
     "x2_license_propagation",
     "x5_geotag_privacy_audit",
     "x2_deletion_propagation",
+    "x9_release_scorecard",
 )
 
 BNLJ_ALLOWED.update({
@@ -245,6 +246,7 @@ BNLJ_ALLOWED.update({
     "x3_ann_ivf_compact": (1, "broadcast 16-row seed-centroid table into the assignment scan (x3_ann_ivf_seeded shape); compaction itself reads back the partitioned layout"),
     # late-r12 session additions:
     "x5_geotag_privacy_audit": (1, "broadcast 6-row fence table containment theta join — the x7_geofence_assignment bounded side"),
+    "x9_release_scorecard": (4, "every build side is a 1-row scalar aggregate (corpus count crossJoined into three rate gates; the 4-row persisted gate table's plan text repeats its 1-row sides per consumer) — execution is once per scalar"),
 })
 
 

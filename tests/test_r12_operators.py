@@ -237,3 +237,28 @@ def test_deletion_propagation_invariants(spark):
     assert t.n_direct_requests == sum(r.n_direct_requests for r in clusters)
     assert t.n_collateral == sum(r.n_collateral for r in clusters)
     assert t.n_collateral >= 1  # amplification is real, not vacuous
+
+
+def test_release_scorecard_decision(spark):
+    """x9_release_scorecard: per-gate verdicts are metric <= threshold,
+    the ALL row is their conjunction, and at sf0.01 the license gate
+    blocks the release (conflicts exist) while the volume gates pass —
+    the scorecard reads an honest no-ship with the blocking gate
+    visible."""
+    from etl_active911_spark.operators.clustering import (
+        SCORECARD_GATES,
+        x9_release_scorecard,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = {r.gate: r for r in x9_release_scorecard(spark, SF_ORACLE).collect()}
+    assert set(rows) == {g for g, _ in SCORECARD_GATES} | {"ALL"}
+    for g, th in SCORECARD_GATES:
+        r = rows[g]
+        assert r.threshold_micro == th
+        assert r.passed == (r.metric_micro <= th)
+    assert rows["ALL"].metric_micro is None
+    assert rows["ALL"].passed == all(rows[g].passed for g, _ in SCORECARD_GATES)
+    assert not rows["license_conflict_rate"].passed      # conflicts block
+    assert rows["pii_quarantine_rate"].passed            # volume gates clear
+    assert not rows["ALL"].passed                        # honest no-ship
