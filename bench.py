@@ -119,10 +119,11 @@ HEADLINE = [
     "n5_acd_error_bound",
     "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan",
-    # late-r12 additions (same shared-subset rule): the session's four
+    # late-r12 additions (same shared-subset rule): the session's nine
     # newcomers — normalization-gain audit, per-language fertility, the
-    # audio envelope near-dup (Arrow encode+decode per asset), and the
-    # PII gate fold
+    # PII gate fold, the audio/video perceptual near-dups, the
+    # license/deletion governance audits, the geotag privacy audit, and
+    # the composed release scorecard
     "x4_normalization_gain",
     "x4_fertility_by_lang",
     "x5_audio_envelope_dedup",

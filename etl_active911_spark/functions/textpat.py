@@ -22,3 +22,33 @@ PII_PHONE = "\\+1-555-[0-9][0-9][0-9][0-9]"
 PII_SSN = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
 #: a document matching at least this many PII instances is quarantined
 PII_QUARANTINE_MIN = 2
+
+
+def pii_aug_cte() -> str:
+    """The PII injection CTE (``aug``): deterministic synthetic PII
+    appended as a function of doc_id, identical in both engines — the
+    SINGLE source nested by x4_pii_redact, x4_pii_gate, and
+    x9_release_scorecard's oracle so the injection can never fork
+    (the component_ctes discipline). Spark-side twin:
+    ``textual.pii_verdict_rows``."""
+    return """
+    aug AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ssn 987-65-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END AS aug
+        FROM documents
+    )"""
+
+
+def pii_n_matches_sql(col: str, pattern: str) -> str:
+    """Split-based PII match count (matches = separators), shared SQL
+    text for the same three oracles."""
+    return f"CAST(len(string_split_regex({col}, '{pattern}')) - 1 AS BIGINT)"

@@ -1039,28 +1039,37 @@ _LIC_CASE = (
 )
 
 
-def _license_prop_oracle() -> str:
-    return f"""
-    WITH RECURSIVE {component_ctes()},
+#: shared CTE text — ≥2-member cluster members with injected license
+#: ranks, aggregated per component (``pc``). Nested VERBATIM by the
+#: license oracle and x9_release_scorecard so the two can never
+#: desynchronize (the component_ctes discipline). Callers open WITH
+#: RECURSIVE and must have ``assigned`` in scope (component_ctes).
+_LICENSE_PC_CTES = """
     mem AS (
         SELECT component, doc_id, CAST(doc_id % 4 AS BIGINT) AS rank
         FROM assigned
         QUALIFY COUNT(*) OVER (PARTITION BY component) >= 2
     ),
-    agg AS (
+    pc AS (
         SELECT CAST(component AS BIGINT) AS component,
                CAST(COUNT(*) AS BIGINT) AS n_members,
                CAST(MIN(doc_id) AS BIGINT) AS keeper,
                CAST(MAX(rank) AS BIGINT) AS effective_rank,
                CAST(COUNT(DISTINCT rank) AS BIGINT) AS n_distinct_licenses
         FROM mem GROUP BY component
-    )
+    )"""
+
+
+def _license_prop_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {component_ctes()},
+    {_LICENSE_PC_CTES}
     SELECT component, n_members, keeper,
            {_LIC_CASE.format(x="keeper % 4")} AS keeper_license,
            {_LIC_CASE.format(x="effective_rank")} AS effective_license,
            n_distinct_licenses,
            (effective_rank > keeper % 4) AS keeper_understates
-    FROM agg
+    FROM pc
     """
 
 
@@ -1246,10 +1255,12 @@ SCORECARD_GATES = (
 
 def _scorecard_oracle() -> str:
     from etl_active911_spark.functions.textpat import (
-        PII_EMAIL as _PII_EMAIL,
-        PII_PHONE as _PII_PHONE,
-        PII_SSN as _PII_SSN,
+        PII_EMAIL,
+        PII_PHONE,
         PII_QUARANTINE_MIN,
+        PII_SSN,
+        pii_aug_cte,
+        pii_n_matches_sql,
     )
 
     th = dict(SCORECARD_GATES)
@@ -1260,41 +1271,21 @@ def _scorecard_oracle() -> str:
                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS dh
         FROM documents
     ),
-    mem AS (
-        SELECT component, doc_id FROM assigned
-        QUALIFY COUNT(*) OVER (PARTITION BY component) >= 2
-    ),
-    pc AS (
-        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
-               MIN(doc_id) AS keeper, MAX(doc_id % 4) AS eff
-        FROM mem GROUP BY component
-    ),
+    {_LICENSE_PC_CTES},
     cm AS (
         SELECT CAST(COALESCE(SUM(n_members), 0) AS BIGINT) AS clustered,
                CAST(COUNT(*) AS BIGINT) AS n_clusters,
-               CAST(COALESCE(SUM(CASE WHEN eff > keeper % 4 THEN 1 ELSE 0 END), 0)
+               CAST(COALESCE(SUM(CASE WHEN effective_rank > keeper % 4
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS conflicts
         FROM pc
     ),
-    aug AS (
-        SELECT doc_id,
-               text
-               || CASE WHEN doc_id % 3 <> 0
-                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
-                       ELSE '' END
-               || CASE WHEN doc_id % 2 = 0
-                       THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
-                       ELSE '' END
-               || CASE WHEN doc_id % 5 = 0
-                       THEN ' ssn 987-65-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
-                       ELSE '' END AS aug
-        FROM documents
-    ),
+    {pii_aug_cte()},
     pii AS (
         SELECT CAST(SUM(CASE WHEN
-                   (len(string_split_regex(aug, '{_PII_EMAIL}')) - 1)
-                 + (len(string_split_regex(aug, '{_PII_PHONE}')) - 1)
-                 + (len(string_split_regex(aug, '{_PII_SSN}')) - 1)
+                   {pii_n_matches_sql("aug", PII_EMAIL)}
+                 + {pii_n_matches_sql("aug", PII_PHONE)}
+                 + {pii_n_matches_sql("aug", PII_SSN)}
                  >= {PII_QUARANTINE_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS q
         FROM aug
     ),
@@ -1363,9 +1354,15 @@ def x9_release_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     th = dict(SCORECARD_GATES)
     docs = spread(read_table(spark, sf_dir, "documents"))
-    d = docs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.countDistinct(F.md5("text")).cast("bigint").alias("dh"),
+    # 1-row scalar aggregates with 2-3 consumers each: scoped_persist
+    # (rule 17) so the corpus scan / component aggregate run once even
+    # under exchange.reuse=false (the SCALE.md invariant-9 hostile conf)
+    d = scoped_persist(
+        "x9_release_scorecard.d",
+        docs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.md5("text")).cast("bigint").alias("dh"),
+        ),
     )
     comp = shared_component_labels(spark, sf_dir)
     w = Window.partitionBy("component")
@@ -1375,14 +1372,18 @@ def x9_release_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keeper"),
         F.max(F.col("doc_id") % 4).alias("eff"),
     )
-    cm = pc.agg(
-        F.coalesce(F.sum("n_members"), F.lit(0)).cast("bigint").alias("clustered"),
-        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-        F.coalesce(
-            F.sum(F.when(F.col("eff") > F.col("keeper") % 4, 1).otherwise(0)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("conflicts"),
+    cm = scoped_persist(
+        "x9_release_scorecard.cm",
+        pc.agg(
+            F.coalesce(F.sum("n_members"), F.lit(0)).cast("bigint").alias("clustered"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.coalesce(
+                F.sum(F.when(F.col("eff") > F.col("keeper") % 4, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("conflicts"),
+        ),
     )
     pii = pii_verdict_rows(docs.select("doc_id", "source", "text")).agg(
         F.sum("quarantined").cast("bigint").alias("q")

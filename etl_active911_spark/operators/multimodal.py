@@ -2195,7 +2195,7 @@ _VIDEO_DEDUP_ORACLE = f"""
     ),
     cfr AS (
         SELECT c.rep, c.n_videos, c.n_frames, f.vh
-        FROM cls c JOIN sig g ON g.doc_id = c.rep JOIN fh f ON f.doc_id = c.rep
+        FROM cls c JOIN fh f ON f.doc_id = c.rep
     ),
     ok AS (
         SELECT vh FROM cfr GROUP BY vh
@@ -2295,10 +2295,17 @@ def x5_video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group by the sorted frame array ITSELF: a var-width GROUPING KEY
     # stays in HashAggregate (it's var-width aggregation BUFFERS that
     # fall to SortAggregate, rule 30 — carrying fs via first(fs) did);
-    # the oracle's md5 set-signature partitions rows identically
-    classes = per_video.groupBy("fs").agg(
-        F.min("doc_id").alias("rep"),
-        F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+    # the oracle's md5 set-signature partitions rows identically.
+    # scoped_persist: two consumers (exact self-rows + the bucket path)
+    # — rule 17, unconditional reuse even under exchange.reuse=false
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    classes = scoped_persist(
+        "x5_video_framehash.classes",
+        per_video.groupBy("fs").agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+        ),
     )
     exact = classes.filter(F.col("n_videos") >= 2).select(
         F.col("rep").alias("rep_a"),

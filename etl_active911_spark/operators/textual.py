@@ -833,27 +833,20 @@ from etl_active911_spark.functions.textpat import (  # noqa: E402
 )
 
 
+from etl_active911_spark.functions.textpat import (  # noqa: E402
+    pii_aug_cte,
+    pii_n_matches_sql,
+)
+
+
 @query(
     "x4_pii_redact",
     f"""
-    WITH aug AS (
-        SELECT doc_id,
-               text
-               || CASE WHEN doc_id % 3 <> 0
-                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
-                       ELSE '' END
-               || CASE WHEN doc_id % 2 = 0
-                       THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
-                       ELSE '' END
-               || CASE WHEN doc_id % 5 = 0
-                       THEN ' ssn 987-65-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
-                       ELSE '' END AS aug
-        FROM documents
-    )
+    WITH {pii_aug_cte()}
     SELECT doc_id,
-           CAST(len(string_split_regex(aug, '{_PII_EMAIL}')) - 1 AS BIGINT) AS n_emails,
-           CAST(len(string_split_regex(aug, '{_PII_PHONE}')) - 1 AS BIGINT) AS n_phones,
-           CAST(len(string_split_regex(aug, '{_PII_SSN}')) - 1 AS BIGINT) AS n_ssns,
+           {pii_n_matches_sql("aug", _PII_EMAIL)} AS n_emails,
+           {pii_n_matches_sql("aug", _PII_PHONE)} AS n_phones,
+           {pii_n_matches_sql("aug", _PII_SSN)} AS n_ssns,
            regexp_replace(regexp_replace(regexp_replace(aug,
                '{_PII_EMAIL}', '<EMAIL>', 'g'),
                '{_PII_PHONE}', '<PHONE>', 'g'),
@@ -4530,25 +4523,12 @@ def pii_verdict_rows(docs: DataFrame) -> DataFrame:
 
 
 _PII_GATE_ORACLE = f"""
-    WITH aug AS (
-        SELECT doc_id, source,
-               text
-               || CASE WHEN doc_id % 3 <> 0
-                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
-                       ELSE '' END
-               || CASE WHEN doc_id % 2 = 0
-                       THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
-                       ELSE '' END
-               || CASE WHEN doc_id % 5 = 0
-                       THEN ' ssn 987-65-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
-                       ELSE '' END AS aug
-        FROM documents
-    ),
+    WITH {pii_aug_cte()},
     c AS (
         SELECT source,
-               CAST(len(string_split_regex(aug, '{_PII_EMAIL}')) - 1 AS BIGINT) AS ne,
-               CAST(len(string_split_regex(aug, '{_PII_PHONE}')) - 1 AS BIGINT) AS np,
-               CAST(len(string_split_regex(aug, '{_PII_SSN}')) - 1 AS BIGINT) AS ns
+               {pii_n_matches_sql("aug", _PII_EMAIL)} AS ne,
+               {pii_n_matches_sql("aug", _PII_PHONE)} AS np,
+               {pii_n_matches_sql("aug", _PII_SSN)} AS ns
         FROM aug
     ),
     v AS (
