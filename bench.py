@@ -133,6 +133,7 @@ HEADLINE = [
     "x5_geotag_privacy_audit",
     "x2_deletion_propagation",
     "x9_release_scorecard",
+    "x4_compression_bound",
 ]
 
 

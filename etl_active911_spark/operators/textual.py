@@ -4572,3 +4572,71 @@ def x4_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(admitted, F.col("n_phones")).otherwise(0)).cast("bigint").alias("admitted_phones"),
         F.sum(F.when(admitted, F.col("n_ssns")).otherwise(0)).cast("bigint").alias("admitted_ssns"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-4w (r12): oracled accuracy companion for the rows-only zlib ratio
+# (the n4/n5 error-bound pattern applied to the compression detector)
+# ---------------------------------------------------------------------------
+
+_ZLIB_BOUND_SQL = (
+    "CAST(n_bytes + n_bytes // 4096 + n_bytes // 16384"
+    " + n_bytes // 33554432 + 13 AS BIGINT)"
+)
+
+
+@query(
+    "x4_compression_bound",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents WHERE octet_length(encode(text)) > 0
+    )
+    SELECT doc_id, n_bytes,
+           {_ZLIB_BOUND_SQL} AS bound_bytes,
+           TRUE AS within_bound
+    FROM b
+    """,
+)
+def x4_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r12): ORACLED accuracy contract for the rows-only
+    ``x4_compression_ratio`` — the n4/n5 error-bound pattern (VERDICT
+    r11 item 5): per document, the actual zlib-6 output must sit within
+    zlib's published ``compressBound`` worst case
+    (n + n/2¹² + n/2¹⁴ + n/2²⁵ + 13 — deflate's stored-block overhead
+    envelope, public zlib.h). The oracle predicts the bound closed-form
+    from the byte length and asserts ``within_bound`` — a zlib path that
+    ever exceeded its own bound (wrong level plumbing, double encoding,
+    truncated output misread as success) red-rows the driver hash, which
+    turns the rows-only compressor into a hash-checked contract.
+
+    Scale shape: identical to the ratio query — one Arrow-batched
+    pandas_udf pass, bound arithmetic in codegen, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _z_bytes(texts):
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    _z_bytes.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    z_bytes = pandas_udf(_z_bytes, "long")
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    b = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        z_bytes(F.col("text")).alias("zl"),
+    ).filter(F.col("n_bytes") > 0)
+    bound = F.expr(
+        "CAST(n_bytes + n_bytes div 4096 + n_bytes div 16384"
+        " + n_bytes div 33554432 + 13 AS BIGINT)"
+    )
+    return b.select(
+        "doc_id",
+        "n_bytes",
+        bound.alias("bound_bytes"),
+        (F.col("zl") <= bound).alias("within_bound"),
+    )

@@ -184,12 +184,14 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: x4_fertility_by_lang, x5_audio_envelope_dedup, x4_pii_gate,
 #: x5_video_framehash_dedup, x2_license_propagation,
 #: x5_geotag_privacy_audit, x2_deletion_propagation,
-#: x9_release_scorecard — all oracled), in registration order.
+#: x9_release_scorecard, x4_compression_bound — all oracled), in
+#: registration order.
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
 #: oracled error-bound/seeded companions are windowable instead),
 #: x3_pca_project, x3_ann_pq/brp/ivf_pq/ivf_partitioned,
-#: x4_compression_ratio, x4_bpe_encode.
+#: x4_compression_ratio (oracled companion since r12:
+#: x4_compression_bound), x4_bpe_encode.
 
 #: Disk-writing queries pinned to the very end (rule 16): an abort in a
 #: sandboxed/readonly temp dir cannot un-score the sweep.

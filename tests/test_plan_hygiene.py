@@ -203,6 +203,7 @@ EXTRA_CHECKED = (
     "x5_geotag_privacy_audit",
     "x2_deletion_propagation",
     "x9_release_scorecard",
+    "x4_compression_bound",
 )
 
 BNLJ_ALLOWED.update({
