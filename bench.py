@@ -119,11 +119,11 @@ HEADLINE = [
     "n5_acd_error_bound",
     "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan",
-    # late-r12 additions (same shared-subset rule): the session's nine
+    # late-r12 additions (same shared-subset rule): the session's ten
     # newcomers — normalization-gain audit, per-language fertility, the
     # PII gate fold, the audio/video perceptual near-dups, the
-    # license/deletion governance audits, the geotag privacy audit, and
-    # the composed release scorecard
+    # license/deletion governance audits, the geotag privacy audit, the
+    # composed release scorecard, and the zlib compressBound contract
     "x4_normalization_gain",
     "x4_fertility_by_lang",
     "x5_audio_envelope_dedup",
