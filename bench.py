@@ -134,6 +134,7 @@ HEADLINE = [
     "x2_deletion_propagation",
     "x9_release_scorecard",
     "x4_compression_bound",
+    "n21_retention_cohorts",
 ]
 
 

@@ -2049,3 +2049,89 @@ def kanon_violations(cust: DataFrame) -> DataFrame:
         F.when(F.col("k") < K_ANON_MIN, 1).otherwise(0).cast("int").alias("viol_k"),
         F.when(F.col("l") < L_DIV_MIN, 1).otherwise(0).cast("int").alias("viol_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-21c (r12): retention cohorts — the third event-analytics staple
+# (funnel, attribution, retention)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "n21_retention_cohorts",
+    """
+    WITH ev AS (SELECT user_id, ts FROM events),
+    firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM ev GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM ev
+    ),
+    cells AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+        FROM active a JOIN firsts f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active_users, s.cohort_size,
+           CAST((2 * c.n_active_users * 1000000 + s.cohort_size)
+                // (2 * s.cohort_size) AS BIGINT) AS retention_micro
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+)
+def n21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-21 (r12): COHORT RETENTION — the third event-analytics staple
+    beside the funnel and the attribution split: users cohorted by the
+    ISO week of their FIRST event; each (cohort, week-offset) cell
+    counts the cohort members active that week, with retention as an
+    exact half-up micro ratio against the cohort size (rule 26 — no
+    float division). Week offsets are integer DAY differences div 7:
+    both endpoints are Monday-truncated DATEs, so the difference is an
+    exact multiple of 7 and non-negative (Spark ``div`` == DuckDB
+    ``//``, rule 28 n/a). All date work happens on the NTZ timestamps
+    ``read_table`` produces (rule 7) and emits DATE — no session-TZ
+    surface anywhere.
+
+    Scale shape: two user-keyed aggregates (first-seen + distinct
+    active weeks) off one scan; the cells join is user-keyed against
+    the ≪-corpus firsts table; the sizes join keys on the tiny cohort
+    dimension. The offset-0 diagonal is every cohort's 100%-retention
+    row by construction — a cheap sanity pin."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_users"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    out = cells.join(sizes, "cohort_week")
+    return out.select(
+        "cohort_week",
+        "week_offset",
+        "n_active_users",
+        "cohort_size",
+        F.expr(
+            "CAST((2 * n_active_users * 1000000 + cohort_size)"
+            " div (2 * cohort_size) AS BIGINT)"
+        ).alias("retention_micro"),
+    )

@@ -184,8 +184,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: x4_fertility_by_lang, x5_audio_envelope_dedup, x4_pii_gate,
 #: x5_video_framehash_dedup, x2_license_propagation,
 #: x5_geotag_privacy_audit, x2_deletion_propagation,
-#: x9_release_scorecard, x4_compression_bound — all oracled), in
-#: registration order.
+#: x9_release_scorecard, x4_compression_bound,
+#: n21_retention_cohorts — all oracled), in registration order.
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
 #: oracled error-bound/seeded companions are windowable instead),

@@ -204,6 +204,7 @@ EXTRA_CHECKED = (
     "x2_deletion_propagation",
     "x9_release_scorecard",
     "x4_compression_bound",
+    "n21_retention_cohorts",
 )
 
 BNLJ_ALLOWED.update({

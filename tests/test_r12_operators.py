@@ -262,3 +262,24 @@ def test_release_scorecard_decision(spark):
     assert not rows["license_conflict_rate"].passed      # conflicts block
     assert rows["pii_quarantine_rate"].passed            # volume gates clear
     assert not rows["ALL"].passed                        # honest no-ship
+
+
+def test_retention_cohorts_diagonal(spark):
+    """n21_retention_cohorts: the offset-0 diagonal is 100% retention for
+    EVERY cohort by construction; offsets are non-negative exact week
+    multiples; per-cell actives never exceed cohort size; and sub-100%
+    cells exist at sf0.01 (the matrix carries signal)."""
+    from etl_active911_spark.operators.relational import n21_retention_cohorts
+    from tests.conftest import SF_ORACLE
+
+    rows = n21_retention_cohorts(spark, SF_ORACLE).collect()
+    assert rows
+    cohorts = {r.cohort_week for r in rows}
+    diag = {r.cohort_week: r for r in rows if r.week_offset == 0}
+    assert set(diag) == cohorts
+    for r in diag.values():
+        assert r.n_active_users == r.cohort_size and r.retention_micro == 1_000_000
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 1 <= r.n_active_users <= r.cohort_size
+    assert any(r.retention_micro < 1_000_000 for r in rows)

@@ -72,6 +72,8 @@ TIME_SENSITIVE = [
     "x6_ljung_box",
     # r11 late wave: interval arithmetic + date_trunc + ts-ordered windows
     "n11_watermark_planner",
+    # r12: week-truncation + DATE emission over event ts (NTZ end to end)
+    "n21_retention_cohorts",
 ]
 
 ZONES = ["Asia/Tokyo", "America/New_York"]
