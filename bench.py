@@ -119,11 +119,12 @@ HEADLINE = [
     "n5_acd_error_bound",
     "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan",
-    # late-r12 additions (same shared-subset rule): the session's ten
+    # late-r12 additions (same shared-subset rule): the session's twelve
     # newcomers — normalization-gain audit, per-language fertility, the
     # PII gate fold, the audio/video perceptual near-dups, the
     # license/deletion governance audits, the geotag privacy audit, the
-    # composed release scorecard, and the zlib compressBound contract
+    # composed release scorecard, the zlib compressBound contract, and
+    # the cohort retention matrix
     "x4_normalization_gain",
     "x4_fertility_by_lang",
     "x5_audio_envelope_dedup",
