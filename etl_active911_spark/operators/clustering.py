@@ -1158,7 +1158,10 @@ def _deletion_prop_oracle() -> str:
                CAST(SUM(req) AS BIGINT) AS n_direct_requests
         FROM mem GROUP BY component
     ),
-    tainted AS (
+    tainted AS MATERIALIZED (
+        -- referenced twice (per-cluster rows + total row): MATERIALIZED so
+        -- DuckDB cannot re-inline the recursive closure per reference
+        -- (rule-27 practice; ADVICE r12)
         SELECT component, n_members, n_direct_requests,
                CAST(n_members - n_direct_requests AS BIGINT) AS n_collateral
         FROM cl WHERE n_direct_requests >= 1
@@ -1266,13 +1269,16 @@ def _scorecard_oracle() -> str:
     th = dict(SCORECARD_GATES)
     return f"""
     WITH RECURSIVE {component_ctes()},
-    d AS (
+    d AS MATERIALIZED (
+        -- d and cm are each referenced by three UNION ALL branches inside
+        -- gates: MATERIALIZED so the full-documents scan / recursive
+        -- closure cannot be re-inlined per reference (ADVICE r12)
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS dh
         FROM documents
     ),
     {_LICENSE_PC_CTES},
-    cm AS (
+    cm AS MATERIALIZED (
         SELECT CAST(COALESCE(SUM(n_members), 0) AS BIGINT) AS clustered,
                CAST(COUNT(*) AS BIGINT) AS n_clusters,
                CAST(COALESCE(SUM(CASE WHEN effective_rank > keeper % 4

@@ -2115,7 +2115,10 @@ def n21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.join(firsts, "user_id")
         .groupBy(
             "cohort_week",
-            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            # integer division, not float-divide-then-truncate (ADVICE
+            # r12): both endpoints are Monday-truncated so the diff is a
+            # multiple of 7 today, but `div` keeps any future drift exact
+            F.expr("datediff(w, cohort_week) div 7")
             .cast("bigint")
             .alias("week_offset"),
         )

@@ -89,12 +89,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # r12 (VERDICT r11 item 1): CORRECTNESS_r11 came back 47/47 green on every
 # oracled row (3 rows-only by design). CORE unchanged; ROTATION executes
 # the pinned r12 queue EXACTLY — the remaining 27 named r10-wave queries
-# (queue-math note below, re-pinned verbatim in VERDICT r11 item 1). All
-# 27 carry DuckDB oracles and CORE is fully oracled, so the r12 window is
-# 50/50 hash-checked — this also delivers VERDICT r11 item 5's ask one
-# round early (the rows-only x3_ann_ivf/n4/n5 rows rotate out naturally).
-# Iterative/job-running members (dbscan, knox, ann recall sweeps) sit at
-# the tail so an abort there cannot un-score the rest of the sweep.
+# (re-pinned verbatim in VERDICT r11 item 1). All 27 carry DuckDB
+# oracles, so the r12 window was 50/50 hash-checked — CORRECTNESS_r12
+# confirmed it (first all-hash-checked window, VERDICT r12 preamble).
+#
+# r13 (VERDICT r12 item 1): CORRECTNESS_r12 came back 50/50 green, so no
+# red row carries over and ROTATION executes the pinned r13 queue EXACTLY
+# (the queue recorded in the r12 queue-math note and re-pinned in both
+# VERDICT r12 item 1 and tests/test_registry_order.py:PINNED_R13_QUEUE):
+# the r10-wave tail pair, the 18 r11-round additions, then the 7
+# long-cycle ex-CORE refreshes (each last driver-scored r10 when CORE was
+# trimmed). All 27 carry DuckDB oracles, so the r13 window is again 50/50
+# hash-checked. Iterative/job-running members sit late in the window so
+# an abort there cannot un-score the rest of the sweep.
 CORE: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "o2_source_roundtrip",
@@ -121,71 +128,69 @@ CORE: tuple[str, ...] = (
     "x9_curation_pipeline",
 )
 
-#: r12 rotation — the 27-slot queue pinned in r11's queue-math note and
-#: re-pinned verbatim in VERDICT r11 item 1: the remaining 27 named
-#: r10-wave queries, in the pinned order. Every member carries a DuckDB
-#: oracle, so with the fully-oracled CORE the r12 window is 50/50
-#: hash-checked (VERDICT r11 item 5 delivered a round early).
+#: r13 rotation — the 27-slot queue pinned in the r12 queue-math note and
+#: re-pinned verbatim in VERDICT r12 item 1 (contract-tested in
+#: tests/test_registry_order.py:PINNED_R13_QUEUE): the r10-wave tail
+#: pair, the 18 r11-round additions, then the 7 long-cycle ex-CORE
+#: refreshes. Every member carries a DuckDB oracle, so with the
+#: fully-oracled CORE the r13 window is 50/50 hash-checked.
 ROTATION: tuple[str, ...] = (
-    "x6_gap_detection",
-    "x6_burstiness",
-    "x4_doc_chunking",
-    "x2_chunk_cross_dup",
-    "x6_permutation_entropy",
-    "x7_moran_i",
-    "n21_attribution",
-    "x6_sax_words",
-    "x6_cross_correlation",
-    "x7_ripley_k",
-    "x3_knn_hubness",
-    "x5_silence_gate",
-    "x5_image_histogram",
-    "x6_hurst",
-    "x7_dbscan_labels",
-    "x6_mann_kendall",
-    "x3_ann_lsh_multiprobe",
-    "x2_threshold_sweep",
-    "x2_dedup_method_agreement",
-    "x7_clark_evans",
-    "x7_knox",
-    "x3_ann_method_recall",
-    "x8_temperature_sweep",
-    "x6_haar_energy",
-    "x4_msttr",
-    "x3_ivf_nprobe_sweep",
-    "x9_dup_quality_matrix",
+    "x6_entropy_rate",
+    "x8_context_length_sweep",
+    "x4_unicode_anomaly",
+    "x4_code_detection",
+    "x2_boilerplate_scrub",
+    "x5_media_hash_dedup",
+    "x6_acf",
+    "x6_ljung_box",
+    "x9_curation_v8",
+    "x4_textrank_keywords",
+    "x6_robust_outliers",
+    "x2_url_canonical_dedup",
+    "x3_embedding_gram",
+    "x5_mp4_box_walk",
+    "x4_countmin_sketch",
+    "x2_stream_neardup",
+    "n24_cdc_apply",
+    "n26_jsonl_deadletter",
+    "x9_k_anonymity_audit",
+    "n11_watermark_planner",
+    "x4_lang_id",
+    "x5_media_decode_real",
+    "x8_train_holdout_split",
+    "x6_ts_dtw",
+    "n13_python_udtf",
+    "n15_sql_api",
+    "n16_recursive_cte",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: QUEUE MATH after the r12 rotation (window = 23 CORE + 27 ROTATION):
-#: r12 scores the remaining 27 r10-wave queries (ROTATION above), so
-#: every r10-wave operator except the 2-query tail has a driver row.
-#: r13 queue (27 slots, all oracled — verified in
-#:   tests/test_registry_order.py — so the r13 window is 50/50
-#:   hash-checked, VERDICT r11 item 5): the r10-wave tail
-#:   (x6_entropy_rate, x8_context_length_sweep), the r11-round additions
-#:   (x4_unicode_anomaly, x4_code_detection, x2_boilerplate_scrub,
-#:   x5_media_hash_dedup, x6_acf, x6_ljung_box, x9_curation_v8,
-#:   x4_textrank_keywords, x6_robust_outliers, x2_url_canonical_dedup,
-#:   x3_embedding_gram, x5_mp4_box_walk, x4_countmin_sketch,
-#:   x2_stream_neardup, n24_cdc_apply, n26_jsonl_deadletter,
-#:   x9_k_anonymity_audit, n11_watermark_planner), then the long-cycle
-#:   refresh of the seven ex-CORE rows (x4_lang_id, x5_media_decode_real,
-#:   x8_train_holdout_split, x6_ts_dtw, n13_python_udtf, n15_sql_api,
-#:   n16_recursive_cte). Every r10-wave operator therefore has a driver
-#:   row by r13, per the verdict's deadline.
-#: r14 queue (overflow past r13's exactly-full 27): x3_mips_topk,
-#: x2_frontier_schedule, x9_lineage_chain, x2_overmerge_audit, the
-#: r11-verdict sketch error-bound companions (n4_percentile_error_bound,
-#: n5_acd_error_bound), and the r12-round additions
-#: (x5_cross_modal_dedup, x2_semantic_contamination), then the
-#: late-r12-session additions (x4_normalization_gain,
-#: x4_fertility_by_lang, x5_audio_envelope_dedup, x4_pii_gate,
-#: x5_video_framehash_dedup, x2_license_propagation,
-#: x5_geotag_privacy_audit, x2_deletion_propagation,
-#: x9_release_scorecard, x4_compression_bound,
-#: n21_retention_cohorts — all oracled), in registration order.
+#: QUEUE MATH after the r13 rotation (window = 23 CORE + 27 ROTATION):
+#: r13 clears the r10-wave tail + the 18 r11-round additions and
+#: refreshes the 7 long-cycle ex-CORE rows, so every r10-wave AND
+#: r11-wave operator has a driver row by r13 (the verdict deadline).
+#: r14 queue (27 slots, all oracled — pinned in
+#:   tests/test_registry_order.py:PINNED_R14_QUEUE so the r14 window is
+#:   again 50/50 hash-checked): x3_mips_topk, x2_frontier_schedule,
+#:   x9_lineage_chain, x2_overmerge_audit, the r11-verdict sketch
+#:   error-bound companions (n4_percentile_error_bound,
+#:   n5_acd_error_bound), the r12-round additions (x5_cross_modal_dedup,
+#:   x2_semantic_contamination), the late-r12-session additions
+#:   (x4_normalization_gain, x4_fertility_by_lang,
+#:   x5_audio_envelope_dedup, x4_pii_gate, x5_video_framehash_dedup,
+#:   x2_license_propagation, x5_geotag_privacy_audit,
+#:   x2_deletion_propagation, x9_release_scorecard, x4_compression_bound,
+#:   n21_retention_cohorts), then 8 fill slots from the oldest
+#:   never-scored oracled pool — finalized in PINNED_R14_QUEUE at r13
+#:   session close (r13-session newcomers may take fill slots).
+#: r15+ pool (never-scored oracled remainder after r14):
+#: x2_cluster_drift, x2_contamination_gate, x2_minhash_band_occupancy,
+#: x2_shingle_df_profile, x3_ann_ivf_rebalance_plan, x3_centroid_purity,
+#: x6_dominant_period, x6_event_type_markov, x6_threshold_runs,
+#: x6_weekday_profile, x7_coverage_gap, x7_temporal_hotspots,
+#: x8_dup_weighted_counts, x8_source_quota_fill, x9_gate_ablation,
+#: x9_stream_curation, minus whichever of these take r14 fill slots.
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
 #: oracled error-bound/seeded companions are windowable instead),

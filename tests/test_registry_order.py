@@ -32,11 +32,11 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-11 scoring window (CORRECTNESS_r11.json keys — 47/47 green on
-# every oracled row, 3 rows-only by design, so nothing carries over): the
-# rotation policy requires each round's window to re-earn driver rows for
-# queries this set did NOT score.
-R11_WINDOW = {
+# The round-12 scoring window (CORRECTNESS_r12.json keys — 50/50 green,
+# every row hash-checked, so nothing carries over): the rotation policy
+# requires each round's window to re-earn driver rows for queries this
+# set did NOT score.
+R12_WINDOW = {
     "flagship_revenue_by_nation", "o2_source_roundtrip",
     "o5_base64_roundtrip", "o10_coord_resolve", "o13_response_extract",
     "o15_time_parse", "o19_links_dedup", "o22_error_accounting",
@@ -45,23 +45,6 @@ R11_WINDOW = {
     "x1_exact_dedup", "x2_dup_clusters", "x3_pandas_matmul",
     "x4_token_stats", "x5_media_decode", "x6_ts_pattern_match",
     "x7_nearest_station", "x8_stratified_sample", "x9_curation_pipeline",
-    "tpch_q22_idle_customers", "n2_correlated_subquery",
-    "n4_approx_percentiles", "n5_approx_count_distinct",
-    "x8_budget_effective", "x6_seasonal_strength",
-    "x2_eval_contamination_report", "x7_geofence_assignment",
-    "x5_media_validate", "x2_lsh_recall_eval", "x6_rollup_cascade",
-    "x3_metric_sensitivity", "x2_cluster_size_histogram",
-    "x6_minmax_downsample", "x7_hotspot_cells", "x2_cluster_template",
-    "x8_split_leakage_audit", "x5_phash_banded_dedup", "x5_media_metadata",
-    "x4_dup_ngram_fraction", "x9_curation_v7", "x2_bbit_minhash",
-    "x4_template_detection", "x3_ann_stream_ingest", "x3_ann_ivf_delete",
-    "x3_ann_ivf", "x3_ann_ivf_add_recall",
-}
-
-# The 27-slot r12 rotation queue pinned in the r11 registry queue-math
-# note and re-pinned verbatim by VERDICT r11 item 1 — every named member
-# must sit inside this round's scoring window.
-PINNED_R12_QUEUE = {
     "x6_gap_detection", "x6_burstiness", "x4_doc_chunking",
     "x2_chunk_cross_dup", "x6_permutation_entropy", "x7_moran_i",
     "n21_attribution", "x6_sax_words", "x6_cross_correlation",
@@ -134,20 +117,22 @@ def test_rotation_reearns_driver_rows():
     """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
     slots must go to queries the PREVIOUS round's window did not score,
     so hard driver evidence cycles through the whole registry over
-    rounds. r12: all 47 oracled r11 rows were green, so no red row
-    carries over and the whole ROTATION (27 slots) is fresh."""
+    rounds. r13: all 50 r12 rows were green (hash-checked), so no red
+    row carries over and the whole ROTATION (27 slots) is fresh."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R11_WINDOW
+    fresh = window - R12_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    assert set(registry.ROTATION) & R11_WINDOW == set()
+    assert set(registry.ROTATION) & R12_WINDOW == set()
 
 
-def test_r12_pinned_queue_executes_exactly():
-    """VERDICT r11 item 1: the 27-slot r12 queue pinned in r11 executes
-    EXACTLY — every named member holds a slot in this round's window."""
-    window = set(list(entry.queries())[:WINDOW])
-    missing = PINNED_R12_QUEUE - window
+def test_r13_pinned_queue_executes_exactly():
+    """VERDICT r12 item 1: the 27-slot r13 queue pinned in r12 executes
+    EXACTLY — every named member holds a slot in this round's window,
+    in the pinned order."""
+    window = list(entry.queries())[:WINDOW]
+    missing = set(PINNED_R13_QUEUE) - set(window)
     assert missing == set(), sorted(missing)
+    assert registry.ROTATION == PINNED_R13_QUEUE
 
 
 def test_core_is_single_cover_per_family():
@@ -158,10 +143,10 @@ def test_core_is_single_cover_per_family():
     assert len(registry.ROTATION) == 27
 
 
-# The 27-slot r13 queue pinned in the registry's queue-math note —
-# pinned HERE too so the r13 rotation can be executed verbatim, and so
-# the registry's "all oracled, verified in tests/test_registry_order.py"
-# claim is mechanical.
+# The 27-slot r13 queue pinned in the r12 registry queue-math note —
+# pinned HERE too so the r13 rotation executes verbatim (it is now the
+# live ROTATION; equality asserted above), and so the registry's "all
+# oracled, verified in tests/test_registry_order.py" claim is mechanical.
 PINNED_R13_QUEUE = (
     "x6_entropy_rate", "x8_context_length_sweep", "x4_unicode_anomaly",
     "x4_code_detection", "x2_boilerplate_scrub", "x5_media_hash_dedup",
@@ -187,6 +172,43 @@ def test_r13_queue_is_exactly_full_and_all_oracled():
     for n in PINNED_R13_QUEUE:
         assert n in registry.QUERIES, n
         assert n in registry.ORACLES, f"{n}: rows-only query in the r13 queue"
+
+
+# The 27-slot r14 queue (VERDICT r12 item 4: keep it exactly-full): the
+# 19 named carry-overs from the r12 queue-math note (sketch error-bound
+# companions, r12-round + late-r12-session additions), then 8 fill slots
+# from the oldest never-driver-scored oracled pool.
+PINNED_R14_QUEUE = (
+    "x3_mips_topk", "x2_frontier_schedule", "x9_lineage_chain",
+    "x2_overmerge_audit", "n4_percentile_error_bound",
+    "n5_acd_error_bound", "x5_cross_modal_dedup",
+    "x2_semantic_contamination", "x4_normalization_gain",
+    "x4_fertility_by_lang", "x5_audio_envelope_dedup", "x4_pii_gate",
+    "x5_video_framehash_dedup", "x2_license_propagation",
+    "x5_geotag_privacy_audit", "x2_deletion_propagation",
+    "x9_release_scorecard", "x4_compression_bound",
+    "n21_retention_cohorts",
+    # fill slots (never-scored oracled pool, registration order)
+    "x9_stream_curation", "x2_contamination_gate",
+    "x3_ann_ivf_rebalance_plan", "x3_centroid_purity",
+    "x2_minhash_band_occupancy", "x6_event_type_markov",
+    "x7_temporal_hotspots", "x8_dup_weighted_counts",
+)
+
+
+def test_r14_queue_is_exactly_full_and_all_oracled():
+    """The recorded r14 queue fills 27 slots exactly, every member is
+    registered and oracled, none is in CORE, and none was scored by the
+    r13 window — so executing it after r13 keeps the window 50/50
+    hash-checked AND fresh (VERDICT r12 item 4)."""
+    registry.load_all()
+    assert len(PINNED_R14_QUEUE) == 27
+    assert len(set(PINNED_R14_QUEUE)) == 27
+    assert set(PINNED_R14_QUEUE) & set(registry.CORE) == set()
+    assert set(PINNED_R14_QUEUE) & set(registry.ROTATION) == set()
+    for n in PINNED_R14_QUEUE:
+        assert n in registry.QUERIES, n
+        assert n in registry.ORACLES, f"{n}: rows-only query in the r14 queue"
 
 
 def test_no_duplicate_registration_possible():
