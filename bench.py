@@ -10,6 +10,7 @@ the flagship precedes timing so JVM/codegen startup isn't billed to Q1.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -20,7 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_active911_spark.plans import registry  # noqa: E402
 from etl_active911_spark.session import get_spark  # noqa: E402
 
+_t0 = time.perf_counter()
 registry.load_all()
+#: One-off registry load cost, published in the canary (VERDICT r12
+#: item 2 hypothesis a): measured 0.63 s for 309 queries on a quiet box —
+#: paid once per process, before any timing, so it cannot inflate
+#: per-query medians. Publishing it each round keeps the claim live as
+#: the registry grows.
+LOAD_ALL_SEC = round(time.perf_counter() - _t0, 3)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -180,6 +188,34 @@ ANCHOR_SECONDS: dict[str, float] = {
 GATE_MIN_ANCHOR_SEC = 0.3
 
 
+#: Ambient-load calibration probe (r13, VERDICT r12 items 2+8): sha256
+#: over a fixed 64 KiB block, 2000 rounds — pure single-thread CPU,
+#: registry- and Spark-independent, ~0.1 s nominal. Timed immediately
+#: BEFORE each anchor query's runs and published per-anchor, so
+#: driver-box load drift (r12: anchors 1.4-1.7× early in the suite
+#: decaying to ~1.0× by the tail, same HEAD reading 1.05× on a quiet
+#: box) shows up in the record itself: an anchor ratio that tracks its
+#: ambient ratio is machine state; one that exceeds it is a regression.
+_CALIB_BLOCK = b"\xa5" * 65536
+_CALIB_ROUNDS = 2000
+#: Frozen quiet-box probe time (median of 7, this machine, r13).
+CALIB_FROZEN_SEC = 0.0967
+
+
+def _calib_probe() -> float:
+    """Median-of-3 probe time divided by the frozen quiet-box time."""
+    times = []
+    for _ in range(3):
+        h = hashlib.sha256()
+        t0 = time.perf_counter()
+        for _ in range(_CALIB_ROUNDS):
+            h.update(_CALIB_BLOCK)
+        h.digest()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[1] / CALIB_FROZEN_SEC, 3)
+
+
 def _n_runs(name: str) -> int:
     if name in ANCHOR_17:
         if ANCHOR_SECONDS.get(name, 1.0) < GATE_MIN_ANCHOR_SEC:
@@ -216,8 +252,12 @@ def main() -> None:
     registry.QUERIES["flagship_revenue_by_nation"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    ambient: dict[str, float] = {}
     for name in HEADLINE:
         if name in registry.QUERIES:
+            if name in ANCHOR_17:
+                # probe ambient load right before the anchor's timed runs
+                ambient[name] = _calib_probe()
             timings[name] = time_query(spark, name)
 
     # Confirmatory re-run (r9): a gate-eligible anchor whose median landed
@@ -249,7 +289,22 @@ def main() -> None:
     anchor_sum = round(sum(timings[n] for n in ratios), 3)
     frozen_sum = round(sum(ANCHOR_SECONDS[n] for n in ratios), 3)
     srt = sorted(ratios.values())
+    amb_sorted = sorted(ambient.values())
     canary = {
+        # per-anchor ambient-load ratio (CPU probe vs frozen quiet-box
+        # time, taken immediately before that anchor's timed runs) + the
+        # run's median: read anchor drift against THIS, not against 1.0
+        "ambient_ratios": ambient,
+        "ambient_median": amb_sorted[len(amb_sorted) // 2] if amb_sorted else None,
+        # one-off fixed overhead (paid before timing; hypothesis-a guard)
+        "load_all_sec": LOAD_ALL_SEC,
+        # median policy per class (VERDICT r12 item 8: make it visible)
+        "runs_policy": {
+            "anchor": N_RUNS_ANCHOR,
+            "small_anchor": 2 * N_RUNS_ANCHOR - 1,
+            "other": N_RUNS,
+            "warmup_per_query": 1,
+        },
         "anchor_sum_sec": anchor_sum,
         "anchor_frozen_sec": frozen_sum,
         "anchor_sum_ratio": round(anchor_sum / frozen_sum, 3) if frozen_sum else None,
