@@ -48,7 +48,11 @@ Semantics (pinned by golden tests):
   re-split by regex backtracking (e.g. '123' → moment NULL, we parse
   month 1/day 2/year 3 — accepted because BOTH engines share LENIENT_PAT
   verbatim so parity is unaffected, and ``LENIENT_PAT_MD`` deliberately
-  requires a non-digit separator so '123' never month/day-parses);
+  requires a non-digit separator so '123' never month/day-parses; both
+  directions are golden-pinned — the backtrack parse by
+  tests/test_active911.py::test_parse_time_accepted_deltas_final, the
+  MD-path rejection under a pinned now by the '123' case of
+  ::test_parse_time_pinned_now_golden [r13, VERDICT r12 item 5]);
   (c) year 0 parses here as proleptic ISO year 0 but renders as a BC
   date in the DuckDB oracle — accepted by excluding year-0 rows from
   fixtures (the parse itself is golden-pinned so the exclusion stays a

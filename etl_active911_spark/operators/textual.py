@@ -143,6 +143,47 @@ STOPWORDS: dict[str, list[str]] = {
 
 _LANG_ORDER = list(STOPWORDS)
 
+#: r13 (VERDICT r12 item 7): deterministic multilingual injection so the
+#: classifier-eval pair (x4_lang_id / x4_langid_confusion) measures a
+#: NON-DEGENERATE heuristic: the synthetic corpus text is English-ish
+#: tech words (every doc argmaxed to 'en'), so docs on the injection
+#: slice get a native-language sample sentence (plain everyday prose in
+#: the doc's LABELED language, stopword-dense by nature) prepended
+#: ``LANGID_REPS`` times. Margins (pinned in tests/test_textual.py):
+#: native hits/rep 11-14, worst cross-language hits/rep 4 (es↔fr
+#: articles), max base-text en hits 14 at sf0.1 — so with reps ≥ 2 the
+#: native language wins argmax on every injected row. zh is spaced
+#: (segmented sample) because the tokenizer is whitespace-based — the
+#: UNSEGMENTED zh behavior stays measured by the non-injected rows.
+LANGID_SAMPLES: dict[str, str] = {
+    "en": "it is the end of a long day and that is a reason to rest in the shade for a while",
+    "de": "der hund und die katze sind mit den kindern zu dem see von dem dorf gelaufen und das ist ein gutes ende",
+    "es": "el perro y la gata viven en un jardin que es de los vecinos por la manana",
+    "fr": "le chien et le chat dorment dans la maison et les enfants jouent dans une cour des voisins pres de la ville",
+    "zh": "我 的 朋友 和 他 的 家 人 在 城 里 有 一 个 小 店 我 们 就 不 去 了 这 是 好 事",
+}
+
+#: injection slice: doc_id % 4 == 1 (crosses all 5 labels; coverage
+#: pinned non-vacuously); repetition variant rides doc_id div 4 (rule 31:
+#: the slice modulus and the variant divisor share no CRT structure with
+#: the lang label, which is a data column, not doc_id-derived)
+LANGID_INJECT_SQL = (
+    "CASE WHEN doc_id % 4 = 1 THEN repeat(CASE lang "
+    + " ".join(f"WHEN '{l}' THEN '{s} '" for l, s in LANGID_SAMPLES.items())
+    + " END, CAST(2 + (doc_id // 4) % 3 AS INT)) || text ELSE text END"
+)
+
+
+def langid_aug_text() -> Column:
+    """Spark twin of ``LANGID_INJECT_SQL`` (shared-fixture discipline)."""
+    sent = F.lit(None).cast("string")
+    for l, s in LANGID_SAMPLES.items():
+        sent = F.when(F.col("lang") == l, F.lit(s + " ")).otherwise(sent)
+    reps = (F.lit(2) + (F.expr("doc_id div 4") % 3)).cast("int")
+    return F.when(
+        F.col("doc_id") % 4 == 1, F.concat(F.repeat(sent, reps), F.col("text"))
+    ).otherwise(F.col("text"))
+
 
 def _score_sql(lang: str) -> str:
     lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -160,7 +201,7 @@ _LANG_PRED_SQL = "CASE " + " ".join(
     f"""
     WITH t AS (
         SELECT doc_id, lang AS labeled_lang,
-               string_split_regex(TRIM(LOWER(text)), '\\s+') AS toks
+               string_split_regex(TRIM(LOWER({LANGID_INJECT_SQL})), '\\s+') AS toks
         FROM documents
     ),
     s AS (
@@ -175,9 +216,12 @@ _LANG_PRED_SQL = "CASE " + " ".join(
 )
 def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4: language-ID via stopword-hit counting per candidate language;
-    argmax with a fixed tie-break order. Single scan, no shuffle, no UDF."""
+    argmax with a fixed tie-break order. Single scan, no shuffle, no UDF.
+    Since r13 the input is the multilingual-injected text
+    (``langid_aug_text`` — VERDICT r12 item 7), so the classifier is
+    exercised on rows where each labeled language genuinely wins."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = F.split(F.trim(F.lower(langid_aug_text())), r"\s+")
     def stopword_hits(lang: str) -> Column:
         words = STOPWORDS[lang]
         return F.size(F.filter(toks, lambda t: t.isin(words))).cast("bigint")
@@ -1475,7 +1519,7 @@ def x9_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (
         SELECT doc_id, lang AS labeled_lang,
-               string_split_regex(TRIM(LOWER(text)), '\\s+') AS toks
+               string_split_regex(TRIM(LOWER({LANGID_INJECT_SQL})), '\\s+') AS toks
         FROM documents
     ),
     s AS (
@@ -1499,9 +1543,12 @@ def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the row-normalized fraction (each labeled language's
     recall lives on the diagonal). Classifier-eval-as-a-query: the same
     single-scan scoring as x4_lang_id feeding one grouped aggregate plus
-    a per-label window for the normalizer; no extra scan, no collect."""
+    a per-label window for the normalizer; no extra scan, no collect.
+    Since r13 it scores the multilingual-injected text (VERDICT r12
+    item 7), so the diagonal carries real per-language recall instead of
+    the all-'en' degenerate column."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = F.split(F.trim(F.lower(langid_aug_text())), r"\s+")
 
     def hits(lang: str) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).cast("bigint")
@@ -4417,11 +4464,12 @@ def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 non-whitespace characters, the per-language tokenizer-cost lens a
     multilingual mixture planner reads before setting sampling weights (a
     language whose fertility is 2x pays 2x the context budget per
-    character). Grouped by the LABELED ``lang`` column: the
-    ``x4_lang_id`` stopword heuristic is degenerate on this synthetic
-    corpus (every doc argmaxes to 'en' — its ``agrees`` column measures
-    exactly that), so predicted-language grouping would collapse to one
-    row; on a real corpus the same aggregate composes with any
+    character). Grouped by the LABELED ``lang`` column: the raw
+    synthetic corpus is degenerate for the ``x4_lang_id`` stopword
+    heuristic (off the r13 injection slice every doc argmaxes to 'en' —
+    pinned in tests/test_langid_injection.py), and this query reads the
+    RAW text, so predicted-language grouping would mix the degenerate
+    column in; on a real corpus the same aggregate composes with any
     classifier output. Token counts are the shared ``BPE_ISH_PATTERN``
     (``x4_bpe_token_count``), so the two queries report one consistent
     story — and the zh rows genuinely differ (no whitespace → long

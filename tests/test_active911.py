@@ -143,6 +143,12 @@ NOW_YEAR_CASES = [
     ("12/08/69 00:00:00 UTC", 2025, "1969-12-08T00:00:00.000Z"),
     ("12/08/68 00:00:00 UTC", None, "2068-12-08T00:00:00.000Z"),
     ("1/8/99 3:27:47 EST", None, "1999-01-08T08:27:47.000Z"),
+    # golden NEGATIVE (r13, VERDICT r12 item 5): a bare mergeable digit
+    # run must NOT be hijacked by the month/day pinned-now default even
+    # when now_year is supplied — LENIENT_PAT_MD requires a non-digit
+    # separator, so '123' still takes the accepted-delta 3-run backtrack
+    # parse (1/2/year 3), NOT '2025-01-02'
+    ("123", 2025, "0003-01-02T00:00:00.000Z"),
 ]
 
 
