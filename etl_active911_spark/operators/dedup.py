@@ -2934,17 +2934,33 @@ def shared_scrub_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def scrub_segment_rows(docs: DataFrame) -> DataFrame:
+def scrub_segment_rows(docs: DataFrame, with_text: bool = False) -> DataFrame:
     """(doc_id, n, n_tok, seg_md5): the disjoint SCRUB_SEG-token segment
     rows of a (doc_id, text) frame — the SINGLE definition of segment
     identity, shared by the batch fold (``boilerplate_scrub_ledger``)
     and the at-ingest gate (streaming/scrub_ingest.py) so the chunking
     can never drift between them (the ``signature_agreement_pairs``
-    precedent)."""
+    precedent). ``with_text=True`` additionally emits the segment text
+    (``seg_txt``) for consumers that score surviving passages — the
+    composed ingest funnel's scrub-before-PII counting
+    (operators/ingest_funnel.py)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n")
     )
+    seg = F.array_join(
+        F.slice(F.col("toks"), F.col("start") + 1, F.lit(SCRUB_SEG)), " "
+    )
+    cols = [
+        F.col("doc_id"),
+        F.col("n"),
+        F.least(F.lit(SCRUB_SEG), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(seg).alias("seg_md5"),
+    ]
+    if with_text:
+        cols.append(seg.alias("seg_txt"))
     return base.select(
         "doc_id",
         "n",
@@ -2952,18 +2968,7 @@ def scrub_segment_rows(docs: DataFrame) -> DataFrame:
             F.sequence(F.lit(0), F.col("n") - 1, F.lit(SCRUB_SEG))
         ).alias("start"),
         "toks",
-    ).select(
-        "doc_id",
-        "n",
-        F.least(F.lit(SCRUB_SEG), F.col("n") - F.col("start"))
-        .cast("bigint")
-        .alias("n_tok"),
-        F.md5(
-            F.array_join(
-                F.slice(F.col("toks"), F.col("start") + 1, F.lit(SCRUB_SEG)), " "
-            )
-        ).alias("seg_md5"),
-    )
+    ).select(*cols)
 
 
 def scrub_doc_rollup(c: DataFrame, removed_flag: Column) -> DataFrame:

@@ -4523,18 +4523,14 @@ def x4_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_active911_spark.functions.textpat import PII_QUARANTINE_MIN  # noqa: E402
 
 
-def pii_verdict_rows(docs: DataFrame) -> DataFrame:
-    """Per-document PII verdict over (doc_id, source, text) rows: the
-    ``x4_pii_redact`` injection + counting (same _PII_* patterns), plus
-    the gate decision — ``quarantined = 1`` iff total matches ≥
-    PII_QUARANTINE_MIN (dense-PII documents go to manual scrubbing; the
-    rest are safe to auto-redact). Shared by the registered batch fold
-    (``x4_pii_gate``) and the at-ingest stream
-    (``streaming/pii_ingest.py``) so the threshold and patterns cannot
-    drift — the ``train_contamination_rows`` discipline. Pure per-row
-    function: no shuffle, no state."""
+def pii_aug_text() -> Column:
+    """The PII fixture injection as a TEXT column over (doc_id, text)
+    rows — the Spark twin of ``textpat.pii_aug_cte`` (single source for
+    the injected string; consumed by ``pii_verdict_rows`` and the
+    composed ingest funnel, which must scrub the SAME arriving text the
+    gate counts)."""
     did = F.col("doc_id")
-    aug = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(
             did % 3 != 0,
@@ -4549,6 +4545,19 @@ def pii_verdict_rows(docs: DataFrame) -> DataFrame:
             F.concat(F.lit(" ssn 987-65-"), F.lpad((did % 10000).cast("string"), 4, "0")),
         ).otherwise(""),
     )
+
+
+def pii_verdict_rows(docs: DataFrame) -> DataFrame:
+    """Per-document PII verdict over (doc_id, source, text) rows: the
+    ``x4_pii_redact`` injection + counting (same _PII_* patterns), plus
+    the gate decision — ``quarantined = 1`` iff total matches ≥
+    PII_QUARANTINE_MIN (dense-PII documents go to manual scrubbing; the
+    rest are safe to auto-redact). Shared by the registered batch fold
+    (``x4_pii_gate``) and the at-ingest stream
+    (``streaming/pii_ingest.py``) so the threshold and patterns cannot
+    drift — the ``train_contamination_rows`` discipline. Pure per-row
+    function: no shuffle, no state."""
+    aug = pii_aug_text()
 
     def n_matches(pat: str) -> Column:
         return (F.size(F.split(F.col("aug"), pat)) - 1).cast("bigint")

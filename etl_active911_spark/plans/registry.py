@@ -233,6 +233,7 @@ def load_all() -> None:
     import etl_active911_spark.operators.multimodal  # noqa: F401
     import etl_active911_spark.operators.timeseries  # noqa: F401
     import etl_active911_spark.operators.clustering  # noqa: F401
+    import etl_active911_spark.operators.ingest_funnel  # noqa: F401
     import etl_active911_spark.operators.geo  # noqa: F401
     import etl_active911_spark.operators.sampling  # noqa: F401
     import etl_active911_spark.operators.skewdemo  # noqa: F401

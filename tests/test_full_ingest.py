@@ -1,0 +1,190 @@
+"""Composed five-gate ingest (r13, VERDICT r12 item 6): footer-fixture
+pins, the scrub↔PII interaction, segment-wise PII exactness, and the
+stream ≡ composed-batch-fold equivalence over ordered splits."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_active911_spark.functions.textpat import (
+    PII_EMAIL,
+    PII_PHONE,
+    PII_QUARANTINE_MIN,
+    PII_SSN,
+)
+from etl_active911_spark.operators.ingest_funnel import (
+    FOOTER_MOD,
+    FOOTER_REM,
+    INGEST_FOOTER,
+    ingest_arrival_text,
+    ingest_funnel_rows,
+    pii_text_matches,
+)
+from tests.conftest import SF_ORACLE
+
+ROW_COLS = (
+    "doc_id", "source", "f_nd", "n_tokens", "tokens_after",
+    "pii_post", "f_pii", "f_q", "f_ct",
+)
+
+
+def test_footer_constants():
+    """The shared footer is EXACTLY one scrub segment (SCRUB_SEG tokens)
+    and carries exactly 2 PII matches (1 email + 1 phone, 0 ssn) — the
+    alignment + margin the interaction pin depends on."""
+    from etl_active911_spark.operators.dedup import SCRUB_SEG
+
+    assert len(INGEST_FOOTER.split()) == SCRUB_SEG
+    assert len(re.findall(PII_EMAIL, INGEST_FOOTER)) == 1
+    assert len(re.findall(PII_PHONE, INGEST_FOOTER)) == 1
+    assert len(re.findall(PII_SSN, INGEST_FOOTER)) == 0
+
+
+def test_segmentwise_pii_equals_whole_text(spark):
+    """Summing PII matches over disjoint whole-token segments equals
+    counting on the whole text (patterns are whitespace-free, segments
+    are whole-token runs) — the exactness claim behind counting PII on
+    kept segments only."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.dedup import scrub_segment_rows
+
+    arrv = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", ingest_arrival_text().alias("text")
+    )
+    seg_sum = (
+        scrub_segment_rows(arrv, with_text=True)
+        .groupBy("doc_id")
+        .agg(F.sum(pii_text_matches(F.col("seg_txt"))).alias("m"))
+    )
+    whole = arrv.select("doc_id", pii_text_matches(F.col("text")).alias("w"))
+    diff = seg_sum.join(whole, "doc_id").filter("m <> w")
+    assert diff.count() == 0
+
+
+def test_scrub_before_pii_changes_quarantine_counts(spark):
+    """THE interaction pin (the verdict's question answered with data):
+    counting PII on post-scrub text quarantines strictly fewer docs than
+    counting on the full arrival text — a footer doc that LOSES the
+    shared footer to the scrub stops paying its 2 matches, while the
+    canonical keeper still pays them. (First cut of this fixture put the
+    footer on residue 2 mod 6, which CRT-forces both the email and phone
+    tails — every footer doc quarantined by tails alone, interaction
+    vacuous; this pin caught it — rule 31.)"""
+    from etl_active911_spark.io import read_table
+
+    rows = ingest_funnel_rows(spark, SF_ORACLE).collect()
+    surv_ids = {r.doc_id for r in rows if r.f_nd == 1}
+    post = {r.doc_id: r.pii_post for r in rows if r.f_nd == 1}
+    # PII-before-scrub: count matches on the FULL arrival text,
+    # independently recomputed
+    full = {
+        r.doc_id: r.m
+        for r in read_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", pii_text_matches(ingest_arrival_text()).alias("m"))
+        .collect()
+        if r.doc_id in surv_ids
+    }
+    before_q = sum(1 for v in full.values() if v >= PII_QUARANTINE_MIN)
+    after_q = sum(1 for v in post.values() if v >= PII_QUARANTINE_MIN)
+    assert after_q < before_q, (after_q, before_q)
+    # non-vacuity both ways: among footer docs, someone pays the footer's
+    # matches post-scrub (the canonical keeper stays quarantined) and
+    # someone stops paying them (quarantine flips)
+    footer = [d for d in surv_ids if d % FOOTER_MOD == FOOTER_REM]
+    assert any(post[d] >= PII_QUARANTINE_MIN for d in footer)
+    assert any(
+        full[d] >= PII_QUARANTINE_MIN and post[d] < PII_QUARANTINE_MIN
+        for d in footer
+    )
+
+
+def test_funnel_is_strictly_nested(spark):
+    """Stage survivor sets nest: n_arrived ≥ n_unique ≥ n_pii_ok ≥
+    n_quality ≥ n_final per source, and every stage loses someone
+    somewhere (non-vacuity of each gate on the fixture)."""
+    from etl_active911_spark.operators.ingest_funnel import x9_ingest_funnel
+
+    rows = x9_ingest_funnel(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_arrived >= r.n_unique >= r.n_pii_ok >= r.n_quality >= r.n_final
+        ), r
+    tot = {
+        c: sum(getattr(r, c) for r in rows)
+        for c in ("n_arrived", "n_unique", "n_pii_ok", "n_quality", "n_final")
+    }
+    assert tot["n_unique"] < tot["n_arrived"]      # near-dup gate bites
+    assert tot["n_pii_ok"] < tot["n_unique"]       # PII gate bites
+    assert tot["n_quality"] < tot["n_pii_ok"]      # quality gate bites
+    # the contamination gate is non-vacuous in the corpus (quarantined
+    # train vectors exist) but at sf0.01 both happen to be caught by
+    # earlier gates first, so n_final == n_quality there — assert the
+    # flag's polarity on the per-doc rows instead of a stage-5 drop
+    per_doc = ingest_funnel_rows(spark, SF_ORACLE).collect()
+    assert any(r.f_ct == 0 for r in per_doc)
+    assert any(r.f_ct == 1 for r in per_doc)
+
+
+def _drain(spark, src_dir, emb, dirs):
+    from etl_active911_spark.streaming import full_ingest
+
+    src = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        src_dir
+    )
+    q = full_ingest.run_full_ingest_stream(src, emb, *dirs)
+    assert q.awaitTermination(300)
+
+
+def test_full_ingest_stream_matches_batch(spark, tmp_path):
+    """END-TO-END: the composed stream over a 3-way doc_id-ordered split
+    of the REAL fixture corpus emits exactly the batch fold's per-doc
+    funnel rows; a replay of the first batch afterwards adds nothing."""
+    from etl_active911_spark.io import read_table
+
+    docs = (
+        read_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+    )
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+
+    src_dir = str(tmp_path / "src")
+    dirs = (
+        str(tmp_path / "sigs"),
+        str(tmp_path / "bands"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    batches = [
+        docs.filter(F.col("doc_id") <= cut1),
+        docs.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        docs.filter(F.col("doc_id") > cut2),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src_dir)
+        _drain(spark, src_dir, emb, dirs)
+
+    got = {
+        tuple(r[c] for c in ROW_COLS)
+        for r in spark.read.parquet(dirs[3]).collect()
+    }
+    want = {
+        tuple(r[c] for c in ROW_COLS)
+        for r in ingest_funnel_rows(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+    # replay batch 1: the re-delivery guard must add nothing
+    batches[0].coalesce(1).write.mode("append").parquet(src_dir)
+    _drain(spark, src_dir, emb, dirs)
+    again = {
+        tuple(r[c] for c in ROW_COLS)
+        for r in spark.read.parquet(dirs[3]).collect()
+    }
+    assert again == want

@@ -138,6 +138,8 @@ EXTRA_CHECKED = (
     "x3_centroid_purity",
     "x6_weekday_profile",
     "x2_shingle_df_profile",
+    # r13 additions (post-window; hygiene-gated here)
+    "x9_ingest_funnel",
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
     "x7_temporal_hotspots",
@@ -280,9 +282,15 @@ def test_windowed_query_plan_hygiene(spark, name):
         f"— if the new nested loop has a constant-bounded side, extend BNLJ_ALLOWED "
         f"with its justification"
     )
-    # SCALE.md invariant 4: no row-at-a-time Python in any windowed plan —
-    # Arrow granularity only (pandas_udf / mapInPandas / mapInArrow)
-    assert "BatchEvalPython" not in plan, (
+    # SCALE.md invariant 4: no row-at-a-time SCALAR Python in any windowed
+    # plan — Arrow granularity only (pandas_udf / mapInPandas /
+    # mapInArrow). BatchEvalPythonUDTF is excluded from the ban: it is
+    # the N-13 table-function surface ITSELF (n13_python_udtf — Spark has
+    # no Arrow UDTF evaluator; rows stream through the UDTF in batches),
+    # not a scalar expression smuggled into a hot path. The substring
+    # strip keeps the scalar ban exact (r13: the rotation put
+    # n13_python_udtf inside the swept window for the first time).
+    assert "BatchEvalPython" not in plan.replace("BatchEvalPythonUDTF", ""), (
         f"{name}: row-at-a-time Python UDF planned (BatchEvalPython) — "
         f"use a pandas_udf / mapInPandas formulation"
     )
