@@ -144,6 +144,12 @@ HEADLINE = [
     "x9_release_scorecard",
     "x4_compression_bound",
     "n21_retention_cohorts",
+    # round-13 additions (same shared-subset rule): the composed
+    # five-gate ingest funnel (rides the session memos; the realistic
+    # landing-zone deployment shape) and the now-multilingual
+    # classifier-eval confusion matrix
+    "x9_ingest_funnel",
+    "x4_langid_confusion",
 ]
 
 

@@ -177,6 +177,7 @@ def test_r13_queue_is_exactly_full_and_all_oracled():
 # The 27-slot r14 queue (VERDICT r12 item 4: keep it exactly-full): the
 # 19 named carry-overs from the r12 queue-math note (sketch error-bound
 # companions, r12-round + late-r12-session additions), then 8 fill slots
+# — r13-session newcomers first (the composed ingest funnel), remainder
 # from the oldest never-driver-scored oracled pool.
 PINNED_R14_QUEUE = (
     "x3_mips_topk", "x2_frontier_schedule", "x9_lineage_chain",
@@ -188,11 +189,12 @@ PINNED_R14_QUEUE = (
     "x5_geotag_privacy_audit", "x2_deletion_propagation",
     "x9_release_scorecard", "x4_compression_bound",
     "n21_retention_cohorts",
-    # fill slots (never-scored oracled pool, registration order)
+    # fill slots: r13 newcomers, then the never-scored oracled pool
+    "x9_ingest_funnel",
     "x9_stream_curation", "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan", "x3_centroid_purity",
     "x2_minhash_band_occupancy", "x6_event_type_markov",
-    "x7_temporal_hotspots", "x8_dup_weighted_counts",
+    "x7_temporal_hotspots",
 )
 
 
