@@ -150,6 +150,10 @@ HEADLINE = [
     # classifier-eval confusion matrix
     "x9_ingest_funnel",
     "x4_langid_confusion",
+    # round-13 additions continued: the privacy ladder's third rung and
+    # the DoReMi mixture-reweighting step
+    "x9_t_closeness",
+    "x8_doremi_step",
 ]
 
 

@@ -2358,10 +2358,8 @@ def video_frame_hashes(media: DataFrame) -> DataFrame:
     exact-pre-collapse discipline applied at decode time; a production
     pipeline keys the same cache by payload digest), and the per-video
     fan-out is a vectorized pandas merge, no Python row loop. Output
-    rows are (int64, string) pairs, ≤12 per video."""
+    rows are (int64, int64) pairs, ≤12 per video."""
     import pandas as pd
-
-    from etl_active911_spark.operators.dedup import token_hash60
 
     vids = media.filter(F.col("mime") == "video/mp4").select(
         "doc_id",
@@ -2372,21 +2370,25 @@ def video_frame_hashes(media: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # decode the 15 distinct (g, e) edits ONCE per task (~180 small
         # BMPs), then fan out to videos with a vectorized merge — the
-        # per-video work is C-speed, no Python row loop
+        # per-video work is C-speed, no Python row loop. The 60-bit key
+        # is computed HERE (int(md5[:15], 16) ≡ token_hash60, the
+        # rule-10 property-tested identity) over the 70 distinct frames
+        # only, so the Arrow boundary carries int64s, not strings, and
+        # no JVM md5/conv pass runs over the ~12x-per-video fan-out.
         rows = []
         for g in range(5):
             for e in range(3):
                 frames = split_bmp_frames(mp4_mdat_payload(encode_video_mp4(g, e)))
                 for fb in frames:
                     _w, _h, h0, h1 = ahash64(fb)
-                    rows.append((g, e, f"{h0}:{h1}"))
-        frame_df = pd.DataFrame(rows, columns=["g", "e", "k"])
+                    key = hashlib.md5(f"{h0}:{h1}".encode()).hexdigest()
+                    rows.append((g, e, int(key[:15], 16)))
+        frame_df = pd.DataFrame(rows, columns=["g", "e", "vh"])
         for pdf in batches:
             out = pdf[["doc_id", "g", "e"]].merge(frame_df, on=["g", "e"])
-            yield out[["doc_id", "k"]]
+            yield out[["doc_id", "vh"]]
 
-    fh = vids.mapInPandas(run, "doc_id long, k string")
-    return fh.select("doc_id", token_hash60(F.col("k")).alias("vh"))
+    return vids.mapInPandas(run, "doc_id long, vh long")
 
 
 @query("x5_video_framehash_dedup", _VIDEO_DEDUP_ORACLE)

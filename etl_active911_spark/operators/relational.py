@@ -2052,6 +2052,143 @@ def kanon_violations(cust: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X-9 (r13): t-closeness — the third rung of the privacy ladder
+# (k-anonymity → l-diversity → t-closeness)
+# ---------------------------------------------------------------------------
+
+#: maximum tolerated distance (micro-units) between a class's sensitive
+#: distribution and the global one — 0.4 splits the fixture's 150
+#: classes 121/29, so both polarities are populated (scouted r13)
+T_CLOSE_MAX_MICRO = 400_000
+
+_TCLOSE_ORACLE = f"""
+    WITH g AS (
+        SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS gs
+        FROM customer GROUP BY 1
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+    cl AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS acctbal_band,
+               c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS ncs
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    kk AS (
+        SELECT nation, acctbal_band, CAST(SUM(ncs) AS BIGINT) AS k
+        FROM cl GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT cl.nation, cl.acctbal_band, ANY_VALUE(kk.k) AS k,
+               ANY_VALUE(nt.n) AS n,
+               CAST(SUM(ABS(cl.ncs * nt.n - g.gs * kk.k)) AS BIGINT) AS sp,
+               CAST(SUM(g.gs) AS BIGINT) AS gpres
+        FROM cl
+        JOIN g USING (seg)
+        JOIN kk ON kk.nation = cl.nation AND kk.acctbal_band = cl.acctbal_band
+        CROSS JOIN nt
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT nation, acctbal_band, k,
+               CAST((2::HUGEINT * (sp + (n - gpres) * k) * 1000000
+                     + 2::HUGEINT * k * n)
+                    // (4::HUGEINT * k * n) AS BIGINT) AS t_micro
+        FROM s
+    )
+    SELECT nation, acctbal_band, k, t_micro,
+           CAST(CASE WHEN t_micro > {T_CLOSE_MAX_MICRO} THEN 1 ELSE 0 END
+                AS INTEGER) AS viol_t
+    FROM t
+    """
+
+
+@query("x9_t_closeness", _TCLOSE_ORACLE)
+def x9_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r13): T-CLOSENESS release audit (Li, Li & Venkatasubramanian,
+    ICDE 2007) — the third rung of the privacy ladder the repo's
+    ``x9_k_anonymity_audit`` starts (k-anonymity, l-diversity): a class
+    can be large (k OK) and sensitive-value-diverse (l OK) and STILL
+    leak — if its sensitive-value DISTRIBUTION differs sharply from the
+    global one, membership itself is informative. Per equivalence class
+    (the same nation × balance-band quasi-identifier projection), the
+    variation distance between the class's market-segment distribution
+    and the corpus-wide one — for a categorical attribute under unit
+    ground distance, the EMD of the t-closeness paper reduces exactly to
+    total variation: t = ½·Σ_s |n_cs/k − g_s/N|.
+
+    Determinism (rule 26b/27/28): everything is exact integers — the TV
+    sum runs over the common denominator k·N (S = Σ|n_cs·N − g_s·k|,
+    with absent segments folded closed-form as (N − Σ_present g_s)·k
+    instead of a class×segment cross join), and t_micro is the integer
+    HALF-UP division S·10⁶ / (2kN) computed in 128-bit space (HUGEINT /
+    DECIMAL(38,0)): k·N·10⁶ passes int64 at ~4.6e12 customer-rows-
+    squared, i.e. well inside 100 TB territory. Operands non-negative,
+    so ``div`` ≡ ``//``.
+
+    Scale shape: ONE hash aggregate keyed by the (QI, segment)
+    projection (map-side combine; class×segment ≪ rows), then
+    class-grain joins (≪ rows) against the broadcast 5-row segment
+    table and the 1-row total. No windows, no corpus joins — scan-bound
+    at any table size."""
+    return tcloseness_classes(read_table(spark, sf_dir, "customer"))
+
+
+def tcloseness_classes(cust: DataFrame) -> DataFrame:
+    """Core of ``x9_t_closeness`` over an arbitrary (c_nationkey,
+    c_acctbal, c_mktsegment) frame — split out so crafted distributions
+    (a class exactly mirroring the global mix ⇒ t = 0; a single-segment
+    class ⇒ t = 1 − g_s/N) pin the shipped expressions in pytest (the
+    ``kanon_violations`` pattern)."""
+    g = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("gs")
+    )
+    nt = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cl = cust.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("acctbal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("ncs"))
+    kk = cl.groupBy("nation", "acctbal_band").agg(
+        F.sum("ncs").cast("bigint").alias("k")
+    )
+    s = (
+        cl.join(F.broadcast(g), "seg")
+        .join(kk, ["nation", "acctbal_band"])
+        .crossJoin(F.broadcast(nt))
+        .groupBy("nation", "acctbal_band")
+        .agg(
+            F.first("k").alias("k"),
+            F.first("n").alias("n"),
+            F.sum(F.abs(F.col("ncs") * F.col("n") - F.col("gs") * F.col("k")))
+            .cast("bigint")
+            .alias("sp"),
+            F.sum("gs").cast("bigint").alias("gpres"),
+        )
+    )
+    t = s.select(
+        "nation",
+        "acctbal_band",
+        "k",
+        F.expr(
+            "CAST((2 * CAST(sp + (n - gpres) * k AS DECIMAL(38,0)) * 1000000"
+            " + 2 * CAST(k AS DECIMAL(38,0)) * n)"
+            " div (4 * CAST(k AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("t_micro"),
+    )
+    return t.select(
+        "nation",
+        "acctbal_band",
+        "k",
+        "t_micro",
+        F.when(F.col("t_micro") > T_CLOSE_MAX_MICRO, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("viol_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # N-21c (r12): retention cohorts — the third event-analytics staple
 # (funnel, attribution, retention)
 # ---------------------------------------------------------------------------

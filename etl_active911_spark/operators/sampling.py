@@ -1985,3 +1985,4 @@ def lineage_chain(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     shards.createOrReplaceTempView("x9_lineage_shards")
     return spark.sql(_lineage_chain_sql("x9_lineage_shards"))
+

@@ -183,7 +183,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x2_deletion_propagation, x9_release_scorecard, x4_compression_bound,
 #:   n21_retention_cohorts), then 8 fill slots from the oldest
 #:   never-scored oracled pool — finalized in PINNED_R14_QUEUE at r13
-#:   session close (r13-session newcomers may take fill slots).
+#:   session close (r13-session newcomers x9_ingest_funnel,
+#:   x9_t_closeness, x8_doremi_step hold the first fill slots).
 #: r15+ pool (never-scored oracled remainder after r14):
 #: x2_cluster_drift, x2_contamination_gate, x2_minhash_band_occupancy,
 #: x2_shingle_df_profile, x3_ann_ivf_rebalance_plan, x3_centroid_purity,
@@ -234,6 +235,7 @@ def load_all() -> None:
     import etl_active911_spark.operators.timeseries  # noqa: F401
     import etl_active911_spark.operators.clustering  # noqa: F401
     import etl_active911_spark.operators.ingest_funnel  # noqa: F401
+    import etl_active911_spark.operators.mixture  # noqa: F401
     import etl_active911_spark.operators.geo  # noqa: F401
     import etl_active911_spark.operators.sampling  # noqa: F401
     import etl_active911_spark.operators.skewdemo  # noqa: F401

@@ -66,6 +66,9 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     # InMemoryRelation text repeats per consumer: ssq, shifted, join-left)
     # plus the final stats x ssq x pr 1-row assembly
     "x7_moran_i": (5, "1-row (N,S) moment broadcast into di (plan text repeats per persisted-di consumer) + final crossJoin of three 1-row aggregates"),
+    # r13 additions: every build side is a 1-row aggregate scalar
+    "x9_t_closeness": (1, "1-row broadcast corpus-total N crossJoined into the class-grain TV assembly (relational.py tcloseness_classes)"),
+    "x8_doremi_step": (7, "three chained 1-row scalar broadcasts (totals, Σw0·λ baseline, Σu normalizer) over the ≤20-row per-source frame; the unpersisted per-source subtree's plan text repeats per downstream stage (recomputing a 20-row frame is cheaper than a persist)"),
 }
 
 
@@ -140,6 +143,8 @@ EXTRA_CHECKED = (
     "x2_shingle_df_profile",
     # r13 additions (post-window; hygiene-gated here)
     "x9_ingest_funnel",
+    "x9_t_closeness",
+    "x8_doremi_step",
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
     "x7_temporal_hotspots",

@@ -1,0 +1,93 @@
+"""Pins for the r13 operator additions: t-closeness (the privacy
+ladder's third rung) and the DoReMi-style domain-reweighting step."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_active911_spark.operators.mixture import x8_doremi_step
+from etl_active911_spark.operators.relational import (
+    T_CLOSE_MAX_MICRO,
+    tcloseness_classes,
+    x9_t_closeness,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _cust(spark, rows):
+    return spark.createDataFrame(
+        rows, "c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+
+
+def test_tcloseness_mirror_class_scores_zero(spark):
+    """A class whose segment distribution exactly mirrors the global one
+    has t = 0 (TV's identity of indiscernibles) — crafted: two classes,
+    identical 50/50 A-B mixes."""
+    rows = []
+    for nation in (1, 2):
+        for seg in ("A", "B"):
+            for i in range(4):
+                rows.append((nation, 100.0 * nation, seg))
+    out = {(r.nation, r.t_micro) for r in tcloseness_classes(_cust(spark, rows)).collect()}
+    assert out == {(1, 0), (2, 0)}
+
+
+def test_tcloseness_single_segment_class(spark):
+    """A single-segment class scores t = 1 − g_s/N exactly (all its mass
+    sits on one value): 8 A-rows in class 1, 8 B-rows in class 2 ⇒ each
+    class's TV vs the global 50/50 is 1/2 → 500000 micro."""
+    rows = [(1, 100.0, "A")] * 8 + [(2, 300.0, "B")] * 8
+    out = {(r.nation, r.t_micro, r.viol_t) for r in tcloseness_classes(_cust(spark, rows)).collect()}
+    assert out == {(1, 500_000, 1), (2, 500_000, 1)}
+
+
+def test_tcloseness_fixture_has_both_polarities(spark):
+    """Non-vacuity at the oracle SF: violating AND conforming classes
+    both exist, and t_micro stays in [0, 1e6]."""
+    rows = x9_t_closeness(spark, SF_ORACLE).collect()
+    assert any(r.viol_t == 1 for r in rows)
+    assert any(r.viol_t == 0 for r in rows)
+    assert all(0 <= r.t_micro <= 1_000_000 for r in rows)
+    assert all((r.t_micro > T_CLOSE_MAX_MICRO) == (r.viol_t == 1) for r in rows)
+
+
+def test_doremi_weights_sum_and_direction(spark):
+    """One DoReMi step at the oracle SF: (a) the smoothed weights sum to
+    1e6 within K half-up rounding units; (b) mirror descent moves mass
+    the right way — every domain whose failure rate λ exceeds the
+    w0-weighted baseline is UP-weighted (w1 > w0) and every domain below
+    it is DOWN-weighted; (c) smoothing pulls w strictly toward uniform
+    relative to w1 (both polarities present on the fixture)."""
+    rows = x8_doremi_step(spark, SF_ORACLE).collect()
+    k = len(rows)
+    assert k >= 2
+    total = sum(r.w_micro for r in rows)
+    assert abs(total - 1_000_000) <= k, total
+    swl = sum(r.w0_micro * r.lambda_micro for r in rows)
+    baseline_micro = swl / 1e6
+    for r in rows:
+        if r.lambda_micro > baseline_micro + 1:
+            assert r.w1_micro > r.w0_micro, r
+        elif r.lambda_micro < baseline_micro - 1:
+            assert r.w1_micro < r.w0_micro, r
+    uniform = 1_000_000 // k
+    pulled = [
+        r for r in rows
+        if abs(r.w_micro - uniform) < abs(r.w1_micro - uniform)
+    ]
+    assert pulled, "smoothing moved nothing toward uniform"
+    assert any(r.w1_micro > r.w0_micro for r in rows)
+    assert any(r.w1_micro < r.w0_micro for r in rows)
+
+
+def test_doremi_uniform_when_losses_equal(spark):
+    """Sanity invariant: with proportional w0 over equal-sized domains,
+    equal λ across domains keeps w1 == w0 (exp(λ − λ̄) == 1). The
+    fixture's sources are equal-sized (n_docs constant), so any pair of
+    sources with EQUAL lambda_micro must carry equal w1_micro."""
+    rows = x8_doremi_step(spark, SF_ORACLE).collect()
+    by_lambda: dict[int, set[int]] = {}
+    for r in rows:
+        by_lambda.setdefault(r.lambda_micro, set()).add(r.w1_micro)
+    assert all(len(v) == 1 for v in by_lambda.values()), by_lambda

@@ -190,11 +190,10 @@ PINNED_R14_QUEUE = (
     "x9_release_scorecard", "x4_compression_bound",
     "n21_retention_cohorts",
     # fill slots: r13 newcomers, then the never-scored oracled pool
-    "x9_ingest_funnel",
+    "x9_ingest_funnel", "x9_t_closeness", "x8_doremi_step",
     "x9_stream_curation", "x2_contamination_gate",
     "x3_ann_ivf_rebalance_plan", "x3_centroid_purity",
-    "x2_minhash_band_occupancy", "x6_event_type_markov",
-    "x7_temporal_hotspots",
+    "x2_minhash_band_occupancy",
 )
 
 
