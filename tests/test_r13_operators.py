@@ -55,22 +55,28 @@ def test_tcloseness_fixture_has_both_polarities(spark):
 def test_doremi_weights_sum_and_direction(spark):
     """One DoReMi step at the oracle SF: (a) the smoothed weights sum to
     1e6 within K half-up rounding units; (b) mirror descent moves mass
-    the right way — every domain whose failure rate λ exceeds the
-    w0-weighted baseline is UP-weighted (w1 > w0) and every domain below
-    it is DOWN-weighted; (c) smoothing pulls w strictly toward uniform
-    relative to w1 (both polarities present on the fixture)."""
+    the right way — w1 > w0 exactly when λ − λ̄ > ln Z (Z = Σ w0·e^{λ−λ̄}
+    ≥ 1 by Jensen; the naive "λ > λ̄ ⇒ up" claim is FALSE after
+    normalization — hypothesis killed it, test_doremi_property.py); (c)
+    smoothing pulls w toward uniform relative to w1, both polarities
+    present on the fixture."""
+    import math
+
     rows = x8_doremi_step(spark, SF_ORACLE).collect()
     k = len(rows)
     assert k >= 2
     total = sum(r.w_micro for r in rows)
     assert abs(total - 1_000_000) <= k, total
     swl = sum(r.w0_micro * r.lambda_micro for r in rows)
-    baseline_micro = swl / 1e6
+    bar = swl / 1e12
+    u = [(r.w0_micro / 1e6) * math.exp(r.lambda_micro / 1e6 - bar) for r in rows]
+    lnz = math.log(sum(u))
     for r in rows:
-        if r.lambda_micro > baseline_micro + 1:
-            assert r.w1_micro > r.w0_micro, r
-        elif r.lambda_micro < baseline_micro - 1:
-            assert r.w1_micro < r.w0_micro, r
+        dev = r.lambda_micro / 1e6 - bar
+        if dev > lnz + 1e-5:
+            assert r.w1_micro > r.w0_micro, (r, lnz)
+        elif dev < lnz - 1e-5:
+            assert r.w1_micro < r.w0_micro, (r, lnz)
     uniform = 1_000_000 // k
     pulled = [
         r for r in rows
