@@ -154,6 +154,10 @@ HEADLINE = [
     # the DoReMi mixture-reweighting step
     "x9_t_closeness",
     "x8_doremi_step",
+    # round-13 additions continued: prefix-dim retrieval eval and the
+    # AR(1) half-life (rides the ACF machinery)
+    "x3_matryoshka_recall",
+    "x6_ar1_halflife",
 ]
 
 

@@ -4524,3 +4524,128 @@ def x3_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("inner_product"),
         "rnk",
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r13): Matryoshka-truncation recall — prefix-dim embedding quality
+# ---------------------------------------------------------------------------
+
+#: evaluated prefix dimensions (the full dim last — its leg IS the exact
+#: ground truth, so recall@64 ≡ 1.0 is the construction's self-check)
+MRL_DIMS = (8, 16, 32, 64)
+
+_MRL_ORACLE = f"""
+    WITH dims(d) AS (VALUES (8), (16), (32), (64)),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    sc AS (
+        SELECT d.d AS dims, q.query_id, e.vec_id,
+               ROUND(list_dot_product(q.qe[1:d.d],
+                                      (e.embedding::DOUBLE[])[1:d.d])
+                 / (sqrt(list_dot_product(q.qe[1:d.d], q.qe[1:d.d]))
+                    * sqrt(list_dot_product((e.embedding::DOUBLE[])[1:d.d],
+                                            (e.embedding::DOUBLE[])[1:d.d]))),
+                 6) AS cos
+        FROM q, embeddings e, dims d
+        WHERE e.vec_id != q.query_id
+    ),
+    rk AS (
+        SELECT dims, query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY dims, query_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM sc
+    ),
+    pk AS MATERIALIZED (
+        SELECT dims, query_id, vec_id FROM rk WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+        SELECT p.dims, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM pk p
+        JOIN (SELECT query_id, vec_id FROM pk WHERE dims = 64) t
+          USING (query_id, vec_id)
+        GROUP BY 1
+    )
+    SELECT CAST(dims AS INT) AS dims, n_hits,
+           CAST((2 * n_hits * 1000000 + {N_QUERIES * TOP_K})
+                // (2 * {N_QUERIES * TOP_K}) AS BIGINT) AS recall_micro
+    FROM hits
+    """
+
+
+@query("x3_matryoshka_recall", _MRL_ORACLE)
+def x3_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r13): MATRYOSHKA-TRUNCATION RECALL (Kusupati et al., NeurIPS
+    2022 — public MRL): how much retrieval quality survives truncating
+    embeddings to their first d dimensions — the dial every
+    vector-store deployment turns (a 8/64 prefix is an 8× memory and
+    bandwidth cut IF recall holds). Per prefix dim d ∈ {8,16,32,64}:
+    exact top-k under prefix-d cosine, recall@k against the full-dim
+    exact top-k. The full-dim leg is computed by the SAME pipeline
+    (d = 64 slice ≡ whole vector), so recall@64 ≡ 1.0 is a built-in
+    self-check of the ranking-policy alignment, and the ground truth can
+    never drift from the candidate legs (pinned).
+
+    Determinism: ranking on ROUND(cos, 6) with vec_id tie-break
+    (canonical policy 4); recall is the rule-26b exact half-up micro
+    ratio over the fixed N_QUERIES·TOP_K denominator.
+
+    Scale shape: ONE corpus scan — the broadcast-query join computes
+    all four prefix scores per (query, vector) pair in one pass (each a
+    fixed-width lambda reduction over the sliced arrays — SCALE.md
+    invariant-3 footnote: bounded-width reductions, not per-element
+    fan-out), a BOUNDED ×4 explode, then the rank-limit-pushdown
+    window (rule 19: WindowGroupLimit partial runs map-side, only
+    partitions × dims × queries × k rows shuffle). The recall join is
+    (dims·queries·k)-grain — eval-sized, never corpus-sized."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+
+    def cos_d(d: int) -> Column:
+        qs, es = F.slice(F.col("qe"), 1, d), F.slice(F.col("embedding"), 1, d)
+        return dot(qs, es) / (l2norm(qs) * l2norm(es))
+
+    legs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("dims"),
+                    F.round(cos_d(d), 6).alias("cos"),
+                )
+                for d in MRL_DIMS
+            ]
+        )
+    )
+    sc = pairs.select("query_id", "vec_id", legs.alias("s")).select(
+        "query_id", "vec_id", "s.dims", "s.cos"
+    )
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    pk = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("dims", "query_id", "vec_id")
+    )
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    pk = scoped_persist("x3_mrl.pk", pk)  # rule 17: ground-truth + 4 candidate legs
+    truth = pk.filter(F.col("dims") == 64).select("query_id", "vec_id")
+    hits = (
+        pk.join(truth, ["query_id", "vec_id"])
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    denom = N_QUERIES * TOP_K
+    return hits.select(
+        "dims",
+        "n_hits",
+        F.expr(
+            f"CAST((2 * n_hits * 1000000 + {denom}) div (2 * {denom}) AS BIGINT)"
+        ).alias("recall_micro"),
+    )

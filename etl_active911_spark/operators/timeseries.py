@@ -3358,3 +3358,65 @@ def hampel_outliers(ev: DataFrame) -> DataFrame:
             (F.col("mad4").cast("double") / (4.0 * _DECOMP_SCALE)).alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-6 (r13): AR(1) fit + mean-reversion half-life
+# ---------------------------------------------------------------------------
+
+#: the CASE/ln expression shared verbatim by both engines (rule 24: the
+#: micro int is CAST AS DOUBLE before the division; ROUND lands after an
+#: irrational ln ratio, so it is tie-free — rule 26)
+_AR1_HL_EXPR = (
+    "CASE WHEN phi_micro > 0 AND phi_micro < 1000000"
+    " THEN ROUND((0 - ln(2)) / ln(CAST(phi_micro AS DOUBLE) / 1000000), 6)"
+    " ELSE NULL END"
+)
+
+@query(
+    "x6_ar1_halflife",
+    f"""
+    WITH {_ACF_USER_CTES},
+    ph AS (
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n,
+               CAST({_sql_signed_micro(_sql_acf_num(1), "den")} AS BIGINT)
+                   AS phi_micro
+        FROM uf
+    )
+    SELECT user_id, n, phi_micro, {_AR1_HL_EXPR} AS half_life
+    FROM ph
+    """,
+)
+def x6_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 (r13): AR(1) FIT + MEAN-REVERSION HALF-LIFE per user series —
+    the Yule-Walker estimate for lag order 1 is exactly the lag-1
+    autocorrelation (φ̂ = r₁ — Box & Jenkins 1970 ch.3), and the quantity
+    an operations/capacity analyst actually reads off it is the
+    mean-reversion half-life −ln 2 / ln φ (how many steps until a
+    deviation from the series mean decays to half — the standard
+    Ornstein-Uhlenbeck discretization reading). φ ≤ 0 (no reversion
+    toward the mean from positive persistence) and φ ≥ 1 (non-stationary)
+    emit NULL, documented.
+
+    Determinism: φ comes out of the SAME exact-integer ACF machinery as
+    ``x6_acf`` (DECIMAL(38,0) moment sums, rule-28 signed micro
+    division — shared ``_acf_user_stats``/``_sql_acf_num`` so the two
+    queries cannot disagree on φ); the half-life is the shared
+    ``_AR1_HL_EXPR`` (byte-identical SQL text both engines, CAST AS
+    DOUBLE per rule 24, ROUND after an irrational ln ratio — tie-free).
+
+    Scale shape: identical to x6_acf — one ordered window pass for the
+    lag column + ONE user-keyed hash aggregate; the half-life is a
+    per-row scalar on the user-grain result. No joins."""
+    u = _acf_user_stats(read_table(spark, sf_dir, "events"))
+    ph = u.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        _signed_micro(_sql_acf_num(1), "den")
+        .cast("bigint")
+        .alias("phi_micro"),
+    )
+    return ph.select(
+        "user_id", "n", "phi_micro", F.expr(_AR1_HL_EXPR).alias("half_life")
+    )
