@@ -262,8 +262,18 @@ def time_query(spark, name: str) -> float:
 def main() -> None:
     spark = get_spark("etl-active911-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up: JVM + codegen + parquet footer caches
-    registry.QUERIES["flagship_revenue_by_nation"](spark, SF_DIR).count()
+    # GLOBAL warm-up (r13): run every gate anchor once untimed before any
+    # timing starts. Per-query warm-ups already amortize per-query
+    # codegen, but JVM-WIDE C2 compilation of shared Spark/Catalyst
+    # internals is not per-query: with only the flagship warm-up, the
+    # first ~6 anchors consistently read 1.2-1.4x on a QUIET box
+    # (ambient probe ~1.05) while the suite tail reads ~1.0 — the same
+    # decay shape as the r12 driver drift, at smaller amplitude. A real
+    # deployment amortizes JIT over the job's lifetime, so it does not
+    # belong inside the timed window. ~8 s of untimed work.
+    for name in HEADLINE[:17]:
+        if name in registry.QUERIES:
+            registry.QUERIES[name](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     ambient: dict[str, float] = {}
