@@ -4598,7 +4598,15 @@ def x3_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out), a BOUNDED ×4 explode, then the rank-limit-pushdown
     window (rule 19: WindowGroupLimit partial runs map-side, only
     partitions × dims × queries × k rows shuffle). The recall join is
-    (dims·queries·k)-grain — eval-sized, never corpus-sized."""
+    (dims·queries·k)-grain — eval-sized, never corpus-sized.
+
+    Measured non-optimization (r13, do not retry): precomputing per-row
+    prefix norms before the join + incremental segment dots (64 vs 120
+    products/pair) read 1.378 s vs this form's 1.202 s in a matched A/B
+    — projection collapse re-inlines the pre-join projections into the
+    per-pair consumer anyway, and the offset slices cost more expression
+    overhead than the shared segments save (the ``dot`` helper's note,
+    same lesson)."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
