@@ -158,6 +158,8 @@ HEADLINE = [
     # AR(1) half-life (rides the ACF machinery)
     "x3_matryoshka_recall",
     "x6_ar1_halflife",
+    # round-13 additions continued: per-pack attention contamination
+    "x8_pack_attention_contamination",
 ]
 
 

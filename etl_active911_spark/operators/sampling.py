@@ -548,6 +548,98 @@ _registry.ORACLES["x8_token_packing"] = _token_packing_oracle()
 
 
 @query(
+    "x8_pack_attention_contamination",
+    None,  # oracle injected below (needs textual's BPE pattern)
+)
+def x8_pack_attention_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 (r13): CROSS-DOCUMENT ATTENTION CONTAMINATION per packed
+    sequence — the number a packing pipeline owes before choosing
+    whether to pay for block-diagonal attention masking: naive packing
+    lets a causal LM attend across document boundaries, and the
+    contaminated fraction of causal (query, key) pairs in a pack is
+    exactly (T² − Σ tᵢ²) / (T(T+1)) where T = Σ tᵢ (identity:
+    T² − Σtᵢ² = 2·Σ_{i<j} tᵢtⱼ, the cross-doc ordered pairs — always
+    even, so the arithmetic is pure integers). Per pack of the SAME
+    manifest as ``x8_token_packing`` (shared prefix-sum core — the
+    manifests cannot diverge): docs, tokens, cross/causal pair counts,
+    and the contamination share in rule-26b half-up micro-units.
+
+    Overflow note: per-pack T is bounded by PACK_TOKEN_BUDGET plus one
+    doc's overflow, so T²·10⁶ sits ~9 orders below int64 at ANY corpus
+    size — pack-grain arithmetic needs no 128-bit path (contrast the
+    corpus-grain sums of rule 27).
+
+    Scale shape: identical to x8_token_packing (two-phase prefix sum,
+    no global window) plus one pack-keyed hash aggregate carrying two
+    int64s; output is |packs| rows."""
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    packed = _two_phase_prefix_sum(docs, "n_tokens").withColumn(
+        "pack_id", F.expr(f"CAST(start_off DIV {PACK_TOKEN_BUDGET} AS BIGINT)")
+    )
+    agg = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens")).cast("bigint").alias("sq"),
+    )
+    return agg.select(
+        "pack_id",
+        "n_docs",
+        "pack_tokens",
+        F.expr("(pack_tokens * pack_tokens - sq) div 2").alias("cross_pairs"),
+        F.expr("(pack_tokens * (pack_tokens + 1)) div 2").alias("causal_pairs"),
+        F.expr(
+            "CAST((2 * ((pack_tokens * pack_tokens - sq) div 2) * 1000000"
+            " + ((pack_tokens * (pack_tokens + 1)) div 2))"
+            " div (2 * ((pack_tokens * (pack_tokens + 1)) div 2)) AS BIGINT)"
+        ).alias("contamination_micro"),
+    )
+
+
+def _pack_attention_oracle() -> str:
+    from etl_active911_spark.operators.textual import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(LOWER(text), '{pat}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    ),
+    p AS (
+        SELECT CAST((cum - n_tokens) // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS sq
+        FROM c GROUP BY 1
+    )
+    SELECT pack_id, n_docs, pack_tokens,
+           CAST((pack_tokens * pack_tokens - sq) // 2 AS BIGINT) AS cross_pairs,
+           CAST((pack_tokens * (pack_tokens + 1)) // 2 AS BIGINT) AS causal_pairs,
+           CAST((2 * ((pack_tokens * pack_tokens - sq) // 2) * 1000000
+                 + ((pack_tokens * (pack_tokens + 1)) // 2))
+                // (2 * ((pack_tokens * (pack_tokens + 1)) // 2)) AS BIGINT)
+               AS contamination_micro
+    FROM p
+    """
+
+
+_registry.ORACLES["x8_pack_attention_contamination"] = _pack_attention_oracle()
+
+
+@query(
     "x8_interleave_sources",
     """
     WITH ranked AS (

@@ -70,6 +70,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x9_t_closeness": (1, "1-row broadcast corpus-total N crossJoined into the class-grain TV assembly (relational.py tcloseness_classes)"),
     "x8_doremi_step": (7, "three chained 1-row scalar broadcasts (totals, Σw0·λ baseline, Σu normalizer) over the ≤20-row per-source frame; the unpersisted per-source subtree's plan text repeats per downstream stage (recomputing a 20-row frame is cheaper than a persist)"),
     "x3_matryoshka_recall": (2, "broadcast N_QUERIES-row query block with != self-pair condition (the x3_range_search bounded side); the scoped_persist'd top-k table's InMemoryRelation plan text repeats the scoring subtree once per consumer (candidate legs + d=64 truth leg)"),
+    "x8_pack_attention_contamination": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree (the x8_token_packing shape)"),
 }
 
 
@@ -148,6 +149,7 @@ EXTRA_CHECKED = (
     "x8_doremi_step",
     "x3_matryoshka_recall",
     "x6_ar1_halflife",
+    "x8_pack_attention_contamination",
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
     "x7_temporal_hotspots",

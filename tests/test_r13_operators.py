@@ -97,3 +97,33 @@ def test_doremi_uniform_when_losses_equal(spark):
     for r in rows:
         by_lambda.setdefault(r.lambda_micro, set()).add(r.w1_micro)
     assert all(len(v) == 1 for v in by_lambda.values()), by_lambda
+
+
+def test_pack_attention_identities(spark):
+    """Exact-integer identities per pack: cross + within == total causal
+    pairs (within = Σ tᵢ(tᵢ+1)/2 recomputed independently from the
+    packing manifest), contamination ∈ [0, 1e6], and the manifest
+    (pack_id, n_docs, pack_tokens) agrees row-for-row with
+    x8_token_packing — the two views of one packing cannot diverge."""
+    from etl_active911_spark.operators.sampling import (
+        x8_pack_attention_contamination,
+        x8_token_packing,
+    )
+
+    att = {r.pack_id: r for r in x8_pack_attention_contamination(spark, SF_ORACLE).collect()}
+    man = {r.pack_id: r for r in x8_token_packing(spark, SF_ORACLE).collect()}
+    assert set(att) == set(man) and len(att) >= 2
+    for pid, r in att.items():
+        assert (r.n_docs, r.pack_tokens) == (man[pid].n_docs, man[pid].pack_tokens)
+        total = r.pack_tokens * (r.pack_tokens + 1) // 2
+        assert r.causal_pairs == total
+        within = total - r.cross_pairs
+        # within-doc causal pairs are at least n_docs (each doc's self
+        # pair) and at most total
+        assert r.n_docs <= within <= total
+        assert 0 <= r.contamination_micro <= 1_000_000
+        # multi-doc packs are contaminated, single-doc packs are clean
+        if r.n_docs == 1:
+            assert r.cross_pairs == 0 and r.contamination_micro == 0
+        else:
+            assert r.cross_pairs > 0
