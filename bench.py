@@ -203,6 +203,28 @@ ANCHOR_SECONDS: dict[str, float] = {
 #: and REPORT ratio breaches without GATING on them.
 GATE_MIN_ANCHOR_SEC = 0.3
 
+#: Anchors whose QUERY SEMANTICS changed after the r1 freeze (r13
+#: review): the frozen denominator times a DIFFERENT computation, so the
+#: 2x flag threshold is rescaled by the settled post-change ratio — the
+#: flag then fires only on drift ON TOP of the documented change instead
+#: of permanently naming the query. Raw ratios stay raw everywhere else
+#: (anchor_ratios / anchor_sum keep series comparability); the map is
+#: published in the canary so tooling sees the rescale mechanically.
+ANCHOR_RERATED: dict[str, tuple[float, str]] = {
+    "x4_lang_id": (
+        2.3,
+        "r13 multilingual injection: 2-4 sample-sentence reps prepended "
+        "on 25% of docs (BASELINE.md r13 settled reading)",
+    ),
+}
+
+
+def _flag_ratio(name: str, ratio: float) -> float:
+    """Ratio used for 2x FLAG/GATE decisions: raw, divided by the
+    documented rerate factor for semantics-changed anchors."""
+    factor = ANCHOR_RERATED.get(name, (1.0, ""))[0]
+    return ratio / factor
+
 
 #: Ambient-load calibration probe (r13, VERDICT r12 items 2+8): sha256
 #: over a fixed 64 KiB block, 2000 rounds — pure single-thread CPU,
@@ -297,7 +319,7 @@ def main() -> None:
     gate_retries: dict[str, list[float]] = {}
     for name, t in list(timings.items()):
         a = ANCHOR_SECONDS.get(name)
-        if a and a >= GATE_MIN_ANCHOR_SEC and t / a >= 2.0:
+        if a and a >= GATE_MIN_ANCHOR_SEC and _flag_ratio(name, t / a) >= 2.0:
             retry = time_query(spark, name)
             gate_retries[name] = [t, retry]
             timings[name] = min(t, retry)
@@ -343,13 +365,18 @@ def main() -> None:
         "gate_2x_breaches": sorted(
             n
             for n, r in ratios.items()
-            if r >= 2.0 and ANCHOR_SECONDS[n] >= GATE_MIN_ANCHOR_SEC
+            if _flag_ratio(n, r) >= 2.0 and ANCHOR_SECONDS[n] >= GATE_MIN_ANCHOR_SEC
         ),
         "small_anchor_2x_flags": sorted(
             n
             for n, r in ratios.items()
-            if r >= 2.0 and ANCHOR_SECONDS[n] < GATE_MIN_ANCHOR_SEC
+            if _flag_ratio(n, r) >= 2.0 and ANCHOR_SECONDS[n] < GATE_MIN_ANCHOR_SEC
         ),
+        "anchor_rerates": {
+            n: {"factor": f, "why": why}
+            for n, (f, why) in ANCHOR_RERATED.items()
+            if n in ratios
+        },
         "gate_min_anchor_sec": GATE_MIN_ANCHOR_SEC,
         "gate_retries": gate_retries,
         # ADVICE r09: names whose KEPT timing came from the confirmatory

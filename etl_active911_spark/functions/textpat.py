@@ -52,3 +52,21 @@ def pii_n_matches_sql(col: str, pattern: str) -> str:
     """Split-based PII match count (matches = separators), shared SQL
     text for the same three oracles."""
     return f"CAST(len(string_split_regex({col}, '{pattern}')) - 1 AS BIGINT)"
+
+def pii_n_matches_col(col, pattern: str):
+    """Spark Column twin of ``pii_n_matches_sql`` (split-based: matches =
+    separators − 1) — the SINGLE Spark-side counting convention, consumed
+    by ``textual.pii_verdict_rows`` and the composed ingest funnel so the
+    gate and the funnel can never drift (r13 review finding)."""
+    from pyspark.sql import functions as F
+
+    return (F.size(F.split(col, pattern)) - 1).cast("bigint")
+
+
+def pii_total_matches_col(col):
+    """Total PII matches (email + phone + ssn) in a text Column."""
+    out = None
+    for pat in (PII_EMAIL, PII_PHONE, PII_SSN):
+        m = pii_n_matches_col(col, pat)
+        out = m if out is None else out + m
+    return out

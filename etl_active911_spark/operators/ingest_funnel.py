@@ -113,14 +113,12 @@ def ingest_arrival_text() -> "Column":
 
 
 def pii_text_matches(col: "Column") -> "Column":
-    """Total PII matches (email + phone + ssn) in a text column — the
-    split-based counter shared with the oracle's
-    ``pii_n_matches_sql``."""
-    out = None
-    for pat in (PII_EMAIL, PII_PHONE, PII_SSN):
-        m = (F.size(F.split(col, pat)) - 1).cast("bigint")
-        out = m if out is None else out + m
-    return out
+    """Total PII matches in a text column — delegates to the single
+    shared counter (``textpat.pii_total_matches_col``; r13 review: the
+    counting convention must not live in three places)."""
+    from etl_active911_spark.functions.textpat import pii_total_matches_col
+
+    return pii_total_matches_col(col)
 
 
 def scrub_pii_ledger(arrv: "DataFrame") -> "DataFrame":

@@ -41,7 +41,10 @@ def _doremi_oracle() -> str:
 
     return f"""
     WITH {quality_ctes()},
-    per AS (
+    per AS MATERIALIZED (
+        -- embeds the full quality pipeline and is referenced by tot AND
+        -- pm: MATERIALIZED so DuckDB cannot re-inline the two-explode
+        -- Gopher chain per reference (rule 27; caught in r13 review)
         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS kept
@@ -52,7 +55,7 @@ def _doremi_oracle() -> str:
         SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS kk
         FROM per
     ),
-    pm AS (
+    pm AS MATERIALIZED (
         SELECT source, n,
                (2 * (n - kept) * 1000000 + n) // (2 * n) AS lambda_micro,
                (2 * n * 1000000 + tot.nn) // (2 * tot.nn) AS w0_micro,
@@ -60,7 +63,7 @@ def _doremi_oracle() -> str:
         FROM per, tot
     ),
     gl AS (SELECT CAST(SUM(w0_micro * lambda_micro) AS BIGINT) AS swl FROM pm),
-    un AS (
+    un AS MATERIALIZED (
         SELECT source, n, lambda_micro, w0_micro, kk,
                CAST({_DOREMI_U_EXPR} AS BIGINT) AS u_nano
         FROM pm, gl

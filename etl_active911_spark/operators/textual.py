@@ -4559,15 +4559,14 @@ def pii_verdict_rows(docs: DataFrame) -> DataFrame:
     function: no shuffle, no state."""
     aug = pii_aug_text()
 
-    def n_matches(pat: str) -> Column:
-        return (F.size(F.split(F.col("aug"), pat)) - 1).cast("bigint")
+    from etl_active911_spark.functions.textpat import pii_n_matches_col
 
     counted = docs.select("doc_id", "source", aug.alias("aug")).select(
         "doc_id",
         "source",
-        n_matches(_PII_EMAIL).alias("n_emails"),
-        n_matches(_PII_PHONE).alias("n_phones"),
-        n_matches(_PII_SSN).alias("n_ssns"),
+        pii_n_matches_col(F.col("aug"), _PII_EMAIL).alias("n_emails"),
+        pii_n_matches_col(F.col("aug"), _PII_PHONE).alias("n_phones"),
+        pii_n_matches_col(F.col("aug"), _PII_SSN).alias("n_ssns"),
     )
     total = F.col("n_emails") + F.col("n_phones") + F.col("n_ssns")
     return counted.select(

@@ -185,13 +185,18 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   never-scored oracled pool — finalized in PINNED_R14_QUEUE at r13
 #:   session close (r13-session newcomers x9_ingest_funnel,
 #:   x9_t_closeness, x8_doremi_step hold the first fill slots).
-#: r15+ pool (never-scored oracled remainder after r14):
-#: x2_cluster_drift, x2_contamination_gate, x2_minhash_band_occupancy,
-#: x2_shingle_df_profile, x3_ann_ivf_rebalance_plan, x3_centroid_purity,
-#: x6_dominant_period, x6_event_type_markov, x6_threshold_runs,
-#: x6_weekday_profile, x7_coverage_gap, x7_temporal_hotspots,
-#: x8_dup_weighted_counts, x8_source_quota_fill, x9_gate_ablation,
-#: x9_stream_curation, minus whichever of these take r14 fill slots.
+#: r15+ pool (never-scored oracled remainder after r14 executes):
+#: x2_cluster_drift, x2_shingle_df_profile, x6_dominant_period,
+#: x6_event_type_markov, x6_threshold_runs, x6_weekday_profile,
+#: x7_coverage_gap, x7_temporal_hotspots, x8_dup_weighted_counts,
+#: x8_source_quota_fill, x9_gate_ablation, PLUS the r13-session oracled
+#: newcomers that did not take an r14 fill slot: x3_matryoshka_recall,
+#: x6_ar1_halflife, x8_pack_attention_contamination (r13 review: the
+#: fill policy is "oldest never-scored" — these must not silently fall
+#: out of it). The r14 fills themselves (x9_ingest_funnel,
+#: x9_t_closeness, x8_doremi_step, x9_stream_curation,
+#: x2_contamination_gate, x3_ann_ivf_rebalance_plan, x3_centroid_purity,
+#: x2_minhash_band_occupancy) leave the pool with r14.
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
 #: oracled error-bound/seeded companions are windowable instead),
