@@ -159,7 +159,9 @@ HEADLINE = [
     "x3_matryoshka_recall",
     "x6_ar1_halflife",
     # round-13 additions continued: per-pack attention contamination
+    # and the dup-cluster tail index (rides the memoized labels)
     "x8_pack_attention_contamination",
+    "x2_cluster_tail_index",
 ]
 
 

@@ -582,6 +582,119 @@ def _cluster_size_hist_oracle() -> str:
     """
 
 
+#: Newman (2005) discrete power-law tail MLE over cluster sizes:
+#: alpha = 1 + n / SUM ln(size / (x_min - 1/2)) with x_min = 2 — the
+#: half-shift makes the denominator strictly positive (ln(2/1.5) > 0),
+#: so no zero-division guard is needed.
+TAIL_XMIN = 2
+
+#: shared-text ln term (rule 24: CASTs keep both engines in DOUBLE)
+_TAIL_LN = "ln(CAST(size AS DOUBLE) / CAST(1.5 AS DOUBLE))"
+
+_TAIL_INDEX_ORACLE = f"""
+    WITH RECURSIVE {{component_ctes}},
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+        FROM assigned GROUP BY component
+    ),
+    szg AS (
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sizes WHERE size >= {TAIL_XMIN} GROUP BY size
+    ),
+    acc AS (
+        -- ORDERED accumulation (ascending size, cumulative window): both
+        -- engines add the ~10 double terms in the SAME sequence, so the
+        -- float sum is bit-identical — rule 26a applied to an irrational
+        -- sum that cannot be integerized
+        SELECT size, cnt,
+               SUM(cnt * {{ln_term}}) OVER (ORDER BY size
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS n_tail,
+               MAX(size) OVER () AS max_size,
+               COUNT(*) OVER () AS n_sizes
+        FROM szg
+    )
+    SELECT CAST(n_tail AS BIGINT) AS n_tail_clusters,
+           CAST(max_size AS BIGINT) AS max_size,
+           CAST(n_sizes AS BIGINT) AS n_distinct_sizes,
+           ROUND(CAST(1 AS DOUBLE) + CAST(n_tail AS DOUBLE) / cum, 6) AS alpha
+    FROM acc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY size DESC) = 1
+    """
+
+
+@query(
+    "x2_cluster_tail_index",
+    _TAIL_INDEX_ORACLE.format(component_ctes=component_ctes(), ln_term=_TAIL_LN),
+)
+def x2_cluster_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 (r13): DUP-CLUSTER TAIL INDEX — the single number behind the
+    size histogram's "fat right tail" alarm (``x2_cluster_size_
+    histogram``): fit the discrete power-law exponent of the ≥2-member
+    cluster-size distribution with Newman's MLE (Newman, Contemporary
+    Physics 2005 §3: α = 1 + n / Σ ln(xᵢ/(x_min−½)) — the half-shift
+    discrete correction, which also makes the denominator strictly
+    positive at x_min = 2, so the estimator is total). A dedup-healthy
+    corpus has α well above 2 (sizes concentrate near 2); a boilerplate
+    flood drags α toward 1 LONG before any single bucket trips the LSH
+    cap — this is the monitoring dial, the histogram is the diagnosis.
+
+    Determinism: counts per size are exact ints off the memoized labels;
+    the one irrational sum (Σ cnt·ln(size/1.5)) cannot be integerized,
+    so instead it is made ORDER-DETERMINISTIC — an ascending-size
+    cumulative window over the ~10-row size-grouped table, so both
+    engines fold the identical IEEE additions in the identical sequence
+    (rule 26a's hazard closed by ordering rather than quantizing);
+    ln-term text shared verbatim, ROUND after an irrational ratio is
+    tie-free (rule 26).
+
+    Scale shape: rides the memoized component labels (rule 25) + the
+    same two keyed aggregates as the histogram; the windowed fold runs
+    over ≤ distinct-sizes rows. Output: ONE row."""
+    from pyspark.sql import Window
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.dedup import shared_component_labels
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    comp = shared_component_labels(spark, sf_dir)
+    assigned = docs.join(comp, "doc_id", "left").select(
+        F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    szg = (
+        sizes.filter(F.col("size") >= TAIL_XMIN)
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_cum = (
+        Window.orderBy("size").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.orderBy("size").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = szg.select(
+        "size",
+        F.sum(F.col("cnt") * F.expr(_TAIL_LN)).over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_tail"),
+        F.max("size").over(w_all).alias("max_size"),
+        F.count(F.lit(1)).over(w_all).alias("n_sizes"),
+    )
+    last = acc.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("size").desc()))
+    ).filter(F.col("rk") == 1)
+    return last.select(
+        F.col("n_tail").cast("bigint").alias("n_tail_clusters"),
+        F.col("max_size").cast("bigint").alias("max_size"),
+        F.col("n_sizes").cast("bigint").alias("n_distinct_sizes"),
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("cum"), 6
+        ).alias("alpha"),
+    )
+
+
 @query("x2_cluster_size_histogram", _cluster_size_hist_oracle())
 def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2 (r9): NEAR-DUP CLUSTER-SIZE HISTOGRAM — the figure every

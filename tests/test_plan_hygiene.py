@@ -150,6 +150,7 @@ EXTRA_CHECKED = (
     "x3_matryoshka_recall",
     "x6_ar1_halflife",
     "x8_pack_attention_contamination",
+    "x2_cluster_tail_index",
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
     "x7_temporal_hotspots",

@@ -127,3 +127,39 @@ def test_pack_attention_identities(spark):
             assert r.cross_pairs == 0 and r.contamination_micro == 0
         else:
             assert r.cross_pairs > 0
+
+
+def test_cluster_tail_index_matches_histogram(spark):
+    """Cross-query consistency: the tail index recomputed in Python from
+    x2_cluster_size_histogram's ≥2-size rows (Newman discrete MLE,
+    ascending-size accumulation) equals the operator's alpha exactly —
+    both ride the memoized labels, so neither can drift; and the fixture
+    reads dedup-healthy (alpha > 2)."""
+    import math
+
+    from etl_active911_spark.operators.clustering import (
+        TAIL_XMIN,
+        x2_cluster_size_histogram,
+        x2_cluster_tail_index,
+    )
+
+    hist = sorted(
+        (r.size, r.n_clusters)
+        for r in x2_cluster_size_histogram(spark, SF_ORACLE).collect()
+        if r.size >= TAIL_XMIN
+    )
+    assert hist, "no >=2 clusters on the fixture"
+    cum = 0.0
+    n_tail = 0
+    for size, cnt in hist:  # ascending-size order — the shipped fold
+        cum += cnt * math.log(size / 1.5)
+        n_tail += cnt
+    want = round(1.0 + n_tail / cum, 6)
+    row = x2_cluster_tail_index(spark, SF_ORACLE).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_tail_clusters == n_tail
+    assert r.max_size == hist[-1][0]
+    assert r.n_distinct_sizes == len(hist)
+    assert r.alpha == want, (r.alpha, want)
+    assert r.alpha > 2.0  # healthy tail; a boilerplate flood drags this to ~1
