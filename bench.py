@@ -162,6 +162,7 @@ HEADLINE = [
     # and the dup-cluster tail index (rides the memoized labels)
     "x8_pack_attention_contamination",
     "x2_cluster_tail_index",
+    "x9_ingest_ablation",
 ]
 
 

@@ -248,7 +248,7 @@ def ingest_funnel_rows(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     )
 
 
-def _ingest_funnel_oracle() -> str:
+def _funnel_f_ctes() -> str:
     from etl_active911_spark.operators.dedup import (
         _MINHASH_EST_NEQ_SQL,
         MINHASH_CTES,
@@ -318,7 +318,10 @@ def _ingest_funnel_oracle() -> str:
     ),
     {quality_ctes()},
     ct AS (SELECT vec_id, quarantined FROM ({_CONTAM_GATE_ORACLE})),
-    f AS (
+    f AS MATERIALIZED (
+        -- embeds the ENTIRE five-gate chain and the ablation oracle
+        -- references it three times (cells + two survivor-total scalar
+        -- subqueries): MATERIALIZED per rule 27
         SELECT d.doc_id, d.source,
                CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_nd,
                COALESCE(l.tokens_after, 0) AS tokens_after,
@@ -332,6 +335,12 @@ def _ingest_funnel_oracle() -> str:
         LEFT JOIN quality q ON q.doc_id = d.doc_id
         LEFT JOIN ct ON ct.vec_id = d.doc_id
     )
+    """
+
+
+def _ingest_funnel_oracle() -> str:
+    return f"""
+    {_funnel_f_ctes()}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_arrived,
            CAST(SUM(f_nd) AS BIGINT) AS n_unique,
@@ -376,4 +385,59 @@ def x9_ingest_funnel(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             "CAST((2 * n_final * 1000000 + n_arrived) div (2 * n_arrived)"
             " AS BIGINT)"
         ).alias("final_rate_micro"),
+    )
+
+
+def _ingest_ablation_oracle() -> str:
+    return f"""
+    {_funnel_f_ctes()}
+    SELECT f_pii, f_q, f_ct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens_after) AS BIGINT) AS tokens_mass,
+           CAST((2 * COUNT(*) * 1000000
+                 + (SELECT SUM(f_nd) FROM f))
+                // (2 * (SELECT SUM(f_nd) FROM f)) AS BIGINT)
+               AS share_micro
+    FROM f WHERE f_nd = 1
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("x9_ingest_ablation", _ingest_ablation_oracle())
+def x9_ingest_ablation(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """X-9 (r13): INGEST-GATE ABLATION MATRIX — the ``x9_gate_ablation``
+    analysis applied to the COMPOSED funnel: every (PII, quality,
+    contamination) flag combination among near-dup survivors with its
+    doc count, post-scrub token mass, and survivor share. Where
+    ``x9_ingest_funnel`` reports attrition under the fixed pipeline
+    order, this shows which gate is BINDING (mass in exactly-one-zero
+    cells), which are redundant (mass where zeros co-occur), and what
+    dropping a gate would recover — the table a landing-zone tuning
+    review prints. Near-dup stays un-ablated on purpose: it is the
+    stage that DEFINES the survivor population the other gates see.
+
+    Oracle-desync-proofing: nests the funnel's full f-CTE chain
+    verbatim (``_funnel_f_ctes`` — one definition for both queries).
+
+    Scale shape: everything upstream is the memoized funnel rows
+    (rule 25); the matrix is one ≤8-group aggregate plus a 1-row
+    survivor total. Output: ≤8 rows."""
+    rows = ingest_funnel_rows(spark, sf_dir).filter(F.col("f_nd") == 1)
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    rows = scoped_persist("x9_ingest_ablation.rows", rows)  # cells + total
+    tot = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n_surv"))
+    cells = rows.groupBy("f_pii", "f_q", "f_ct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tokens_after").cast("bigint").alias("tokens_mass"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "f_pii",
+        "f_q",
+        "f_ct",
+        "n_docs",
+        "tokens_mass",
+        F.expr(
+            "CAST((2 * n_docs * 1000000 + n_surv) div (2 * n_surv) AS BIGINT)"
+        ).alias("share_micro"),
     )

@@ -188,3 +188,29 @@ def test_full_ingest_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(dirs[3]).collect()
     }
     assert again == want
+
+
+def test_ingest_ablation_consistent_with_funnel(spark):
+    """The ablation matrix is the funnel's per-doc rows re-binned: cell
+    counts sum to the survivor total, token masses sum to the survivors'
+    post-scrub mass, and the all-ones cell equals the funnel's n_final /
+    tokens_final totals."""
+    from etl_active911_spark.operators.ingest_funnel import (
+        x9_ingest_ablation,
+        x9_ingest_funnel,
+    )
+
+    cells = x9_ingest_ablation(spark, SF_ORACLE).collect()
+    fun = x9_ingest_funnel(spark, SF_ORACLE).collect()
+    n_unique = sum(r.n_unique for r in fun)
+    n_final = sum(r.n_final for r in fun)
+    tokens_final = sum(r.tokens_final for r in fun)
+    assert sum(c.n_docs for c in cells) == n_unique
+    ones = [c for c in cells if (c.f_pii, c.f_q, c.f_ct) == (1, 1, 1)]
+    assert len(ones) == 1
+    assert ones[0].n_docs == n_final
+    assert ones[0].tokens_mass == tokens_final
+    # non-vacuity: at least one binding cell per ablatable gate
+    assert any(c.f_pii == 0 for c in cells)
+    assert any(c.f_q == 0 for c in cells)
+    assert any(c.f_ct == 0 for c in cells)

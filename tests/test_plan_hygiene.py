@@ -71,6 +71,7 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "x8_doremi_step": (7, "three chained 1-row scalar broadcasts (totals, Σw0·λ baseline, Σu normalizer) over the ≤20-row per-source frame; the unpersisted per-source subtree's plan text repeats per downstream stage (recomputing a 20-row frame is cheaper than a persist)"),
     "x3_matryoshka_recall": (2, "broadcast N_QUERIES-row query block with != self-pair condition (the x3_range_search bounded side); the scoped_persist'd top-k table's InMemoryRelation plan text repeats the scoring subtree once per consumer (candidate legs + d=64 truth leg)"),
     "x8_pack_attention_contamination": (2, "1-row broadcast doc_id-bounds table, once per prefix-sum subtree (the x8_token_packing shape)"),
+    "x9_ingest_ablation": (1, "1-row broadcast survivor-total scalar crossJoined into the <=8-cell matrix (upstream is the memoized funnel rows)"),
 }
 
 
@@ -151,6 +152,7 @@ EXTRA_CHECKED = (
     "x6_ar1_halflife",
     "x8_pack_attention_contamination",
     "x2_cluster_tail_index",
+    "x9_ingest_ablation",
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
     "x7_temporal_hotspots",
