@@ -163,6 +163,7 @@ HEADLINE = [
     "x8_pack_attention_contamination",
     "x2_cluster_tail_index",
     "x9_ingest_ablation",
+    "x9_ingest_routing",
 ]
 
 

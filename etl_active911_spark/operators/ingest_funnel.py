@@ -441,3 +441,63 @@ def x9_ingest_ablation(spark: "SparkSession", sf_dir: str) -> DataFrame:
             "CAST((2 * n_docs * 1000000 + n_surv) div (2 * n_surv) AS BIGINT)"
         ).alias("share_micro"),
     )
+
+
+#: pipeline-order route labels (first failing gate claims the doc)
+INGEST_ROUTES = (
+    "dropped_dup",
+    "quarantined_pii",
+    "rejected_quality",
+    "quarantined_contam",
+    "admitted",
+)
+
+_ROUTE_CASE = (
+    "CASE WHEN f_nd = 0 THEN 'dropped_dup'"
+    " WHEN f_pii = 0 THEN 'quarantined_pii'"
+    " WHEN f_q = 0 THEN 'rejected_quality'"
+    " WHEN f_ct = 0 THEN 'quarantined_contam'"
+    " ELSE 'admitted' END"
+)
+
+
+def _ingest_routing_oracle() -> str:
+    return f"""
+    {_funnel_f_ctes()}
+    SELECT source, {_ROUTE_CASE} AS route,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens_after) AS BIGINT) AS tokens_after
+    FROM f GROUP BY 1, 2
+    """
+
+
+@query("x9_ingest_routing", _ingest_routing_oracle())
+def x9_ingest_routing(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """X-9 (r13): QUARANTINE ROUTING TABLE — the operational face of the
+    composed funnel: every arriving document lands in EXACTLY ONE queue,
+    attributed to the FIRST gate that fails it in pipeline order
+    (dropped_dup → quarantined_pii → rejected_quality →
+    quarantined_contam → admitted). This is the table the landing
+    zone's downstream consumers read: the dedup reaper gets
+    dropped_dup, manual scrubbing gets quarantined_pii, the code/low-
+    quality sink gets rejected_quality, the eval-protection hold gets
+    quarantined_contam, training ingestion gets admitted. Per (source,
+    route): doc count and post-scrub token mass (zero for stage-1
+    drops — they were never scrubbed).
+
+    Partition-of-arrivals is the contract (pinned): per source the
+    route counts sum to n_arrived, and each route's count equals the
+    corresponding funnel-stage difference. Oracle nests the funnel's
+    MATERIALIZED f-CTE chain verbatim (``_funnel_f_ctes``).
+
+    Scale shape: the memoized funnel rows + one (source, route)-keyed
+    hash aggregate; ≤ |sources|·5 rows out."""
+    rows = ingest_funnel_rows(spark, sf_dir)
+    return (
+        rows.select("source", F.expr(_ROUTE_CASE).alias("route"), "tokens_after")
+        .groupBy("source", "route")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tokens_after").cast("bigint").alias("tokens_after"),
+        )
+    )

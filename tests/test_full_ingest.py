@@ -214,3 +214,31 @@ def test_ingest_ablation_consistent_with_funnel(spark):
     assert any(c.f_pii == 0 for c in cells)
     assert any(c.f_q == 0 for c in cells)
     assert any(c.f_ct == 0 for c in cells)
+
+
+def test_ingest_routing_partitions_arrivals(spark):
+    """Routing is a PARTITION of arrivals: per source the route counts
+    sum to n_arrived, each route ties to its funnel-stage difference,
+    and stage-1 drops carry zero token mass (never scrubbed)."""
+    from etl_active911_spark.operators.ingest_funnel import (
+        INGEST_ROUTES,
+        x9_ingest_funnel,
+        x9_ingest_routing,
+    )
+
+    routes = x9_ingest_routing(spark, SF_ORACLE).collect()
+    fun = {r.source: r for r in x9_ingest_funnel(spark, SF_ORACLE).collect()}
+    assert {r.route for r in routes} <= set(INGEST_ROUTES)
+    by_src: dict[str, dict[str, int]] = {}
+    for r in routes:
+        by_src.setdefault(r.source, {})[r.route] = r.n_docs
+        if r.route == "dropped_dup":
+            assert r.tokens_after == 0, r
+    for src, m in by_src.items():
+        f = fun[src]
+        assert sum(m.values()) == f.n_arrived, (src, m)
+        assert m.get("dropped_dup", 0) == f.n_arrived - f.n_unique
+        assert m.get("quarantined_pii", 0) == f.n_unique - f.n_pii_ok
+        assert m.get("rejected_quality", 0) == f.n_pii_ok - f.n_quality
+        assert m.get("quarantined_contam", 0) == f.n_quality - f.n_final
+        assert m.get("admitted", 0) == f.n_final

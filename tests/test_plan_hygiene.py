@@ -153,6 +153,7 @@ EXTRA_CHECKED = (
     "x8_pack_attention_contamination",
     "x2_cluster_tail_index",
     "x9_ingest_ablation",
+    "x9_ingest_routing",
     "x2_minhash_band_occupancy",
     "x6_event_type_markov",
     "x7_temporal_hotspots",
