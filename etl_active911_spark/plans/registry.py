@@ -102,6 +102,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # trimmed). All 27 carry DuckDB oracles, so the r13 window is again 50/50
 # hash-checked. Iterative/job-running members sit late in the window so
 # an abort there cannot un-score the rest of the sweep.
+#
+# r14 (VERDICT r13 item 1): CORRECTNESS_r13 came back 50/50 green (every
+# row hash-checked), so no red row carries over and ROTATION executes the
+# pinned r14 queue EXACTLY (recorded in the r13 queue-math note and
+# pinned in tests/test_registry_order.py:PINNED_R14_QUEUE): the 19 named
+# carry-overs — mips/frontier/lineage/overmerge, the r11-verdict sketch
+# error-bound companions, the r12-round + late-r12-session wave — then 8
+# fill slots, r13-session newcomers (composed ingest funnel, t-closeness,
+# DoReMi step) first and the oldest never-driver-scored oracled pool
+# after. All 27 carry DuckDB oracles, so the r14 window is again 50/50
+# hash-checked.
 CORE: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "o2_source_roundtrip",
@@ -128,75 +139,62 @@ CORE: tuple[str, ...] = (
     "x9_curation_pipeline",
 )
 
-#: r13 rotation — the 27-slot queue pinned in the r12 queue-math note and
-#: re-pinned verbatim in VERDICT r12 item 1 (contract-tested in
-#: tests/test_registry_order.py:PINNED_R13_QUEUE): the r10-wave tail
-#: pair, the 18 r11-round additions, then the 7 long-cycle ex-CORE
-#: refreshes. Every member carries a DuckDB oracle, so with the
-#: fully-oracled CORE the r13 window is 50/50 hash-checked.
+#: r14 rotation — the 27-slot queue pinned in the r13 queue-math note,
+#: VERDICT r13 item 1, and tests/test_registry_order.py:PINNED_R14_QUEUE:
+#: 19 named carry-overs (the r12-session wave + sketch error-bound
+#: companions), then 8 fill slots — r13-session newcomers first, oldest
+#: never-driver-scored oracled pool after. Every member carries a DuckDB
+#: oracle, so with the fully-oracled CORE the r14 window is 50/50
+#: hash-checked.
 ROTATION: tuple[str, ...] = (
-    "x6_entropy_rate",
-    "x8_context_length_sweep",
-    "x4_unicode_anomaly",
-    "x4_code_detection",
-    "x2_boilerplate_scrub",
-    "x5_media_hash_dedup",
-    "x6_acf",
-    "x6_ljung_box",
-    "x9_curation_v8",
-    "x4_textrank_keywords",
-    "x6_robust_outliers",
-    "x2_url_canonical_dedup",
-    "x3_embedding_gram",
-    "x5_mp4_box_walk",
-    "x4_countmin_sketch",
-    "x2_stream_neardup",
-    "n24_cdc_apply",
-    "n26_jsonl_deadletter",
-    "x9_k_anonymity_audit",
-    "n11_watermark_planner",
-    "x4_lang_id",
-    "x5_media_decode_real",
-    "x8_train_holdout_split",
-    "x6_ts_dtw",
-    "n13_python_udtf",
-    "n15_sql_api",
-    "n16_recursive_cte",
+    "x3_mips_topk",
+    "x2_frontier_schedule",
+    "x9_lineage_chain",
+    "x2_overmerge_audit",
+    "n4_percentile_error_bound",
+    "n5_acd_error_bound",
+    "x5_cross_modal_dedup",
+    "x2_semantic_contamination",
+    "x4_normalization_gain",
+    "x4_fertility_by_lang",
+    "x5_audio_envelope_dedup",
+    "x4_pii_gate",
+    "x5_video_framehash_dedup",
+    "x2_license_propagation",
+    "x5_geotag_privacy_audit",
+    "x2_deletion_propagation",
+    "x9_release_scorecard",
+    "x4_compression_bound",
+    "n21_retention_cohorts",
+    "x9_ingest_funnel",
+    "x9_t_closeness",
+    "x8_doremi_step",
+    "x9_stream_curation",
+    "x2_contamination_gate",
+    "x3_ann_ivf_rebalance_plan",
+    "x3_centroid_purity",
+    "x2_minhash_band_occupancy",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION
 
-#: QUEUE MATH after the r13 rotation (window = 23 CORE + 27 ROTATION):
-#: r13 clears the r10-wave tail + the 18 r11-round additions and
-#: refreshes the 7 long-cycle ex-CORE rows, so every r10-wave AND
-#: r11-wave operator has a driver row by r13 (the verdict deadline).
-#: r14 queue (27 slots, all oracled — pinned in
-#:   tests/test_registry_order.py:PINNED_R14_QUEUE so the r14 window is
-#:   again 50/50 hash-checked): x3_mips_topk, x2_frontier_schedule,
-#:   x9_lineage_chain, x2_overmerge_audit, the r11-verdict sketch
-#:   error-bound companions (n4_percentile_error_bound,
-#:   n5_acd_error_bound), the r12-round additions (x5_cross_modal_dedup,
-#:   x2_semantic_contamination), the late-r12-session additions
-#:   (x4_normalization_gain, x4_fertility_by_lang,
-#:   x5_audio_envelope_dedup, x4_pii_gate, x5_video_framehash_dedup,
-#:   x2_license_propagation, x5_geotag_privacy_audit,
-#:   x2_deletion_propagation, x9_release_scorecard, x4_compression_bound,
-#:   n21_retention_cohorts), then 8 fill slots from the oldest
-#:   never-scored oracled pool — finalized in PINNED_R14_QUEUE at r13
-#:   session close (r13-session newcomers x9_ingest_funnel,
-#:   x9_t_closeness, x8_doremi_step hold the first fill slots).
-#: r15+ pool (never-scored oracled remainder after r14 executes):
-#: x2_cluster_drift, x2_shingle_df_profile, x6_dominant_period,
-#: x6_event_type_markov, x6_threshold_runs, x6_weekday_profile,
-#: x7_coverage_gap, x7_temporal_hotspots, x8_dup_weighted_counts,
-#: x8_source_quota_fill, x9_gate_ablation, PLUS the r13-session oracled
-#: newcomers that did not take an r14 fill slot: x3_matryoshka_recall,
-#: x6_ar1_halflife, x8_pack_attention_contamination (r13 review: the
-#: fill policy is "oldest never-scored" — these must not silently fall
-#: out of it). The r14 fills themselves (x9_ingest_funnel,
-#: x9_t_closeness, x8_doremi_step, x9_stream_curation,
-#: x2_contamination_gate, x3_ann_ivf_rebalance_plan, x3_centroid_purity,
-#: x2_minhash_band_occupancy) leave the pool with r14.
+#: QUEUE MATH after the r14 rotation (window = 23 CORE + 27 ROTATION):
+#: r14 clears the whole r12-session wave (perceptual trio, governance
+#: set, retention cohorts, error-bound companions) plus the first three
+#: r13-session newcomers, so after r14 executes the never-driver-scored
+#: oracled pool is down to the r15 queue below plus whatever r14's own
+#: session adds.
+#: r15 queue (pinned in tests/test_registry_order.py:PINNED_R15_QUEUE at
+#:   r14 session close — VERDICT r13 item 5): the oldest never-scored
+#:   oracled remainder — x2_cluster_drift, x2_shingle_df_profile,
+#:   x6_dominant_period, x6_event_type_markov, x6_threshold_runs,
+#:   x6_weekday_profile, x7_coverage_gap, x7_temporal_hotspots,
+#:   x8_dup_weighted_counts, x8_source_quota_fill, x9_gate_ablation —
+#:   PLUS the r13-session oracled newcomers that did not take an r14
+#:   fill slot (x3_matryoshka_recall, x6_ar1_halflife,
+#:   x8_pack_attention_contamination) and the r14-session additions;
+#:   remaining slots refresh the oldest-evidence long-cycle rows
+#:   (last driver-scored r13).
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
 #: oracled error-bound/seeded companions are windowable instead),

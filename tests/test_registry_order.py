@@ -32,10 +32,31 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-12 scoring window (CORRECTNESS_r12.json keys — 50/50 green,
+# The round-13 scoring window (CORRECTNESS_r13.json keys — 50/50 green,
 # every row hash-checked, so nothing carries over): the rotation policy
 # requires each round's window to re-earn driver rows for queries this
 # set did NOT score.
+R13_WINDOW = {
+    "flagship_revenue_by_nation", "o2_source_roundtrip",
+    "o5_base64_roundtrip", "o10_coord_resolve", "o13_response_extract",
+    "o15_time_parse", "o19_links_dedup", "o22_error_accounting",
+    "a911_pipeline_flat", "a911_features_nested", "n11_tumbling_window",
+    "n12_session_window", "n13_pandas_scalar", "n14_stream_stream_join",
+    "x1_exact_dedup", "x2_dup_clusters", "x3_pandas_matmul",
+    "x4_token_stats", "x5_media_decode", "x6_ts_pattern_match",
+    "x7_nearest_station", "x8_stratified_sample", "x9_curation_pipeline",
+    "x6_entropy_rate", "x8_context_length_sweep", "x4_unicode_anomaly",
+    "x4_code_detection", "x2_boilerplate_scrub", "x5_media_hash_dedup",
+    "x6_acf", "x6_ljung_box", "x9_curation_v8", "x4_textrank_keywords",
+    "x6_robust_outliers", "x2_url_canonical_dedup", "x3_embedding_gram",
+    "x5_mp4_box_walk", "x4_countmin_sketch", "x2_stream_neardup",
+    "n24_cdc_apply", "n26_jsonl_deadletter", "x9_k_anonymity_audit",
+    "n11_watermark_planner", "x4_lang_id", "x5_media_decode_real",
+    "x8_train_holdout_split", "x6_ts_dtw", "n13_python_udtf",
+    "n15_sql_api", "n16_recursive_cte",
+}
+
+# Historical: the round-12 scoring window (CORRECTNESS_r12.json keys).
 R12_WINDOW = {
     "flagship_revenue_by_nation", "o2_source_roundtrip",
     "o5_base64_roundtrip", "o10_coord_resolve", "o13_response_extract",
@@ -117,22 +138,22 @@ def test_rotation_reearns_driver_rows():
     """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
     slots must go to queries the PREVIOUS round's window did not score,
     so hard driver evidence cycles through the whole registry over
-    rounds. r13: all 50 r12 rows were green (hash-checked), so no red
+    rounds. r14: all 50 r13 rows were green (hash-checked), so no red
     row carries over and the whole ROTATION (27 slots) is fresh."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R12_WINDOW
+    fresh = window - R13_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    assert set(registry.ROTATION) & R12_WINDOW == set()
+    assert set(registry.ROTATION) & R13_WINDOW == set()
 
 
-def test_r13_pinned_queue_executes_exactly():
-    """VERDICT r12 item 1: the 27-slot r13 queue pinned in r12 executes
+def test_r14_pinned_queue_executes_exactly():
+    """VERDICT r13 item 1: the 27-slot r14 queue pinned in r13 executes
     EXACTLY — every named member holds a slot in this round's window,
     in the pinned order."""
     window = list(entry.queries())[:WINDOW]
-    missing = set(PINNED_R13_QUEUE) - set(window)
+    missing = set(PINNED_R14_QUEUE) - set(window)
     assert missing == set(), sorted(missing)
-    assert registry.ROTATION == PINNED_R13_QUEUE
+    assert registry.ROTATION == PINNED_R14_QUEUE
 
 
 def test_core_is_single_cover_per_family():
@@ -201,12 +222,14 @@ def test_r14_queue_is_exactly_full_and_all_oracled():
     """The recorded r14 queue fills 27 slots exactly, every member is
     registered and oracled, none is in CORE, and none was scored by the
     r13 window — so executing it after r13 keeps the window 50/50
-    hash-checked AND fresh (VERDICT r12 item 4)."""
+    hash-checked AND fresh (VERDICT r12 item 4). Since r14 it IS the
+    live ROTATION (equality asserted in
+    test_r14_pinned_queue_executes_exactly)."""
     registry.load_all()
     assert len(PINNED_R14_QUEUE) == 27
     assert len(set(PINNED_R14_QUEUE)) == 27
     assert set(PINNED_R14_QUEUE) & set(registry.CORE) == set()
-    assert set(PINNED_R14_QUEUE) & set(registry.ROTATION) == set()
+    assert set(PINNED_R14_QUEUE) & R13_WINDOW == set()
     for n in PINNED_R14_QUEUE:
         assert n in registry.QUERIES, n
         assert n in registry.ORACLES, f"{n}: rows-only query in the r14 queue"
@@ -217,3 +240,71 @@ def test_no_duplicate_registration_possible():
     # names are valid python-ish identifiers (driver uses them as keys/files)
     for n in registry.QUERIES:
         assert re.fullmatch(r"[a-z0-9_]+", n), n
+
+
+# ---------------------------------------------------------------------------
+# Driver-debt counter (VERDICT r13 item 8): the judge recomputed "52
+# never-scored of 318" by hand from 13 CORRECTNESS files; emit it here
+# mechanically so queue slippage is visible in the test output itself.
+
+# Queries that can never take a hash-checked window slot (raw sketch/ANN
+# values; each has an oracled error-bound / seeded companion that rotates
+# instead — registry queue-math note "Rows-only by design").
+ROWS_ONLY_BY_DESIGN = {
+    "n4_approx_percentiles", "n5_approx_count_distinct", "x3_ann_ivf",
+    "x3_pca_project", "x3_ann_pq", "x3_ann_brp", "x3_ann_ivf_pq",
+    "x3_ann_ivf_partitioned", "x4_compression_ratio", "x4_bpe_encode",
+}
+
+# Oracled queries that will STILL be never-driver-scored after the r14
+# window executes — i.e. the mandatory backbone of the r15 queue. Any
+# query registered this session must be ADDED here (it starts life
+# never-scored), so the debt ledger can't drift silently.
+NEVER_SCORED_ORACLED_AFTER_R14 = {
+    # r13-verdict r15 pool (registry queue-math note)
+    "x2_cluster_drift", "x2_shingle_df_profile", "x6_dominant_period",
+    "x6_event_type_markov", "x6_threshold_runs", "x6_weekday_profile",
+    "x7_coverage_gap", "x7_temporal_hotspots", "x8_dup_weighted_counts",
+    "x8_source_quota_fill", "x9_gate_ablation",
+    # r13-session oracled newcomers that did not take an r14 fill slot
+    "x3_matryoshka_recall", "x6_ar1_halflife",
+    "x8_pack_attention_contamination",
+    "x2_cluster_tail_index", "x9_ingest_ablation", "x9_ingest_routing",
+    # oracled but pinned LAST (disk-writing; outside every window)
+    "x3_ann_ivf_compact",
+}
+
+
+def _scored_ever() -> set[str]:
+    import glob
+    import json
+    import os
+    scored: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            scored |= set(json.load(open(f)))
+        except Exception:
+            pass
+    return scored
+
+
+def test_driver_debt_counter():
+    """Never-driver-scored oracled queries, assuming the current window
+    executes on schedule, must equal the pinned r15-pool ledger exactly.
+    A new registration without a ledger entry fails here; a query
+    falling out of the queue silently fails here too."""
+    registry.load_all()
+    scored = _scored_ever() | set(registry.PRIORITY)
+    debt = set(registry.QUERIES) - scored
+    oracled_debt = debt & set(registry.ORACLES)
+    rows_only_debt = debt - set(registry.ORACLES)
+    assert rows_only_debt <= ROWS_ONLY_BY_DESIGN, sorted(
+        rows_only_debt - ROWS_ONLY_BY_DESIGN)
+    assert oracled_debt == NEVER_SCORED_ORACLED_AFTER_R14, (
+        f"ledger drift: +{sorted(oracled_debt - NEVER_SCORED_ORACLED_AFTER_R14)} "
+        f"-{sorted(NEVER_SCORED_ORACLED_AFTER_R14 - oracled_debt)}")
+    # the published counter (judge reads this from -v output)
+    print(f"driver-debt: {len(debt)} never-scored of "
+          f"{len(registry.QUERIES)} registered "
+          f"({len(oracled_debt)} oracled + {len(rows_only_debt)} rows-only)")
