@@ -233,6 +233,26 @@ def parse_alert_time_iso(col: Column, now_year: int | None = None) -> Column:
     return F.date_format(parse_alert_time_ntz(col, now_year), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
 
+#: Memo for the hot fixed-input parse tree (r14, a911 anchor attribution —
+#: BASELINE.md r14): building this Column costs ~0.13 s of py4j round
+#: trips PER CALL, paid by every a911-family query invocation. The tree
+#: is an immutable unresolved expression over a named column, so one
+#: instance is safely reusable across plans. Built lazily — NEVER at
+#: import time (CLAUDE.md rule 15: the registry loads before any
+#: SparkSession exists).
+_ISO_COL_MEMO: dict[tuple, Column] = {}
+
+
+def sent_iso_col(name: str = "sent", now_year: int | None = None) -> Column:
+    """Memoized ``parse_alert_time_iso(F.col(name))``."""
+    key = (name, now_year)
+    c = _ISO_COL_MEMO.get(key)
+    if c is None:
+        c = parse_alert_time_iso(F.col(name), now_year)
+        _ISO_COL_MEMO[key] = c
+    return c
+
+
 def tz_case_sql(ts_expr: str) -> str:
     """DuckDB-side equivalent for oracle SQL: CASE mapping abbr→IANA."""
     cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in TIMEZONE_MAPPINGS.items())

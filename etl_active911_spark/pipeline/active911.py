@@ -121,13 +121,15 @@ def resolve_coordinates(alerts: DataFrame) -> DataFrame:
     place_lon = js_number(F.try_element_at(coords, F.lit(2)))
     fallback_ok = (F.size(coords) == 2) & place_lat.isNotNull() & place_lon.isNotNull()
 
-    return (
-        alerts.withColumn("__needs_fb", needs_fallback)
-        .withColumn("__fb_ok", fallback_ok)
-        .filter(~F.col("__needs_fb") | F.col("__fb_ok"))
-        .withColumn("lon_d", F.when(F.col("__needs_fb"), place_lon).otherwise(lon0))
-        .withColumn("lat_d", F.when(F.col("__needs_fb"), place_lat).otherwise(lat0))
-        .drop("__needs_fb", "__fb_ok")
+    # One filter + one select (not chained withColumns): every chained
+    # withColumn re-analyzes the whole plan driver-side — 6 passes over
+    # the fixture plan cost ~0.3 s per invocation (r14 a911 anchor
+    # attribution, BASELINE.md r14). Catalyst collapses the projections
+    # identically either way; only the build cost differs.
+    return alerts.filter(~needs_fallback | fallback_ok).select(
+        "*",
+        F.when(needs_fallback, place_lon).otherwise(lon0).alias("lon_d"),
+        F.when(needs_fallback, place_lat).otherwise(lat0).alias("lat_d"),
     )
 
 
@@ -213,6 +215,14 @@ def links_array_native(time_as_iso: bool = False) -> Column:
     """
     from etl_active911_spark.functions.timeparse import parse_alert_time_iso
 
+    # Memoized per flag (r14): this tree embeds a full lenient-parse chain
+    # per link and costs ~0.18 s of py4j round trips to build; it is a
+    # fixed expression over the `responses` column, reusable across plans.
+    # Built lazily, never at import (CLAUDE.md rule 15).
+    memo = _LINKS_COL_MEMO.get(time_as_iso)
+    if memo is not None:
+        return memo
+
     time_fn = parse_alert_time_iso if time_as_iso else parse_alert_time
 
     lines = F.filter(
@@ -237,7 +247,12 @@ def links_array_native(time_as_iso: bool = False) -> Column:
             F.when(matched, time_fn(F.trim(g(4)))).alias("production_time"),
         )
 
-    return F.transform(keys, link_of)
+    col = F.transform(keys, link_of)
+    _LINKS_COL_MEMO[time_as_iso] = col
+    return col
+
+
+_LINKS_COL_MEMO: dict[bool, Column] = {}
 
 
 def alert_remarks() -> Column:

@@ -74,24 +74,44 @@ _RESP_TS = (
 # 4 trailing junk glued to the seconds, 5 pure garbage (NULL), 6 month
 # overflow (NULL — moment's overflow rule), 7 compact digits (no
 # separators at all; moment's unanchored token regexes still match).
-_SENT_FULL = (
+#
+# FACTORED FORM (r14, a911 anchor attribution): the r4 inline form
+# repeated the 19-branch tz CASE 14× across sent+received, ballooning the
+# SQL text to the point that PARSING it dominated the a911 anchor (plan
+# build ~0.9 s vs 0.44 s execution, BASELINE.md r14). The date fields and
+# the tz abbreviation are now computed ONCE in an inner subquery and the
+# sent string ONCE in a mid subquery (referenced by both `received` and
+# `sent`). Values are byte-identical — same expressions, factored through
+# named columns; both engines run the same factored text.
+_TS_N = "f_mm || '/' || f_dd || '/' || f_yy || ' ' || f_hh || ':' || f_mi || ':' || f_ss"
+_SENT_FULL_N = (
     f"CASE CAST(o_orderkey % 29 AS INT) "
-    f"WHEN 1 THEN {_MM} || '/' || {_DD} || '/' || {_YY} || '  ' || {_HH} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
-    f"WHEN 2 THEN {_MM_U} || '/' || {_DD_U} || '/' || {_YY} || ' ' || {_HH_U} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
-    f"WHEN 3 THEN {_MM} || '-' || {_DD} || '-' || {_YY} || ' ' || {_HH} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
-    f"WHEN 4 THEN {_SENT_TS} || 'junk ' || {_ABBR_CASE} "
+    f"WHEN 1 THEN f_mm || '/' || f_dd || '/' || f_yy || '  ' || f_hh || ':' || f_mi || ':' || f_ss || ' ' || tzabbr "
+    f"WHEN 2 THEN f_mmu || '/' || f_ddu || '/' || f_yy || ' ' || f_hhu || ':' || f_mi || ':' || f_ss || ' ' || tzabbr "
+    f"WHEN 3 THEN f_mm || '-' || f_dd || '-' || f_yy || ' ' || f_hh || ':' || f_mi || ':' || f_ss || ' ' || tzabbr "
+    f"WHEN 4 THEN {_TS_N} || 'junk ' || tzabbr "
     f"WHEN 5 THEN 'not a date at all' "
-    f"WHEN 6 THEN '99/99/' || {_YY} || ' 10:00:00 ' || {_ABBR_CASE} "
-    f"WHEN 7 THEN {_MM} || {_DD} || {_YY} || ' ' || {_HH} || ':' || {_MI} || ':' || {_SS} || ' ' || {_ABBR_CASE} "
-    f"ELSE CASE WHEN o_orderkey % 23 = 0 THEN {_SENT_TS} "
-    f"ELSE {_SENT_TS} || ' ' || {_ABBR_CASE} END END"
+    f"WHEN 6 THEN '99/99/' || f_yy || ' 10:00:00 ' || tzabbr "
+    f"WHEN 7 THEN f_mm || f_dd || f_yy || ' ' || f_hh || ':' || f_mi || ':' || f_ss || ' ' || tzabbr "
+    f"ELSE CASE WHEN o_orderkey % 23 = 0 THEN {_TS_N} "
+    f"ELSE {_TS_N} || ' ' || tzabbr END END"
 )
+
+_PARTS_SQL = f"""
+SELECT o_orderkey,
+    {_ABBR_CASE} AS tzabbr,
+    {_MM} AS f_mm, {_DD} AS f_dd, {_YY} AS f_yy,
+    {_HH} AS f_hh, {_MI} AS f_mi, {_SS} AS f_ss,
+    {_MM_U} AS f_mmu, {_DD_U} AS f_ddu, {_HH_U} AS f_hhu,
+    {_RESP_TS} AS resp_ts
+FROM orders
+"""
 
 SYNTH_ALERTS_SQL = f"""
 SELECT
     CAST(o_orderkey AS STRING) AS id,
-    {_SENT_FULL} AS received,
-    {_SENT_FULL} AS sent,
+    sentv AS received,
+    sentv AS sent,
     CAST(o_orderkey % 4 AS STRING) AS priority,
     'Incident ' || CAST(o_orderkey % 13 AS STRING) AS description,
     'Details for alert ' || CAST(o_orderkey AS STRING) AS details,
@@ -124,24 +144,50 @@ SELECT
         THEN 'Noise line without the magic prefix'
         ELSE
             'Got a response of Responding to Unit ' || CAST(o_orderkey % 5 AS STRING)
-              || '(' || CAST(10000 + o_orderkey % 500 AS STRING) || ') at ' || {_RESP_TS} || ' EST.'
+              || '(' || CAST(10000 + o_orderkey % 500 AS STRING) || ') at ' || resp_ts || ' EST.'
             || CHR(10) ||
             'Got a response of Watch to Medic ' || CAST(o_orderkey % 3 AS STRING)
-              || '(' || CAST(20000 + o_orderkey % 500 AS STRING) || ') at ' || {_RESP_TS} || ' CST.'
+              || '(' || CAST(20000 + o_orderkey % 500 AS STRING) || ') at ' || resp_ts || ' CST.'
             || CHR(10) ||
             'Got a response of malformed line with no parens'
             || CHR(10) ||
             'Got a response of Arrived to Unit ' || CAST(o_orderkey % 5 AS STRING)
-              || '(' || CAST(10000 + o_orderkey % 500 AS STRING) || ') at ' || {_RESP_TS} || ' MST.'
+              || '(' || CAST(10000 + o_orderkey % 500 AS STRING) || ') at ' || resp_ts || ' MST.'
             || CHR(10) ||
             'Unrelated noise line'
     END AS responses
-FROM orders
+FROM (
+    SELECT o_orderkey, resp_ts, {_SENT_FULL_N} AS sentv
+    FROM ({_PARTS_SQL}) AS fx_parts
+) AS fx_sent
 """
 
 
+#: Plan-level memo (r14, a911 anchor attribution — BASELINE.md r14):
+#: ~30 registered queries call ``synthetic_alerts`` and each call paid
+#: parquet-footer read + temp-view registration + SQL parse/analysis of
+#: the fixture text (~0.35 s driver-side) to rebuild the IDENTICAL
+#: logical plan. The analyzed DataFrame is immutable, so it is cached per
+#: (application, sf_dir) and invalidated when orders.parquet changes —
+#: same fingerprint contract as ``plans.cache.fixture_memo``, but NO data
+#: materialization: this caches only the plan, every execution still
+#: runs the full fixture derivation.
+_PLAN_MEMO: dict[tuple, tuple[tuple, DataFrame]] = {}
+
+
 def synthetic_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize the synthetic alerts table in Spark (same SQL text the
-    DuckDB oracle runs, so inputs are identical on both sides)."""
+    """The synthetic alerts table in Spark (same SQL text the DuckDB
+    oracle runs, so inputs are identical on both sides)."""
+    import os
+
+    from etl_active911_spark.plans.cache import _fixture_fingerprint
+
+    fp = _fixture_fingerprint(sf_dir, "orders")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    got = _PLAN_MEMO.get(key)
+    if got is not None and got[0] == fp:
+        return got[1]
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(SYNTH_ALERTS_SQL)
+    df = spark.sql(SYNTH_ALERTS_SQL)
+    _PLAN_MEMO[key] = (fp, df)
+    return df

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+from etl_active911_spark.functions.timeparse import parse_alert_time_iso, sent_iso_col
 from etl_active911_spark.io import read_table
 from etl_active911_spark.pipeline import active911 as a911
 from etl_active911_spark.pipeline import fixtures as _fx
@@ -66,7 +66,7 @@ def o15_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     abbreviations + the unknown-abbr UTC fallback (task.ts:45-76), incl.
     the abbreviation-less whole-string fallback (ADVICE r01)."""
     return synthetic_alerts(spark, sf_dir).select(
-        "id", "sent", parse_alert_time_iso(F.col("sent")).alias("start_iso")
+        "id", "sent", sent_iso_col().alias("start_iso")
     )
 
 
@@ -124,7 +124,7 @@ def o15_time_parse_pinned_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md.select(
         "id",
         "sent",
-        parse_alert_time_iso(F.col("sent"), now_year=PINNED_NOW_YEAR).alias("start_iso"),
+        sent_iso_col(now_year=PINNED_NOW_YEAR).alias("start_iso"),
     )
 
 
@@ -211,7 +211,7 @@ def a911_pipeline_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.select(
         F.concat(F.lit("active911-"), F.col("id")).alias("feature_id"),
         F.col("description").alias("callsign"),
-        parse_alert_time_iso(F.col("sent")).alias("start_iso"),
+        sent_iso_col().alias("start_iso"),
         a911.alert_remarks().alias("remarks"),
         "lon_d",
         "lat_d",
@@ -289,7 +289,7 @@ def a911_features_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("active911-"), F.col("id")).alias("feature_id"),
         F.lit("Feature").alias("ftype"),
         F.col("description").alias("callsign"),
-        parse_alert_time_iso(F.col("sent")).alias("start_iso"),
+        sent_iso_col().alias("start_iso"),
         a911.alert_remarks().alias("remarks"),
         links_str.alias("links_str"),
         F.lit("Point").alias("geo_type"),
