@@ -146,31 +146,78 @@ _LANG_ORDER = list(STOPWORDS)
 #: r13 (VERDICT r12 item 7): deterministic multilingual injection so the
 #: classifier-eval pair (x4_lang_id / x4_langid_confusion) measures a
 #: NON-DEGENERATE heuristic: the synthetic corpus text is English-ish
-#: tech words (every doc argmaxed to 'en'), so docs on the injection
+#: tech words (every doc argmaxes to 'en'), so docs on the injection
 #: slice get a native-language sample sentence (plain everyday prose in
-#: the doc's LABELED language, stopword-dense by nature) prepended
-#: ``LANGID_REPS`` times. Margins (pinned in tests/test_textual.py):
-#: native hits/rep 11-14, worst cross-language hits/rep 4 (es↔fr
-#: articles), max base-text en hits 14 at sf0.1 — so with reps ≥ 2 the
-#: native language wins argmax on every injected row. zh is spaced
-#: (segmented sample) because the tokenizer is whitespace-based — the
-#: UNSEGMENTED zh behavior stays measured by the non-injected rows.
+#: the doc's LABELED language, stopword-dense by nature) prepended 2-4
+#: times. r14 (VERDICT r13 item 7): samples carry native DIACRITICS so
+#: the charset-class feature is exercised; all margins are recomputed
+#: mechanically from these constants in tests/test_langid_injection.py
+#: (native v2 score/rep leads every cross score; 2 reps clear the
+#: max-14-stopword en base text). zh stays segmented HERE because the
+#: tokenizer is whitespace-based; the hard-mode slice injects the
+#: UNSEGMENTED form, which the charset term identifies.
 LANGID_SAMPLES: dict[str, str] = {
     "en": "it is the end of a long day and that is a reason to rest in the shade for a while",
-    "de": "der hund und die katze sind mit den kindern zu dem see von dem dorf gelaufen und das ist ein gutes ende",
-    "es": "el perro y la gata viven en un jardin que es de los vecinos por la manana",
-    "fr": "le chien et le chat dorment dans la maison et les enfants jouent dans une cour des voisins pres de la ville",
+    "de": "der hund und die katze sind über die straße zu dem see von dem dorf gelaufen und das ist ein schönes ende für die familie",
+    "es": "el perro y la gata están en el jardín de los vecinos por la mañana y así es la vida señor",
+    "fr": "le chien et le chat dorment déjà à côté de la maison et les enfants jouent dans une cour près de la ville",
     "zh": "我 的 朋友 和 他 的 家 人 在 城 里 有 一 个 小 店 我 们 就 不 去 了 这 是 好 事",
 }
 
-#: injection slice: doc_id % 4 == 1 (crosses all 5 labels; coverage
-#: pinned non-vacuously); repetition variant rides doc_id div 4 (rule 31:
-#: the slice modulus and the variant divisor share no CRT structure with
-#: the lang label, which is a data column, not doc_id-derived)
-LANGID_INJECT_SQL = (
-    "CASE WHEN doc_id % 4 = 1 THEN repeat(CASE lang "
+#: r14 hard-mode injections (VERDICT r13 item 7), on the (doc_id // 4)
+#: % 5 == 2 sub-slice of injected rows:
+#: - zh rows get UNSEGMENTED text — the canonical failure of whitespace
+#:   tokenization; only the charset feature can identify it.
+#: - es/fr rows get a macaronic Romance phrase whose function words are
+#:   all in BOTH stopword lists (la/de/un) and whose content words mix
+#:   Spanish (luz, mar, sol) and French (paix, fleur): a genuinely
+#:   confusable input. Scores tie exactly; the fixed tie-break order
+#:   predicts 'es', so fr-labeled hard rows land off-diagonal — the
+#:   confusion matrix honestly shows where the classifier cannot decide.
+LANGID_ZH_UNSEG = "我的朋友和他的家人在城里有一个小店我们就不去了这是好事所以大家都来看看吧"
+LANGID_AMBIG = "la luz de un mar la paix de un sol la fleur de un rio"
+
+#: r14 (VERDICT r13 item 7): charset-class profile per language — public
+#: alphabet facts (German umlauts + eszett; Spanish acute vowels, eñe,
+#: inverted punctuation; French grave/circumflex/cedilla set; the CJK
+#: Unified Ideographs block for Chinese). Counted per CHARACTER of the
+#: lowered text, so unsegmented zh scores by its script even when the
+#: whitespace tokenizer yields zero stopword hits. ü is deliberately
+#: left out of the French class (rare: aigüe) to keep the de/fr margin
+#: clean; é is in BOTH es and fr — real orthographic overlap the
+#: confusion matrix should see.
+LANGID_CHARSETS: dict[str, str] = {
+    "en": "",
+    "de": "äöüß",
+    "es": "áéíñóúü¡¿",
+    "fr": "àâçèéêëîïôùûÿœæ",
+    "zh": "一-鿿",
+}
+
+#: stopword hits are word-level evidence, charset hits char-level noise
+#: per hit — weight stopwords 3:1 (integer, so scores stay exact BIGINT).
+LANGID_STOP_WEIGHT = 3
+
+_LANGID_PICK_SQL = (
+    "CASE WHEN (doc_id // 4) % 5 = 2 AND lang IN ('es', 'fr') THEN '"
+    + LANGID_AMBIG
+    + " ' WHEN (doc_id // 4) % 5 = 2 AND lang = 'zh' THEN '"
+    + LANGID_ZH_UNSEG
+    + " ' ELSE CASE lang "
     + " ".join(f"WHEN '{l}' THEN '{s} '" for l, s in LANGID_SAMPLES.items())
-    + " END, CAST(2 + (doc_id // 4) % 3 AS INT)) || text ELSE text END"
+    + " END END"
+)
+
+#: injection slice: doc_id % 4 == 1 (crosses all 5 labels; coverage
+#: pinned non-vacuously); repetition variant rides (doc_id // 4) % 3 and
+#: the hard-mode variant rides (doc_id // 4) % 5 (rule 31: both variants
+#: live on doc_id // 4, coprime moduli, and the lang label is a data
+#: column — every (lang, reps, hard) combination occurs; pinned in
+#: tests/test_langid_injection.py).
+LANGID_INJECT_SQL = (
+    "CASE WHEN doc_id % 4 = 1 THEN repeat("
+    + _LANGID_PICK_SQL
+    + ", CAST(2 + (doc_id // 4) % 3 AS INT)) || text ELSE text END"
 )
 
 
@@ -179,6 +226,12 @@ def langid_aug_text() -> Column:
     sent = F.lit(None).cast("string")
     for l, s in LANGID_SAMPLES.items():
         sent = F.when(F.col("lang") == l, F.lit(s + " ")).otherwise(sent)
+    hard = F.expr("doc_id div 4") % 5 == 2
+    sent = (
+        F.when(hard & F.col("lang").isin("es", "fr"), F.lit(LANGID_AMBIG + " "))
+        .when(hard & (F.col("lang") == "zh"), F.lit(LANGID_ZH_UNSEG + " "))
+        .otherwise(sent)
+    )
     reps = (F.lit(2) + (F.expr("doc_id div 4") % 3)).cast("int")
     return F.when(
         F.col("doc_id") % 4 == 1, F.concat(F.repeat(sent, reps), F.col("text"))
@@ -186,8 +239,61 @@ def langid_aug_text() -> Column:
 
 
 def _score_sql(lang: str) -> str:
+    """v1 stopword-hit score (kept for x9_curation_pipeline: its input is
+    the raw ASCII corpus, where v2 = 3×v1 + 0 — identical argmax)."""
     lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter(toks, t -> t IN ({lits})))"
+
+
+def _score2_sql(lang: str) -> str:
+    """v2 score (r14): LANGID_STOP_WEIGHT × stopword hits + charset-class
+    character hits over the lowered text (column ``low`` in the CTE).
+    Finite classes count via ``translate`` (plain char lookup — measured
+    0.60→0.47 s vs a regex class at sf0.1; identical code-point
+    semantics in both engines); only the zh RANGE needs a regex."""
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    stop = f"{LANGID_STOP_WEIGHT} * len(list_filter(toks, t -> t IN ({lits})))"
+    cs = LANGID_CHARSETS[lang]
+    if not cs:
+        return stop
+    if lang == "zh":
+        return f"{stop} + (length(low) - length(regexp_replace(low, '[{cs}]', '', 'g')))"
+    return f"{stop} + (length(low) - length(translate(low, '{cs}', '')))"
+
+
+def _charset_hits(low: Column, lang: str) -> Column:
+    """Spark twin of the charset term of ``_score2_sql``."""
+    cs = LANGID_CHARSETS[lang]
+    if not cs:
+        return F.lit(0)
+    if lang == "zh":
+        return F.length(low) - F.length(F.regexp_replace(low, f"[{cs}]", ""))
+    return F.length(low) - F.length(F.translate(low, cs, ""))
+
+
+def _lang_score2(low: Column, toks: Column, lang: str) -> Column:
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return (F.lit(LANGID_STOP_WEIGHT) * stop + _charset_hits(low, lang)).cast("bigint")
+
+
+def _langid_v2_cols() -> tuple[list[Column], Column]:
+    """Memoized (score columns, predicted-language column) for the v2
+    classifier — fixed trees over `doc_id`/`lang`/`text`, ~0.5 s of py4j
+    construction per build (80% of the x4_lang_id anchor; BASELINE.md
+    r14)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    def build():
+        low = F.trim(F.lower(langid_aug_text()))
+        toks = F.split(low, r"\s+")
+        scores = [_lang_score2(low, toks, l).alias(f"s_{l}") for l in _LANG_ORDER]
+        best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
+        pred = F.lit(None).cast("string")
+        for l in reversed(_LANG_ORDER):
+            pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
+        return scores, pred
+
+    return memo_cols("textual.langid_v2", build)
 
 
 _LANG_PRED_SQL = "CASE " + " ".join(
@@ -199,14 +305,19 @@ _LANG_PRED_SQL = "CASE " + " ".join(
 @query(
     "x4_lang_id",
     f"""
-    WITH t AS (
+    WITH raw AS (
         SELECT doc_id, lang AS labeled_lang,
-               string_split_regex(TRIM(LOWER({LANGID_INJECT_SQL})), '\\s+') AS toks
+               TRIM(LOWER({LANGID_INJECT_SQL})) AS low
         FROM documents
+    ),
+    t AS (
+        SELECT doc_id, labeled_lang, low,
+               string_split_regex(low, '\\s+') AS toks
+        FROM raw
     ),
     s AS (
         SELECT doc_id, labeled_lang,
-               {", ".join(f"CAST({_score_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
+               {", ".join(f"CAST({_score2_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
         FROM t
     )
     SELECT doc_id, labeled_lang, {_LANG_PRED_SQL} AS predicted_lang,
@@ -215,26 +326,19 @@ _LANG_PRED_SQL = "CASE " + " ".join(
     """,
 )
 def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-4: language-ID via stopword-hit counting per candidate language;
-    argmax with a fixed tie-break order. Single scan, no shuffle, no UDF.
-    Since r13 the input is the multilingual-injected text
-    (``langid_aug_text`` — VERDICT r12 item 7), so the classifier is
-    exercised on rows where each labeled language genuinely wins."""
+    """X-4: language-ID via a per-language feature profile — weighted
+    stopword-set hits plus charset-class character hits (r14, VERDICT
+    r13 item 7) — argmax with a fixed tie-break order. Single scan, no
+    shuffle, no UDF. The charset term identifies UNSEGMENTED zh (zero
+    whitespace tokens match) and surfaces real es/fr orthographic
+    overlap; the injected hard-mode slices exercise both
+    (``langid_aug_text``; margins pinned in
+    tests/test_langid_injection.py)."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(langid_aug_text())), r"\s+")
-    def stopword_hits(lang: str) -> Column:
-        words = STOPWORDS[lang]
-        return F.size(F.filter(toks, lambda t: t.isin(words))).cast("bigint")
-
+    scores, pred = _langid_v2_cols()
     scored = docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[stopword_hits(l).alias(f"s_{l}") for l in _LANG_ORDER],
+        "doc_id", F.col("lang").alias("labeled_lang"), *scores
     )
-    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
-    pred = F.lit(None).cast("string")
-    for l in reversed(_LANG_ORDER):
-        pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
     return scored.select(
         "doc_id",
         "labeled_lang",
@@ -1517,14 +1621,19 @@ def x9_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x4_langid_confusion",
     f"""
-    WITH t AS (
+    WITH raw AS (
         SELECT doc_id, lang AS labeled_lang,
-               string_split_regex(TRIM(LOWER({LANGID_INJECT_SQL})), '\\s+') AS toks
+               TRIM(LOWER({LANGID_INJECT_SQL})) AS low
         FROM documents
+    ),
+    t AS (
+        SELECT doc_id, labeled_lang, low,
+               string_split_regex(low, '\\s+') AS toks
+        FROM raw
     ),
     s AS (
         SELECT doc_id, labeled_lang,
-               {", ".join(f"CAST({_score_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
+               {", ".join(f"CAST({_score2_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
         FROM t
     ),
     p AS (
@@ -1542,24 +1651,16 @@ def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classifier x4_lang_id wraps: per (labeled, predicted) cell, doc
     count and the row-normalized fraction (each labeled language's
     recall lives on the diagonal). Classifier-eval-as-a-query: the same
-    single-scan scoring as x4_lang_id feeding one grouped aggregate plus
-    a per-label window for the normalizer; no extra scan, no collect.
-    Since r13 it scores the multilingual-injected text (VERDICT r12
-    item 7), so the diagonal carries real per-language recall instead of
-    the all-'en' degenerate column."""
+    single-scan v2 scoring as x4_lang_id feeding one grouped aggregate
+    plus a per-label window for the normalizer; no extra scan, no
+    collect. Since r14 the hard-mode slices put honest off-diagonal mass
+    in the matrix: fr→es on the macaronic phrase (tie-break), and the
+    acceptance gate pins the injected diagonal floor
+    (tests/test_langid_injection.py)."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(langid_aug_text())), r"\s+")
-
-    def hits(lang: str) -> Column:
-        return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang]))).cast("bigint")
-
+    scores, pred = _langid_v2_cols()
     scored = docs.select(
-        F.col("lang").alias("labeled_lang"),
-        *[hits(l).alias(f"s_{l}") for l in _LANG_ORDER],
-    )
-    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
-    pred = F.coalesce(
-        *[F.when(F.col(f"s_{l}") >= best, F.lit(l)) for l in _LANG_ORDER]
+        F.col("lang").alias("labeled_lang"), *scores
     )
     w = Window.partitionBy("labeled_lang")
     return (

@@ -112,3 +112,22 @@ def clear_fixture_memos() -> None:
         except Exception:
             pass
     _MEMO.clear()
+
+
+_COLS_MEMO: dict[str, object] = {}
+
+
+def memo_cols(key: str, builder):
+    """Memoize a fixed Column tree (or tuple/list of them) built by
+    ``builder`` (r14, anchor attribution — BASELINE.md r14: several
+    anchors spent 60-80% of their per-call wall on py4j Column-tree
+    construction, not execution). Columns are immutable unresolved
+    expressions over NAMED input columns, so one instance is safely
+    reusable across plans within the process. Only use for trees with no
+    per-call inputs (no sf_dir/parameter dependence), and build LAZILY —
+    never at import (CLAUDE.md rule 15)."""
+    got = _COLS_MEMO.get(key)
+    if got is None:
+        got = builder()
+        _COLS_MEMO[key] = got
+    return got
