@@ -2000,6 +2000,163 @@ def x3_ann_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: r14 (VERDICT r13 item 6): the SECOND Lloyd step, appended to the
+#: shared chain — centroid update from the step-1 assignment, re-score,
+#: re-assign. Ends at ``cells2``; composed only by concatenation with
+#: ``_IVF_LLOYD_CTES`` so the (now four) Lloyd consumers cannot desync.
+_IVF_LLOYD2_EXT_CTES = """cent2 AS (
+        SELECT c.cell, f.pos, ROUND(AVG(f.val / f.nrm), 6) AS comp
+        FROM flat f JOIN cells1 c USING (vec_id)
+        GROUP BY c.cell, f.pos
+    ),
+    carr2 AS (
+        SELECT cell, list(comp ORDER BY pos) AS ce FROM cent2 GROUP BY cell
+    ),
+    sc2 AS (
+        SELECT n.vec_id, c.cell,
+               list_dot_product(n.ee, c.ce)
+                 / (n.nrm * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        FROM n CROSS JOIN carr2 c
+    ),
+    cells2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM sc2
+        ) t WHERE rn = 1
+    )"""
+
+_IVF_LLOYD2_ORACLE = f"""
+    WITH {_IVF_LLOYD_CTES},
+    {_IVF_LLOYD2_EXT_CTES},
+    m01 AS (
+        SELECT c0.vec_id, c0.cell AS a0, c1.cell AS a1
+        FROM cells0 c0 JOIN cells1 c1 USING (vec_id)
+    ),
+    m12 AS (
+        SELECT c1.vec_id, c1.cell AS a1, c2.cell AS a2
+        FROM cells1 c1 JOIN cells2 c2 USING (vec_id)
+    ),
+    n1 AS (SELECT a1 AS cell, CAST(COUNT(*) AS BIGINT) AS n_step1 FROM m12 GROUP BY a1),
+    n2 AS (SELECT a2 AS cell, CAST(COUNT(*) AS BIGINT) AS n_step2 FROM m12 GROUP BY a2),
+    ch01 AS (
+        SELECT a1 AS cell, CAST(COUNT(*) AS BIGINT) AS churn_in_01
+        FROM m01 WHERE a0 <> a1 GROUP BY a1
+    ),
+    ch12 AS (
+        SELECT a2 AS cell, CAST(COUNT(*) AS BIGINT) AS churn_in_12
+        FROM m12 WHERE a1 <> a2 GROUP BY a2
+    ),
+    cellids AS (SELECT DISTINCT cell FROM seeds)
+    SELECT c.cell,
+           COALESCE(n1.n_step1, 0) AS n_step1,
+           COALESCE(n2.n_step2, 0) AS n_step2,
+           COALESCE(ch01.churn_in_01, 0) AS churn_in_01,
+           COALESCE(ch12.churn_in_12, 0) AS churn_in_12,
+           CAST(CASE WHEN COALESCE(ch12.churn_in_12, 0) = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS inflow_settled
+    FROM cellids c
+    LEFT JOIN n1 USING (cell)
+    LEFT JOIN n2 USING (cell)
+    LEFT JOIN ch01 USING (cell)
+    LEFT JOIN ch12 USING (cell)
+    """
+
+
+@query("x3_ann_ivf_lloyd2", _IVF_LLOYD2_ORACLE)
+def x3_ann_ivf_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r14, VERDICT r13 item 6): the Lloyd fit taken ONE STEP
+    FURTHER than x3_ann_ivf_lloyd1 — a second oracled centroid update +
+    re-assignment — emitting the convergence inventory a real index
+    build reads: per cell, membership after each step, inbound churn of
+    step 1 (the rebalance planner's signal) vs step 2, and whether the
+    cell's inflow has settled (second-step churn already zero). The
+    expected shape — churn_in_12 ≪ churn_in_01 totals, most cells
+    settled — is pinned in tests/test_r14_operators.py.
+
+    Scale shape: same stages as lloyd1 run twice — one corpus scan per
+    assignment pass, the centroid update a posexplode + (cell, pos)-keyed
+    HashAggregate (SCALE.md invariant 3's flat form), centroids a
+    bounded 16-row broadcast. The churn inventory is cell-keyed counts
+    joined on the 16-row cell list. Nothing corpus-sized is collected;
+    each further Lloyd step at 100 TB costs the same two scans."""
+    n, cells0, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    cells2 = _lloyd_next_assignment(n, cells1)
+
+    m01 = cells0.select("vec_id", F.col("cell").alias("a0")).join(
+        cells1.select("vec_id", F.col("cell").alias("a1")), "vec_id"
+    )
+    from etl_active911_spark.plans.cache import scoped_persist
+
+    m12 = scoped_persist(
+        "x3_ann_ivf_lloyd2.m12",
+        cells1.select("vec_id", F.col("cell").alias("a1")).join(
+            cells2.select("vec_id", F.col("cell").alias("a2")), "vec_id"
+        ),
+    )
+    n1 = m12.groupBy(F.col("a1").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_step1")
+    )
+    n2 = m12.groupBy(F.col("a2").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_step2")
+    )
+    ch01 = (
+        m01.filter(F.col("a0") != F.col("a1"))
+        .groupBy(F.col("a1").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churn_in_01"))
+    )
+    ch12 = (
+        m12.filter(F.col("a1") != F.col("a2"))
+        .groupBy(F.col("a2").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churn_in_12"))
+    )
+    cellids = spark.range(IVF_N_CELLS).select(F.col("id").cast("int").alias("cell"))
+    return (
+        cellids.join(n1, "cell", "left")
+        .join(n2, "cell", "left")
+        .join(ch01, "cell", "left")
+        .join(ch12, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_step1", F.lit(0)).cast("bigint").alias("n_step1"),
+            F.coalesce("n_step2", F.lit(0)).cast("bigint").alias("n_step2"),
+            F.coalesce("churn_in_01", F.lit(0)).cast("bigint").alias("churn_in_01"),
+            F.coalesce("churn_in_12", F.lit(0)).cast("bigint").alias("churn_in_12"),
+            (F.coalesce("churn_in_12", F.lit(0)) == 0).cast("int").alias("inflow_settled"),
+        )
+    )
+
+
+def _lloyd_next_assignment(n: DataFrame, cells_prev: DataFrame) -> DataFrame:
+    """One further Lloyd step from an existing assignment: distributed
+    centroid update (posexplode → (cell, pos)-keyed mean of normalized
+    components, rounded 6dp like step 1) and the argmax re-assignment.
+    Spark twin of ``_IVF_LLOYD2_EXT_CTES``."""
+    flat = n.select("vec_id", "nrm", F.posexplode("ee").alias("pos", "val"))
+    cent = (
+        flat.join(cells_prev, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double") / F.col("nrm")), 6).alias("comp"))
+    )
+    carr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+        ).alias("ce")
+    )
+    sc = n.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "cell",
+        (dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * l2norm(F.col("ce")))).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X-3h: MLlib-native ANN (BucketedRandomProjectionLSH)
 # ---------------------------------------------------------------------------

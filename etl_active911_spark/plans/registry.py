@@ -192,7 +192,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x8_dup_weighted_counts, x8_source_quota_fill, x9_gate_ablation —
 #:   PLUS the r13-session oracled newcomers that did not take an r14
 #:   fill slot (x3_matryoshka_recall, x6_ar1_halflife,
-#:   x8_pack_attention_contamination) and the r14-session additions;
+#:   x8_pack_attention_contamination) and the r14-session additions
+#:   (x3_ann_ivf_lloyd2, ...);
 #:   remaining slots refresh the oldest-evidence long-cycle rows
 #:   (last driver-scored r13).
 #: Rows-only by design (never windowable): n4_approx_percentiles,

@@ -272,6 +272,8 @@ NEVER_SCORED_ORACLED_AFTER_R14 = {
     "x2_cluster_tail_index", "x9_ingest_ablation", "x9_ingest_routing",
     # oracled but pinned LAST (disk-writing; outside every window)
     "x3_ann_ivf_compact",
+    # r14-session additions (start life never-scored; r15 queue members)
+    "x3_ann_ivf_lloyd2",
 }
 
 
