@@ -172,7 +172,17 @@ def funnel_flag_rows(
     source) for every ARRIVED doc; ``ledger`` = stage-2/3 rows for
     near-dup SURVIVORS (absence ⇒ dropped at stage 1); ``quality`` =
     (doc_id, fq 0/1); ``contam`` = (doc_id, ct_q 0/1) for train
-    vectors (absence ⇒ pass)."""
+    vectors (absence ⇒ pass).
+
+    CONTRACT (ADVICE r13 item 3): survival is inferred from ledger-row
+    presence, so ``scrub_segment_rows`` MUST emit ≥ 1 segment row for
+    every surviving doc — true today because every arrival text is
+    non-null and non-empty (the footer injection alone guarantees one
+    whole-token segment). If scrub ever changes to emit zero rows for
+    some survivor (e.g. null text propagating through F.split), this
+    inference breaks in Spark but not necessarily in the oracle's
+    ledger CTE — pinned in
+    tests/test_full_ingest.py::test_every_arrival_yields_a_segment_row."""
     f_nd = F.when(F.col("n_tokens").isNotNull(), 1).otherwise(0).cast("int")
     f_pii = (
         F.when(

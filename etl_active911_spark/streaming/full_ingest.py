@@ -28,7 +28,11 @@ tests/test_full_ingest.py (one-batch and 3-way ordered splits).
 Exactly-once caveat: plain parquet appends with the anti-join
 re-delivery guard, same note as every sibling gate — production routes
 the verdict rows through the keyed upsert sink (streaming/jobs.py,
-key doc_id).
+key doc_id). Crash-window ordering (ADVICE r13 item 1): state dirs
+(signatures, bands, segment claims) are written BEFORE the verdict
+rows, and every state append anti-joins what is already on disk — so a
+crash anywhere between the four writes replays to the same verdicts
+with no duplicate state (pinned in tests/test_full_ingest.py).
 """
 
 from __future__ import annotations
@@ -175,12 +179,29 @@ def run_full_ingest_stream(
         rows = funnel_flag_rows(
             batch.select("doc_id", "source"), ledger, quality, contam
         )
-        rows.write.mode("append").parquet(out_dir)
-        sigs_new.write.mode("append").parquet(sig_dir)
-        bands_new.write.mode("append").parquet(bands_dir)
+        # State BEFORE verdict rows, each append idempotent (ADVICE r13
+        # item 1): the out_dir re-delivery guard suppresses replay once
+        # verdict rows exist, so a crash after writing rows but before
+        # state would lose the batch's signatures/bands/claims FOREVER.
+        # Writing state first makes the crash window replayable — the
+        # re-run recomputes the batch (rows still absent), and the
+        # anti-joins below discard the state it already wrote, so the
+        # near-dup/scrub folds converge to the same verdicts. claims is
+        # already anti-joined on led_old above.
+        sigs_out = sigs_new
+        if sigs_old is not None:
+            sigs_out = sigs_new.join(sigs_old.select("doc_id"), "doc_id", "left_anti")
+        sigs_out.write.mode("append").parquet(sig_dir)
+        bands_out = bands_new
+        if bands_old is not None:
+            bands_out = bands_new.join(
+                bands_old.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        bands_out.write.mode("append").parquet(bands_dir)
         claims.select(
             "seg_md5", F.col("batch_owner").alias("owner_doc")
         ).write.mode("append").parquet(ledger_dir)
+        rows.write.mode("append").parquet(out_dir)
 
     return (
         src.writeStream.foreachBatch(process)

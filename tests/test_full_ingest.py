@@ -190,6 +190,79 @@ def test_full_ingest_stream_matches_batch(spark, tmp_path):
     assert again == want
 
 
+def test_every_arrival_yields_a_segment_row(spark):
+    """ADVICE r13 item 3 pin: funnel_flag_rows infers near-dup survival
+    from ledger presence, which is sound ONLY while scrub_segment_rows
+    emits >= 1 segment row per input doc. Assert it over every arrival
+    (the footer injection alone guarantees one whole-token segment)."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.dedup import scrub_segment_rows
+
+    arrv = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", ingest_arrival_text().alias("text")
+    )
+    n_docs = arrv.count()
+    n_with_seg = (
+        scrub_segment_rows(arrv, with_text=False)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_with_seg == n_docs, (n_with_seg, n_docs)
+
+
+def test_full_ingest_crash_window_replays_cleanly(spark, tmp_path):
+    """ADVICE r13 item 1: state dirs are written BEFORE the verdict rows
+    and every state append is idempotent — so a crash AFTER the state
+    writes but BEFORE the out_dir write (simulated by deleting out_dir)
+    replays to the same verdicts with zero duplicate state."""
+    import shutil
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.ingest_funnel import ingest_funnel_rows as _fold
+
+    docs = (
+        read_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    src_dir = str(tmp_path / "src")
+    dirs = (
+        str(tmp_path / "sigs"),
+        str(tmp_path / "bands"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    docs.coalesce(1).write.mode("append").parquet(src_dir)
+    _drain(spark, src_dir, emb, dirs)
+    want = {
+        tuple(r[c] for c in ROW_COLS)
+        for r in spark.read.parquet(dirs[3]).collect()
+    }
+
+    # crash window: verdict rows lost, state survived
+    shutil.rmtree(dirs[3])
+    shutil.rmtree(dirs[4])  # fresh checkpoint so the source re-delivers
+    docs.coalesce(1).write.mode("append").parquet(src_dir)
+    _drain(spark, src_dir, emb, dirs)
+
+    got = {
+        tuple(r[c] for c in ROW_COLS)
+        for r in spark.read.parquet(dirs[3]).collect()
+    }
+    assert got == want
+
+    # no duplicate state rows from the replay
+    sigs = spark.read.parquet(dirs[0])
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
+    bands = spark.read.parquet(dirs[1])
+    assert bands.count() == bands.dropDuplicates(["doc_id", "band_key"]).count()
+    ledger = spark.read.parquet(dirs[2])
+    assert ledger.count() == ledger.select("seg_md5").distinct().count()
+
+
 def test_ingest_ablation_consistent_with_funnel(spark):
     """The ablation matrix is the funnel's per-doc rows re-binned: cell
     counts sum to the survivor total, token masses sum to the survivors'
