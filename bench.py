@@ -164,6 +164,8 @@ HEADLINE = [
     "x2_cluster_tail_index",
     "x9_ingest_ablation",
     "x9_ingest_routing",
+    # round-14 addition: the 2-step Lloyd convergence inventory
+    "x3_ann_ivf_lloyd2",
 ]
 
 

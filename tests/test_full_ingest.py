@@ -315,3 +315,63 @@ def test_ingest_routing_partitions_arrivals(spark):
         assert m.get("rejected_quality", 0) == f.n_pii_ok - f.n_quality
         assert m.get("quarantined_contam", 0) == f.n_quality - f.n_final
         assert m.get("admitted", 0) == f.n_final
+
+
+def test_long_lived_trigger_amortizes_fixed_cost(spark, tmp_path):
+    """VERDICT r13 item 4 canary: under ONE long-lived processing-time
+    trigger, the marginal micro-batch must not cost more than the cold
+    first batch plus stream-start — the regression bound for the
+    BASELINE.md r14 marginal-throughput record (sf0.1: cold 63 docs/s →
+    marginal ~107 at ~830-doc batches, 206 at ~2500). Bound is
+    deliberately loose (1.5x) so only a structural regression — e.g.
+    state re-reads growing superlinear, or a new per-batch fixed job —
+    trips it on a noisy box."""
+    import os
+    import time
+
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.streaming import full_ingest
+
+    docs = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0)[0]
+    b1, b2 = docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)
+    n1, n2 = b1.count(), b2.count()
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    src_dir = str(tmp_path / "src")
+    dirs = tuple(str(tmp_path / d) for d in ("sigs", "bands", "ledger", "out", "ckpt"))
+
+    os.makedirs(src_dir, exist_ok=True)
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    src = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        src_dir
+    )
+
+    def out_rows() -> int:
+        try:
+            return spark.read.parquet(dirs[3]).count()
+        except Exception:
+            return 0
+
+    t0 = time.perf_counter()
+    q = full_ingest.run_full_ingest_stream(
+        src, emb, *dirs, processing_time="200 milliseconds"
+    )
+    try:
+        while out_rows() < n1:
+            assert time.perf_counter() - t0 < 300
+            time.sleep(0.2)
+        cold_wall = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        b2.coalesce(1).write.mode("append").parquet(src_dir)
+        while out_rows() < n1 + n2:
+            assert time.perf_counter() - t1 < 300
+            time.sleep(0.2)
+        marginal_wall = time.perf_counter() - t1
+    finally:
+        q.stop()
+    # the marginal batch pays no stream start and no cold-JVM tax; a
+    # structural fixed-cost regression would push it past the cold batch
+    assert marginal_wall < 1.5 * cold_wall, (cold_wall, marginal_wall)
