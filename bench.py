@@ -164,8 +164,13 @@ HEADLINE = [
     "x2_cluster_tail_index",
     "x9_ingest_ablation",
     "x9_ingest_routing",
-    # round-14 addition: the 2-step Lloyd convergence inventory
+    # round-14 additions: the 2-step Lloyd convergence inventory + the
+    # thin-cell reseed planner it feeds, and the governance completions
+    # (recursive (c,l)-diversity, DP composition accountant)
     "x3_ann_ivf_lloyd2",
+    "x3_ann_ivf_reseed_plan",
+    "x9_recursive_ldiversity",
+    "x9_dp_budget",
 ]
 
 

@@ -2052,6 +2052,210 @@ def kanon_violations(cust: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X-9 (r14): recursive (c,l)-diversity — the skew-robust strengthening
+# between distinct-l and t-closeness
+# ---------------------------------------------------------------------------
+
+RC_LDIV_L = 3   # the l of recursive (c,l)-diversity (matches L_DIV_MIN)
+RC_LDIV_C = 2   # the c: r1 must not exceed c · Σ_{i≥l} r_i
+
+_RCLDIV_ORACLE = f"""
+    WITH cl AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS acctbal_band,
+               c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS ncs
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    r AS (
+        SELECT nation, acctbal_band, ncs,
+               ROW_NUMBER() OVER (PARTITION BY nation, acctbal_band
+                                  ORDER BY ncs DESC, seg) AS rk
+        FROM cl
+    ),
+    agg AS (
+        SELECT nation, acctbal_band,
+               CAST(SUM(ncs) AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(MAX(CASE WHEN rk = 1 THEN ncs END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN rk >= {RC_LDIV_L} THEN ncs ELSE 0 END)
+                    AS BIGINT) AS tail_sum
+        FROM r GROUP BY 1, 2
+    )
+    SELECT nation, acctbal_band, k, m, r1, tail_sum,
+           CAST(CASE WHEN m < {RC_LDIV_L} THEN 1 ELSE 0 END AS INTEGER)
+               AS viol_m,
+           CAST(CASE WHEN m >= {RC_LDIV_L} AND r1 > {RC_LDIV_C} * tail_sum
+                     THEN 1 ELSE 0 END AS INTEGER) AS viol_c
+    FROM agg
+    WHERE m < {RC_LDIV_L} OR r1 > {RC_LDIV_C} * tail_sum
+    """
+
+
+@query("x9_recursive_ldiversity", _RCLDIV_ORACLE)
+def x9_recursive_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r14): RECURSIVE (c,l)-DIVERSITY audit (Machanavajjhala et
+    al., TKDD 2007 §4) — the skew-robust rung between the distinct-l
+    check inside ``x9_k_anonymity_audit`` and ``x9_t_closeness``:
+    distinct-l is satisfied by one dominant sensitive value plus l−1
+    token occurrences, so an adversary still learns the dominant value
+    with high confidence. The recursive form sorts each equivalence
+    class's sensitive-value counts r_1 ≥ … ≥ r_m and requires
+    r_1 ≤ c · (r_l + … + r_m): the head cannot dominate the tail.
+    Emits the violating classes (same nation × balance-band QI
+    projection as the sibling audits) with k, m, r_1, the tail sum, and
+    which condition failed — exactly the rows a release pipeline must
+    suppress or generalize.
+
+    Determinism: counts are exact BIGINTs; the sort rank breaks count
+    ties by segment name, but r1/tail_sum are TIE-INSENSITIVE (r1 is
+    the max count; the tail sum over ranks ≥ l depends only on the
+    multiset of counts — any tie straddling the l boundary contributes
+    the same total either way), so no rounded-rank hazard exists.
+
+    Scale shape: one hash aggregate keyed by (QI, segment), one
+    class-partitioned window over class×segment rows (≪ corpus), one
+    class-keyed aggregate. No joins against the fact table."""
+    cl = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            F.floor(F.col("c_acctbal") / F.lit(2000.0))
+            .cast("bigint")
+            .alias("acctbal_band"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ncs"))
+    )
+    w = Window.partitionBy("nation", "acctbal_band").orderBy(
+        F.col("ncs").desc(), F.col("seg")
+    )
+    r = cl.select("nation", "acctbal_band", "ncs", F.row_number().over(w).alias("rk"))
+    agg = r.groupBy("nation", "acctbal_band").agg(
+        F.sum("ncs").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.max(F.when(F.col("rk") == 1, F.col("ncs"))).cast("bigint").alias("r1"),
+        F.sum(F.when(F.col("rk") >= RC_LDIV_L, F.col("ncs")).otherwise(0))
+        .cast("bigint")
+        .alias("tail_sum"),
+    )
+    return agg.filter(
+        (F.col("m") < RC_LDIV_L) | (F.col("r1") > RC_LDIV_C * F.col("tail_sum"))
+    ).select(
+        "nation",
+        "acctbal_band",
+        "k",
+        "m",
+        "r1",
+        "tail_sum",
+        F.when(F.col("m") < RC_LDIV_L, 1).otherwise(0).cast("int").alias("viol_m"),
+        F.when(
+            (F.col("m") >= RC_LDIV_L) & (F.col("r1") > RC_LDIV_C * F.col("tail_sum")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("viol_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-9 (r14): differential-privacy budget accountant — the rung ABOVE the
+# syntactic ladder (k-anon / l-div / t-closeness audit a single release;
+# DP composition accounts for a SEQUENCE of releases)
+# ---------------------------------------------------------------------------
+
+#: per-release ε in micro-units, derived from doc_id via a Knuth
+#: multiplicative mixer so the distribution is prefix-stable across SFs
+#: (a plain ``doc_id % m`` would give small SFs a truncated ε range and
+#: no fixed cap could split channels at every SF — scouted r14).
+DP_EPS_SQL = "CAST(5000 + (doc_id * 2654435761) % 29000 AS BIGINT)"
+#: per-release ε allowance (micro): channel over-cap iff Σε > k·allowance.
+DP_ALLOW_MICRO = 19_500
+#: δ' for the advanced-composition term: 1e-6 ⇒ ln(1/δ') = ln(1e6).
+DP_LN_INV_DELTA = "ln(1000000.0)"
+
+_DP_BUDGET_ORACLE = f"""
+    WITH rel AS (
+        SELECT source, {DP_EPS_SQL} AS eps_micro FROM documents
+    ),
+    ch AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(eps_micro) AS BIGINT) AS basic_micro,
+               CAST(MAX(eps_micro) AS BIGINT) AS eps_max_micro
+        FROM rel GROUP BY source
+    )
+    SELECT source, k, basic_micro, eps_max_micro,
+           ROUND((eps_max_micro / 1000000.0)
+                     * sqrt(2 * k * {DP_LN_INV_DELTA})
+                 + k * (eps_max_micro / 1000000.0)
+                     * (exp(eps_max_micro / 1000000.0) - 1), 6) AS adv_eps,
+           ROUND(LEAST(basic_micro / 1000000.0,
+                       (eps_max_micro / 1000000.0)
+                           * sqrt(2 * k * {DP_LN_INV_DELTA})
+                       + k * (eps_max_micro / 1000000.0)
+                           * (exp(eps_max_micro / 1000000.0) - 1)), 6)
+               AS chosen_eps,
+           CAST(CASE WHEN basic_micro > k * {DP_ALLOW_MICRO}
+                     THEN 1 ELSE 0 END AS INTEGER) AS over_cap
+    FROM ch
+    """
+
+
+@query("x9_dp_budget", _DP_BUDGET_ORACLE)
+def x9_dp_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 (r14): DIFFERENTIAL-PRIVACY BUDGET ACCOUNTANT (Dwork & Roth
+    2014, Thm 3.16/3.20) — the governance rung ABOVE the syntactic
+    ladder: k-anonymity / (c,l)-diversity / t-closeness audit ONE
+    release; a data platform issuing a SEQUENCE of per-channel releases
+    must track cumulative privacy loss. Per source channel (each doc =
+    one ε-DP release, ε derived deterministically per release): release
+    count k, exact basic composition Σε (integer micro-units), the
+    homogeneous advanced-composition bound at the channel's worst ε —
+    ε_max·√(2k·ln(1/δ')) + k·ε_max·(e^{{ε_max}}−1), the k-large regime
+    where it beats Σε — the accountant's chosen bound (least of the
+    two), and the over-cap flag a release gate reads.
+
+    Determinism: Σε and the flag are EXACT integers (the flag compares
+    basic_micro to k·allowance — never a float); the advanced bound is
+    transcendental (√, ln, exp) so its terminal ROUND(...,6) is
+    tie-free (CLAUDE.md rule 26b), and its inputs (ε_max/10⁶, k) are
+    bit-identical doubles in both engines. The ε mixer is
+    prefix-stable (Knuth multiplicative) so the over-cap population
+    splits both ways at EVERY SF — pinned in tests.
+
+    Scale shape: one hash aggregate keyed by channel (map-side combine)
+    over a scan; the bound arithmetic runs on the ~20-row channel
+    table. At 100 TB of release logs this stays scan-bound."""
+    rel = read_table(spark, sf_dir, "documents").select(
+        "source", F.expr(DP_EPS_SQL).alias("eps_micro")
+    )
+    ch = rel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("eps_micro").cast("bigint").alias("basic_micro"),
+        F.max("eps_micro").cast("bigint").alias("eps_max_micro"),
+    )
+    eps_max = F.col("eps_max_micro") / F.lit(1000000.0)
+    adv_raw = eps_max * F.sqrt(2 * F.col("k") * F.log(F.lit(1000000.0))) + F.col(
+        "k"
+    ) * eps_max * (F.exp(eps_max) - 1)
+    basic_raw = F.col("basic_micro") / F.lit(1000000.0)
+    return ch.select(
+        "source",
+        "k",
+        "basic_micro",
+        "eps_max_micro",
+        F.round(adv_raw, 6).alias("adv_eps"),
+        F.round(F.least(basic_raw, adv_raw), 6).alias("chosen_eps"),
+        F.when(F.col("basic_micro") > F.col("k") * DP_ALLOW_MICRO, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("over_cap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X-9 (r13): t-closeness — the third rung of the privacy ladder
 # (k-anonymity → l-diversity → t-closeness)
 # ---------------------------------------------------------------------------

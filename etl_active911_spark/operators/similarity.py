@@ -2128,11 +2128,112 @@ def x3_ann_ivf_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_next_assignment(n: DataFrame, cells_prev: DataFrame) -> DataFrame:
-    """One further Lloyd step from an existing assignment: distributed
-    centroid update (posexplode → (cell, pos)-keyed mean of normalized
-    components, rounded 6dp like step 1) and the argmax re-assignment.
-    Spark twin of ``_IVF_LLOYD2_EXT_CTES``."""
+#: how many thinnest cells the reseed plan refills each maintenance pass
+RESEED_Q = 3
+
+_IVF_RESEED_ORACLE = f"""
+    WITH {_IVF_LLOYD_CTES},
+    {_IVF_LLOYD2_EXT_CTES},
+    occ AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n2 FROM cells2 GROUP BY cell
+    ),
+    occ_all AS (
+        SELECT c.cell, COALESCE(o.n2, 0) AS n2
+        FROM (SELECT DISTINCT cell FROM seeds) c
+        LEFT JOIN occ o ON o.cell = c.cell
+    ),
+    thin AS (
+        SELECT cell AS thin_cell, n2 AS thin_n,
+               ROW_NUMBER() OVER (ORDER BY n2, cell) AS i
+        FROM occ_all
+    ),
+    donor AS (
+        SELECT cell AS donor_cell, n2 AS donor_n,
+               ROW_NUMBER() OVER (ORDER BY n2 DESC, cell) AS i
+        FROM occ_all
+    ),
+    own AS (
+        SELECT s.vec_id, s.cell, s.cos
+        FROM sc2 s JOIN cells2 c ON c.vec_id = s.vec_id AND c.cell = s.cell
+    ),
+    far AS (
+        SELECT cell, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY ROUND(cos, 6), vec_id) AS rn
+        FROM own
+    )
+    SELECT t.thin_cell, t.thin_n, d.donor_cell, d.donor_n,
+           f.vec_id AS new_seed_vec_id, ROUND(f.cos, 6) AS seed_cos
+    FROM thin t
+    JOIN donor d USING (i)
+    JOIN far f ON f.cell = d.donor_cell AND f.rn = 1
+    WHERE t.i <= {RESEED_Q}
+    """
+
+
+@query("x3_ann_ivf_reseed_plan", _IVF_RESEED_ORACLE)
+def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r14): IVF RESEED PLANNER — the maintenance step the
+    rebalance/convergence dials feed: after the 2-step Lloyd fit
+    (``x3_ann_ivf_lloyd2``), pair the {RESEED_Q} THINNEST cells with
+    the {RESEED_Q} FATTEST and nominate each donor's outlier member
+    (minimum cosine to its own centroid — the vector its cell
+    represents worst) as the thin cell's replacement seed. This is the
+    standard split-the-heavy-cell move a real index build runs when
+    cells collapse (empty/thin cells waste probe budget; overfull ones
+    blow tail latency). Every pairing and nomination is deterministic:
+    occupancy ties break by cell id, outlier ties by vec_id on the
+    6dp-rounded cosine.
+
+    Scale shape: rides the lloyd2 stages (two corpus scans, bounded
+    16-row centroid broadcasts); the plan itself is windows over the
+    16-row occupancy table plus one per-cell argmin over the member→own
+    -centroid scores (map-side WindowGroupLimit per rule 19). Nothing
+    corpus-sized moves to the driver."""
+    n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    sc2, cells2 = _lloyd_next_scored(n, cells1)
+    occ = cells2.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    cellids = spark.range(IVF_N_CELLS).select(F.col("id").cast("int").alias("cell"))
+    occ_all = cellids.join(occ, "cell", "left").select(
+        "cell", F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2")
+    )
+    w_thin = Window.orderBy(F.col("n2"), F.col("cell"))
+    w_fat = Window.orderBy(F.col("n2").desc(), F.col("cell"))
+    thin = occ_all.select(
+        F.col("cell").alias("thin_cell"),
+        F.col("n2").alias("thin_n"),
+        F.row_number().over(w_thin).alias("i"),
+    ).filter(F.col("i") <= RESEED_Q)
+    donor = occ_all.select(
+        F.col("cell").alias("donor_cell"),
+        F.col("n2").alias("donor_n"),
+        F.row_number().over(w_fat).alias("i"),
+    )
+    own = sc2.join(cells2, ["vec_id", "cell"])
+    w_far = Window.partitionBy("cell").orderBy(F.round("cos", 6), F.col("vec_id"))
+    far = (
+        own.withColumn("rn", F.row_number().over(w_far))
+        .filter(F.col("rn") == 1)
+        .select("cell", "vec_id", "cos")
+    )
+    return (
+        thin.join(donor, "i")
+        .join(far, F.col("cell") == F.col("donor_cell"))
+        .select(
+            "thin_cell",
+            "thin_n",
+            "donor_cell",
+            "donor_n",
+            F.col("vec_id").alias("new_seed_vec_id"),
+            F.round("cos", 6).alias("seed_cos"),
+        )
+    )
+
+
+def _lloyd_next_scored(n: DataFrame, cells_prev: DataFrame):
+    """(sc, cells) of one further Lloyd step — like
+    ``_lloyd_next_assignment`` but also returning the score table (the
+    reseed plan needs member→own-centroid cosines)."""
     flat = n.select("vec_id", "nrm", F.posexplode("ee").alias("pos", "val"))
     cent = (
         flat.join(cells_prev, "vec_id")
@@ -2150,11 +2251,20 @@ def _lloyd_next_assignment(n: DataFrame, cells_prev: DataFrame) -> DataFrame:
         (dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * l2norm(F.col("ce")))).alias("cos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
-    return (
+    cells = (
         sc.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
+    return sc, cells
+
+
+def _lloyd_next_assignment(n: DataFrame, cells_prev: DataFrame) -> DataFrame:
+    """One further Lloyd step from an existing assignment: distributed
+    centroid update (posexplode → (cell, pos)-keyed mean of normalized
+    components, rounded 6dp like step 1) and the argmax re-assignment.
+    Spark twin of ``_IVF_LLOYD2_EXT_CTES``."""
+    return _lloyd_next_scored(n, cells_prev)[1]
 
 
 # ---------------------------------------------------------------------------

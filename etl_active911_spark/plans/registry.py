@@ -193,7 +193,8 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   PLUS the r13-session oracled newcomers that did not take an r14
 #:   fill slot (x3_matryoshka_recall, x6_ar1_halflife,
 #:   x8_pack_attention_contamination) and the r14-session additions
-#:   (x3_ann_ivf_lloyd2, ...);
+#:   (x3_ann_ivf_lloyd2, x3_ann_ivf_reseed_plan, x9_recursive_ldiversity,
+#:   x9_dp_budget);
 #:   remaining slots refresh the oldest-evidence long-cycle rows
 #:   (last driver-scored r13).
 #: Rows-only by design (never windowable): n4_approx_percentiles,

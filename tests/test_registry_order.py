@@ -273,7 +273,8 @@ NEVER_SCORED_ORACLED_AFTER_R14 = {
     # oracled but pinned LAST (disk-writing; outside every window)
     "x3_ann_ivf_compact",
     # r14-session additions (start life never-scored; r15 queue members)
-    "x3_ann_ivf_lloyd2",
+    "x3_ann_ivf_lloyd2", "x3_ann_ivf_reseed_plan",
+    "x9_recursive_ldiversity", "x9_dp_budget",
 }
 
 
