@@ -2134,8 +2134,16 @@ RESEED_Q = 3
 _IVF_RESEED_ORACLE = f"""
     WITH {_IVF_LLOYD_CTES},
     {_IVF_LLOYD2_EXT_CTES},
+    own AS (
+        SELECT vec_id, cell, cos FROM (
+            SELECT vec_id, cell, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM sc2
+        ) t WHERE rn = 1
+    ),
     occ AS (
-        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n2 FROM cells2 GROUP BY cell
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n2 FROM own GROUP BY cell
     ),
     occ_all AS (
         SELECT c.cell, COALESCE(o.n2, 0) AS n2
@@ -2151,10 +2159,6 @@ _IVF_RESEED_ORACLE = f"""
         SELECT cell AS donor_cell, n2 AS donor_n,
                ROW_NUMBER() OVER (ORDER BY n2 DESC, cell) AS i
         FROM occ_all
-    ),
-    own AS (
-        SELECT s.vec_id, s.cell, s.cos
-        FROM sc2 s JOIN cells2 c ON c.vec_id = s.vec_id AND c.cell = s.cell
     ),
     far AS (
         SELECT cell, vec_id, cos,
@@ -2186,13 +2190,29 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-rounded cosine.
 
     Scale shape: rides the lloyd2 stages (two corpus scans, bounded
-    16-row centroid broadcasts); the plan itself is windows over the
-    16-row occupancy table plus one per-cell argmin over the member→own
-    -centroid scores (map-side WindowGroupLimit per rule 19). Nothing
-    corpus-sized moves to the driver."""
+    16-row centroid broadcasts); the assignment KEEPS its score so
+    member→own-centroid cosines need no sc2⋈cells2 self-join (rule 18:
+    that join evaluated the whole Lloyd chain once per side — measured
+    4.9 s vs 1.7 s for lloyd2 itself before this rewrite). The scored
+    assignment is scoped_persist'd (rule 17: occupancy and the per-cell
+    argmin both consume it); the plan tail is windows over the 16-row
+    occupancy table plus one per-cell argmin with map-side
+    WindowGroupLimit (rule 19). Nothing corpus-sized moves to the
+    driver."""
+    from etl_active911_spark.plans.cache import scoped_persist
+
     n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
-    sc2, cells2 = _lloyd_next_scored(n, cells1)
-    occ = cells2.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    sc2, _ = _lloyd_next_scored(n, cells1)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round("cos", 6).desc(), F.col("cell")
+    )
+    own = scoped_persist(
+        "x3_ann_ivf_reseed.own",
+        sc2.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "cos"),
+    )
+    occ = own.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
     cellids = spark.range(IVF_N_CELLS).select(F.col("id").cast("int").alias("cell"))
     occ_all = cellids.join(occ, "cell", "left").select(
         "cell", F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2")
@@ -2209,7 +2229,6 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("donor_n"),
         F.row_number().over(w_fat).alias("i"),
     )
-    own = sc2.join(cells2, ["vec_id", "cell"])
     w_far = Window.partitionBy("cell").orderBy(F.round("cos", 6), F.col("vec_id"))
     far = (
         own.withColumn("rn", F.row_number().over(w_far))
