@@ -80,3 +80,37 @@ def test_dp_budget_bounds_and_split(spark):
         assert r.chosen_eps <= round(basic, 6) + 1e-9
         assert r.chosen_eps <= r.adv_eps + 1e-9
         assert r.eps_max_micro * r.k >= r.basic_micro  # max·k bounds the sum
+
+
+def test_lloyd_centroid_rounding_margin(spark):
+    """Defensive knife-edge guard (CLAUDE.md rule 26a exposure): the
+    Lloyd oracles ROUND(AVG(val/nrm), 6) a float mean whose partial-sum
+    order differs between engines/runs. Four consumers now ride that
+    rounding (lloyd1/lloyd2/rebalance/reseed), so pin the margin: every
+    step-1 centroid component's mean must sit further from its 6dp
+    rounding boundary than any plausible aggregation-order jitter
+    (~1e-14 for 30-term means). Measured margin at the oracle SF:
+    2.9e-10. If a fixture change ever lands a mean near the boundary,
+    this fails LOUDLY before parity starts flaking intermittently."""
+    from pyspark.sql import functions as F
+
+    from etl_active911_spark.io import read_table, spread
+    from etl_active911_spark.operators.similarity import _lloyd_step
+
+    n, cells0, _, _ = _lloyd_step(spread(read_table(spark, SF_ORACLE, "embeddings")))
+    flat = n.select("vec_id", "nrm", F.posexplode("ee").alias("pos", "val"))
+    mu = (
+        flat.join(cells0, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("val").cast("double") / F.col("nrm")).alias("mu"))
+    )
+    dist = mu.select(
+        F.min(
+            F.abs(
+                F.col("mu") * 1000000.0
+                - F.floor(F.col("mu") * 1000000.0)
+                - F.lit(0.5)
+            )
+        ).alias("d")
+    ).collect()[0].d
+    assert dist > 1e-12, f"centroid mean within {dist:.2e} of a 6dp boundary"
