@@ -184,19 +184,24 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: r13-session newcomers, so after r14 executes the never-driver-scored
 #: oracled pool is down to the r15 queue below plus whatever r14's own
 #: session adds.
-#: r15 queue (pinned in tests/test_registry_order.py:PINNED_R15_QUEUE at
-#:   r14 session close — VERDICT r13 item 5): the oldest never-scored
-#:   oracled remainder — x2_cluster_drift, x2_shingle_df_profile,
-#:   x6_dominant_period, x6_event_type_markov, x6_threshold_runs,
-#:   x6_weekday_profile, x7_coverage_gap, x7_temporal_hotspots,
-#:   x8_dup_weighted_counts, x8_source_quota_fill, x9_gate_ablation —
-#:   PLUS the r13-session oracled newcomers that did not take an r14
-#:   fill slot (x3_matryoshka_recall, x6_ar1_halflife,
-#:   x8_pack_attention_contamination) and the r14-session additions
-#:   (x3_ann_ivf_lloyd2, x3_ann_ivf_reseed_plan, x9_recursive_ldiversity,
-#:   x9_dp_budget);
-#:   remaining slots refresh the oldest-evidence long-cycle rows
-#:   (last driver-scored r13).
+#: r15 queue (PINNED at r14 session close in
+#:   tests/test_registry_order.py:PINNED_R15_QUEUE — VERDICT r13 item
+#:   5, exactly-full): ALL 21 windowable never-driver-scored oracled
+#:   queries — the 17 pre-r14 pool members (x2_cluster_drift,
+#:   x2_shingle_df_profile, x6_dominant_period, x6_event_type_markov,
+#:   x6_threshold_runs, x6_weekday_profile, x7_coverage_gap,
+#:   x7_temporal_hotspots, x8_dup_weighted_counts, x8_source_quota_fill,
+#:   x9_gate_ablation, x2_cluster_tail_index, x9_ingest_ablation,
+#:   x9_ingest_routing, x3_matryoshka_recall, x6_ar1_halflife,
+#:   x8_pack_attention_contamination) plus the 4 r14-session additions
+#:   (x9_recursive_ldiversity, x9_dp_budget, x3_ann_ivf_lloyd2,
+#:   x3_ann_ivf_reseed_plan) — and 6 long-cycle refreshes with the
+#:   OLDEST driver evidence (each last scored r3, computed mechanically
+#:   from the CORRECTNESS files: n11_sliding_window, n12_stateful_dedup,
+#:   n13_apply_in_pandas, n13_pandas_grouped_agg, n14_stream_static_join,
+#:   x4_bpe_token_count). Executing r15 drives the oracled driver debt
+#:   to ZERO (only the rows-only-by-design set and the disk-writing
+#:   LAST pair remain outside).
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
 #: oracled error-bound/seeded companions are windowable instead),

@@ -311,3 +311,47 @@ def test_driver_debt_counter():
     print(f"driver-debt: {len(debt)} never-scored of "
           f"{len(registry.QUERIES)} registered "
           f"({len(oracled_debt)} oracled + {len(rows_only_debt)} rows-only)")
+
+
+# The 27-slot r15 queue, pinned at r14 session close (VERDICT r13 item
+# 5): every never-driver-scored windowable oracled query — the 17
+# remaining pre-r14 pool members, then the 4 r14-session additions —
+# plus 6 long-cycle refreshes, the oracled queries with the OLDEST
+# driver evidence (each last scored r3; computed mechanically from the
+# shipped CORRECTNESS files). Heavier/iterative members sit in the last
+# slots so an abort cannot un-score the sweep. x3_ann_ivf_compact stays
+# outside every window by design (disk-writing, pinned LAST).
+PINNED_R15_QUEUE = (
+    "x2_cluster_drift", "x2_shingle_df_profile", "x6_dominant_period",
+    "x6_event_type_markov", "x6_threshold_runs", "x6_weekday_profile",
+    "x7_coverage_gap", "x7_temporal_hotspots", "x8_dup_weighted_counts",
+    "x8_source_quota_fill", "x9_gate_ablation", "x2_cluster_tail_index",
+    "x9_ingest_ablation", "x9_ingest_routing", "x6_ar1_halflife",
+    "x8_pack_attention_contamination", "x9_recursive_ldiversity",
+    "x9_dp_budget",
+    # long-cycle refreshes (oldest driver evidence, all last scored r3)
+    "n11_sliding_window", "n12_stateful_dedup", "n13_apply_in_pandas",
+    "n13_pandas_grouped_agg", "n14_stream_static_join",
+    "x4_bpe_token_count",
+    # heavy tail: brute-force eval + the two-scan Lloyd consumers
+    "x3_matryoshka_recall", "x3_ann_ivf_lloyd2", "x3_ann_ivf_reseed_plan",
+)
+
+
+def test_r15_queue_is_exactly_full_and_all_oracled():
+    """The recorded r15 queue fills 27 slots exactly, every member is
+    registered and oracled, none is in CORE, none was scored by the r14
+    window (so the r15 window is 50/50 hash-checked AND fresh), and it
+    contains EVERY windowable never-scored oracled query — executing it
+    drives the oracled driver debt to zero."""
+    registry.load_all()
+    assert len(PINNED_R15_QUEUE) == 27
+    assert len(set(PINNED_R15_QUEUE)) == 27
+    assert set(PINNED_R15_QUEUE) & set(registry.CORE) == set()
+    assert set(PINNED_R15_QUEUE) & set(registry.ROTATION) == set()
+    for n in PINNED_R15_QUEUE:
+        assert n in registry.QUERIES, n
+        assert n in registry.ORACLES, f"{n}: rows-only query in the r15 queue"
+    windowable_debt = NEVER_SCORED_ORACLED_AFTER_R14 - set(registry.LAST)
+    missing = windowable_debt - set(PINNED_R15_QUEUE)
+    assert missing == set(), sorted(missing)
