@@ -334,7 +334,7 @@ def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap; the injected hard-mode slices exercise both
     (``langid_aug_text``; margins pinned in
     tests/test_langid_injection.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     scores, pred = _langid_v2_cols()
     scored = docs.select(
         "doc_id", F.col("lang").alias("labeled_lang"), *scores
@@ -1657,7 +1657,11 @@ def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the matrix: fr→es on the macaronic phrase (tie-break), and the
     acceptance gate pins the injected diagonal floor
     (tests/test_langid_injection.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    # rule 2: single-file fixture = ONE partition; the v2 scoring is
+    # CPU-heavy per row and this query COMPUTES it for every doc (the
+    # grouped aggregate consumes the scores) — spread buys the full
+    # 32-way scan: 1.55 -> 0.64 s at sf0.1 (A/B r14)
+    docs = spread(read_table(spark, sf_dir, "documents"))
     scores, pred = _langid_v2_cols()
     scored = docs.select(
         F.col("lang").alias("labeled_lang"), *scores
