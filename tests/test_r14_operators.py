@@ -114,3 +114,21 @@ def test_lloyd_centroid_rounding_margin(spark):
         ).alias("d")
     ).collect()[0].d
     assert dist > 1e-12, f"centroid mean within {dist:.2e} of a 6dp boundary"
+
+
+def test_dp_budget_advanced_bound_matches_python_reference(spark):
+    """Transcription cross-check: the Spark/SQL advanced-composition
+    expression must agree with an independent Python evaluation of
+    ε_max·√(2k·ln 10⁶) + k·ε_max·(e^{ε_max}−1) within 5e-7 per channel
+    (one 6dp rounding ulp) — catches log-base / operand-order slips in
+    either engine's transcription."""
+    import math
+
+    from etl_active911_spark.operators.relational import x9_dp_budget
+
+    for r in x9_dp_budget(spark, SF_ORACLE).collect():
+        eps = r.eps_max_micro / 1e6
+        ref = eps * math.sqrt(2 * r.k * math.log(1e6)) + r.k * eps * (
+            math.exp(eps) - 1
+        )
+        assert abs(r.adv_eps - ref) <= 5e-7, (r.source, r.adv_eps, ref)
