@@ -315,14 +315,25 @@ def minhash_signatures(
     which buys the full-pipeline DuckDB oracle below; min-wise uniformity
     of (a·x+b) mod P is the standard universal-hashing guarantee.
     """
+    from etl_active911_spark.plans.cache import memo_cols
+
     exploded = shingle_rows(docs, id_col, text_col).select(
         "doc_id", (token_hash60(F.col("shingle")) % MINHASH_P).alias("x")
     )
-    return exploded.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % MINHASH_P).alias(f"h{i}")
+    # The 64 UNALIASED min-expressions are a fixed tree (~256 py4j round
+    # trips to build) shared by every minhash consumer — memoized per
+    # CLAUDE.md rule 35. Aliases stay per-call: Alias mints its exprId
+    # at construction, and plans that build signatures for TWO inputs
+    # (incremental/drift) must not share alias exprIds (rule 29 class).
+    exprs = memo_cols(
+        "dedup.minhash_mins",
+        lambda: [
+            F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % MINHASH_P)
             for i in range(N_HASHES)
-        ]
+        ],
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[e.alias(f"h{i}") for i, e in enumerate(exprs)]
     )
 
 
@@ -355,6 +366,8 @@ def lsh_band_rows(sigs: DataFrame, oracle_pure: bool = False) -> DataFrame:
     ``oracle_pure=True``: the band-index-prefixed string join of the
     band's minhash values — bit-replicable in the DuckDB oracle SQL
     (which always uses this form)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
     if oracle_pure:
         key = lambda b: F.concat_ws(  # noqa: E731
             "|",
@@ -365,9 +378,13 @@ def lsh_band_rows(sigs: DataFrame, oracle_pure: bool = False) -> DataFrame:
         key = lambda b: F.xxhash64(  # noqa: E731
             F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         )
-    return sigs.select(
-        "doc_id", F.explode(F.array(*[key(b) for b in range(N_BANDS)])).alias("band_key")
+    # fixed N_BANDS-key explode argument, memoized (rule 35); the single
+    # alias is minted per call
+    arr = memo_cols(
+        f"dedup.band_array.{oracle_pure}",
+        lambda: F.array(*[key(b) for b in range(N_BANDS)]),
     )
+    return sigs.select("doc_id", F.explode(arr).alias("band_key"))
 
 
 def lsh_candidate_pairs(
@@ -639,6 +656,8 @@ def signature_agreement_pairs(cands: DataFrame, sigs: DataFrame) -> DataFrame:
     shared by the batch equivalent (``x2_stream_neardup``), the streaming
     gate (streaming/neardup_ingest.py), and the stream≡batch pin, so the
     threshold/estimator cannot drift between them."""
+    from etl_active911_spark.plans.cache import memo_cols
+
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
@@ -647,10 +666,17 @@ def signature_agreement_pairs(cands: DataFrame, sigs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
     )
-    n_eq = None
-    for i in range(N_HASHES):
-        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        n_eq = term if n_eq is None else n_eq + term
+
+    def build_n_eq():
+        n = None
+        for i in range(N_HASHES):
+            term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            n = term if n is None else n + term
+        return n
+
+    # unaliased fixed comparison tree, memoized (rule 35); the a*/b*
+    # alias lists above stay per-call — their exprIds must be fresh
+    n_eq = memo_cols("dedup.sig_agreement_n_eq", build_n_eq)
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -1003,21 +1029,39 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     then bit assembly in a single projection — no interpreted lambdas.
     The token is hashed ONCE; per-bit votes are ALU shifts of that value.
     """
+    from etl_active911_spark.plans.cache import memo_cols
+
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
     toks = toks.select("doc_id", token_hash60(F.col("tok")).alias("h"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
+    # 60 vote-sums + the 60-term bit assembly are fixed trees (~900 py4j
+    # round trips per call — 90% of x2_simhash's per-call wall was plan
+    # build, BASELINE.md r14); memoized UNALIASED per rule 35, aliases
+    # minted per call (rule 29 class)
+    vote_exprs = memo_cols(
+        "dedup.simhash_votes",
+        lambda: [
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
+            )
             for b in range(SIMHASH_BITS)
-        ]
+        ],
     )
-    out = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        out = out + F.shiftleft(
-            F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b
-        )
+    votes = toks.groupBy("doc_id").agg(
+        *[e.alias(f"v{b}") for b, e in enumerate(vote_exprs)]
+    )
+
+    def assemble():
+        out = F.lit(0).cast("long")
+        for b in range(SIMHASH_BITS):
+            out = out + F.shiftleft(
+                F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                b,
+            )
+        return out
+
+    out = memo_cols("dedup.simhash_assemble", assemble)
     return votes.select("doc_id", out.alias("simhash"))
 
 
