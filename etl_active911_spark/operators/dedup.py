@@ -547,11 +547,19 @@ def x2_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped_persist'd because it joins once per pair side (rule 18 —
     broadcast joins would otherwise evaluate the signature subtree
     twice)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
     pairs, a, b = _pair_member_sigs(spark, sf_dir)
-    n_eq = None
-    for i in range(N_HASHES):
-        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        n_eq = term if n_eq is None else n_eq + term
+
+    def build_n_eq():
+        n = None
+        for i in range(N_HASHES):
+            term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            n = term if n is None else n + term
+        return n
+
+    # same fixed unaliased tree as signature_agreement_pairs (rule 35)
+    n_eq = memo_cols("dedup.sig_agreement_n_eq", build_n_eq)
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
