@@ -4904,17 +4904,25 @@ def x3_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs, es = F.slice(F.col("qe"), 1, d), F.slice(F.col("embedding"), 1, d)
         return dot(qs, es) / (l2norm(qs) * l2norm(es))
 
-    legs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(d).cast("int").alias("dims"),
-                    F.round(cos_d(d), 6).alias("cos"),
-                )
-                for d in MRL_DIMS
-            ]
+    def build_legs() -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("dims"),
+                        F.round(cos_d(d), 6).alias("cos"),
+                    )
+                    for d in MRL_DIMS
+                ]
+            )
         )
-    )
+
+    from etl_active911_spark.plans.cache import memo_cols
+
+    # 12 aggregate-lambda trees (4 dims × dot + 2 norms) over fixed
+    # column names — ~1.9 s of py4j construction per call, the heaviest
+    # build in the suite (rule 35); used once per plan
+    legs = memo_cols("similarity.mrl_legs", build_legs)
     sc = pairs.select("query_id", "vec_id", legs.alias("s")).select(
         "query_id", "vec_id", "s.dims", "s.cos"
     )
