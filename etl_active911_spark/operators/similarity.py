@@ -1854,6 +1854,19 @@ def _lloyd_step(emb: DataFrame):
     the post-update assignment. Shared by ``x3_ann_ivf_lloyd1`` (probe +
     re-rank tail) and ``x3_ann_ivf_rebalance_plan`` (assignment-churn
     inventory) — the Spark twin of the hoisted ``_IVF_LLOYD_CTES``."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    # fixed unaliased trees shared by all four Lloyd consumers (rule 35):
+    # the seed-cosine, centroid-cosine, centroid-mean, and array-refold
+    # expressions each cost ~0.1-0.2 s of py4j construction per build
+    seed_cos = memo_cols(
+        "similarity.lloyd_seed_cos",
+        lambda: dot(F.col("ee"), F.col("se")) / (F.col("nrm") * l2norm(F.col("se"))),
+    )
+    cent_mean = memo_cols(
+        "similarity.lloyd_cent_mean",
+        lambda: F.round(F.avg(F.col("val").cast("double") / F.col("nrm")), 6),
+    )
     n = emb.select(
         "vec_id",
         F.col("embedding").alias("ee"),
@@ -1864,9 +1877,7 @@ def _lloyd_step(emb: DataFrame):
         F.col("ee").alias("se"),
     )
     sc0 = n.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "cell",
-        (dot(F.col("ee"), F.col("se")) / (F.col("nrm") * l2norm(F.col("se")))).alias("cos"),
+        "vec_id", "cell", seed_cos.alias("cos")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
     cells0 = (
@@ -1878,17 +1889,11 @@ def _lloyd_step(emb: DataFrame):
     cent = (
         flat.join(cells0, "vec_id")
         .groupBy("cell", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double") / F.col("nrm")), 6).alias("comp"))
+        .agg(cent_mean.alias("comp"))
     )
-    carr = cent.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
-        ).alias("ce")
-    )
+    carr = cent.groupBy("cell").agg(_lloyd_refold().alias("ce"))
     sc1 = n.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "cell",
-        (dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * l2norm(F.col("ce")))).alias("cos"),
+        "vec_id", "cell", _lloyd_cent_cos().alias("cos")
     )
     cells1 = (
         sc1.withColumn("rn", F.row_number().over(w_assign))
@@ -1896,6 +1901,28 @@ def _lloyd_step(emb: DataFrame):
         .select("vec_id", "cell")
     )
     return n, cells0, sc1, cells1
+
+
+def _lloyd_refold() -> Column:
+    """Memoized unaliased centroid array re-fold (rule 35)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    return memo_cols(
+        "similarity.lloyd_refold",
+        lambda: F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+        ),
+    )
+
+
+def _lloyd_cent_cos() -> Column:
+    """Memoized unaliased member-to-centroid cosine (rule 35)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    return memo_cols(
+        "similarity.lloyd_cent_cos",
+        lambda: dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * l2norm(F.col("ce"))),
+    )
 
 
 _IVF_REBALANCE_ORACLE = f"""
@@ -2253,21 +2280,21 @@ def _lloyd_next_scored(n: DataFrame, cells_prev: DataFrame):
     """(sc, cells) of one further Lloyd step — like
     ``_lloyd_next_assignment`` but also returning the score table (the
     reseed plan needs member→own-centroid cosines)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    cent_mean = memo_cols(
+        "similarity.lloyd_cent_mean",
+        lambda: F.round(F.avg(F.col("val").cast("double") / F.col("nrm")), 6),
+    )
     flat = n.select("vec_id", "nrm", F.posexplode("ee").alias("pos", "val"))
     cent = (
         flat.join(cells_prev, "vec_id")
         .groupBy("cell", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double") / F.col("nrm")), 6).alias("comp"))
+        .agg(cent_mean.alias("comp"))
     )
-    carr = cent.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
-        ).alias("ce")
-    )
+    carr = cent.groupBy("cell").agg(_lloyd_refold().alias("ce"))
     sc = n.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "cell",
-        (dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * l2norm(F.col("ce")))).alias("cos"),
+        "vec_id", "cell", _lloyd_cent_cos().alias("cos")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
     cells = (
