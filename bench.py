@@ -342,11 +342,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     ambient: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in HEADLINE:
         if name in registry.QUERIES:
             if name in ANCHOR_17:
                 # probe ambient load right before the anchor's timed runs
                 ambient[name] = _calib_probe()
+                # plan-BUILD time (r14): construction without an action —
+                # the a911/lang_id attributions showed per-call py4j +
+                # analysis can dominate sub-second anchors; publishing the
+                # split makes build-vs-exec drift diagnosable in-record
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, SF_DIR)
+                builds[name] = round(time.perf_counter() - t0, 3)
             timings[name] = time_query(spark, name)
 
     # Confirmatory re-run (r9): a gate-eligible anchor whose median landed
@@ -385,6 +393,8 @@ def main() -> None:
         # run's median: read anchor drift against THIS, not against 1.0
         "ambient_ratios": ambient,
         "ambient_median": amb_sorted[len(amb_sorted) // 2] if amb_sorted else None,
+        # per-anchor plan-construction seconds (one warm build, no action)
+        "anchor_build_sec": builds,
         # one-off fixed overhead (paid before timing; hypothesis-a guard)
         "load_all_sec": LOAD_ALL_SEC,
         # median policy per class (VERDICT r12 item 8: make it visible)
