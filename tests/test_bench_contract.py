@@ -71,3 +71,22 @@ def test_anchor_history_records_every_redenomination():
     for h in bench.ANCHOR_HISTORY:
         assert h["name"] in bench.ANCHOR_SECONDS, h
         assert h.get("round") and h.get("why"), h
+
+
+def test_flag_ratio_rebases_to_refrozen_denominator(monkeypatch):
+    """The 2x flag must fire at exactly 2x the REFROZEN seconds (full
+    original sensitivity against the new workload), not 2x the stale
+    r1 anchor and not factor-rescaled (the retired r13 mechanism)."""
+    name = "flagship_revenue_by_nation"  # any anchor with frozen seconds
+    frozen = bench.ANCHOR_SECONDS[name]
+    monkeypatch.setitem(
+        bench.ANCHOR_REFROZEN, name, (2 * frozen, "rTEST", "unit test")
+    )
+    # measured == refrozen -> flag ratio exactly 1.0
+    raw_ratio = (2 * frozen) / frozen
+    assert abs(bench._flag_ratio(name, raw_ratio) - 1.0) < 1e-9
+    # measured == 2x refrozen -> flag ratio exactly 2.0 (gate boundary)
+    assert abs(bench._flag_ratio(name, 2 * raw_ratio) - 2.0) < 1e-9
+    # an anchor WITHOUT a refreeze entry keeps the raw ratio
+    other = "n2_join_broadcast_agg"
+    assert bench._flag_ratio(other, 1.7) == 1.7
