@@ -171,6 +171,7 @@ HEADLINE = [
     "x3_ann_ivf_reseed_plan",
     "x9_recursive_ldiversity",
     "x9_dp_budget",
+    "n23_skew_profile",
 ]
 
 

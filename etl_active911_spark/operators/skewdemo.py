@@ -95,3 +95,123 @@ def n23_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-23c (r14): the skew PROFILER — the diagnostic an operator runs BEFORE
+# reaching for the salting mechanisms above
+# ---------------------------------------------------------------------------
+
+#: per-task row target for the salt recommendation: a key whose row count
+#: exceeds this gets ceil(max_key_rows / target) salt buckets
+SKEW_TARGET_ROWS = 500
+
+#: (label, table, key column) — the join/aggregate keys the engine's own
+#: queries shuffle on
+_SKEW_KEYS = (
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+
+def _skew_leg_sql(label: str, table: str, col: str) -> str:
+    return f"""
+    SELECT '{label}' AS key_name,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * nk) AS BIGINT) THEN n END)
+                AS BIGINT) AS p99_key_rows,
+           CAST((2::HUGEINT * MAX(n) * COUNT(*) * 1000000 + SUM(n))
+                // (2::HUGEINT * SUM(n)) AS BIGINT) AS skew_ratio_micro,
+           CAST((MAX(n) + {SKEW_TARGET_ROWS} - 1) // {SKEW_TARGET_ROWS}
+                AS BIGINT) AS salt_buckets,
+           CAST(CASE WHEN MAX(n) > {SKEW_TARGET_ROWS} THEN 1 ELSE 0 END
+                AS INTEGER) AS needs_salt
+    FROM (
+        SELECT n, key,
+               ROW_NUMBER() OVER (ORDER BY n, key) AS rn,
+               COUNT(*) OVER () AS nk
+        FROM (SELECT {col} AS key, CAST(COUNT(*) AS BIGINT) AS n
+              FROM {table} GROUP BY 1) k
+    ) t
+    """
+
+
+_SKEW_PROFILE_ORACLE = " UNION ALL ".join(
+    _skew_leg_sql(*leg) for leg in _SKEW_KEYS
+)
+
+
+@query("n23_skew_profile", _SKEW_PROFILE_ORACLE)
+def n23_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-23c (r14): JOIN-KEY SKEW PROFILER — per shuffle key, the
+    distribution facts that decide WHETHER the salted rewrites above are
+    worth their extra exchange: total rows, distinct keys, the hottest
+    key's row count, the exact 0.99-quantile key size (disc percentile
+    via identical rank arithmetic in both engines — no engine quantile
+    function whose interpolation could differ), the max/mean skew ratio
+    (integer half-up micro-division in 128-bit space, rule 27:
+    max·n_keys·10⁶ leaves int64 well inside 100 TB key populations),
+    and the recommended salt-bucket count at SKEW_TARGET_ROWS rows per
+    task. On the fixture, lineitem.l_suppkey recommends salting and the
+    other keys do not — both polarities pinned.
+
+    Scale shape: per key, ONE hash aggregate (map-side combine) to the
+    key-grain table (≪ rows), one rank window over key-grain rows, one
+    scalar rollup. Nothing beyond key cardinality ever shuffles."""
+    legs = []
+    for label, table, col in _SKEW_KEYS:
+        k = (
+            read_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("key"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        from pyspark.sql import Window
+
+        w_rank = Window.orderBy(F.col("n"), F.col("key"))
+        w_all = Window.partitionBy()
+        t = k.select(
+            "n",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("nk"),
+        )
+        agg = t.agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("n").cast("bigint").alias("max_key_rows"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.99) * F.col("nk")).cast("bigint"),
+                    F.col("n"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99_key_rows"),
+        )
+        legs.append(
+            agg.select(
+                F.lit(label).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "p99_key_rows",
+                F.expr(
+                    "CAST((2 * CAST(max_key_rows AS DECIMAL(38,0)) * n_keys * 1000000"
+                    " + n_rows) div (2 * CAST(n_rows AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("skew_ratio_micro"),
+                F.expr(
+                    f"CAST((max_key_rows + {SKEW_TARGET_ROWS} - 1)"
+                    f" div {SKEW_TARGET_ROWS} AS BIGINT)"
+                ).alias("salt_buckets"),
+                F.when(F.col("max_key_rows") > SKEW_TARGET_ROWS, 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("needs_salt"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

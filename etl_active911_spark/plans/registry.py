@@ -198,8 +198,10 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   x3_ann_ivf_reseed_plan) — and 6 long-cycle refreshes with the
 #:   OLDEST driver evidence (each last scored r3, computed mechanically
 #:   from the CORRECTNESS files: n11_sliding_window, n12_stateful_dedup,
-#:   n13_apply_in_pandas, n13_pandas_grouped_agg, n14_stream_static_join,
-#:   x4_bpe_token_count). Executing r15 drives the oracled driver debt
+#:   n13_apply_in_pandas, n13_pandas_grouped_agg, n14_stream_static_join
+#:   — x4_bpe_token_count yielded its sixth refresh slot to the late
+#:   r14-session n23_skew_profile). Executing r15 drives the oracled
+#:   driver debt
 #:   to ZERO (only the rows-only-by-design set and the disk-writing
 #:   LAST pair remain outside).
 #: Rows-only by design (never windowable): n4_approx_percentiles,

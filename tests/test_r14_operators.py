@@ -132,3 +132,24 @@ def test_dp_budget_advanced_bound_matches_python_reference(spark):
             math.exp(eps) - 1
         )
         assert abs(r.adv_eps - ref) <= 5e-7, (r.source, r.adv_eps, ref)
+
+
+def test_skew_profile_polarities_and_bounds(spark):
+    """The profiler's recommendation must fire both ways on the fixture
+    (l_suppkey salts, the other keys do not), the 0.99-quantile can
+    never exceed the max, and the skew ratio is >= 1 by construction
+    (max >= mean)."""
+    from etl_active911_spark.operators.skewdemo import (
+        SKEW_TARGET_ROWS,
+        n23_skew_profile,
+    )
+
+    rows = {r.key_name: r for r in n23_skew_profile(spark, SF_ORACLE).collect()}
+    assert rows["lineitem.l_suppkey"].needs_salt == 1
+    assert rows["orders.o_custkey"].needs_salt == 0
+    for r in rows.values():
+        assert r.p99_key_rows <= r.max_key_rows
+        assert r.skew_ratio_micro >= 1_000_000
+        assert (r.needs_salt == 1) == (r.max_key_rows > SKEW_TARGET_ROWS)
+        assert (r.salt_buckets > 1) == (r.needs_salt == 1)
+        assert r.n_keys <= r.n_rows

@@ -274,7 +274,7 @@ NEVER_SCORED_ORACLED_AFTER_R14 = {
     "x3_ann_ivf_compact",
     # r14-session additions (start life never-scored; r15 queue members)
     "x3_ann_ivf_lloyd2", "x3_ann_ivf_reseed_plan",
-    "x9_recursive_ldiversity", "x9_dp_budget",
+    "x9_recursive_ldiversity", "x9_dp_budget", "n23_skew_profile",
 }
 
 
@@ -329,10 +329,12 @@ PINNED_R15_QUEUE = (
     "x9_ingest_ablation", "x9_ingest_routing", "x6_ar1_halflife",
     "x8_pack_attention_contamination", "x9_recursive_ldiversity",
     "x9_dp_budget",
-    # long-cycle refreshes (oldest driver evidence, all last scored r3)
+    "n23_skew_profile",
+    # long-cycle refreshes (oldest driver evidence, all last scored r3;
+    # x4_bpe_token_count yielded its slot to the r14-session skew
+    # profiler and refreshes in r16)
     "n11_sliding_window", "n12_stateful_dedup", "n13_apply_in_pandas",
     "n13_pandas_grouped_agg", "n14_stream_static_join",
-    "x4_bpe_token_count",
     # heavy tail: brute-force eval + the two-scan Lloyd consumers
     "x3_matryoshka_recall", "x3_ann_ivf_lloyd2", "x3_ann_ivf_reseed_plan",
 )
