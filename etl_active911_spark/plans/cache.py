@@ -114,7 +114,7 @@ def clear_fixture_memos() -> None:
     _MEMO.clear()
 
 
-_COLS_MEMO: dict[str, object] = {}
+_COLS_MEMO: dict[tuple, object] = {}
 
 
 def memo_cols(key: str, builder):
@@ -124,10 +124,21 @@ def memo_cols(key: str, builder):
     construction, not execution). Columns are immutable unresolved
     expressions over NAMED input columns, so one instance is safely
     reusable across plans within the process. Only use for trees with no
-    per-call inputs (no sf_dir/parameter dependence), and build LAZILY —
-    never at import (CLAUDE.md rule 15)."""
-    got = _COLS_MEMO.get(key)
+    per-call inputs (no sf_dir/parameter dependence), with NO aliases
+    inside unless the tree is used at most once per plan (Alias mints
+    its exprId at construction — rule 29 class), and build LAZILY —
+    never at import (CLAUDE.md rule 15).
+
+    Entries are scoped to the active SparkContext's application id:
+    Columns hold py4j object refs that die with the JVM, so a context
+    restart must invalidate the memo, not serve stale handles."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    full = (app, key)
+    got = _COLS_MEMO.get(full)
     if got is None:
         got = builder()
-        _COLS_MEMO[key] = got
+        _COLS_MEMO[full] = got
     return got
