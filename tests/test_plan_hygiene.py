@@ -57,6 +57,8 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "tpch_q11_important_parts": (1, "1-row broadcast SUM(value)*0.001 threshold scalar crossJoined into the HAVING filter (tpch.py:331) — the faithful Q11 scalar-subquery shape"),
     "x4_pmi_bigrams": (2, "two 1-row broadcast corpus-total scalars (n_tokens, n_bigrams) crossJoined into the PMI denominator (textual.py:1031)"),
     "x3_ann_ivf_lloyd1": (4, "broadcast 16-row seed-centroid table per IVF leg (assign0, Lloyd-updated re-assign, probe, re-rank) — same bounded side as x3_ann_recall_eval"),
+    "x3_ann_ivf_lloyd2": (18, "the same bounded 16-row seed/centroid broadcasts as lloyd1, times plan-TEXT subtree repetition: the chain's three crossjoins (seed assign, step-1 centroids, step-2 centroids) appear once per churn-inventory consumer branch (m01 + persisted m12's n1/n2/ch01/ch12 legs); every build side is the 16-row table"),
+    "x3_ann_ivf_reseed_plan": (9, "same 16-row bounded sides: the two-step chain's three crossjoins repeated across the scoped_persist'd scored-assignment consumers (occupancy + per-cell argmin + final join)"),
     "x3_ann_stream_ingest": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
     "x3_ann_ivf_delete": (1, "broadcast 16-row seed-centroid table in argmax_cells (the seeded-IVF bounded side)"),
     "x7_coverage_gap": (1, "broadcast 5-row station dim crossJoined onto the CELL table (|cells| x |stations|, never points x stations)"),
@@ -144,6 +146,12 @@ EXTRA_CHECKED = (
     "x3_centroid_purity",
     "x6_weekday_profile",
     "x2_shingle_df_profile",
+    # r14 additions (post-window; hygiene-gated here)
+    "x3_ann_ivf_lloyd2",
+    "x3_ann_ivf_reseed_plan",
+    "x9_recursive_ldiversity",
+    "x9_dp_budget",
+    "n23_skew_profile",
     # r13 additions (post-window; hygiene-gated here)
     "x9_ingest_funnel",
     "x9_t_closeness",
