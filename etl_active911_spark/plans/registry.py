@@ -113,6 +113,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # DoReMi step) first and the oldest never-driver-scored oracled pool
 # after. All 27 carry DuckDB oracles, so the r14 window is again 50/50
 # hash-checked.
+#
+# r15 (VERDICT r14 item 1): CORRECTNESS_r14 came back 50/50 green (every
+# row hash-checked, fourth consecutive all-hash window), so no red row
+# carries over and ROTATION executes the pinned r15 queue EXACTLY
+# (pinned at r14 session close in
+# tests/test_registry_order.py:PINNED_R15_QUEUE): ALL 21 windowable
+# never-driver-scored oracled queries (the 17 pre-r14 pool members + the
+# 4 r14-session additions) plus 6 long-cycle refreshes with the oldest
+# driver evidence (the r3-last streaming/UDF rows + the late-r14
+# n23_skew_profile). Executing this window drives windowable oracled
+# driver debt to ZERO. All 27 carry DuckDB oracles; heavy/iterative
+# members (matryoshka brute-force eval, the two-scan Lloyd consumers)
+# sit in the final slots so an abort cannot un-score the sweep.
 CORE: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "o2_source_roundtrip",
@@ -139,41 +152,41 @@ CORE: tuple[str, ...] = (
     "x9_curation_pipeline",
 )
 
-#: r14 rotation — the 27-slot queue pinned in the r13 queue-math note,
-#: VERDICT r13 item 1, and tests/test_registry_order.py:PINNED_R14_QUEUE:
-#: 19 named carry-overs (the r12-session wave + sketch error-bound
-#: companions), then 8 fill slots — r13-session newcomers first, oldest
-#: never-driver-scored oracled pool after. Every member carries a DuckDB
-#: oracle, so with the fully-oracled CORE the r14 window is 50/50
-#: hash-checked.
+#: r15 rotation — the 27-slot queue pinned at r14 session close
+#: (tests/test_registry_order.py:PINNED_R15_QUEUE, VERDICT r14 item 1):
+#: the 21 windowable never-driver-scored oracled queries, then 6
+#: long-cycle refreshes with the oldest driver evidence. Every member
+#: carries a DuckDB oracle, so with the fully-oracled CORE the r15
+#: window is 50/50 hash-checked; executing it drives windowable oracled
+#: driver debt to zero.
 ROTATION: tuple[str, ...] = (
-    "x3_mips_topk",
-    "x2_frontier_schedule",
-    "x9_lineage_chain",
-    "x2_overmerge_audit",
-    "n4_percentile_error_bound",
-    "n5_acd_error_bound",
-    "x5_cross_modal_dedup",
-    "x2_semantic_contamination",
-    "x4_normalization_gain",
-    "x4_fertility_by_lang",
-    "x5_audio_envelope_dedup",
-    "x4_pii_gate",
-    "x5_video_framehash_dedup",
-    "x2_license_propagation",
-    "x5_geotag_privacy_audit",
-    "x2_deletion_propagation",
-    "x9_release_scorecard",
-    "x4_compression_bound",
-    "n21_retention_cohorts",
-    "x9_ingest_funnel",
-    "x9_t_closeness",
-    "x8_doremi_step",
-    "x9_stream_curation",
-    "x2_contamination_gate",
-    "x3_ann_ivf_rebalance_plan",
-    "x3_centroid_purity",
-    "x2_minhash_band_occupancy",
+    "x2_cluster_drift",
+    "x2_shingle_df_profile",
+    "x6_dominant_period",
+    "x6_event_type_markov",
+    "x6_threshold_runs",
+    "x6_weekday_profile",
+    "x7_coverage_gap",
+    "x7_temporal_hotspots",
+    "x8_dup_weighted_counts",
+    "x8_source_quota_fill",
+    "x9_gate_ablation",
+    "x2_cluster_tail_index",
+    "x9_ingest_ablation",
+    "x9_ingest_routing",
+    "x6_ar1_halflife",
+    "x8_pack_attention_contamination",
+    "x9_recursive_ldiversity",
+    "x9_dp_budget",
+    "n23_skew_profile",
+    "n11_sliding_window",
+    "n12_stateful_dedup",
+    "n13_apply_in_pandas",
+    "n13_pandas_grouped_agg",
+    "n14_stream_static_join",
+    "x3_matryoshka_recall",
+    "x3_ann_ivf_lloyd2",
+    "x3_ann_ivf_reseed_plan",
 )
 
 PRIORITY: tuple[str, ...] = CORE + ROTATION

@@ -32,10 +32,34 @@ REQUIRED_FAMILY_PREFIXES = [
     "x3_pandas_matmul",
 ]
 
-# The round-13 scoring window (CORRECTNESS_r13.json keys — 50/50 green,
+# The round-14 scoring window (CORRECTNESS_r14.json keys — 50/50 green,
 # every row hash-checked, so nothing carries over): the rotation policy
 # requires each round's window to re-earn driver rows for queries this
 # set did NOT score.
+R14_WINDOW = {
+    "flagship_revenue_by_nation", "o2_source_roundtrip",
+    "o5_base64_roundtrip", "o10_coord_resolve", "o13_response_extract",
+    "o15_time_parse", "o19_links_dedup", "o22_error_accounting",
+    "a911_pipeline_flat", "a911_features_nested", "n11_tumbling_window",
+    "n12_session_window", "n13_pandas_scalar", "n14_stream_stream_join",
+    "x1_exact_dedup", "x2_dup_clusters", "x3_pandas_matmul",
+    "x4_token_stats", "x5_media_decode", "x6_ts_pattern_match",
+    "x7_nearest_station", "x8_stratified_sample", "x9_curation_pipeline",
+    "x3_mips_topk", "x2_frontier_schedule", "x9_lineage_chain",
+    "x2_overmerge_audit", "n4_percentile_error_bound",
+    "n5_acd_error_bound", "x5_cross_modal_dedup",
+    "x2_semantic_contamination", "x4_normalization_gain",
+    "x4_fertility_by_lang", "x5_audio_envelope_dedup", "x4_pii_gate",
+    "x5_video_framehash_dedup", "x2_license_propagation",
+    "x5_geotag_privacy_audit", "x2_deletion_propagation",
+    "x9_release_scorecard", "x4_compression_bound",
+    "n21_retention_cohorts", "x9_ingest_funnel", "x9_t_closeness",
+    "x8_doremi_step", "x9_stream_curation", "x2_contamination_gate",
+    "x3_ann_ivf_rebalance_plan", "x3_centroid_purity",
+    "x2_minhash_band_occupancy",
+}
+
+# Historical: the round-13 scoring window (CORRECTNESS_r13.json keys).
 R13_WINDOW = {
     "flagship_revenue_by_nation", "o2_source_roundtrip",
     "o5_base64_roundtrip", "o10_coord_resolve", "o13_response_extract",
@@ -138,22 +162,22 @@ def test_rotation_reearns_driver_rows():
     """Rotation policy (VERDICT r03 item 3): at least 20 of the window's
     slots must go to queries the PREVIOUS round's window did not score,
     so hard driver evidence cycles through the whole registry over
-    rounds. r14: all 50 r13 rows were green (hash-checked), so no red
+    rounds. r15: all 50 r14 rows were green (hash-checked), so no red
     row carries over and the whole ROTATION (27 slots) is fresh."""
     window = set(list(entry.queries())[:WINDOW])
-    fresh = window - R13_WINDOW
+    fresh = window - R14_WINDOW
     assert len(fresh) >= 20, sorted(fresh)
-    assert set(registry.ROTATION) & R13_WINDOW == set()
+    assert set(registry.ROTATION) & R14_WINDOW == set()
 
 
-def test_r14_pinned_queue_executes_exactly():
-    """VERDICT r13 item 1: the 27-slot r14 queue pinned in r13 executes
-    EXACTLY — every named member holds a slot in this round's window,
-    in the pinned order."""
+def test_r15_pinned_queue_executes_exactly():
+    """VERDICT r14 item 1: the 27-slot r15 queue pinned at r14 session
+    close executes EXACTLY — every named member holds a slot in this
+    round's window, in the pinned order."""
     window = list(entry.queries())[:WINDOW]
-    missing = set(PINNED_R14_QUEUE) - set(window)
+    missing = set(PINNED_R15_QUEUE) - set(window)
     assert missing == set(), sorted(missing)
-    assert registry.ROTATION == PINNED_R14_QUEUE
+    assert registry.ROTATION == PINNED_R15_QUEUE
 
 
 def test_core_is_single_cover_per_family():
@@ -256,10 +280,19 @@ ROWS_ONLY_BY_DESIGN = {
     "x3_ann_ivf_partitioned", "x4_compression_ratio", "x4_bpe_encode",
 }
 
-# Oracled queries that will STILL be never-driver-scored after the r14
-# window executes — i.e. the mandatory backbone of the r15 queue. Any
-# query registered this session must be ADDED here (it starts life
+# Oracled queries that will STILL be never-driver-scored after the r15
+# window executes — with the exactly-full r15 queue live, only the
+# disk-writing LAST member remains outside every window. Any query
+# registered this session must be ADDED here (it starts life
 # never-scored), so the debt ledger can't drift silently.
+NEVER_SCORED_ORACLED_AFTER_R15 = {
+    # oracled but pinned LAST (disk-writing; outside every window)
+    "x3_ann_ivf_compact",
+}
+
+# Historical: the ledger as pinned at r14 session close (backbone of the
+# r15 queue; kept because test_r15_queue_is_exactly_full_and_all_oracled
+# derives the windowable-debt coverage claim from it).
 NEVER_SCORED_ORACLED_AFTER_R14 = {
     # r13-verdict r15 pool (registry queue-math note)
     "x2_cluster_drift", "x2_shingle_df_profile", "x6_dominant_period",
@@ -304,9 +337,9 @@ def test_driver_debt_counter():
     rows_only_debt = debt - set(registry.ORACLES)
     assert rows_only_debt <= ROWS_ONLY_BY_DESIGN, sorted(
         rows_only_debt - ROWS_ONLY_BY_DESIGN)
-    assert oracled_debt == NEVER_SCORED_ORACLED_AFTER_R14, (
-        f"ledger drift: +{sorted(oracled_debt - NEVER_SCORED_ORACLED_AFTER_R14)} "
-        f"-{sorted(NEVER_SCORED_ORACLED_AFTER_R14 - oracled_debt)}")
+    assert oracled_debt == NEVER_SCORED_ORACLED_AFTER_R15, (
+        f"ledger drift: +{sorted(oracled_debt - NEVER_SCORED_ORACLED_AFTER_R15)} "
+        f"-{sorted(NEVER_SCORED_ORACLED_AFTER_R15 - oracled_debt)}")
     # the published counter (judge reads this from -v output)
     print(f"driver-debt: {len(debt)} never-scored of "
           f"{len(registry.QUERIES)} registered "
@@ -345,12 +378,14 @@ def test_r15_queue_is_exactly_full_and_all_oracled():
     registered and oracled, none is in CORE, none was scored by the r14
     window (so the r15 window is 50/50 hash-checked AND fresh), and it
     contains EVERY windowable never-scored oracled query — executing it
-    drives the oracled driver debt to zero."""
+    drives the oracled driver debt to zero. Since r15 it IS the live
+    ROTATION (equality asserted in
+    test_r15_pinned_queue_executes_exactly)."""
     registry.load_all()
     assert len(PINNED_R15_QUEUE) == 27
     assert len(set(PINNED_R15_QUEUE)) == 27
     assert set(PINNED_R15_QUEUE) & set(registry.CORE) == set()
-    assert set(PINNED_R15_QUEUE) & set(registry.ROTATION) == set()
+    assert set(PINNED_R15_QUEUE) & R14_WINDOW == set()
     for n in PINNED_R15_QUEUE:
         assert n in registry.QUERIES, n
         assert n in registry.ORACLES, f"{n}: rows-only query in the r15 queue"
