@@ -33,6 +33,12 @@ key doc_id). Crash-window ordering (ADVICE r13 item 1): state dirs
 rows, and every state append anti-joins what is already on disk — so a
 crash anywhere between the four writes replays to the same verdicts
 with no duplicate state (pinned in tests/test_full_ingest.py).
+Replayed SELF-state is additionally made invisible to the compute
+(ADVICE r14 item 1): sigs_old/bands_old anti-join the batch's doc_ids,
+so a replayed batch cannot inflate the bucket-cap n_old with its own
+pre-crash bands (which would exclude buckets that were under the cap
+originally and change the survivor set); the cap boundary is pinned in
+tests/test_full_ingest.py (bucket at exactly max_bucket).
 """
 
 from __future__ import annotations
@@ -96,8 +102,25 @@ def run_full_ingest_stream(
         batch = batch.localCheckpoint(eager=True)  # feeds all five stages
 
         # --- stage 1: near-dup (the neardup_ingest machinery verbatim) ---
-        sigs_old = _read_or_none(spark, sig_dir)
-        bands_old = _read_or_none(spark, bands_dir)
+        # ADVICE r14 item 1: a crash between the state writes and the
+        # verdict write leaves THIS batch's signatures/bands on disk; the
+        # replay must not see its own pre-crash state (it would inflate
+        # n_old in the bucket-cap filter — excluding buckets that were
+        # under the cap originally and changing the survivor set — and
+        # duplicate batch rows into cross/all_sigs). Keep the raw disk
+        # reads for the append-dedup guards below; anti-join the batch's
+        # doc_ids out of the COMPUTE views.
+        sigs_disk = _read_or_none(spark, sig_dir)
+        bands_disk = _read_or_none(spark, bands_dir)
+        batch_ids = batch.select("doc_id")
+        sigs_old = (
+            None if sigs_disk is None
+            else sigs_disk.join(batch_ids, "doc_id", "left_anti")
+        )
+        bands_old = (
+            None if bands_disk is None
+            else bands_disk.join(batch_ids, "doc_id", "left_anti")
+        )
         sigs_new = minhash_signatures(batch).localCheckpoint(eager=True)
         bands_new = lsh_band_rows(sigs_new).localCheckpoint(eager=True)
         new_buckets = bands_new.groupBy("band_key").agg(
@@ -193,14 +216,17 @@ def run_full_ingest_stream(
         # anti-joins below discard the state it already wrote, so the
         # near-dup/scrub folds converge to the same verdicts. claims is
         # already anti-joined on led_old above.
+        # append guards use the RAW disk state (not the batch-filtered
+        # compute views): replayed self-state must still suppress its own
+        # re-append or the replay would duplicate signature/band rows.
         sigs_out = sigs_new
-        if sigs_old is not None:
-            sigs_out = sigs_new.join(sigs_old.select("doc_id"), "doc_id", "left_anti")
+        if sigs_disk is not None:
+            sigs_out = sigs_new.join(sigs_disk.select("doc_id"), "doc_id", "left_anti")
         sigs_out.write.mode("append").parquet(sig_dir)
         bands_out = bands_new
-        if bands_old is not None:
+        if bands_disk is not None:
             bands_out = bands_new.join(
-                bands_old.select("doc_id").distinct(), "doc_id", "left_anti"
+                bands_disk.select("doc_id").distinct(), "doc_id", "left_anti"
             )
         bands_out.write.mode("append").parquet(bands_dir)
         claims.select(

@@ -263,6 +263,71 @@ def test_full_ingest_crash_window_replays_cleanly(spark, tmp_path):
     assert ledger.count() == ledger.select("seg_md5").distinct().count()
 
 
+def test_full_ingest_crash_replay_at_cap_boundary(spark, tmp_path):
+    """ADVICE r14 item 1: replayed self-state must be INVISIBLE to the
+    bucket-cap filter. With max_bucket=2 every dup-pair bucket sits at
+    exactly the cap, so the original run keeps them; a replay that
+    counted its own pre-crash bands into n_old would read n_new+n_old =
+    2·size > 2 for every pair bucket, drop them all, lose every near-dup
+    candidate, and emit a DIFFERENT (larger) survivor set — the exact
+    divergence the sigs_old/bands_old batch anti-join prevents."""
+    import shutil
+
+    from etl_active911_spark.io import read_table
+
+    docs = (
+        read_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    src_dir = str(tmp_path / "src")
+    dirs = (
+        str(tmp_path / "sigs"),
+        str(tmp_path / "bands"),
+        str(tmp_path / "ledger"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def drain_capped():
+        from etl_active911_spark.streaming import full_ingest
+
+        src = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src_dir)
+        q = full_ingest.run_full_ingest_stream(src, emb, *dirs, max_bucket=2)
+        assert q.awaitTermination(300)
+
+    docs.coalesce(1).write.mode("append").parquet(src_dir)
+    drain_capped()
+    want = {
+        tuple(r[c] for c in ROW_COLS)
+        for r in spark.read.parquet(dirs[3]).collect()
+    }
+    # non-vacuity: at cap 2 the near-dup gate still bites — some pair
+    # bucket sits at EXACTLY the cap and produces a drop, so a cap
+    # filter that double-counts the replayed batch would change this set
+    assert any(r[2] == 0 for r in want), "no near-dup drop at cap 2"
+
+    # crash window: verdict rows lost, state survived
+    shutil.rmtree(dirs[3])
+    shutil.rmtree(dirs[4])  # fresh checkpoint so the source re-delivers
+    docs.coalesce(1).write.mode("append").parquet(src_dir)
+    drain_capped()
+
+    got = {
+        tuple(r[c] for c in ROW_COLS)
+        for r in spark.read.parquet(dirs[3]).collect()
+    }
+    assert got == want
+    # no duplicate state rows from the replay
+    sigs = spark.read.parquet(dirs[0])
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
+    bands = spark.read.parquet(dirs[1])
+    assert bands.count() == bands.dropDuplicates(["doc_id", "band_key"]).count()
+
+
 def test_ingest_ablation_consistent_with_funnel(spark):
     """The ablation matrix is the funnel's per-doc rows re-binned: cell
     counts sum to the survivor total, token masses sum to the survivors'
