@@ -233,24 +233,20 @@ def parse_alert_time_iso(col: Column, now_year: int | None = None) -> Column:
     return F.date_format(parse_alert_time_ntz(col, now_year), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
 
-#: Memo for the hot fixed-input parse tree (r14, a911 anchor attribution —
-#: BASELINE.md r14): building this Column costs ~0.13 s of py4j round
-#: trips PER CALL, paid by every a911-family query invocation. The tree
-#: is an immutable unresolved expression over a named column, so one
-#: instance is safely reusable across plans. Built lazily — NEVER at
-#: import time (CLAUDE.md rule 15: the registry loads before any
-#: SparkSession exists).
-_ISO_COL_MEMO: dict[tuple, Column] = {}
-
-
 def sent_iso_col(name: str = "sent", now_year: int | None = None) -> Column:
-    """Memoized ``parse_alert_time_iso(F.col(name))``."""
-    key = (name, now_year)
-    c = _ISO_COL_MEMO.get(key)
-    if c is None:
-        c = parse_alert_time_iso(F.col(name), now_year)
-        _ISO_COL_MEMO[key] = c
-    return c
+    """Memoized ``parse_alert_time_iso(F.col(name))`` (r14, a911 anchor
+    attribution — BASELINE.md r14: building this Column costs ~0.13 s of
+    py4j round trips PER CALL, paid by every a911-family query
+    invocation). Routed through ``plans.cache.memo_cols`` (ADVICE r14
+    item 2) so the entry shares the applicationId-scoped invalidation —
+    a SparkContext restart in the same process must not serve stale
+    py4j handles. Built lazily — never at import (CLAUDE.md rule 15)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    return memo_cols(
+        f"timeparse.sent_iso:{name}:{now_year}",
+        lambda: parse_alert_time_iso(F.col(name), now_year),
+    )
 
 
 def tz_case_sql(ts_expr: str) -> str:

@@ -2169,7 +2169,12 @@ def x9_recursive_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: multiplicative mixer so the distribution is prefix-stable across SFs
 #: (a plain ``doc_id % m`` would give small SFs a truncated ε range and
 #: no fixed cap could split channels at every SF — scouted r14).
-DP_EPS_SQL = "CAST(5000 + (doc_id * 2654435761) % 29000 AS BIGINT)"
+#: doc_id is reduced mod 29000 BEFORE the multiply (ADVICE r14 item 3):
+#: ((doc_id % m)·C) % m ≡ (doc_id·C) % m for doc_id ≥ 0, so the values
+#: are bit-identical, while the product stays ≤ 28999·C ≈ 7.7e13 —
+#: a bare doc_id·C would silently wrap plain BIGINT in Spark (and error
+#: in DuckDB) for doc_id above ~3.47e9, plausible at 100 TB (rule 27).
+DP_EPS_SQL = "CAST(5000 + ((doc_id % 29000) * 2654435761) % 29000 AS BIGINT)"
 #: per-release ε allowance (micro): channel over-cap iff Σε > k·allowance.
 DP_ALLOW_MICRO = 19_500
 #: δ' for the advanced-composition term: 1e-6 ⇒ ln(1/δ') = ln(1e6).

@@ -280,20 +280,24 @@ def _langid_v2_cols() -> tuple[list[Column], Column]:
     """Memoized (score columns, predicted-language column) for the v2
     classifier — fixed trees over `doc_id`/`lang`/`text`, ~0.5 s of py4j
     construction per build (80% of the x4_lang_id anchor; BASELINE.md
-    r14)."""
+    r14). The memo holds only UNALIASED trees (ADVICE r14 item 4:
+    aliases mint exprIds at construction — memo_cols' own invariant);
+    the ``s_<lang>`` aliases are minted fresh per call, matching the
+    dedup.py minhash/simhash memo pattern."""
     from etl_active911_spark.plans.cache import memo_cols
 
     def build():
         low = F.trim(F.lower(langid_aug_text()))
         toks = F.split(low, r"\s+")
-        scores = [_lang_score2(low, toks, l).alias(f"s_{l}") for l in _LANG_ORDER]
+        scores = [_lang_score2(low, toks, l) for l in _LANG_ORDER]
         best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
         pred = F.lit(None).cast("string")
         for l in reversed(_LANG_ORDER):
             pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
         return scores, pred
 
-    return memo_cols("textual.langid_v2", build)
+    scores, pred = memo_cols("textual.langid_v2", build)
+    return [s.alias(f"s_{l}") for s, l in zip(scores, _LANG_ORDER)], pred
 
 
 _LANG_PRED_SQL = "CASE " + " ".join(

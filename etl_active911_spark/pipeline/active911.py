@@ -213,15 +213,21 @@ def links_array_native(time_as_iso: bool = False) -> Column:
     interpreted-lambda cost is constant per row — unlike corpus-sized
     hot paths (see SCALE.md invariant 3).
     """
-    from etl_active911_spark.functions.timeparse import parse_alert_time_iso
+    from etl_active911_spark.plans.cache import memo_cols
 
     # Memoized per flag (r14): this tree embeds a full lenient-parse chain
     # per link and costs ~0.18 s of py4j round trips to build; it is a
     # fixed expression over the `responses` column, reusable across plans.
-    # Built lazily, never at import (CLAUDE.md rule 15).
-    memo = _LINKS_COL_MEMO.get(time_as_iso)
-    if memo is not None:
-        return memo
+    # Routed through memo_cols (ADVICE r14 item 2) for applicationId-scoped
+    # invalidation. Built lazily, never at import (CLAUDE.md rule 15).
+    return memo_cols(
+        f"active911.links_array:{time_as_iso}",
+        lambda: _build_links_array(time_as_iso),
+    )
+
+
+def _build_links_array(time_as_iso: bool) -> Column:
+    from etl_active911_spark.functions.timeparse import parse_alert_time_iso
 
     time_fn = parse_alert_time_iso if time_as_iso else parse_alert_time
 
@@ -247,12 +253,7 @@ def links_array_native(time_as_iso: bool = False) -> Column:
             F.when(matched, time_fn(F.trim(g(4)))).alias("production_time"),
         )
 
-    col = F.transform(keys, link_of)
-    _LINKS_COL_MEMO[time_as_iso] = col
-    return col
-
-
-_LINKS_COL_MEMO: dict[bool, Column] = {}
+    return F.transform(keys, link_of)
 
 
 def alert_remarks() -> Column:
