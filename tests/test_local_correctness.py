@@ -1,0 +1,120 @@
+"""VERDICT r14 item 8: the disk-writing pair pinned LAST
+(``x3_ann_ivf_compact`` oracled, ``x3_ann_ivf_partitioned`` rows-only)
+sits outside every driver scoring window BY DESIGN, so it can never earn
+an external CORRECTNESS row. Record the local parity-replica verdicts in
+a checked-in artifact (``CORRECTNESS_LOCAL.json``) so the
+external-signal gap is documented evidence, and pin its freshness: the
+artifact embeds fingerprints of the implementation source, the oracle
+SQL, and the fixture — any drift without a regenerating test run fails
+the contract test below.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from etl_active911_spark.plans import registry
+from tests.conftest import SF_ORACLE
+from tests.parity import compare, fetch_df
+
+registry.load_all()
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(ROOT, "CORRECTNESS_LOCAL.json")
+
+#: The never-windowable set (registry.LAST): compact carries a DuckDB
+#: oracle (full hash-checked replica row); partitioned is rows-only by
+#: design (raw ANN values; its oracled companions rotate instead).
+NEVER_WINDOWABLE = ("x3_ann_ivf_compact", "x3_ann_ivf_partitioned")
+
+
+def _md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _fingerprints() -> dict:
+    sim = os.path.join(ROOT, "etl_active911_spark", "operators", "similarity.py")
+    return {
+        "similarity_py_md5": _md5(sim),
+        "oracle_sql_md5": hashlib.md5(
+            registry.ORACLES["x3_ann_ivf_compact"].encode()
+        ).hexdigest(),
+        "fixture_embeddings_md5": _md5(
+            os.path.join(SF_ORACLE, "embeddings.parquet")
+        ),
+    }
+
+
+def test_generate_local_correctness_artifact(spark, duck):
+    """Runs the exact driver-replica comparison for the never-windowable
+    pair and (re)writes the checked-in artifact. Running the suite IS
+    the regeneration step — the freshness contract below then passes."""
+    out: dict[str, dict] = {}
+
+    name = "x3_ann_ivf_compact"
+    spark_df = registry.QUERIES[name](spark, SF_ORACLE)
+    duck_df = fetch_df(duck, registry.ORACLES[name])
+    problems = compare(spark_df, duck_df)
+    out[name] = {
+        "check": "oracle",
+        "rows_match": not any("row" in p for p in problems),
+        "schema_match": not any("schema" in p for p in problems),
+        "hash_match": not problems,
+        "err": "; ".join(problems) or None,
+    }
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+    name = "x3_ann_ivf_partitioned"
+    df = registry.QUERIES[name](spark, SF_ORACLE)
+    rows = df.count()
+    out[name] = {
+        "check": "rows_only",
+        "rows": rows,
+        "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
+        "err": None,
+    }
+    assert rows > 0
+
+    artifact = {
+        "_meta": {
+            "generated_by": "tests/test_local_correctness.py",
+            "why": "registry.LAST runs outside every driver window "
+                   "(disk-writing); this is the local replica evidence "
+                   "(VERDICT r14 item 8)",
+            "sf_dir": SF_ORACLE,
+            "fingerprints": _fingerprints(),
+        },
+        "queries": out,
+    }
+    with open(ARTIFACT, "w") as f:
+        json.dump(artifact, f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
+def test_local_correctness_artifact_is_fresh_and_green():
+    """Contract: the checked-in artifact covers exactly the
+    never-windowable pair, every verdict is green, and the recorded
+    fingerprints match the CURRENT implementation source, oracle SQL,
+    and fixture — editing similarity.py (or the oracle, or the fixture)
+    without re-running the generator test fails here."""
+    assert os.path.exists(ARTIFACT), "CORRECTNESS_LOCAL.json missing"
+    with open(ARTIFACT) as f:
+        artifact = json.load(f)
+    assert sorted(artifact["queries"]) == sorted(NEVER_WINDOWABLE)
+    assert tuple(sorted(NEVER_WINDOWABLE)) == tuple(sorted(registry.LAST))
+    c = artifact["queries"]["x3_ann_ivf_compact"]
+    assert c["check"] == "oracle"
+    assert c["rows_match"] and c["schema_match"] and c["hash_match"], c
+    p = artifact["queries"]["x3_ann_ivf_partitioned"]
+    assert p["check"] == "rows_only"
+    assert p["rows"] > 0 and p["schema"], p
+    assert artifact["_meta"]["fingerprints"] == _fingerprints(), (
+        "artifact stale: similarity.py / oracle SQL / fixture changed "
+        "since generation — re-run test_generate_local_correctness_artifact"
+    )
