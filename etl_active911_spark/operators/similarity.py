@@ -2229,7 +2229,7 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_active911_spark.plans.cache import scoped_persist
 
     n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
-    sc2, _ = _lloyd_next_scored(n, cells1)
+    sc2, _, _ = _lloyd_next_scored(n, cells1)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.round("cos", 6).desc(), F.col("cell")
     )
@@ -2276,10 +2276,141 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_write_index2(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """The INDEX BUILD job for the MAINTAINED layout (r15, VERDICT r14
+    item 3): materialize the 2-step Lloyd state — one row per vector
+    ``(vec_id, embedding, cos)`` written parquet-PARTITIONED BY cell,
+    plus the step-2 centroid table beside the data (``_centroids``,
+    invisible to partition discovery, like ``ivf_write_index``).
+
+    ``cos`` is the member→own-centroid cosine (6dp, the assignment
+    window's own rounding) captured AT WRITE TIME — the design point
+    that makes maintenance inventory-sized: occupancy and outlier
+    nomination become pure layout reads, no embedding arithmetic, no
+    Lloyd refit. At 100 TB this is the scheduled index-build job; the
+    maintenance pass below rides its output."""
+    n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    sc2, _, carr2 = _lloyd_next_scored(n, cells1)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round("cos", 6).desc(), F.col("cell")
+    )
+    own = (
+        sc2.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("cos", 6).alias("cos"))
+    )
+    payload = own.join(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
+    payload.write.partitionBy("cell").mode("overwrite").parquet(path)
+    carr2.select("cell", F.col("ce").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_centroids")
+
+
+def ivf_reseed_plan_from_index(spark: SparkSession, path: str) -> DataFrame:
+    """INDEX-RIDING reseed planner (r15, VERDICT r14 item 3 — "a real
+    100 TB maintenance pass reads the persisted index layout and pays
+    only inventory-sized work"): the same thin/donor pairing and
+    donor-outlier nomination as ``x3_ann_ivf_reseed_plan``, computed
+    from the ``ivf_write_index2`` layout instead of re-fitting the
+    two-step Lloyd chain from raw embeddings (the refit's 2.6 s floor).
+
+    Cost shape, plan-asserted in tests/test_ivf_reseed_ride.py:
+    occupancy is a count keyed by the PARTITION column (the scan reads
+    zero data columns); the outlier argmin reads ``(vec_id, cos)`` for
+    the ``RESEED_Q`` donor cells ONLY — ``cell IN (...)`` lands in the
+    scan's PartitionFilters and the embedding column never appears in
+    ReadSchema. The only driver round trip is the Q donor cell ids
+    (bounded ints — the ``ivf_probe_topk`` exception, rule 23)."""
+    occ = (
+        spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    )
+    cellids = spark.range(IVF_N_CELLS).select(F.col("id").cast("int").alias("cell"))
+    # the 16-row occupancy subtree appears three times (thin window,
+    # donor window, donor-cell collect) but each evaluation is a
+    # ReadSchema:struct<> metadata-count scan — a scoped_persist here
+    # measured NEUTRAL-to-slower (0.98 -> 1.06 s median, r15 A/B), so
+    # the plain form stays (rule 34: only a barrier makes precompute
+    # real, and here the barrier costs more than the recompute)
+    occ_all = cellids.join(occ, "cell", "left").select(
+        "cell", F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2")
+    )
+    w_thin = Window.orderBy(F.col("n2"), F.col("cell"))
+    w_fat = Window.orderBy(F.col("n2").desc(), F.col("cell"))
+    thin = occ_all.select(
+        F.col("cell").alias("thin_cell"),
+        F.col("n2").alias("thin_n"),
+        F.row_number().over(w_thin).alias("i"),
+    ).filter(F.col("i") <= RESEED_Q)
+    donor = occ_all.select(
+        F.col("cell").alias("donor_cell"),
+        F.col("n2").alias("donor_n"),
+        F.row_number().over(w_fat).alias("i"),
+    ).filter(F.col("i") <= RESEED_Q)
+    donor_cells = sorted(
+        r["donor_cell"] for r in donor.select("donor_cell").distinct().collect()
+    )
+    # stored cos is already the assignment window's 6dp rounding, so
+    # ordering on it reproduces the refit's ROUND(cos, 6) order exactly
+    w_far = Window.partitionBy("cell").orderBy(F.col("cos"), F.col("vec_id"))
+    far = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(donor_cells))
+        .select("cell", "vec_id", "cos")
+        .withColumn("rn", F.row_number().over(w_far))
+        .filter(F.col("rn") == 1)
+        .select("cell", "vec_id", "cos")
+    )
+    return (
+        thin.join(donor, "i")
+        .join(far, F.col("cell") == F.col("donor_cell"))
+        .select(
+            "thin_cell",
+            "thin_n",
+            "donor_cell",
+            "donor_n",
+            F.col("vec_id").alias("new_seed_vec_id"),
+            F.col("cos").alias("seed_cos"),
+        )
+    )
+
+
+@query("x3_ann_ivf_reseed_ride", _IVF_RESEED_ORACLE)
+def x3_ann_ivf_reseed_ride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r15, VERDICT r14 item 3): the reseed planner RIDING the
+    persisted index — build the maintained layout once per process
+    (``ivf_write_index2``), then run the inventory-sized maintenance
+    pass (``ivf_reseed_plan_from_index``). Shares the refit planner's
+    DuckDB oracle verbatim: riding the index MUST reproduce the refit
+    answer bit-for-bit (also pinned Spark-vs-Spark in
+    tests/test_ivf_reseed_ride.py).
+
+    Disk-writing, so pinned LAST outside every driver window (rule 16);
+    its local replica verdict is recorded in CORRECTNESS_LOCAL.json.
+    Abort-proof like ``x3_ann_ivf_partitioned``: a readonly temp dir
+    falls back to the refit path (same output by construction)."""
+    import os
+    import tempfile
+
+    try:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        path = os.path.join(tempfile.gettempdir(), f"ivf_index2_{tag}_{os.getpid()}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ivf_write_index2(spark, sf_dir, path)
+        return ivf_reseed_plan_from_index(spark, path)
+    except Exception:  # pragma: no cover - environment-dependent fallback
+        return x3_ann_ivf_reseed_plan(spark, sf_dir)
+
+
 def _lloyd_next_scored(n: DataFrame, cells_prev: DataFrame):
-    """(sc, cells) of one further Lloyd step — like
+    """(sc, cells, carr) of one further Lloyd step — like
     ``_lloyd_next_assignment`` but also returning the score table (the
-    reseed plan needs member→own-centroid cosines)."""
+    reseed plan needs member→own-centroid cosines) and the bounded
+    centroid table (the index build persists it as ``_centroids``)."""
     from etl_active911_spark.plans.cache import memo_cols
 
     cent_mean = memo_cols(
@@ -2302,7 +2433,7 @@ def _lloyd_next_scored(n: DataFrame, cells_prev: DataFrame):
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
-    return sc, cells
+    return sc, cells, carr
 
 
 def _lloyd_next_assignment(n: DataFrame, cells_prev: DataFrame) -> DataFrame:

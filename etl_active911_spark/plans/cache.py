@@ -114,6 +114,36 @@ def clear_fixture_memos() -> None:
     _MEMO.clear()
 
 
+_QPLAN_MEMO: dict[tuple, tuple[tuple, DataFrame]] = {}
+
+
+def plan_memo(name: str, spark, sf_dir: str, builder, table: str = "documents") -> DataFrame:
+    """Memoize an ANALYZED DataFrame plan per (name, application,
+    sf_dir), invalidated when the backing fixture table changes — the
+    generalization of ``pipeline.fixtures._PLAN_MEMO`` (r14, a911
+    anchor) to any registered query whose per-call cost is dominated by
+    driver-side plan construction (rule 35: parquet footer + file
+    listing + py4j Column trees re-paid every invocation). NO data is
+    materialized: every execution still runs the full pipeline; only
+    the immutable analyzed plan is reused.
+
+    Do NOT use for plans that must present FRESH lineage to a self-join
+    / cogroup consumer (rule 29: those sites pass factories precisely to
+    mint new dataset-ids) — memoization would resurrect the ambiguous
+    self-join. Intended for leaf queries returning straight
+    scan→project/aggregate pipelines."""
+    import os
+
+    fp = _fixture_fingerprint(sf_dir, table)
+    key = (name, spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    got = _QPLAN_MEMO.get(key)
+    if got is not None and got[0] == fp:
+        return got[1]
+    df = builder()
+    _QPLAN_MEMO[key] = (fp, df)
+    return df
+
+
 _COLS_MEMO: dict[tuple, object] = {}
 
 

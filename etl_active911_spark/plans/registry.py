@@ -225,8 +225,14 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #: x4_compression_bound), x4_bpe_encode.
 
 #: Disk-writing queries pinned to the very end (rule 16): an abort in a
-#: sandboxed/readonly temp dir cannot un-score the sweep.
-LAST: tuple[str, ...] = ("x3_ann_ivf_compact", "x3_ann_ivf_partitioned")
+#: sandboxed/readonly temp dir cannot un-score the sweep. Their local
+#: replica verdicts are recorded in CORRECTNESS_LOCAL.json
+#: (tests/test_local_correctness.py, VERDICT r14 item 8).
+LAST: tuple[str, ...] = (
+    "x3_ann_ivf_compact",
+    "x3_ann_ivf_partitioned",
+    "x3_ann_ivf_reseed_ride",
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

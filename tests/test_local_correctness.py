@@ -24,10 +24,15 @@ registry.load_all()
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(ROOT, "CORRECTNESS_LOCAL.json")
 
-#: The never-windowable set (registry.LAST): compact carries a DuckDB
-#: oracle (full hash-checked replica row); partitioned is rows-only by
-#: design (raw ANN values; its oracled companions rotate instead).
-NEVER_WINDOWABLE = ("x3_ann_ivf_compact", "x3_ann_ivf_partitioned")
+#: The never-windowable set (registry.LAST): compact and reseed_ride
+#: carry DuckDB oracles (full hash-checked replica rows); partitioned is
+#: rows-only by design (raw ANN values; its oracled companions rotate
+#: instead).
+NEVER_WINDOWABLE = (
+    "x3_ann_ivf_compact",
+    "x3_ann_ivf_partitioned",
+    "x3_ann_ivf_reseed_ride",
+)
 
 
 def _md5(path: str) -> str:
@@ -43,7 +48,11 @@ def _fingerprints() -> dict:
     return {
         "similarity_py_md5": _md5(sim),
         "oracle_sql_md5": hashlib.md5(
-            registry.ORACLES["x3_ann_ivf_compact"].encode()
+            "\n".join(
+                registry.ORACLES[n]
+                for n in sorted(registry.LAST)
+                if n in registry.ORACLES
+            ).encode()
         ).hexdigest(),
         "fixture_embeddings_md5": _md5(
             os.path.join(SF_ORACLE, "embeddings.parquet")
@@ -56,30 +65,29 @@ def test_generate_local_correctness_artifact(spark, duck):
     pair and (re)writes the checked-in artifact. Running the suite IS
     the regeneration step — the freshness contract below then passes."""
     out: dict[str, dict] = {}
-
-    name = "x3_ann_ivf_compact"
-    spark_df = registry.QUERIES[name](spark, SF_ORACLE)
-    duck_df = fetch_df(duck, registry.ORACLES[name])
-    problems = compare(spark_df, duck_df)
-    out[name] = {
-        "check": "oracle",
-        "rows_match": not any("row" in p for p in problems),
-        "schema_match": not any("schema" in p for p in problems),
-        "hash_match": not problems,
-        "err": "; ".join(problems) or None,
-    }
-    assert not problems, f"{name}: " + "; ".join(problems)
-
-    name = "x3_ann_ivf_partitioned"
-    df = registry.QUERIES[name](spark, SF_ORACLE)
-    rows = df.count()
-    out[name] = {
-        "check": "rows_only",
-        "rows": rows,
-        "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
-        "err": None,
-    }
-    assert rows > 0
+    for name in NEVER_WINDOWABLE:
+        if name in registry.ORACLES:
+            spark_df = registry.QUERIES[name](spark, SF_ORACLE)
+            duck_df = fetch_df(duck, registry.ORACLES[name])
+            problems = compare(spark_df, duck_df)
+            out[name] = {
+                "check": "oracle",
+                "rows_match": not any("row" in p for p in problems),
+                "schema_match": not any("schema" in p for p in problems),
+                "hash_match": not problems,
+                "err": "; ".join(problems) or None,
+            }
+            assert not problems, f"{name}: " + "; ".join(problems)
+        else:
+            df = registry.QUERIES[name](spark, SF_ORACLE)
+            rows = df.count()
+            out[name] = {
+                "check": "rows_only",
+                "rows": rows,
+                "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
+                "err": None,
+            }
+            assert rows > 0
 
     artifact = {
         "_meta": {
@@ -108,12 +116,14 @@ def test_local_correctness_artifact_is_fresh_and_green():
         artifact = json.load(f)
     assert sorted(artifact["queries"]) == sorted(NEVER_WINDOWABLE)
     assert tuple(sorted(NEVER_WINDOWABLE)) == tuple(sorted(registry.LAST))
-    c = artifact["queries"]["x3_ann_ivf_compact"]
-    assert c["check"] == "oracle"
-    assert c["rows_match"] and c["schema_match"] and c["hash_match"], c
-    p = artifact["queries"]["x3_ann_ivf_partitioned"]
-    assert p["check"] == "rows_only"
-    assert p["rows"] > 0 and p["schema"], p
+    for name in NEVER_WINDOWABLE:
+        q = artifact["queries"][name]
+        if name in registry.ORACLES:
+            assert q["check"] == "oracle"
+            assert q["rows_match"] and q["schema_match"] and q["hash_match"], q
+        else:
+            assert q["check"] == "rows_only"
+            assert q["rows"] > 0 and q["schema"], q
     assert artifact["_meta"]["fingerprints"] == _fingerprints(), (
         "artifact stale: similarity.py / oracle SQL / fixture changed "
         "since generation — re-run test_generate_local_correctness_artifact"

@@ -129,7 +129,11 @@ def test_ordering_is_a_permutation_of_the_registry():
 
 def test_filesystem_writers_are_registered_last():
     names = list(entry.queries())
-    assert names[-2:] == ["x3_ann_ivf_compact", "x3_ann_ivf_partitioned"]
+    assert names[-3:] == [
+        "x3_ann_ivf_compact",
+        "x3_ann_ivf_partitioned",
+        "x3_ann_ivf_reseed_ride",
+    ]
 
 
 def test_oracle_dict_is_subset_in_same_order():
@@ -286,8 +290,10 @@ ROWS_ONLY_BY_DESIGN = {
 # registered this session must be ADDED here (it starts life
 # never-scored), so the debt ledger can't drift silently.
 NEVER_SCORED_ORACLED_AFTER_R15 = {
-    # oracled but pinned LAST (disk-writing; outside every window)
+    # oracled but pinned LAST (disk-writing; outside every window —
+    # local replica evidence recorded in CORRECTNESS_LOCAL.json)
     "x3_ann_ivf_compact",
+    "x3_ann_ivf_reseed_ride",  # r15-session addition (index-riding reseed)
 }
 
 # Historical: the ledger as pinned at r14 session close (backbone of the
