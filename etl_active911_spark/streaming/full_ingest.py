@@ -68,6 +68,62 @@ from etl_active911_spark.operators.textual import gopher_stats
 from etl_active911_spark.streaming.neardup_ingest import _read_or_none
 
 
+def _stages_2_to_5(
+    spark,
+    batch: DataFrame,
+    surv: DataFrame,
+    tr_all: DataFrame,
+    ev: DataFrame,
+    ledger_dir: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 2-5 of the composed funnel over ONE micro-batch — scrub
+    (first-writer segment ledger) → PII on kept segments → quality →
+    contamination — shared VERBATIM by the dir-state fold below and the
+    state-store twin (streaming/state_ingest.py), so the two paths
+    cannot drift anywhere downstream of the near-dup verdict. ``batch``
+    = every arrival (doc_id, source, text); ``surv`` = stage-1
+    survivors (doc_id, text). Returns (verdict rows, this batch's new
+    ledger claims — already localCheckpoint'd and anti-joined against
+    the on-disk ledger, ready for the idempotent append)."""
+    arrv = surv.select("doc_id", ingest_arrival_text().alias("text"))
+    c = scrub_segment_rows(arrv, with_text=True).localCheckpoint(eager=True)
+    led_old = _read_or_none(spark, ledger_dir)
+    claims = c.groupBy("seg_md5").agg(F.min("doc_id").alias("batch_owner"))
+    if led_old is not None:
+        claims = claims.join(led_old.select("seg_md5"), "seg_md5", "left_anti")
+        owned = led_old.select("seg_md5", F.col("owner_doc").alias("owner"))
+    else:
+        owned = None
+    claims = claims.localCheckpoint(eager=True)  # verdict + append
+    ownership = claims.select("seg_md5", F.col("batch_owner").alias("owner"))
+    if owned is not None:
+        ownership = ownership.unionByName(owned)
+    flagged = c.join(ownership, "seg_md5").select(
+        "doc_id", "n", "n_tok", "seg_txt",
+        (F.col("owner") != F.col("doc_id")).alias("removed"),
+    )
+    ledger = scrub_pii_rollup(flagged)
+
+    # --- stage 4: quality (stateless per batch) ---
+    quality = gopher_stats(batch.select("doc_id", "text")).select(
+        "doc_id", F.col("keep").cast("int").alias("fq")
+    )
+
+    # --- stage 5: contamination (stateless; broadcast eval block) ---
+    tr_batch = tr_all.join(
+        batch.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    contam = train_contamination_rows(tr_batch, ev).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("quarantined").alias("ct_q"),
+    )
+
+    rows = funnel_flag_rows(
+        batch.select("doc_id", "source"), ledger, quality, contam
+    )
+    return rows, claims
+
+
 def run_full_ingest_stream(
     src: DataFrame,
     emb: DataFrame,
@@ -170,42 +226,9 @@ def run_full_ingest_stream(
         )
         surv = batch.join(dropped, "doc_id", "left_anti")
 
-        # --- stages 2+3: scrub arriving text, PII over kept segments ---
-        arrv = surv.select("doc_id", ingest_arrival_text().alias("text"))
-        c = scrub_segment_rows(arrv, with_text=True).localCheckpoint(eager=True)
-        led_old = _read_or_none(spark, ledger_dir)
-        claims = c.groupBy("seg_md5").agg(F.min("doc_id").alias("batch_owner"))
-        if led_old is not None:
-            claims = claims.join(led_old.select("seg_md5"), "seg_md5", "left_anti")
-            owned = led_old.select("seg_md5", F.col("owner_doc").alias("owner"))
-        else:
-            owned = None
-        claims = claims.localCheckpoint(eager=True)  # verdict + append
-        ownership = claims.select("seg_md5", F.col("batch_owner").alias("owner"))
-        if owned is not None:
-            ownership = ownership.unionByName(owned)
-        flagged = c.join(ownership, "seg_md5").select(
-            "doc_id", "n", "n_tok", "seg_txt",
-            (F.col("owner") != F.col("doc_id")).alias("removed"),
-        )
-        ledger = scrub_pii_rollup(flagged)
-
-        # --- stage 4: quality (stateless per batch) ---
-        quality = gopher_stats(batch.select("doc_id", "text")).select(
-            "doc_id", F.col("keep").cast("int").alias("fq")
-        )
-
-        # --- stage 5: contamination (stateless; broadcast eval block) ---
-        tr_batch = tr_all.join(
-            batch.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-        )
-        contam = train_contamination_rows(tr_batch, ev).select(
-            F.col("vec_id").alias("doc_id"),
-            F.col("quarantined").alias("ct_q"),
-        )
-
-        rows = funnel_flag_rows(
-            batch.select("doc_id", "source"), ledger, quality, contam
+        # --- stages 2-5: shared with the state-store twin ---
+        rows, claims = _stages_2_to_5(
+            spark, batch, surv.select("doc_id", "text"), tr_all, ev, ledger_dir
         )
         # State BEFORE verdict rows, each append idempotent (ADVICE r13
         # item 1): the out_dir re-delivery guard suppresses replay once
