@@ -211,6 +211,31 @@ LANGID_CHARSETS: dict[str, str] = {
 #: per hit — weight stopwords 3:1 (integer, so scores stay exact BIGINT).
 LANGID_STOP_WEIGHT = 3
 
+#: r15 (VERDICT r14 item 7): ABSTAIN class. The v2 profile argmaxes over
+#: 5 languages, so out-of-family text was force-labeled (an all-zero
+#: score vector tie-broke to 'en'). Predict 'und' when the best score
+#: carries less evidence than ONE stopword hit (< LANGID_STOP_WEIGHT —
+#: i.e. zero stopword hits in every language and at most 2 charset-class
+#: characters of noise). Integer threshold on exact BIGINT scores: no
+#: knife edges, oracle discipline unchanged. Scope: the classifier pair
+#: (x4_lang_id / x4_langid_confusion) only — x9_curation_pipeline keeps
+#: the pre-abstain v1 argmax (its 'en' filter composes differently and
+#: its semantics are frozen).
+LANGID_UND_MIN = LANGID_STOP_WEIGHT
+
+#: injected OUT-OF-FAMILY slice (rule-31 non-vacuity for the abstain
+#: class): doc_id % 20 == 2 — disjoint from the % 4 == 1 injection
+#: slice, crosses all 5 labels at both fixture SFs (pinned) — REPLACES
+#: the text with Swahili prose: zero hits in all 5 stopword lists, zero
+#: charset-class characters (all-ASCII, no CJK), so every profile score
+#: is exactly 0 and the row must abstain (mechanical pin in
+#: tests/test_langid_injection.py).
+LANGID_OOF = (
+    "watu wengi hapa leo wanafanya kazi nzuri sana kila siku bila "
+    "shaka yoyote asante rafiki yangu karibu tena"
+)
+LANGID_OOF_MOD, LANGID_OOF_REM = 20, 2
+
 _LANGID_PICK_SQL = (
     "CASE WHEN (doc_id // 4) % 5 = 2 AND lang IN ('es', 'fr') THEN '"
     + LANGID_AMBIG
@@ -228,7 +253,8 @@ _LANGID_PICK_SQL = (
 #: column — every (lang, reps, hard) combination occurs; pinned in
 #: tests/test_langid_injection.py).
 LANGID_INJECT_SQL = (
-    "CASE WHEN doc_id % 4 = 1 THEN repeat("
+    f"CASE WHEN doc_id % {LANGID_OOF_MOD} = {LANGID_OOF_REM} THEN '{LANGID_OOF}'"
+    " WHEN doc_id % 4 = 1 THEN repeat("
     + _LANGID_PICK_SQL
     + ", CAST(2 + (doc_id // 4) % 3 AS INT)) || text ELSE text END"
 )
@@ -246,9 +272,15 @@ def langid_aug_text() -> Column:
         .otherwise(sent)
     )
     reps = (F.lit(2) + (F.expr("doc_id div 4") % 3)).cast("int")
-    return F.when(
-        F.col("doc_id") % 4 == 1, F.concat(F.repeat(sent, reps), F.col("text"))
-    ).otherwise(F.col("text"))
+    return (
+        F.when(
+            F.col("doc_id") % LANGID_OOF_MOD == LANGID_OOF_REM, F.lit(LANGID_OOF)
+        )
+        .when(
+            F.col("doc_id") % 4 == 1, F.concat(F.repeat(sent, reps), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+    )
 
 
 def _score_sql(lang: str) -> str:
@@ -307,6 +339,8 @@ def _langid_v2_cols() -> tuple[list[Column], Column]:
         pred = F.lit(None).cast("string")
         for l in reversed(_LANG_ORDER):
             pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
+        # abstain (r15): less evidence than one stopword hit → 'und'
+        pred = F.when(best < LANGID_UND_MIN, F.lit("und")).otherwise(pred)
         return scores, pred
 
     scores, pred = memo_cols("textual.langid_v2", build)
@@ -317,6 +351,17 @@ _LANG_PRED_SQL = "CASE " + " ".join(
     f"WHEN s_{l} >= GREATEST({', '.join('s_' + o for o in _LANG_ORDER)}) THEN '{l}'"
     for l in _LANG_ORDER
 ) + " END"
+
+#: classifier-pair prediction WITH the r15 abstain class; the pre-abstain
+#: ``_LANG_PRED_SQL`` stays as-is for x9_curation_pipeline (see
+#: LANGID_UND_MIN scope note).
+_LANG_PRED_UND_SQL = (
+    f"CASE WHEN GREATEST({', '.join('s_' + o for o in _LANG_ORDER)})"
+    f" < {LANGID_UND_MIN} THEN 'und' " + " ".join(
+        f"WHEN s_{l} >= GREATEST({', '.join('s_' + o for o in _LANG_ORDER)}) THEN '{l}'"
+        for l in _LANG_ORDER
+    ) + " END"
+)
 
 
 @query(
@@ -337,18 +382,21 @@ _LANG_PRED_SQL = "CASE " + " ".join(
                {", ".join(f"CAST({_score2_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
         FROM t
     )
-    SELECT doc_id, labeled_lang, {_LANG_PRED_SQL} AS predicted_lang,
-           ({_LANG_PRED_SQL} = labeled_lang) AS agrees
+    SELECT doc_id, labeled_lang, {_LANG_PRED_UND_SQL} AS predicted_lang,
+           ({_LANG_PRED_UND_SQL} = labeled_lang) AS agrees
     FROM s
     """,
 )
 def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4: language-ID via a per-language feature profile — weighted
     stopword-set hits plus charset-class character hits (r14, VERDICT
-    r13 item 7) — argmax with a fixed tie-break order. Single scan, no
-    shuffle, no UDF. The charset term identifies UNSEGMENTED zh (zero
-    whitespace tokens match) and surfaces real es/fr orthographic
-    overlap; the injected hard-mode slices exercise both
+    r13 item 7) — argmax with a fixed tie-break order, abstaining to
+    'und' below the evidence floor (r15, VERDICT r14 item 7:
+    out-of-family text is no longer force-labeled; the injected Swahili
+    slice and the corpus's zero-stopword docs both abstain). Single
+    scan, no shuffle, no UDF. The charset term identifies UNSEGMENTED
+    zh (zero whitespace tokens match) and surfaces real es/fr
+    orthographic overlap; the injected hard-mode slices exercise both
     (``langid_aug_text``; margins pinned in
     tests/test_langid_injection.py)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
@@ -1654,7 +1702,7 @@ def x9_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     ),
     p AS (
-        SELECT labeled_lang, {_LANG_PRED_SQL} AS predicted_lang FROM s
+        SELECT labeled_lang, {_LANG_PRED_UND_SQL} AS predicted_lang FROM s
     )
     SELECT labeled_lang, predicted_lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1673,7 +1721,9 @@ def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect. Since r14 the hard-mode slices put honest off-diagonal mass
     in the matrix: fr→es on the macaronic phrase (tie-break), and the
     acceptance gate pins the injected diagonal floor
-    (tests/test_langid_injection.py)."""
+    (tests/test_langid_injection.py). Since r15 the matrix carries an
+    'und' column — the abstain class (out-of-family slice + the
+    corpus's zero-evidence docs), floor-pinned in the same tests."""
     # rule 2: single-file fixture = ONE partition; the v2 scoring is
     # CPU-heavy per row and this query COMPUTES it for every doc (the
     # grouped aggregate consumes the scores) — spread buys the full

@@ -70,6 +70,7 @@ from typing import TYPE_CHECKING, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_active911_spark.io import spread
 from etl_active911_spark.operators.dedup import (
     LSH_MAX_BUCKET,
     N_BANDS,
@@ -149,6 +150,26 @@ def _band_gate(max_bucket: int):
 
         pdfs = list(pdf_iter)
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # fast path — the dominant group shape by far (~15/16 of band
+        # buckets are singletons on a fresh corpus): one arrival, no
+        # history. Per-group Python time is THE cost of this operator
+        # (~31k invocations per 1000-doc batch, BASELINE.md r15), so the
+        # common case skips the pandas machinery below entirely.
+        if len(pdf) == 1 and not state.exists:
+            sig = np.asarray(pdf["sig"].iloc[0], dtype=np.int64)
+            state.update(
+                (1, pdf["doc_id"].to_numpy(np.int64).tobytes(), sig.tobytes())
+            )
+            if pdf["band_idx"].iloc[0] == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                        "dropped": np.zeros(1, dtype="int32"),
+                        "text": pdf["text"].to_numpy(),
+                        "source": pdf["source"].to_numpy(),
+                    }
+                )
+            return
         pdf = pdf.drop_duplicates("doc_id")  # within-batch re-delivery
         if state.exists:
             n_old, ids_b, sigs_b = state.get
@@ -238,7 +259,12 @@ def run_full_ingest_state_stream(
     tr_all = emb.filter(~is_eval).select("vec_id", "embedding")
 
     gated = (
-        _band_rows(src.mapInPandas(_sig_batches, _SIG_SCHEMA))
+        # rule 2 at the stream edge: a micro-batch usually lands as ONE
+        # file → one partition; hash-spread by doc_id before the Python
+        # signature pass so it runs at session parallelism (io.spread's
+        # explicit partition count — a bare repartition(col) is
+        # AQE-coalescible right back to one partition)
+        _band_rows(spread(src, "doc_id").mapInPandas(_sig_batches, _SIG_SCHEMA))
         .groupBy("band_key")
         .applyInPandasWithState(
             _band_gate(max_bucket),
@@ -263,13 +289,18 @@ def run_full_ingest_state_stream(
             # re-delivered doc whose band-0 bucket overflowed can emit
             # drops alone — it is already verdict-ed, so discard here
             .filter(F.col("text").isNotNull())
+            # checkpoint FIRST: inside foreachBatch every action re-runs
+            # the batch plan, and here the plan is the whole
+            # signature+stateful pipeline — a pre-checkpoint take(1)
+            # would execute it twice per batch (measured ~2x the batch
+            # wall at sf0.1 before this ordering)
+            .localCheckpoint(eager=True)
         )
         out_old = _read_or_none(spark, out_dir)
         if out_old is not None:
             arriv = arriv.join(out_old.select("doc_id"), "doc_id", "left_anti")
         if not arriv.take(1):
             return
-        arriv = arriv.localCheckpoint(eager=True)  # feeds all stages
         rows, claims = _stages_2_to_5(
             spark,
             arriv.select("doc_id", "source", "text"),

@@ -11,6 +11,13 @@ tie-break order sends BOTH labels to 'es', so fr hard rows are the
 honest off-diagonal confusion mass the verdict asked to see). Acceptance
 gates live here: margins recomputed from the constants, injected
 diagonal floor, unsegmented-zh capability, deterministic fr→es mass.
+
+r15 (VERDICT r14 item 7): the classifier gains an ABSTAIN class — 'und'
+below the LANGID_UND_MIN evidence floor — with an injected
+out-of-family (Swahili) slice on doc_id % LANGID_OOF_MOD ==
+LANGID_OOF_REM. Gates: the sample is mechanically zero-evidence, the
+slice abstains at 100% across all 5 labels (rule 31), and the matrix's
+'und' column carries at least the slice's mass.
 """
 
 from __future__ import annotations
@@ -18,8 +25,12 @@ from __future__ import annotations
 from etl_active911_spark.operators.textual import (
     LANGID_AMBIG,
     LANGID_CHARSETS,
+    LANGID_OOF,
+    LANGID_OOF_MOD,
+    LANGID_OOF_REM,
     LANGID_SAMPLES,
     LANGID_STOP_WEIGHT,
+    LANGID_UND_MIN,
     LANGID_ZH_UNSEG,
     STOPWORDS,
     x4_lang_id,
@@ -92,11 +103,12 @@ def test_hard_mode_margins():
 
 def test_confusion_matrix_is_non_degenerate(spark):
     """Every one of the 5 labeled languages appears as a PREDICTION at
-    the oracle SF, every label's diagonal cell exists, AND (r14) the
-    fr→es off-diagonal cell carries the hard-slice confusion mass."""
+    the oracle SF (plus, since r15, the 'und' abstain class), every
+    label's diagonal cell exists, AND (r14) the fr→es off-diagonal cell
+    carries the hard-slice confusion mass."""
     rows = x4_langid_confusion(spark, SF_ORACLE).collect()
     predicted = {r.predicted_lang for r in rows}
-    assert predicted == set(STOPWORDS), predicted
+    assert predicted == set(STOPWORDS) | {"und"}, predicted
     diagonal = {r.labeled_lang for r in rows if r.labeled_lang == r.predicted_lang}
     assert diagonal == set(STOPWORDS), diagonal
     fr_es = [r for r in rows if r.labeled_lang == "fr" and r.predicted_lang == "es"]
@@ -137,8 +149,45 @@ def test_hard_slices_are_non_vacuous(spark):
 
 
 def test_non_injected_rows_keep_the_degenerate_baseline(spark):
-    """Rows OFF the injection slice still argmax to 'en' (the documented
-    degeneracy of the pure-ASCII synthetic corpus — the charset term is
-    0 there, so v2 preserves v1's argmax exactly)."""
-    rows = x4_lang_id(spark, SF_ORACLE).filter("doc_id % 4 <> 1").collect()
-    assert rows and all(r.predicted_lang == "en" for r in rows)
+    """Rows OFF both injection slices argmax to 'en' — the documented
+    degeneracy of the pure-ASCII synthetic corpus — EXCEPT (r15) docs
+    with zero evidence in every language, which now honestly abstain
+    instead of tie-breaking to 'en'. Both classes must be non-empty."""
+    rows = (
+        x4_lang_id(spark, SF_ORACLE)
+        .filter(f"doc_id % 4 <> 1 AND doc_id % {LANGID_OOF_MOD} <> {LANGID_OOF_REM}")
+        .collect()
+    )
+    preds = {r.predicted_lang for r in rows}
+    assert rows and preds == {"en", "und"}, preds
+
+
+def test_oof_sample_has_zero_evidence():
+    """Mechanical: every LANGID_OOF token misses all 5 stopword lists
+    and the text carries zero charset-class characters — all 5 profile
+    scores are exactly 0, below any positive floor."""
+    assert LANGID_UND_MIN == LANGID_STOP_WEIGHT  # one stopword hit's worth
+    for lang in STOPWORDS:
+        assert _score(lang, LANGID_OOF) == 0, lang
+
+
+def test_oof_slice_abstains_across_all_labels(spark):
+    """Rule-31 non-vacuity for the abstain class: the out-of-family
+    slice is non-empty for EVERY labeled language at the oracle SF, and
+    every row on it predicts 'und' (the pinned 100% floor)."""
+    rows = (
+        x4_lang_id(spark, SF_ORACLE)
+        .filter(f"doc_id % {LANGID_OOF_MOD} = {LANGID_OOF_REM}")
+        .collect()
+    )
+    assert {r.labeled_lang for r in rows} == set(STOPWORDS)
+    for r in rows:
+        assert r.predicted_lang == "und", r
+    # the matrix's und column carries at least the slice's mass
+    und = [
+        r
+        for r in x4_langid_confusion(spark, SF_ORACLE).collect()
+        if r.predicted_lang == "und"
+    ]
+    assert {r.labeled_lang for r in und} == set(STOPWORDS)
+    assert sum(r.n_docs for r in und) >= len(rows)
