@@ -1746,6 +1746,124 @@ def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X-4 (r15): selective-prediction risk-coverage curve for the lang-ID
+# abstain classifier
+# ---------------------------------------------------------------------------
+
+#: evidence-floor sweep in stopword-hit units (multiples of
+#: LANGID_STOP_WEIGHT): t=0 is the pre-abstain classifier (coverage 1),
+#: t=LANGID_UND_MIN is the shipped operating point.
+RC_THRESHOLDS = (0, 3, 6, 9, 12, 15)
+
+
+@query(
+    "x4_langid_risk_coverage",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, lang AS labeled_lang,
+               TRIM(LOWER({LANGID_INJECT_SQL})) AS low
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, labeled_lang, low,
+               string_split_regex(low, '\\s+') AS toks
+        FROM raw
+    ),
+    s AS (
+        SELECT doc_id, labeled_lang,
+               {", ".join(f"CAST({_score2_sql(l)} AS BIGINT) AS s_{l}" for l in _LANG_ORDER)}
+        FROM t
+    ),
+    p AS (
+        SELECT labeled_lang, {_LANG_PRED_SQL} AS pred,
+               GREATEST({", ".join("s_" + l for l in _LANG_ORDER)}) AS best
+        FROM s
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in RC_THRESHOLDS)}]) AS t_min_score),
+    g AS (
+        SELECT th.t_min_score,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN best >= th.t_min_score THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN best >= th.t_min_score AND pred = labeled_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM p CROSS JOIN th GROUP BY th.t_min_score
+    )
+    SELECT CAST(t_min_score AS BIGINT) AS t_min_score, n_total, n_covered,
+           CAST((2 * n_covered * 1000000 + n_total) // (2 * n_total) AS BIGINT)
+               / 1000000.0 AS coverage,
+           n_correct,
+           CASE WHEN n_covered > 0 THEN
+               CAST((2 * n_correct * 1000000 + n_covered) // (2 * n_covered) AS BIGINT)
+               / 1000000.0
+           END AS selective_accuracy
+    FROM g
+    """,
+)
+def x4_langid_risk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 (r15): the RISK-COVERAGE curve of the abstaining lang-ID
+    classifier (selective prediction, El-Yaniv & Wiener JMLR 2010) —
+    the evaluation that prices the r15 'und' floor: for each candidate
+    evidence floor t, what fraction of the corpus keeps a prediction
+    (coverage) and how accurate are the kept predictions (selective
+    accuracy). t=0 is the pre-abstain classifier; t=LANGID_UND_MIN is
+    the shipped operating point, so the curve's t=3 coverage equals
+    1 − the und fraction of x4_lang_id exactly (cross-query pin in
+    tests/test_langid_injection.py). Accuracy is judged on the
+    PRE-abstain argmax ('und' is abstention, not a sixth label).
+
+    Shape: one documents scan computes the memoized v2 scores; ONE
+    single-row hash aggregate carries all |RC_THRESHOLDS| conditional
+    (covered, correct) pairs; the curve unfolds driver-free via stack()
+    — no explode of the corpus, no second scan. Exact integer counts +
+    rule-26 half-up micro division (numerator ≤ 2·n·10⁶, far inside
+    int64)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    scores, _ = _langid_v2_cols()
+    scored = docs.select(F.col("lang").alias("labeled_lang"), *scores)
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_ORDER])
+    pred = F.lit(None).cast("string")  # pre-abstain argmax (small tree)
+    for l in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"s_{l}") >= best, F.lit(l)).otherwise(pred)
+    sel = scored.select(
+        best.alias("best"), (pred == F.col("labeled_lang")).alias("ok")
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_total")]
+    for t in RC_THRESHOLDS:
+        cov = F.col("best") >= t
+        aggs.append(F.sum(F.when(cov, 1).otherwise(0)).cast("bigint").alias(f"cov{t}"))
+        aggs.append(
+            F.sum(F.when(cov & F.col("ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"cor{t}")
+        )
+    one = sel.agg(*aggs)
+    stack = "stack({}, {}) AS (t_min_score, n_covered, n_correct)".format(
+        len(RC_THRESHOLDS),
+        ", ".join(f"CAST({t} AS BIGINT), cov{t}, cor{t}" for t in RC_THRESHOLDS),
+    )
+    return one.select("n_total", F.expr(stack)).select(
+        "t_min_score",
+        "n_total",
+        "n_covered",
+        (
+            F.expr(
+                "CAST((2 * n_covered * 1000000 + n_total) div (2 * n_total)"
+                " AS BIGINT)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("coverage"),
+        "n_correct",
+        F.when(
+            F.col("n_covered") > 0,
+            F.expr(
+                "CAST((2 * n_correct * 1000000 + n_covered) div (2 * n_covered)"
+                " AS BIGINT)"
+            ).cast("double")
+            / 1000000.0,
+        ).alias("selective_accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X-4 (r6): vocabulary growth (Heaps' law) + BPE merge-pair counting
 # ---------------------------------------------------------------------------
 

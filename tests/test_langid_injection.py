@@ -148,6 +148,33 @@ def test_hard_slices_are_non_vacuous(spark):
         assert hard and len(hard) < len(labeled), (lang, len(hard), len(labeled))
 
 
+def test_risk_coverage_curve_is_consistent(spark):
+    """The r15 risk-coverage curve: t=0 covers everything (the
+    pre-abstain classifier), coverage is non-increasing in the floor
+    and strictly drops somewhere, and the t=LANGID_UND_MIN row's
+    coverage equals 1 − the und fraction of x4_lang_id EXACTLY (same
+    half-up micro arithmetic — the cross-query consistency pin)."""
+    from etl_active911_spark.operators.textual import x4_langid_risk_coverage
+
+    rows = sorted(
+        x4_langid_risk_coverage(spark, SF_ORACLE).collect(),
+        key=lambda r: r.t_min_score,
+    )
+    assert rows[0].t_min_score == 0 and rows[0].coverage == 1.0
+    covs = [r.n_covered for r in rows]
+    assert covs == sorted(covs, reverse=True)
+    assert covs[-1] < covs[0]
+    n_total = rows[0].n_total
+    preds = x4_lang_id(spark, SF_ORACLE).collect()
+    assert n_total == len(preds)
+    n_und = sum(r.predicted_lang == "und" for r in preds)
+    at_floor = next(r for r in rows if r.t_min_score == LANGID_UND_MIN)
+    assert at_floor.n_covered == n_total - n_und
+    # selective accuracy at the shipped floor is at least the t=0 raw
+    # accuracy (abstention removes only evidence-free predictions here)
+    assert at_floor.selective_accuracy >= rows[0].selective_accuracy
+
+
 def test_non_injected_rows_keep_the_degenerate_baseline(spark):
     """Rows OFF both injection slices argmax to 'en' — the documented
     degeneracy of the pure-ASCII synthetic corpus — EXCEPT (r15) docs

@@ -294,6 +294,9 @@ NEVER_SCORED_ORACLED_AFTER_R15 = {
     # local replica evidence recorded in CORRECTNESS_LOCAL.json)
     "x3_ann_ivf_compact",
     "x3_ann_ivf_reseed_ride",  # r15-session addition (index-riding reseed)
+    # r15-session addition (abstain risk-coverage curve; starts life
+    # never-scored — r16 queue candidate)
+    "x4_langid_risk_coverage",
 }
 
 # Historical: the ledger as pinned at r14 session close (backbone of the
