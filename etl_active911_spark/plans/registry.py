@@ -217,6 +217,14 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   driver debt
 #:   to ZERO (only the rows-only-by-design set and the disk-writing
 #:   LAST pair remain outside).
+#: r16 queue (PINNED at r15 session close in
+#:   tests/test_registry_order.py:PINNED_R16_QUEUE, forward pin — the
+#:   live ROTATION stays the r15 queue until the driver scores it):
+#:   the one r15-session windowable addition (x4_langid_risk_coverage)
+#:   + the 26 oldest-evidence refreshes (16 last scored r3 incl. the
+#:   promised x4_bpe_token_count, 10 last scored r4), computed
+#:   mechanically from the CORRECTNESS files with post-r15 evidence
+#:   applied. Swapping ROTATION to it is r16's first commit.
 #: Rows-only by design (never windowable): n4_approx_percentiles,
 #: n5_approx_count_distinct, x3_ann_ivf (raw sketch/ANN values — their
 #: oracled error-bound/seeded companions are windowable instead),

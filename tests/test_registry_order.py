@@ -382,6 +382,61 @@ PINNED_R15_QUEUE = (
 )
 
 
+# The r16 queue, pinned at r15 session close (the r14-verdict queue-math
+# discipline continuing): the ONE windowable never-scored oracled query
+# the r15 session added, then the 26 oldest-evidence refreshes computed
+# mechanically from the CORRECTNESS files with post-r15 evidence applied
+# (ROTATION/CORE members count as scored r15) — the 16 r3-last queries
+# (including x4_bpe_token_count, which yielded its r15 slot to the skew
+# profiler and was promised r16) and the 10 r4-last. Swapping ROTATION
+# to this tuple is r16's first commit, NOT an r15 change — the live
+# ROTATION must stay the r15 queue until the driver scores it.
+PINNED_R16_QUEUE = (
+    "x4_langid_risk_coverage",
+    # r3-last refreshes
+    "x4_bpe_token_count", "x4_fingerprint", "x4_gopher_rules",
+    "x4_quality_score", "x4_unigram_logprob", "x5_frame_sample",
+    "x5_media_meta", "x5_media_resize", "x5_meta_kv", "x6_ts_outliers",
+    "x6_ts_znorm_stats", "x7_geo_bucket_join", "x7_geo_radius",
+    "x8_hash_sample", "x8_weighted_sample", "x9_curation_v2",
+    # r4-last refreshes
+    "n1_filter_project", "n2_join_broadcast_agg", "n3_range_join",
+    "n4_agg_pricing_summary", "n5_count_distinct", "n6_grouping_sets",
+    "n7_window_range_frame", "n7_window_rank", "n8_global_topk",
+    "n10_json_struct",
+)
+
+
+def test_r16_queue_is_exactly_full_and_all_oracled():
+    """Forward pin for the r16 rotation: 27 slots exactly, every member
+    registered + oracled + outside CORE, and it contains EVERY
+    windowable oracled query that will still be never-driver-scored
+    after the r15 window executes (mechanically: registered, oracled,
+    absent from all CORRECTNESS files, not in the live r15
+    PRIORITY window, and not pinned LAST) — so executing r16 keeps
+    windowable oracled driver debt at zero."""
+    import glob
+    import json
+
+    registry.load_all()
+    assert len(PINNED_R16_QUEUE) == 27
+    assert len(set(PINNED_R16_QUEUE)) == 27
+    for n in PINNED_R16_QUEUE:
+        assert n in registry.QUERIES, n
+        assert n in registry.ORACLES, n
+        assert n not in registry.CORE, n
+    scored = set()
+    for f in glob.glob("CORRECTNESS_r*.json"):
+        scored |= set(json.load(open(f)))
+    post_r15 = scored | set(registry.CORE) | set(registry.ROTATION)
+    never = {
+        n
+        for n in registry.ORACLES
+        if n not in post_r15 and n not in registry.LAST
+    }
+    assert never <= set(PINNED_R16_QUEUE), never - set(PINNED_R16_QUEUE)
+
+
 def test_r15_queue_is_exactly_full_and_all_oracled():
     """The recorded r15 queue fills 27 slots exactly, every member is
     registered and oracled, none is in CORE, none was scored by the r14
