@@ -302,6 +302,40 @@ def _calib_probe() -> float:
     return round(times[1] / CALIB_FROZEN_SEC, 3)
 
 
+#: Healthy band for the PARALLEL probe below (hash is cache-local, so
+#: 32 threads on 32 cores keep per-task time within ~2x of one thread;
+#: hypervisor steal reads FAR higher — measured 32.6x during the r15
+#: session's contention window while the 1-thread probe read 0.94).
+CPU_PARALLEL_SLOWDOWN_HEALTHY = 2.0
+
+
+def _parallel_probe() -> float:
+    """Per-task slowdown of an all-cores probe vs one thread — the
+    single-thread probe's blind spot (r15): a hypervisor that grants one
+    thread full speed but caps AGGREGATE cycles (co-tenant steal)
+    inflates every 32-way Spark stage while `_calib_probe` reads quiet.
+    Self-relative (no frozen constant): healthy ≈ 1.0-1.5, values
+    beyond CPU_PARALLEL_SLOWDOWN_HEALTHY mean suite/anchor seconds are
+    host-contention-bound and the run's ratios are machine state.
+    hashlib releases the GIL for 64 KiB updates, so threads suffice."""
+    import concurrent.futures as cf
+    import os
+
+    def burn() -> float:
+        h = hashlib.sha256()
+        t0 = time.perf_counter()
+        for _ in range(_CALIB_ROUNDS):
+            h.update(_CALIB_BLOCK)
+        h.digest()
+        return time.perf_counter() - t0
+
+    single = min(burn() for _ in range(3))
+    n = min(32, os.cpu_count() or 1)
+    with cf.ThreadPoolExecutor(n) as ex:
+        per_task = list(ex.map(lambda _: burn(), range(n)))
+    return round(sum(per_task) / n / single, 2)
+
+
 def _n_runs(name: str) -> int:
     if name in ANCHOR_17:
         if ANCHOR_SECONDS.get(name, 1.0) < GATE_MIN_ANCHOR_SEC:
@@ -400,6 +434,13 @@ def main() -> None:
         # run's median: read anchor drift against THIS, not against 1.0
         "ambient_ratios": ambient,
         "ambient_median": amb_sorted[len(amb_sorted) // 2] if amb_sorted else None,
+        # all-cores probe (r15): per-task slowdown of 32 threads vs 1 —
+        # exposes hypervisor/co-tenant AGGREGATE-cycle caps that leave
+        # the single-thread probe reading quiet while every 32-way stage
+        # crawls; > CPU_PARALLEL_SLOWDOWN_HEALTHY ⇒ treat this run's
+        # ratios as machine state
+        "cpu_parallel_slowdown": _parallel_probe(),
+        "cpu_parallel_slowdown_healthy": CPU_PARALLEL_SLOWDOWN_HEALTHY,
         # per-anchor plan-construction seconds (one warm build, no action)
         "anchor_build_sec": builds,
         # one-off fixed overhead (paid before timing; hypothesis-a guard)
