@@ -178,6 +178,10 @@ HEADLINE = [
     # runs are the maintenance pass riding it — measured ~0.98 s vs the
     # 3.2 s refit floor at sf0.1 (BASELINE.md r15)
     "x3_ann_ivf_reseed_ride",
+    # round-15 addition: the abstain classifier's risk-coverage curve
+    # (one scan + one single-row conditional aggregate + stack unfold;
+    # isolated quiet median 0.736 s, BASELINE.md r15)
+    "x4_langid_risk_coverage",
 ]
 
 
