@@ -885,6 +885,18 @@ def x3_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).alias("is_delta"),
         )
     )
+    return _ivf_health_report(assigned)
+
+
+def _ivf_health_report(assigned: DataFrame) -> DataFrame:
+    """The per-cell index-health report tail shared by the seeded add
+    query (``x3_ann_ivf_add``) and the persisted-layout append pass
+    (``x3_ann_ivf_append_ride``): from (cell, r, is_delta) rows — r the
+    6dp-rounded assignment cosine — emit base/delta occupancy, growth,
+    mean assignment cosine per population, drift, and the rebalance
+    flag. Every ``r`` is a multiple of 1e-6, so the double sums are
+    exact far below the terminal round-6 boundary regardless of
+    aggregation order (the add family's cross-engine argument)."""
     agg = assigned.groupBy("cell").agg(
         F.sum(1 - F.col("is_delta")).cast("bigint").alias("n_base"),
         F.sum("is_delta").cast("bigint").alias("n_delta"),
@@ -1716,11 +1728,16 @@ def x3_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared CTE chain for one oracled spherical Lloyd step, ending at
 #: ``cells1`` (the post-update assignment) with ``sc1`` still in scope —
 #: composed verbatim by the lloyd1 serving oracle AND the rebalance-plan
-#: oracle (the hoist-shared-SQL discipline, ADVICE r09 item 3).
-_IVF_LLOYD_CTES = f"""n AS (
+#: oracle (the hoist-shared-SQL discipline, ADVICE r09 item 3). The
+#: ``src`` parameter swaps the corpus source relation (r15 append-ride:
+#: the chain fitted on the base slice only); the module constant below
+#: keeps the default byte-identical so the Lloyd consumers cannot
+#: desync.
+def _ivf_lloyd_ctes(src: str = "embeddings") -> str:
+    return f"""n AS (
         SELECT vec_id, embedding::DOUBLE[] AS ee,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        FROM embeddings
+        FROM {src}
     ),
     seeds AS (
         SELECT CAST(vec_id // 7 AS INT) AS cell, ee AS se
@@ -1768,6 +1785,9 @@ _IVF_LLOYD_CTES = f"""n AS (
             FROM sc1
         ) t WHERE rn = 1
     )"""
+
+
+_IVF_LLOYD_CTES = _ivf_lloyd_ctes()
 
 _IVF_LLOYD_ORACLE = f"""
     WITH {_IVF_LLOYD_CTES},
@@ -2276,7 +2296,7 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_write_index2(spark: SparkSession, sf_dir: str, path: str) -> None:
+def ivf_write_index2(spark: SparkSession, sf_dir: str, path: str, row_filter=None) -> None:
     """The INDEX BUILD job for the MAINTAINED layout (r15, VERDICT r14
     item 3): materialize the 2-step Lloyd state — one row per vector
     ``(vec_id, embedding, cos)`` written parquet-PARTITIONED BY cell,
@@ -2288,8 +2308,16 @@ def ivf_write_index2(spark: SparkSession, sf_dir: str, path: str) -> None:
     that makes maintenance inventory-sized: occupancy and outlier
     nomination become pure layout reads, no embedding arithmetic, no
     Lloyd refit. At 100 TB this is the scheduled index-build job; the
-    maintenance pass below rides its output."""
-    n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    maintenance pass below rides its output.
+
+    ``row_filter`` (a zero-arg Column factory, lazily built per rule 15)
+    restricts the fitted corpus — the r15 append-ride builds the index
+    on the pre-delta base slice. Both reads (fit chain and payload join,
+    the latter a FRESH read per rule 29) apply the same predicate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    if row_filter is not None:
+        emb = emb.filter(row_filter())
+    n, _, _, cells1 = _lloyd_step(spread(emb))
     sc2, _, carr2 = _lloyd_next_scored(n, cells1)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.round("cos", 6).desc(), F.col("cell")
@@ -2299,10 +2327,10 @@ def ivf_write_index2(spark: SparkSession, sf_dir: str, path: str) -> None:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", F.round("cos", 6).alias("cos"))
     )
-    payload = own.join(
-        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        "vec_id",
-    )
+    fresh = read_table(spark, sf_dir, "embeddings")
+    if row_filter is not None:
+        fresh = fresh.filter(row_filter())
+    payload = own.join(fresh.select("vec_id", "embedding"), "vec_id")
     payload.write.partitionBy("cell").mode("overwrite").parquet(path)
     carr2.select("cell", F.col("ce").alias("centroid")).write.mode(
         "overwrite"
@@ -5109,3 +5137,220 @@ def x3_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((2 * n_hits * 1000000 + {denom}) div (2 * {denom}) AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X-3 (r15): APPEND into the persisted IVF layout — the ingest half of
+# the maintained-index lifecycle (build → serve → APPEND → reseed →
+# compact). x3_ann_ivf_add reports a delta assignment against the 16
+# raw seeds in memory; this pass assigns the delta to the PERSISTED
+# _centroids and appends the rows into the cell-partitioned layout, so
+# the index on disk stays serving-complete without a refit — then the
+# health report is a pure layout read (no embedding column in any
+# ReadSchema, plan-asserted in tests/test_ivf_append_ride.py).
+# ---------------------------------------------------------------------------
+
+#: The "new batch" slice for the persisted-index append: the add
+#: family's stride (IVF_ADD_DELTA_MOD/REM), guarded off the seed rows
+#: (vec_id < 7*IVF_N_CELLS stays base) so the base fit keeps all 16
+#: seed cells and the chain's seeds CTE is corpus-identical.
+_APPEND_DELTA_SQL = (
+    f"vec_id % {IVF_ADD_DELTA_MOD} = {IVF_ADD_DELTA_REM}"
+    f" AND vec_id >= {7 * IVF_N_CELLS}"
+)
+_APPEND_BASE_SRC = f"(SELECT * FROM embeddings WHERE NOT ({_APPEND_DELTA_SQL}))"
+
+
+def _append_delta_pred() -> Column:
+    """Delta-batch membership, lazily built (rule 15)."""
+    return (F.col("vec_id") % IVF_ADD_DELTA_MOD == IVF_ADD_DELTA_REM) & (
+        F.col("vec_id") >= 7 * IVF_N_CELLS
+    )
+
+
+def ivf_append_to_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Assign the delta batch to the persisted ``_centroids`` (16-row
+    broadcast — the bounded BNLJ the seeded family carries) and append
+    the rows into the cell-partitioned layout with the same
+    ``(vec_id, cell, cos, embedding)`` payload the build job writes —
+    only the touched cell directories gain files (``mode("append")`` +
+    ``partitionBy``), nothing existing is rewritten. The embedding
+    rides THROUGH the assignment window instead of being re-joined
+    afterwards (rule 36: a derived-from-delta table joined back to
+    delta would evaluate the scoring chain once per side)."""
+    cents = spark.read.parquet(f"{path}/_centroids").select(
+        "cell", F.col("centroid").alias("ce")
+    )
+    delta = read_table(spark, sf_dir, "embeddings").filter(_append_delta_pred())
+    scored = (
+        delta.select(
+            "vec_id",
+            "embedding",
+            F.col("embedding").alias("ee"),
+            l2norm(F.col("embedding")).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell", _lloyd_cent_cos().alias("cos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
+    payload = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("cos", 6).alias("cos"), "embedding")
+    )
+    payload.write.partitionBy("cell").mode("append").parquet(path)
+
+
+def ivf_layout_health_report(spark: SparkSession, path: str) -> DataFrame:
+    """The post-append per-cell health report read from the LAYOUT
+    ONLY: delta membership is a projection of vec_id, the scored cosine
+    is the stored 6dp assignment value, and the embedding column never
+    appears in the scan's ReadSchema (plan-asserted). Inventory-sized
+    at any corpus scale — the same cost class as the reseed ride."""
+    idx = spark.read.parquet(path).select(
+        "cell",
+        F.col("cos").alias("r"),
+        F.when(_append_delta_pred(), 1).otherwise(0).alias("is_delta"),
+    )
+    return _ivf_health_report(idx)
+
+
+def _append_report_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The disk-free twin of the append-ride report (abort fallback,
+    same output by construction): fit the two-step Lloyd chain on the
+    base slice, take each base member's own-cell 6dp cosine from the
+    sc2 argmax, assign the delta batch to the step-2 centroids, and
+    feed the union to the shared report tail. The carr2⋈delta cross
+    join is condition-free (broadcast of a 16-row table), so the
+    shared-lineage sides cannot trip the ambiguous-self-join check
+    (rule 29's cogroup hazard does not apply to crossJoin)."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    n, _, _, cells1 = _lloyd_step(emb.filter(~_append_delta_pred()))
+    sc2, _, carr2 = _lloyd_next_scored(n, cells1)
+    w = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
+    own = (
+        sc2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.round("cos", 6).alias("r"),
+            F.lit(0).alias("is_delta"),
+        )
+    )
+    dscored = (
+        emb.filter(_append_delta_pred())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("ee"),
+            l2norm(F.col("embedding")).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(carr2))
+        .select("vec_id", "cell", _lloyd_cent_cos().alias("cos"))
+    )
+    downs = (
+        dscored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.round("cos", 6).alias("r"),
+            F.lit(1).alias("is_delta"),
+        )
+    )
+    return _ivf_health_report(own.unionByName(downs))
+
+
+_IVF_APPEND_ORACLE = f"""
+    WITH {_ivf_lloyd_ctes(_APPEND_BASE_SRC)},
+    {_IVF_LLOYD2_EXT_CTES},
+    own AS (
+        SELECT vec_id, cell, ROUND(cos, 6) AS r FROM (
+            SELECT vec_id, cell, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM sc2
+        ) t WHERE rn = 1
+    ),
+    delta AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings WHERE {_APPEND_DELTA_SQL}
+    ),
+    dsc AS (
+        SELECT d.vec_id, c.cell,
+               list_dot_product(d.ee, c.ce)
+                 / (d.nrm * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        FROM delta d CROSS JOIN carr2 c
+    ),
+    downs AS (
+        SELECT vec_id, cell, ROUND(cos, 6) AS r FROM (
+            SELECT vec_id, cell, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(cos, 6) DESC, cell) AS rn
+            FROM dsc
+        ) t WHERE rn = 1
+    ),
+    unioned AS (
+        SELECT cell, r, 0 AS is_delta FROM own
+        UNION ALL
+        SELECT cell, r, 1 AS is_delta FROM downs
+    ),
+    agg AS (
+        SELECT cell,
+               CAST(SUM(1 - is_delta) AS BIGINT) AS n_base,
+               CAST(SUM(is_delta) AS BIGINT) AS n_delta,
+               SUM(CASE WHEN is_delta = 0 THEN r ELSE 0 END) AS sb,
+               SUM(CASE WHEN is_delta = 1 THEN r ELSE 0 END) AS sd
+        FROM unioned GROUP BY cell
+    ),
+    m AS (
+        SELECT cell, n_base, n_delta,
+               ROUND(CAST(n_delta AS DOUBLE) / GREATEST(n_base, 1), 6) AS growth,
+               CASE WHEN n_base = 0 THEN 0.0
+                    ELSE ROUND(sb / n_base, 6) END AS mean_cos_base,
+               CASE WHEN n_delta = 0 THEN 0.0
+                    ELSE ROUND(sd / n_delta, 6) END AS mean_cos_delta
+        FROM agg
+    )
+    SELECT cell, n_base, n_delta, growth, mean_cos_base, mean_cos_delta,
+           ROUND(mean_cos_base - mean_cos_delta, 6) AS drift,
+           CAST(CASE WHEN growth > CAST({IVF_ADD_REBALANCE} AS DOUBLE)
+                     THEN 1 ELSE 0 END AS INTEGER) AS needs_rebalance
+    FROM m
+    """
+
+
+@query("x3_ann_ivf_append_ride", _IVF_APPEND_ORACLE)
+def x3_ann_ivf_append_ride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 (r15): the ingest half of the maintained-index lifecycle —
+    build the layout on the pre-delta BASE slice once per process,
+    APPEND the delta batch (assigned to the persisted ``_centroids``,
+    no refit), and return the per-cell health report computed from the
+    layout alone. Same report columns as ``x3_ann_ivf_add`` so a
+    maintainer can diff the seed-based and fitted-index views directly.
+
+    Disk-writing, so pinned LAST outside every driver window (rule 16);
+    its local replica verdict is recorded in CORRECTNESS_LOCAL.json.
+    Idempotent within a process (the ``_delta_appended`` marker guards
+    the append — re-running the query must not double the batch); a
+    readonly temp dir falls back to the disk-free refit twin (same
+    output by construction, pinned in tests/test_ivf_append_ride.py)."""
+    import os
+    import tempfile
+
+    try:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        path = os.path.join(
+            tempfile.gettempdir(), f"ivf_index2b_{tag}_{os.getpid()}"
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ivf_write_index2(
+                spark, sf_dir, path, row_filter=lambda: ~_append_delta_pred()
+            )
+        marker = os.path.join(path, "_delta_appended")
+        if not os.path.exists(marker):
+            ivf_append_to_index(spark, sf_dir, path)
+            with open(marker, "w") as fh:
+                fh.write("1\n")
+        return ivf_layout_health_report(spark, path)
+    except Exception:  # pragma: no cover - environment-dependent fallback
+        return _append_report_refit(spark, sf_dir)

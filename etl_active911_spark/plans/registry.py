@@ -240,6 +240,7 @@ LAST: tuple[str, ...] = (
     "x3_ann_ivf_compact",
     "x3_ann_ivf_partitioned",
     "x3_ann_ivf_reseed_ride",
+    "x3_ann_ivf_append_ride",
 )
 
 

@@ -1,0 +1,148 @@
+"""Persisted-index APPEND (r15): the ingest half of the maintained-index
+lifecycle. The delta batch must (1) land in the cell-partitioned layout
+exactly once (idempotent within a process), (2) be assigned to the
+PERSISTED centroids — no Lloyd refit — with the health report read from
+the layout alone (no embedding column in any ReadSchema), and (3) match
+both the DuckDB oracle and the disk-free refit twin bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from tests.parity import compare, fetch_df
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    from etl_active911_spark.operators.similarity import (
+        _append_delta_pred,
+        ivf_append_to_index,
+        ivf_write_index2,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf2b") / "index")
+    ivf_write_index2(
+        spark, SF_ORACLE, path, row_filter=lambda: ~_append_delta_pred()
+    )
+    ivf_append_to_index(spark, SF_ORACLE, path)
+    return path
+
+
+def test_report_matches_oracle(spark, duck, index_path):
+    from etl_active911_spark.operators.similarity import (
+        _IVF_APPEND_ORACLE,
+        ivf_layout_health_report,
+    )
+
+    problems = compare(
+        ivf_layout_health_report(spark, index_path),
+        fetch_df(duck, _IVF_APPEND_ORACLE),
+    )
+    assert problems == [], problems
+
+
+def test_report_matches_refit_twin(spark, index_path):
+    """Riding the appended layout == the disk-free refit twin, every
+    column, every row (the abort-fallback path returns the same answer
+    by construction — pin it)."""
+    from etl_active911_spark.operators.similarity import (
+        _append_report_refit,
+        ivf_layout_health_report,
+    )
+
+    ride = {tuple(r) for r in ivf_layout_health_report(spark, index_path).collect()}
+    refit = {tuple(r) for r in _append_report_refit(spark, SF_ORACLE).collect()}
+    assert ride == refit
+    assert len(ride) > 0
+
+
+def test_registered_query_is_idempotent(spark):
+    """Running the registered query twice in one process must NOT
+    double-append the delta batch — the report is identical."""
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["x3_ann_ivf_append_ride"]
+    first = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+    second = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+    assert first == second
+    assert len(first) > 0
+
+
+def test_delta_rows_land_exactly_once(spark, index_path):
+    """Layout integrity after the append: every delta vec_id appears in
+    exactly one cell, base rows are untouched, and totals reconcile
+    with the raw table's predicate counts."""
+    from etl_active911_spark.io import read_table
+    from etl_active911_spark.operators.similarity import _append_delta_pred
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    n_all = emb.count()
+    n_delta = emb.filter(_append_delta_pred()).count()
+    assert n_delta > 0, "delta slice empty — the append pin is vacuous"
+
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == n_all
+    per_vec = (
+        idx.filter(_append_delta_pred())
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") != 1)
+        .count()
+    )
+    assert per_vec == 0
+    assert idx.filter(_append_delta_pred()).count() == n_delta
+    # the batch spreads over several cells (non-vacuity: a one-cell
+    # delta would make the per-cell report trivially constant)
+    n_cells = (
+        idx.filter(_append_delta_pred()).select("cell").distinct().count()
+    )
+    assert n_cells >= 2
+
+
+def test_report_plan_reads_layout_only(spark, index_path):
+    """Plan evidence: the health report prunes the embedding payload
+    column everywhere and never scans the raw embeddings parquet."""
+    from etl_active911_spark.operators.similarity import ivf_layout_health_report
+
+    plan = (
+        ivf_layout_health_report(spark, index_path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for rs in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "embedding" not in rs, rs
+    assert "embeddings.parquet" not in plan, plan[:4000]
+
+
+def test_report_flags_are_nonvacuous(spark, index_path):
+    """The sf0.01 fixture exercises every report branch: at least one
+    cell receives zero delta rows (mean_cos_delta = 0 path) and at
+    least one cell's growth crosses the rebalance threshold."""
+    from etl_active911_spark.operators.similarity import ivf_layout_health_report
+
+    rows = ivf_layout_health_report(spark, index_path).collect()
+    assert any(r["n_delta"] == 0 for r in rows)
+    assert any(r["needs_rebalance"] == 1 for r in rows)
+    assert any(r["n_delta"] > 0 and r["needs_rebalance"] == 0 for r in rows)
+
+
+def test_appended_cos_is_stored_rounded(spark, index_path):
+    """The appended rows carry the assignment window's own 6dp
+    rounding, like the build job's rows — the property that keeps every
+    layout consumer (reseed ride, health report) order-exact."""
+    from etl_active911_spark.operators.similarity import _append_delta_pred
+
+    bad = (
+        spark.read.parquet(index_path)
+        .filter(_append_delta_pred())
+        .filter(F.col("cos") != F.round("cos", 6))
+        .count()
+    )
+    assert bad == 0

@@ -32,6 +32,7 @@ NEVER_WINDOWABLE = (
     "x3_ann_ivf_compact",
     "x3_ann_ivf_partitioned",
     "x3_ann_ivf_reseed_ride",
+    "x3_ann_ivf_append_ride",
 )
 
 

@@ -129,10 +129,11 @@ def test_ordering_is_a_permutation_of_the_registry():
 
 def test_filesystem_writers_are_registered_last():
     names = list(entry.queries())
-    assert names[-3:] == [
+    assert names[-4:] == [
         "x3_ann_ivf_compact",
         "x3_ann_ivf_partitioned",
         "x3_ann_ivf_reseed_ride",
+        "x3_ann_ivf_append_ride",
     ]
 
 
@@ -294,6 +295,7 @@ NEVER_SCORED_ORACLED_AFTER_R15 = {
     # local replica evidence recorded in CORRECTNESS_LOCAL.json)
     "x3_ann_ivf_compact",
     "x3_ann_ivf_reseed_ride",  # r15-session addition (index-riding reseed)
+    "x3_ann_ivf_append_ride",  # r15-session addition (index-riding append)
     # r15-session addition (abstain risk-coverage curve; starts life
     # never-scored — r16 queue candidate)
     "x4_langid_risk_coverage",
