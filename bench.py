@@ -182,6 +182,11 @@ HEADLINE = [
     # (one scan + one single-row conditional aggregate + stack unfold;
     # isolated quiet median 0.736 s, BASELINE.md r15)
     "x4_langid_risk_coverage",
+    # round-15 addition: the persisted-index APPEND pass. The untimed
+    # warm-up pays the base-layout build + delta append once per
+    # process; the timed runs are the layout-only health report —
+    # 0.41 s median at sf0.1 (BASELINE.md r15 addendum)
+    "x3_ann_ivf_append_ride",
 ]
 
 
