@@ -5348,7 +5348,21 @@ def x3_ann_ivf_append_ride(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         marker = os.path.join(path, "_delta_appended")
         if not os.path.exists(marker):
-            ivf_append_to_index(spark, sf_dir, path)
+            # the marker is only a fast path — on marker absence the
+            # LAYOUT is the source of truth (a crash between a
+            # committed append job and the marker write must not
+            # double the batch on retry; a FAILED append job leaves
+            # nothing visible, the parquet committer publishes files
+            # only at job commit)
+            already = (
+                spark.read.parquet(path)
+                .filter(_append_delta_pred())
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not already:
+                ivf_append_to_index(spark, sf_dir, path)
             with open(marker, "w") as fh:
                 fh.write("1\n")
         return ivf_layout_health_report(spark, path)

@@ -74,6 +74,30 @@ def test_registered_query_is_idempotent(spark):
     assert len(first) > 0
 
 
+def test_marker_crash_window_is_safe(spark):
+    """Crash between a COMMITTED append job and the marker write: on
+    retry the layout is the source of truth — deleting the marker and
+    re-running the registered query must not double the batch."""
+    import os
+    import tempfile
+
+    from etl_active911_spark.plans import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["x3_ann_ivf_append_ride"]
+    first = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+    marker = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index2b_sf0.01_{os.getpid()}",
+        "_delta_appended",
+    )
+    assert os.path.exists(marker), "registered query did not write its marker"
+    os.remove(marker)
+    replay = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+    assert replay == first
+    assert os.path.exists(marker), "retry did not restore the marker"
+
+
 def test_delta_rows_land_exactly_once(spark, index_path):
     """Layout integrity after the append: every delta vec_id appears in
     exactly one cell, base rows are untouched, and totals reconcile
