@@ -170,3 +170,57 @@ def test_appended_cos_is_stored_rounded(spark, index_path):
         .count()
     )
     assert bad == 0
+
+
+def test_append_touches_only_assigned_cells(spark, tmp_path_factory):
+    """The scale claim itself, file-level: after the append, every file
+    that existed in the base layout is still there UNMODIFIED (same
+    name, same size — nothing rewritten), cells that received no delta
+    rows gained NO files, and every cell that did receive delta rows
+    gained at least one."""
+    import os
+
+    from etl_active911_spark.operators.similarity import (
+        _append_delta_pred,
+        ivf_append_to_index,
+        ivf_write_index2,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf2b_touch") / "index")
+    ivf_write_index2(
+        spark, SF_ORACLE, path, row_filter=lambda: ~_append_delta_pred()
+    )
+
+    def snapshot() -> dict[str, dict[str, int]]:
+        cells: dict[str, dict[str, int]] = {}
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d.startswith("cell=") and os.path.isdir(full):
+                cells[d] = {
+                    f: os.path.getsize(os.path.join(full, f))
+                    for f in os.listdir(full)
+                    if not f.startswith((".", "_"))
+                }
+        return cells
+
+    before = snapshot()
+    ivf_append_to_index(spark, SF_ORACLE, path)
+    after = snapshot()
+
+    delta_cells = {
+        f"cell={r['cell']}"
+        for r in spark.read.parquet(path)
+        .filter(_append_delta_pred())
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert delta_cells, "no delta cells — the pin is vacuous"
+    for cell, files in before.items():
+        for f, size in files.items():
+            assert after[cell].get(f) == size, f"{cell}/{f} was rewritten"
+        gained = set(after[cell]) - set(files)
+        if cell in delta_cells:
+            assert gained, f"{cell} received delta rows but gained no files"
+        else:
+            assert not gained, f"{cell} got files without delta rows: {gained}"
