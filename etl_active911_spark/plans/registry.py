@@ -216,7 +216,7 @@ PRIORITY: tuple[str, ...] = CORE + ROTATION
 #:   r14-session n23_skew_profile). Executing r15 drives the oracled
 #:   driver debt
 #:   to ZERO (only the rows-only-by-design set and the disk-writing
-#:   LAST pair remain outside).
+#:   LAST set remain outside).
 #: r16 queue (PINNED at r15 session close in
 #:   tests/test_registry_order.py:PINNED_R16_QUEUE, forward pin — the
 #:   live ROTATION stays the r15 queue until the driver scores it):

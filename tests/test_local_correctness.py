@@ -1,4 +1,4 @@
-"""VERDICT r14 item 8: the disk-writing pair pinned LAST
+"""VERDICT r14 item 8: the disk-writing set pinned LAST
 (``x3_ann_ivf_compact`` oracled, ``x3_ann_ivf_partitioned`` rows-only)
 sits outside every driver scoring window BY DESIGN, so it can never earn
 an external CORRECTNESS row. Record the local parity-replica verdicts in
@@ -108,7 +108,7 @@ def test_generate_local_correctness_artifact(spark, duck):
 
 def test_local_correctness_artifact_is_fresh_and_green():
     """Contract: the checked-in artifact covers exactly the
-    never-windowable pair, every verdict is green, and the recorded
+    never-windowable set, every verdict is green, and the recorded
     fingerprints match the CURRENT implementation source, oracle SQL,
     and fixture — editing similarity.py (or the oracle, or the fixture)
     without re-running the generator test fails here."""
