@@ -244,6 +244,94 @@ LAST: tuple[str, ...] = (
 )
 
 
+#: r15 OPTIMIZATION round — queries whose registered function is wrapped
+#: in ``plans.cache.wrap_plan_memo`` at load time (rule 35: the bench
+#: paid ~35 s/suite of per-call driver-side plan construction; these
+#: queries reuse the analyzed plan across invocations while every action
+#: still recomputes from the parquet inputs).
+#:
+#: ELIGIBILITY (mechanical, contract-tested in
+#: tests/test_plan_memo_wrap.py): the query's plan contains NO
+#: InMemoryTableScan/InMemoryRelation (a per-call ``scoped_persist``
+#: would carry cached data across bench runs — result caching, banned)
+#: and NO ExistingRDD/LogicalRDD (a builder-side collect/localCheckpoint
+#: would freeze computed values). Queries with side-effectful builders
+#: (the disk-writing ride/append pair) are excluded even though their
+#: plans read clean: their builders create the on-disk index layout and
+#: must re-check it per call.
+PLAN_MEMOED: tuple[str, ...] = (
+    "a911_pipeline_flat",
+    "flagship_revenue_by_nation",
+    "n10_json_struct",
+    "n11_tumbling_window",
+    "n12_session_window",
+    "n13_apply_in_pandas",
+    "n17_asof_join",
+    "n21_retention_cohorts",
+    "n23_skew_profile",
+    "n2_join_broadcast_agg",
+    "n3_range_join",
+    "n4_agg_pricing_summary",
+    "n4_percentile_error_bound",
+    "n5_acd_error_bound",
+    "n7_window_rank",
+    "n8_global_topk",
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q8_market_share",
+    "x1_exact_dedup",
+    "x2_chunk_cross_dup",
+    "x2_contamination_gate",
+    "x2_decontaminate",
+    "x2_fuzzy_linkage",
+    "x2_simhash",
+    "x2_substr_scrub",
+    "x3_ann_ivf_add",
+    "x3_ann_ivf_add_recall",
+    "x3_ann_stream_ingest",
+    "x3_cosine_topk",
+    "x4_bigram_logprob",
+    "x4_compression_bound",
+    "x4_fertility_by_lang",
+    "x4_lang_id",
+    "x4_langid_confusion",
+    "x4_langid_risk_coverage",
+    "x4_normalization_gain",
+    "x4_pii_gate",
+    "x5_aspect_bucket_pack",
+    "x5_audio_envelope_dedup",
+    "x5_geotag_privacy_audit",
+    "x5_media_decode",
+    "x5_media_decode_real",
+    "x5_phash_banded_dedup",
+    "x6_ar1_halflife",
+    "x6_cusum_changepoint",
+    "x6_forecast_eval",
+    "x6_resample_ffill",
+    "x6_ts_decompose",
+    "x6_ts_dtw",
+    "x6_ts_pattern_match",
+    "x8_epoch_shuffle",
+    "x8_interleave_sources",
+    "x8_pack_attention_contamination",
+    "x8_shard_assign",
+    "x8_stratified_sample",
+    "x9_dp_budget",
+    "x9_recursive_ldiversity",
+    "x9_t_closeness",
+)
+
+
+def _wrap_plan_memoed() -> None:
+    """Apply the plan memo to every PLAN_MEMOED query (idempotent)."""
+    from etl_active911_spark.plans import cache
+
+    for name in PLAN_MEMOED:
+        fn = QUERIES.get(name)
+        if fn is not None and not getattr(fn, "_plan_memoed", False):
+            QUERIES[name] = cache.wrap_plan_memo(name, fn)
+
+
 def ordered_queries() -> dict[str, QueryFn]:
     """Registry contents reordered for the driver's 50-row scoring window:
     PRIORITY names first (in that order), then the remaining queries in
@@ -284,3 +372,5 @@ def load_all() -> None:
     import etl_active911_spark.pipeline.control  # noqa: F401
     import etl_active911_spark.streaming.windows  # noqa: F401
     import etl_active911_spark.streaming.joins  # noqa: F401
+
+    _wrap_plan_memoed()
