@@ -242,20 +242,26 @@ def _ann_projs(spark: SparkSession, emb: DataFrame) -> DataFrame:
     ONE definition for x3_ann_lsh / x3_ann_lsh_multiprobe /
     x3_ann_method_recall — their superset/identity guarantees require
     bit-identical signatures, so the pipeline must never fork."""
+    from etl_active911_spark.plans.cache import memo_cols
+
     planes = spark.createDataFrame(
         [tuple([d] + _ANN_SIGNS[d]) for d in range(EMB_DIM)],
         "d int, " + ", ".join(f"s{p} int" for p in range(ANN_N_PLANES)),
     )
     dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    # the 32 SUM trees are fixed-input (v, s0..s31) — memoize UNALIASED
+    # and mint the p<N> aliases per call (memo_cols alias invariant)
+    sums = memo_cols(
+        "similarity.ann_proj_sums",
+        lambda: [
+            F.sum(F.col("v").cast("double") * F.col(f"s{p}"))
+            for p in range(ANN_N_PLANES)
+        ],
+    )
     return (
         dims.join(F.broadcast(planes), "d")
         .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.col("v").cast("double") * F.col(f"s{p}")).alias(f"p{p}")
-                for p in range(ANN_N_PLANES)
-            ]
-        )
+        .agg(*[c.alias(f"p{p}") for p, c in enumerate(sums)])
     )
 
 
@@ -267,27 +273,42 @@ def _ann_bit(band: int, j: int, inverted: bool = False) -> Column:
 
 
 def _ann_band_cols() -> list[Column]:
-    """Index-prefixed band keys (the corpus/single-probe key set)."""
-    return [
-        F.concat(
-            F.lit(f"{band}:"),
-            *[_ann_bit(band, j) for j in range(ANN_PLANES_PER_BAND)],
-        )
-        for band in range(ANN_N_BANDS)
-    ]
+    """Index-prefixed band keys (the corpus/single-probe key set).
+    Fixed-input alias-free trees over p0..p31 — memoized (rule 35:
+    ~0.16 s of py4j construction per call before r15)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    return memo_cols(
+        "similarity.ann_band_cols",
+        lambda: [
+            F.concat(
+                F.lit(f"{band}:"),
+                *[_ann_bit(band, j) for j in range(ANN_PLANES_PER_BAND)],
+            )
+            for band in range(ANN_N_BANDS)
+        ],
+    )
 
 
 def _ann_probe_cols() -> list[Column]:
     """T=1 multi-probe key set: each band's own key plus every
-    Hamming-distance-1 perturbation (strict superset of the band keys)."""
-    return [
-        F.concat(
-            F.lit(f"{band}:"),
-            *[_ann_bit(band, j, j == flip) for j in range(ANN_PLANES_PER_BAND)],
-        )
-        for band in range(ANN_N_BANDS)
-        for flip in range(-1, ANN_PLANES_PER_BAND)
-    ]
+    Hamming-distance-1 perturbation (strict superset of the band keys).
+    40 fixed alias-free concat trees — memoized (rule 35: ~0.9 s of py4j
+    construction per call before r15, the largest single build cost in
+    the ANN eval family)."""
+    from etl_active911_spark.plans.cache import memo_cols
+
+    return memo_cols(
+        "similarity.ann_probe_cols",
+        lambda: [
+            F.concat(
+                F.lit(f"{band}:"),
+                *[_ann_bit(band, j, j == flip) for j in range(ANN_PLANES_PER_BAND)],
+            )
+            for band in range(ANN_N_BANDS)
+            for flip in range(-1, ANN_PLANES_PER_BAND)
+        ],
+    )
 
 
 _ANN_LSH_ORACLE = f"""
