@@ -14,7 +14,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_active911_spark.io import read_table
+from etl_active911_spark.io import read_table, spread
 from etl_active911_spark.plans.registry import query
 
 WINDOW = 8
@@ -318,6 +318,94 @@ def dtw_batch(events: DataFrame, chunk: int = DTW_CHUNK) -> DataFrame:
     )
 
 
+def dtw_stream(events: DataFrame) -> DataFrame:
+    """Per-BATCH DTW over the user-partitioned ordered stream — the r15
+    optimization of ``dtw_batch``'s per-GROUP shape (guide §4.1/§2.4).
+
+    ``dtw_batch`` grouped by (user_id, seq-chunk) and called Python once
+    per group: at sf0.1 that is 1500 single-chunk groups, and the fixed
+    per-group Arrow/pandas round-trip dominated (~3.3 of 3.7 s noop; the
+    DP itself is elementwise across windows and costs almost nothing).
+    Here the stream is hash-partitioned by user_id ONCE, sorted within
+    partitions by (user_id, ts, event_id), and ``mapInPandas`` runs the
+    same vectorized DP per Arrow BATCH (~10k rows), carrying the last
+    WINDOW-1 rows between batches so windows spanning a batch boundary
+    are computed by the batch that owns their END row. Only the three
+    columns Python needs cross the boundary (guide §2.3: the timestamp
+    serves the JVM-side sort and is projected away).
+
+    Bit-identity with ``dtw_batch`` (pinned in test_scale_layout): the DP
+    is elementwise across windows, so batch composition cannot perturb a
+    value; a window is valid iff its 8 rows are consecutive events of one
+    user, which inside a (user_id, ts, event_id)-sorted partition is
+    exactly ``user[k] == user[k+WINDOW-1]``; every valid window is owned
+    by exactly one batch (the one holding its end row), so the output SET
+    matches the per-group union."""
+    import numpy as np
+    import pandas as pd
+
+    pat = np.array(PATTERN)
+    empty = pd.DataFrame(
+        {"user_id": [], "event_id": [], "dtw": []}
+    ).astype({"user_id": "int64", "event_id": "int64", "dtw": "float64"})
+
+    def dp_tail(wins: "np.ndarray") -> "np.ndarray":
+        # identical recurrence + term order as dtw_batch's dtw_chunk
+        D = np.empty((WINDOW, len(wins)))
+        D[0] = np.abs(wins[:, 0] - pat[0])
+        for i in range(1, WINDOW):
+            D[i] = D[i - 1] + np.abs(wins[:, i] - pat[0])
+        for j in range(1, WINDOW):
+            prev = D.copy()
+            D[0] = prev[0] + np.abs(wins[:, 0] - pat[j])
+            for i in range(1, WINDOW):
+                D[i] = np.abs(wins[:, i] - pat[j]) + np.minimum(
+                    prev[i], np.minimum(D[i - 1], prev[i - 1])
+                )
+        return np.round(D[WINDOW - 1], 6)
+
+    def run(batches):
+        cu = ce = cv = None  # last WINDOW-1 rows carried across batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = pdf["user_id"].to_numpy(np.int64)
+            e = pdf["event_id"].to_numpy(np.int64)
+            v = pdf["value"].to_numpy(np.float64)
+            if cu is not None:
+                u = np.concatenate([cu, u])
+                e = np.concatenate([ce, e])
+                v = np.concatenate([cv, v])
+            cu, ce, cv = u[-(WINDOW - 1):], e[-(WINDOW - 1):], v[-(WINDOW - 1):]
+            if len(v) < WINDOW:
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(v, WINDOW)
+            # valid = all WINDOW rows belong to one user (contiguous sort
+            # ⇒ consecutive events). End ownership is structural: carry
+            # holds ≤ WINDOW-1 rows, so every window end index (≥ WINDOW-1
+            # ≥ carry length) is a row of THIS batch — windows ending in
+            # carried rows were emitted by the previous batch.
+            ends = np.arange(WINDOW - 1, len(v))
+            keep = u[ends - (WINDOW - 1)] == u[ends]
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "user_id": u[ends][keep],
+                    "event_id": e[ends][keep],
+                    "dtw": dp_tail(wins)[keep],
+                }
+            )
+        yield empty  # schema anchor for empty partitions
+
+    ordered = (
+        spread(events.select("user_id", "ts", "event_id", "value"), "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "value")
+    )
+    return ordered.mapInPandas(run, "user_id long, event_id long, dtw double")
+
+
 @query("x6_ts_dtw", _dtw_oracle())
 def x6_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-6: sliding-window dynamic time warping distance against PATTERN —
@@ -327,10 +415,11 @@ def x6_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     each an elementwise op over every window at once — no per-window
     Python loop). min() is exact in floats and addition order matches the
     SQL oracle's unrolled recurrence term-for-term, so the driver's hash
-    check holds bit-for-bit despite the Python/SQL split. Grouping is by
-    (user_id, seq-chunk) with WINDOW-1 overlap — see ``dtw_batch`` — so a
-    task's memory is bounded by DTW_CHUNK regardless of series length."""
-    return dtw_batch(read_table(spark, sf_dir, "events"))
+    check holds bit-for-bit despite the Python/SQL split. r15: runs as
+    ``dtw_stream`` (one exchange, per-batch Python with a WINDOW-1 carry)
+    instead of per-group ``dtw_batch`` — same values, pinned equal in
+    test_scale_layout."""
+    return dtw_stream(read_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

@@ -260,6 +260,29 @@ def test_dtw_chunk_must_cover_window():
         dtw_batch(None, chunk=WINDOW - 1)
 
 
+def test_dtw_stream_matches_batch_across_arrow_boundaries(spark):
+    """r15 optimization pin: ``dtw_stream`` (one exchange, per-batch DP
+    with a WINDOW-1 carry) is bit-identical to ``dtw_batch`` — including
+    under a tiny Arrow batch size that forces windows to SPAN batch
+    boundaries, exercising the carry path on every batch."""
+    from etl_active911_spark.operators.timeseries import dtw_batch, dtw_stream
+
+    events = read_table(spark, SF_ORACLE, "events")
+    want = {tuple(r) for r in dtw_batch(events).collect()}
+
+    got = {tuple(r) for r in dtw_stream(events).collect()}
+    assert got == want  # exact float equality, default batching
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "13")  # < WINDOW*2: every batch carries
+        tiny = {tuple(r) for r in dtw_stream(events).collect()}
+    finally:
+        spark.conf.set(key, prev)
+    assert tiny == want
+
+
 def test_asof_join_is_single_shuffle_no_join(spark):
     """The as-of join must be the union-scan plan: ONE exchange on the key
     and NO join operator anywhere — a range-join formulation would put an
