@@ -1858,7 +1858,7 @@ def x3_ann_ivf_lloyd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on a 256-row sample; this query proves the update step
     itself distributes — at 100 TB each Lloyd sweep is one explode +
     one (cell, dim)-keyed aggregate over n·64 rows, no collect."""
-    n, cells0, sc1, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    n, cells0, sc1, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings"), "vec_id"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
     probes = (
         sc1.filter(F.col("vec_id") < N_QUERIES)
@@ -1894,7 +1894,14 @@ def _lloyd_step(emb: DataFrame):
     → (cell, pos)-keyed mean, invariant 3's flat shape), re-scoring, and
     the post-update assignment. Shared by ``x3_ann_ivf_lloyd1`` (probe +
     re-rank tail) and ``x3_ann_ivf_rebalance_plan`` (assignment-churn
-    inventory) — the Spark twin of the hoisted ``_IVF_LLOYD_CTES``."""
+    inventory) — the Spark twin of the hoisted ``_IVF_LLOYD_CTES``.
+
+    Callers pass ``spread(emb, "vec_id")`` (r15, rule 20): the per-vec
+    argmax windows and the flat⋈cells joins all key on vec_id, so a HASH
+    spread satisfies their distribution and the whole chain plans
+    without further vec_id exchanges (measured ~2x on cells1/own at
+    sf0.1; values partition-independent — per-vec argmax, 6dp-rounded
+    per-(cell,pos) means the engines already agree on cross-engine)."""
     from etl_active911_spark.plans.cache import memo_cols
 
     # fixed unaliased trees shared by all four Lloyd consumers (rule 35):
@@ -2022,7 +2029,7 @@ def x3_ann_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-row centroid broadcasts, one posexplode + (cell,pos)-keyed mean);
     the inventory itself is four cell-keyed counts over the assignment
     tables joined on the 16-row cell id list."""
-    _, cells0, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    _, cells0, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings"), "vec_id"))
     from etl_active911_spark.plans.cache import scoped_persist
 
     moves = scoped_persist(
@@ -2149,7 +2156,7 @@ def x3_ann_ivf_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded 16-row broadcast. The churn inventory is cell-keyed counts
     joined on the 16-row cell list. Nothing corpus-sized is collected;
     each further Lloyd step at 100 TB costs the same two scans."""
-    n, cells0, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    n, cells0, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings"), "vec_id"))
     cells2 = _lloyd_next_assignment(n, cells1)
 
     m01 = cells0.select("vec_id", F.col("cell").alias("a0")).join(
@@ -2269,7 +2276,7 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver."""
     from etl_active911_spark.plans.cache import scoped_persist
 
-    n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings")))
+    n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings"), "vec_id"))
     sc2, _, _ = _lloyd_next_scored(n, cells1)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.round("cos", 6).desc(), F.col("cell")
@@ -2338,7 +2345,7 @@ def ivf_write_index2(spark: SparkSession, sf_dir: str, path: str, row_filter=Non
     emb = read_table(spark, sf_dir, "embeddings")
     if row_filter is not None:
         emb = emb.filter(row_filter())
-    n, _, _, cells1 = _lloyd_step(spread(emb))
+    n, _, _, cells1 = _lloyd_step(spread(emb, "vec_id"))
     sc2, _, carr2 = _lloyd_next_scored(n, cells1)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.round("cos", 6).desc(), F.col("cell")
@@ -5245,7 +5252,7 @@ def _append_report_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is condition-free (broadcast of a 16-row table), so the
     shared-lineage sides cannot trip the ambiguous-self-join check
     (rule 29's cogroup hazard does not apply to crossJoin)."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(read_table(spark, sf_dir, "embeddings"), "vec_id")
     n, _, _, cells1 = _lloyd_step(emb.filter(~_append_delta_pred()))
     sc2, _, carr2 = _lloyd_next_scored(n, cells1)
     w = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
