@@ -1909,7 +1909,7 @@ def _lloyd_step(emb: DataFrame):
     # expressions each cost ~0.1-0.2 s of py4j construction per build
     seed_cos = memo_cols(
         "similarity.lloyd_seed_cos",
-        lambda: dot(F.col("ee"), F.col("se")) / (F.col("nrm") * l2norm(F.col("se"))),
+        lambda: dot(F.col("ee"), F.col("se")) / (F.col("nrm") * F.col("sn")),
     )
     cent_mean = memo_cols(
         "similarity.lloyd_cent_mean",
@@ -1920,9 +1920,18 @@ def _lloyd_step(emb: DataFrame):
         F.col("embedding").alias("ee"),
         l2norm(F.col("embedding")).alias("nrm"),
     )
+    # Norms ride the 16-row broadcast side (r15, guide §2.3): l2norm is an
+    # interpreted 64-element fold, and evaluating it per (vec, cell) ROW
+    # doubled every scoring pass's work. Computed below the
+    # BroadcastExchange it is materialized once per seed/centroid —
+    # projection collapse cannot re-inline it across the exchange (the
+    # rule-34 hazard applies to stream-side projections, not build-side).
+    # Same double, same IEEE order → bit-identical scores (A/B: scoring
+    # pass 1.38 -> 0.58 s at sf0.1, assignments identical).
     seeds = n.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 7 * IVF_N_CELLS)).select(
         F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
         F.col("ee").alias("se"),
+        F.col("nrm").alias("sn"),
     )
     sc0 = n.crossJoin(F.broadcast(seeds)).select(
         "vec_id", "cell", seed_cos.alias("cos")
@@ -1940,7 +1949,7 @@ def _lloyd_step(emb: DataFrame):
         .agg(cent_mean.alias("comp"))
     )
     carr = cent.groupBy("cell").agg(_lloyd_refold().alias("ce"))
-    sc1 = n.crossJoin(F.broadcast(carr)).select(
+    sc1 = n.crossJoin(_bcast_cents(carr)).select(
         "vec_id", "cell", _lloyd_cent_cos().alias("cos")
     )
     cells1 = (
@@ -1949,6 +1958,14 @@ def _lloyd_step(emb: DataFrame):
         .select("vec_id", "cell")
     )
     return n, cells0, sc1, cells1
+
+
+def _bcast_cents(carr: DataFrame):
+    """Broadcast a bounded centroid table with its norm precomputed on
+    the build side (see the seeds note in ``_lloyd_step``): consumers
+    score with ``_lloyd_cent_cos`` = dot/(nrm·cn) instead of re-running
+    the interpreted l2norm fold per (vec, cell) row."""
+    return F.broadcast(carr.withColumn("cn", l2norm(F.col("ce"))))
 
 
 def _lloyd_refold() -> Column:
@@ -1969,7 +1986,7 @@ def _lloyd_cent_cos() -> Column:
 
     return memo_cols(
         "similarity.lloyd_cent_cos",
-        lambda: dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * l2norm(F.col("ce"))),
+        lambda: dot(F.col("ee"), F.col("ce")) / (F.col("nrm") * F.col("cn")),
     )
 
 
@@ -2480,7 +2497,7 @@ def _lloyd_next_scored(n: DataFrame, cells_prev: DataFrame):
         .agg(cent_mean.alias("comp"))
     )
     carr = cent.groupBy("cell").agg(_lloyd_refold().alias("ce"))
-    sc = n.crossJoin(F.broadcast(carr)).select(
+    sc = n.crossJoin(_bcast_cents(carr)).select(
         "vec_id", "cell", _lloyd_cent_cos().alias("cos")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
@@ -5217,7 +5234,7 @@ def ivf_append_to_index(spark: SparkSession, sf_dir: str, path: str) -> None:
             F.col("embedding").alias("ee"),
             l2norm(F.col("embedding")).alias("nrm"),
         )
-        .crossJoin(F.broadcast(cents))
+        .crossJoin(_bcast_cents(cents))
         .select("vec_id", "embedding", "cell", _lloyd_cent_cos().alias("cos"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
@@ -5272,7 +5289,7 @@ def _append_report_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("ee"),
             l2norm(F.col("embedding")).alias("nrm"),
         )
-        .crossJoin(F.broadcast(carr2))
+        .crossJoin(_bcast_cents(carr2))
         .select("vec_id", "cell", _lloyd_cent_cos().alias("cos"))
     )
     downs = (
