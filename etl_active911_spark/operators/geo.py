@@ -317,6 +317,14 @@ def _colocated_pairs(pts: DataFrame) -> DataFrame:
     return (
         left.join(right, ["jy", "jx"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # provably-super-cap pairs drop before the haversine (see
+        # _lat_prune_deg): the dist_km <= cap filter below would reject
+        # them anyway, and the 20 m radius vs ~111 m cells means ~94% of
+        # window candidates skip the 6-trig distance
+        .filter(
+            F.abs(F.col("lat_a") - F.col("lat_b"))
+            <= F.lit(_lat_prune_deg(PAIR_RADIUS_KM))
+        )
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= PAIR_RADIUS_KM)
         .select("id_a", "id_b", "dist_km")
@@ -1102,6 +1110,21 @@ RIPLEY_RADII = (1.0, 2.0, 4.0)
 RIPLEY_THIN = 8
 _RIPLEY_PI = "3.141592653589793"
 
+
+def _lat_prune_deg(cap_km: float) -> float:
+    """Trig-free candidate-prune threshold for a distance-capped pair
+    predicate (r15, guide §2.3): great-circle distance >= the meridian
+    arc R·|Δφ|, so |Δlat| beyond this many degrees proves the 3dp-rounded
+    haversine exceeds ``cap_km``. The 0.0006 km slack over-covers the
+    3dp rounding (a true 1.0004 km rounds DOWN to 1.000 and must
+    survive). Filtering ``|lat_a − lat_b| <= _lat_prune_deg(cap)``
+    before the haversine removes only rows the cap predicate would
+    reject anyway — output-invariant, but the pruned majority pays one
+    subtract+compare instead of the full 6-trig haversine."""
+    import math
+
+    return (cap_km + 0.0006) / EARTH_RADIUS_KM * 180.0 / math.pi
+
 _RIPLEY_HAV = _haversine_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
 
 _RIPLEY_ORACLE = f"""
@@ -1232,6 +1255,12 @@ def x7_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         left.join(right, ["jy", "jx"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # provably-super-cap pairs drop before the haversine (see
+        # _lat_prune_deg): only d <= max radius survives the next filter
+        .filter(
+            F.abs(F.col("lat_a") - F.col("lat_b"))
+            <= F.lit(_lat_prune_deg(max(RIPLEY_RADII)))
+        )
         .select(d.alias("d"))
         .filter(F.col("d") <= max(RIPLEY_RADII))
     )
@@ -1575,9 +1604,21 @@ def x7_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 1000
     ).cast("long")
+    # r15 candidate prune (see _lat_prune_deg): only sub-cap pairs can
+    # reach `found` (nn_m <= CE_CAP_M filters the min, and a point whose
+    # every pair is pruned is censored exactly as if its super-cap min
+    # had been computed), so dropping provably-super-cap pairs before
+    # the haversine is output-invariant. Keeps ~27% of the ~20M
+    # 3×3-window pairs at sf0.1 (cap 4 km vs 5.56 km cells), cutting
+    # both the per-pair trig and the rows entering the partial MIN
+    # (noop median 2.4 -> 1.2 s).
     nn = (
         left.join(right, ["jy", "jx"])
         .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.abs(F.col("lat_a") - F.col("lat_b"))
+            <= F.lit(_lat_prune_deg(CE_CAP_M / 1000.0))
+        )
         .select(F.col("id_a").alias("id"), d_m.alias("d_m"))
         .groupBy("id")
         .agg(F.min("d_m").alias("nn_m"))
@@ -1805,6 +1846,14 @@ def x7_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sp = (
         left.join(right, ["jy", "jx"])
+        # provably-super-cap pairs drop before the haversine (see
+        # _lat_prune_deg): the d3 <= 1 km conjunct would reject them
+        # anyway, and with a 4.19 km-radius window this keeps ~7% of
+        # candidate rows away from the 6-trig distance
+        .filter(
+            F.abs(F.col("lat_a") - F.col("lat_b"))
+            <= F.lit(_lat_prune_deg(KNOX_SPACE_KM))
+        )
         .filter((F.col("id_a") < F.col("id_b")) & (d3 <= KNOX_SPACE_KM))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("ns"),
