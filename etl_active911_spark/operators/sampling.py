@@ -274,6 +274,7 @@ def _two_phase_prefix_sum(
     key: str = "doc_id",
     group_cols: tuple[str, ...] = (),
     tiebreak: str | None = None,
+    persist_key: str | None = None,
 ) -> DataFrame:
     """Add ``start_off`` = EXCLUSIVE running sum of ``weight`` in ``key``
     order — GLOBAL by default, PER GROUP when ``group_cols`` are given
@@ -294,8 +295,27 @@ def _two_phase_prefix_sum(
 
     ``tiebreak`` (optional) disambiguates the within-range window order
     when ``key`` is not unique (e.g. a derived hash); per-range totals
-    are order-insensitive, so only the window's ORDER BY needs it."""
+    are order-insensitive, so only the window's ORDER BY needs it.
+
+    ``persist_key`` (optional, r15): the input subtree feeds THREE
+    consumers (the bounds aggregate, the per-range window, the
+    per-range totals) with no barrier between them — when ``key`` or
+    ``weight`` is an EXPENSIVE derived expression (a regex over the
+    full text, an md5 hash) that column pruning cannot drop from the
+    bounds/offsets consumers, each consumer re-evaluates it. Passing a
+    scoped_persist key materializes the (doc_id, key, weight)
+    projection once (rule 17; block-design A/B on x8_curriculum_order:
+    ~2.3 -> ~1.3 s noop at sf0.1). Only worth it when the KEY is the
+    expensive column: an expensive WEIGHT alone reaches just two
+    consumers (bounds prunes it) and the persist measured a wash on
+    x8_token_packing (rule 34 — the barrier pays for at most one saved
+    evaluation). Never set it on PLAN_MEMOED queries (a persist breaks
+    memo eligibility)."""
     g = list(group_cols)
+    if persist_key is not None:
+        from etl_active911_spark.plans.cache import scoped_persist
+
+        d = scoped_persist(persist_key, d)
     d = _with_range_id(d, key)
     order = [key] + ([tiebreak] if tiebreak else [])
     w_local = (
@@ -962,7 +982,13 @@ def x8_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     s = docs.select("doc_id", (-score).alias("negscore"), F.lit(1).alias("one"))
-    r = _two_phase_prefix_sum(s, "one", key="negscore", tiebreak="doc_id")
+    # the regex-derived score is the prefix-sum KEY, so all three
+    # consumers would re-run the [^a-zA-Z] scrub over the corpus —
+    # persist (see _two_phase_prefix_sum's persist_key note)
+    r = _two_phase_prefix_sum(
+        s, "one", key="negscore", tiebreak="doc_id",
+        persist_key="x8_curriculum_order.scored",
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     # shared subtree (rule 17): band assignment feeds both the shuffle
     # rank and the band-size offsets
