@@ -14,10 +14,14 @@ Spark 4.1 does not expose ``bloom_filter_agg``/``might_contain`` as
 public SQL functions, so this operator builds the bloom honestly from
 DataFrame primitives, entirely JVM-side and deterministic:
 
-- build: k=4 md5-derived bit positions per key (``token_hash60 % 2^16``),
-  ``bit_or``-aggregated into <= 2048 32-bit words — a fixed-size table
-  INDEPENDENT of build-side cardinality (the whole point vs broadcasting
-  the key set itself);
+- build: k=4 seeded ``xxhash64`` bit positions per key (r15: the bloom
+  geometry never surfaces in the RESULT — the oracle is the exact
+  semi-join — so the hash needs no cross-engine replica, and the
+  md5+concat+conv chain the first cut borrowed from the sketch oracles
+  was pure per-row cost: 4 native xxhash64 calls on the raw bigint key
+  replace 4 md5s over built strings), ``bit_or``-aggregated into <= 2048
+  32-bit words — a fixed-size table INDEPENDENT of build-side
+  cardinality (the whole point vs broadcasting the key set itself);
 - probe: the word table (<= 2048 longs — bounded driver state of the
   same class as the IVF centroid sample) rides as a ONE-ROW broadcast, so
   each of the 4 bit tests is a pure codegen ``element_at`` + ``&`` on the
@@ -50,11 +54,20 @@ _SEGMENT = "BUILDING"
 
 
 def _positions(key: Column) -> list[Column]:
-    """k independent bit positions via seeded md5 (cross-engine-stable)."""
-    from etl_active911_spark.operators.dedup import token_hash60
-
+    """k independent bit positions via seeded xxhash64 (JVM-native, a few
+    ns/row). Deterministic within Spark, which is all the bloom needs:
+    build and probe use the SAME function in the same session, and the
+    exact verify join makes the final result hash-independent (rule 10's
+    md5 discipline applies only to hashes an ORACLE must replicate —
+    these positions never leave the plan). ``pmod`` not ``%``: xxhash64
+    is signed and a negative position would index off the word table —
+    silently dropping bits on build (false negatives: the data-loss bug
+    class pinned by the superset test)."""
+    # cast to long FIRST: xxhash64 hashes by Spark type, so an int build
+    # key and a bigint probe key would hash differently — a silent
+    # false-negative source. All bloom keys here are integral ids.
     return [
-        (token_hash60(F.concat(F.lit(f"bf{i}:"), key)) % M_BITS).cast("long")
+        F.pmod(F.xxhash64(F.lit(i), key.cast("long")), F.lit(M_BITS)).cast("long")
         for i in range(K_HASH)
     ]
 
@@ -63,7 +76,7 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     """Aggregate a key column into the bloom word table
     ``(w: long, bits: long)`` — <= 2048 rows regardless of key count."""
     pos = keys.select(
-        F.explode(F.array(*_positions(F.col(key_col).cast("string")))).alias("pos")
+        F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
     )
     # F.shiftleft only takes a literal shift amount; the per-row shift
     # must go through the SQL expression form.
@@ -104,7 +117,7 @@ def bloom_probe(fact: DataFrame, key: Column, bits: list[int]) -> DataFrame:
     bits_df = spark.createDataFrame([(1, bits)], "_jk int, _bloom array<bigint>")
     masks_lit = F.lit(_BIT_MASKS)
     cond = F.lit(True)
-    for pos in _positions(key.cast("string")):
+    for pos in _positions(key):
         word = F.element_at(F.col("_bloom"), (F.shiftright(pos, 5) + 1).cast("int"))
         mask = F.element_at(masks_lit, ((pos % 32) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(mask) != 0)

@@ -407,7 +407,10 @@ def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -416,7 +419,7 @@ def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (dot(F.col("qe"), F.col("embedding"))
-             / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))).alias("cosine"),
+             / (F.col("qn") * l2norm(F.col("embedding")))).alias("cosine"),
         )
     )
     return partial_topk(scored, TOP_K)
@@ -576,12 +579,18 @@ def _ivf_probe_df(
         "cell int, ce array<double>",
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
-    scored = q.crossJoin(F.broadcast(cent)).select(
+    # centroid norm on the 16-row broadcast build side (see _bcast_cents);
+    # the STREAM-side query norm stays inline — projection collapse would
+    # re-inline a pre-join projection anyway (rule 34)
+    scored = q.crossJoin(_bcast_cents_ce(cent)).select(
         "query_id",
         "cell",
-        (dot(F.col("qe"), F.col("ce")) / (l2norm(F.col("qe")) * l2norm(F.col("ce")))).alias(
+        (dot(F.col("qe"), F.col("ce")) / (l2norm(F.col("qe")) * F.col("cn"))).alias(
             "cos"
         ),
     )
@@ -596,7 +605,10 @@ def _ivf_probe_df(
 def _ivf_rerank(spark: SparkSession, data: DataFrame, emb: DataFrame, probe_df) -> DataFrame:
     """Exact cosine re-rank within probed cells → top-k."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         data.join(F.broadcast(probe_df), "cell")
@@ -606,7 +618,7 @@ def _ivf_rerank(spark: SparkSession, data: DataFrame, emb: DataFrame, probe_df) 
             "query_id",
             "vec_id",
             (dot(F.col("qe"), F.col("embedding"))
-             / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))).alias("cosine"),
+             / (F.col("qn") * l2norm(F.col("embedding")))).alias("cosine"),
         )
     )
     return partial_topk(scored, TOP_K)
@@ -706,6 +718,8 @@ def x3_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
             F.col("embedding").alias("se"),
+            # seed norm on the broadcast build side — see _bcast_cents
+            l2norm(F.col("embedding")).alias("sn"),
         )
     )
     scored_cells = (
@@ -716,7 +730,7 @@ def x3_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             (
                 dot(F.col("embedding"), F.col("se"))
-                / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+                / (l2norm(F.col("embedding")) * F.col("sn"))
             ).alias("cos"),
         )
     )
@@ -735,7 +749,10 @@ def x3_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         cells.join(F.broadcast(probes), "cell")
@@ -747,7 +764,7 @@ def x3_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 dot(F.col("qe"), F.col("embedding"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+                / (F.col("qn") * l2norm(F.col("embedding")))
             ).alias("cos"),
         )
     )
@@ -782,12 +799,15 @@ def argmax_cells(vectors: DataFrame, seeds: DataFrame) -> DataFrame:
     seeded family's deterministic tie-break (ROUND(cos,6) DESC, cell).
     THE assignment body shared by the batch ingest query and the
     streaming foreachBatch ingest — batch≡stream parity by construction."""
-    scored = vectors.select("vec_id", "embedding").crossJoin(F.broadcast(seeds)).select(
+    # seed norm on the broadcast build side — see _bcast_cents; works for
+    # any caller-supplied seed table, batch and stream alike
+    seeds_n = F.broadcast(seeds.withColumn("sn", l2norm(F.col("se"))))
+    scored = vectors.select("vec_id", "embedding").crossJoin(seeds_n).select(
         "vec_id",
         "cell",
         (
             dot(F.col("embedding"), F.col("se"))
-            / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+            / (l2norm(F.col("embedding")) * F.col("sn"))
         ).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.round("cos", 6).desc(), F.col("cell"))
@@ -878,6 +898,8 @@ def x3_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
         F.col("embedding").alias("se"),
+        # seed norm on the broadcast build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("sn"),
     )
     scored = (
         emb.select("vec_id", "embedding")
@@ -887,7 +909,7 @@ def x3_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             (
                 dot(F.col("embedding"), F.col("se"))
-                / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+                / (l2norm(F.col("embedding")) * F.col("sn"))
             ).alias("cos"),
         )
     )
@@ -1727,7 +1749,10 @@ def x3_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # practice — raw embeddings touched for shortlist·n_queries rows, not
     # the corpus)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     rescored = (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -1736,7 +1761,7 @@ def x3_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (dot(F.col("qe"), F.col("embedding"))
-             / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))).alias("cosine"),
+             / (F.col("qn") * l2norm(F.col("embedding")))).alias("cosine"),
         )
     )
     return partial_topk(rescored, TOP_K)
@@ -1966,6 +1991,12 @@ def _bcast_cents(carr: DataFrame):
     score with ``_lloyd_cent_cos`` = dot/(nrm·cn) instead of re-running
     the interpreted l2norm fold per (vec, cell) row."""
     return F.broadcast(carr.withColumn("cn", l2norm(F.col("ce"))))
+
+
+def _bcast_cents_ce(cent: DataFrame):
+    """Same build-side norm hoist for the fitted-centroid probe table
+    (``_ivf_probe_df``): 16 rows, ``cn`` materialized in the broadcast."""
+    return F.broadcast(cent.withColumn("cn", l2norm(F.col("ce"))))
 
 
 def _lloyd_refold() -> Column:
@@ -3464,7 +3495,10 @@ def x3_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = partial_topk(adc, shortlist).select("query_id", "vec_id")
     qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     rescored = (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -3474,7 +3508,7 @@ def x3_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 dot(F.col("qe"), F.col("embedding"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+                / (F.col("qn") * l2norm(F.col("embedding")))
             ).alias("cosine"),
         )
     )
@@ -3676,6 +3710,8 @@ def x3_ann_ivf_add_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
         F.col("embedding").alias("se"),
+        # seed norm on the broadcast build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("sn"),
     )
     scored_cells = (
         emb.select("vec_id", "embedding")
@@ -3685,7 +3721,7 @@ def x3_ann_ivf_add_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             (
                 dot(F.col("embedding"), F.col("se"))
-                / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+                / (l2norm(F.col("embedding")) * F.col("sn"))
             ).alias("cos"),
         )
     )
@@ -3707,10 +3743,13 @@ def x3_ann_ivf_add_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     q = emb.filter(is_delta_q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     cos_q = dot(F.col("qe"), F.col("embedding")) / (
-        l2norm(F.col("qe")) * l2norm(F.col("embedding"))
+        F.col("qn") * l2norm(F.col("embedding"))
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("vec_id")
@@ -4268,7 +4307,10 @@ def x3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -4278,7 +4320,7 @@ def x3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 dot(F.col("qe"), F.col("embedding"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+                / (F.col("qn") * l2norm(F.col("embedding")))
             ).alias("cosine"),
         )
     )
@@ -4532,7 +4574,10 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and therefore identical top-k) to running each method's registered
     # pipeline, without rebuilding the projection subtree per method
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -4543,7 +4588,7 @@ def x3_ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 dot(F.col("qe"), F.col("embedding"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+                / (F.col("qn") * l2norm(F.col("embedding")))
             ).alias("cos"),
         )
     )
@@ -4708,6 +4753,8 @@ def x3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.floor(F.col("vec_id") / 7).cast("int").alias("cell"),
             F.col("embedding").alias("se"),
+            # seed norm on the broadcast build side — see _bcast_cents
+            l2norm(F.col("embedding")).alias("sn"),
         )
     )
     scored_cells = (
@@ -4718,7 +4765,7 @@ def x3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             (
                 dot(F.col("embedding"), F.col("se"))
-                / (l2norm(F.col("embedding")) * l2norm(F.col("se")))
+                / (l2norm(F.col("embedding")) * F.col("sn"))
             ).alias("cos"),
         )
     )
@@ -4737,7 +4784,10 @@ def x3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "cell", F.col("rn").alias("pr"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        # query norm on the (broadcast) build side — see _bcast_cents
+        l2norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         cells.join(F.broadcast(probes), "cell")
@@ -4750,7 +4800,7 @@ def x3_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr",
             (
                 dot(F.col("qe"), F.col("embedding"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("embedding")))
+                / (F.col("qn") * l2norm(F.col("embedding")))
             ).alias("cos"),
         )
     )

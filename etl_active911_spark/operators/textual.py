@@ -4416,20 +4416,31 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TEXTRANK_VOCAB)
         .select("tok")
     )
+    # bounded collects: V node rows + ≤V² edge rows (constant-bounded by
+    # TEXTRANK_VOCAB, not by corpus size — rule 23's documented exception)
+    node_list = sorted(r["tok"] for r in vocab.collect())
+    # r15: the vocab cut is ALREADY on the driver (256 strings) — filter
+    # the adjacency with isin(node_list) (codegen InSet) instead of two
+    # broadcast joins against `vocab`. The two broadcast builds were NOT
+    # exchange-reused (different output names ⇒ different canonical
+    # plans), so each re-ran the full corpus tokenize + top-V window:
+    # the edge-weight job paid the corpus pass THREE times. Same
+    # semantics: vocab is distinct, so inner-joining it == membership
+    # filtering.
     wadj = Window.partitionBy("doc_id").orderBy("pos")
     adj = pos.select("doc_id", "pos", "tok", F.lag("tok").over(wadj).alias("prev"))
     pairs = (
-        adj.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("tok")))
-        .join(F.broadcast(vocab.select(F.col("tok").alias("prev"))), "prev")
-        .join(F.broadcast(vocab), "tok")
+        adj.filter(
+            F.col("prev").isNotNull()
+            & (F.col("prev") != F.col("tok"))
+            & F.col("prev").isin(node_list)
+            & F.col("tok").isin(node_list)
+        )
         .select(
             F.least("prev", "tok").alias("u"), F.greatest("prev", "tok").alias("v")
         )
     )
     wt = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    # bounded collects: V node rows + ≤V² edge rows (constant-bounded by
-    # TEXTRANK_VOCAB, not by corpus size — rule 23's documented exception)
-    node_list = sorted(r["tok"] for r in vocab.collect())
     half_edges = [(r["u"], r["v"], int(r["w"])) for r in wt.collect()]
     edges: list[tuple[str, str, int]] = []
     for u, v, w in half_edges:
