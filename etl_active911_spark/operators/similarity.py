@@ -5175,15 +5175,26 @@ def x3_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead than the shared segments save (the ``dot`` helper's note,
     same lesson)."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
+    # r15 (extends the r13 note below): the QUERY-side prefix norms move
+    # to the BROADCAST build side — the r13 A/B rejected pre-join
+    # projections because projection collapse re-inlines them on the
+    # STREAM side; an expression below the BroadcastExchange is
+    # materialized in the hash relation, which collapse cannot undo
+    # (the _bcast_cents mechanism, Change 5/11). 4 of the 8 per-pair
+    # norm folds disappear; same IEEE op order, bit-identical scores.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        *[
+            l2norm(F.slice(F.col("embedding"), 1, d)).alias(f"qn{d}")
+            for d in MRL_DIMS
+        ],
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
 
     def cos_d(d: int) -> Column:
         qs, es = F.slice(F.col("qe"), 1, d), F.slice(F.col("embedding"), 1, d)
-        return dot(qs, es) / (l2norm(qs) * l2norm(es))
+        return dot(qs, es) / (F.col(f"qn{d}") * l2norm(es))
 
     def build_legs() -> Column:
         return F.explode(
