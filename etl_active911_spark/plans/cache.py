@@ -229,3 +229,30 @@ def memo_cols(key: str, builder):
         got = builder()
         _COLS_MEMO[full] = got
     return got
+
+
+_CONST_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
+def memo_const_df(key: str, spark, builder):
+    """Memoize a small DataFrame built from MODULE CONSTANTS — the
+    DataFrame analogue of ``memo_cols`` for literal tables (the ANN
+    projection sign matrix, a constant parameter list). NEVER use for
+    anything derived from fixture data: this memo survives across
+    invocations, so fixture-derived content here would be result
+    caching, which the engine bans. ``createDataFrame`` over a Python
+    list ships every literal through py4j and builds a LogicalRDD per
+    call (~0.1-0.2 s for a 64×33 table); the table is immutable and its
+    output exprIds are fixed, so one instance serves every plan —
+    subject to the rule-29 caveat: at most ONE reference per plan.
+    Scoped to the application id (same invalidation as memo_cols)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    full = (app, key)
+    got = _CONST_DF_MEMO.get(full)
+    if got is None:
+        got = builder()
+        _CONST_DF_MEMO[full] = got
+    return got
