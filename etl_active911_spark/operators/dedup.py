@@ -1698,20 +1698,18 @@ def x2_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation with the same cut also pins the threshold variant's
     exactness below the cut.
     """
-    from etl_active911_spark.plans.cache import scoped_persist
-
     part = read_table(spark, sf_dir, "part").select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("pk"),
         F.col("p_name").alias("name"),
     )
-    # rule 17 (r15): the distinct-name vocabulary feeds FIVE consumers
-    # (index side, probe side, both short-name blocks, identity pairs) —
-    # unpersisted, each re-ran the part scan + distinct exchange. The
-    # vocabulary is 64 rows by construction, so the persist is free.
-    classes = scoped_persist(
-        "x2_fuzzy_linkage.classes", part.select("brand", "name").distinct()
-    )
+    # NOT persisted although five consumers rebuild this scan+distinct
+    # (r15 audit): the query is PLAN_MEMOED — a persist inside a
+    # memoized plan carries cached data across invocations (the
+    # wrap_plan_memo safety contract), and the A/B showed no win anyway
+    # (1.807 vs 1.844 bench row): the five chains are small-table scans
+    # whose rebuild costs less than a persist round-trip.
+    classes = part.select("brand", "name").distinct()
 
     cand = fuzzy_candidate_name_pairs(classes)
     verified = cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b", ED_K)).filter(
