@@ -157,11 +157,23 @@ def plan_memo(name: str, spark, sf_dir: str, builder, table: str = "documents") 
     tz = spark.conf.get("spark.sql.session.timeZone")
     key = (name, spark.sparkContext.applicationId, os.path.abspath(sf_dir), tz)
     got = _QPLAN_MEMO.get(key)
-    if got is not None and got[0] == fp:
-        return got[1]
-    df = builder()
-    _QPLAN_MEMO[key] = (fp, df)
-    return df
+    if got is None or got[0] != fp:
+        got = (fp, builder())
+        _QPLAN_MEMO[key] = got
+    # Return a FRESH Dataset over the memoized ANALYZED subtree, never the
+    # stored object itself (r15 close-out fix): a Dataset's
+    # QueryExecution materializes its physical plan ONCE, under whatever
+    # session state is active at that moment — returning the stored
+    # object meant (a) an executed instance later showed its
+    # POST-EXECUTION AQE plan to plan-shape observers (the in-suite
+    # hygiene failures on x8_epoch_shuffle/n17_asof_join: 2 BNLJ → 4,
+    # 1 Exchange → 2 after an earlier test collect()ed the same object),
+    # and (b) a session-conf change after first materialization would
+    # silently not take effect. ``select("*")`` builds a new
+    # QueryExecution per call while re-analysis of the already-resolved
+    # child is a fast pass — the memo still skips the expensive py4j
+    # tree construction + first-principles analysis.
+    return got[1].select("*")
 
 
 def wrap_plan_memo(name: str, fn):

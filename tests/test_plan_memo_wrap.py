@@ -44,22 +44,59 @@ def test_no_materialization_in_plan(spark, name):
 
 
 def test_memo_hit_and_tz_key(spark):
-    """Repeat invocation reuses the plan; a session-TZ flip (the hostile
-    sweep's move) must MISS the memo and build fresh, then hit again
-    after restoring the zone."""
+    """Repeat invocation reuses the memoized ANALYZED subtree (the stored
+    entry is the same object) while every call returns a FRESH Dataset
+    wrapper — an executed instance must never leak its post-execution
+    AQE plan to later plan-shape observers (the r15 in-suite hygiene
+    failures). A session-TZ flip (the hostile sweep's move) must MISS
+    the memo and build fresh, then hit again after restoring the zone."""
+    from etl_active911_spark.plans import cache
+
     name = "flagship_revenue_by_nation"
-    a = registry.QUERIES[name](spark, SF_SMOKE)
-    b = registry.QUERIES[name](spark, SF_SMOKE)
-    assert a is b
+
+    def stored(tz):
+        return [
+            v[1]
+            for k, v in cache._QPLAN_MEMO.items()
+            if k[0] == "q." + name and k[3] == tz
+        ]
+
     prev = spark.conf.get("spark.sql.session.timeZone")
+    a = registry.QUERIES[name](spark, SF_SMOKE)
+    (sa,) = stored(prev)
+    b = registry.QUERIES[name](spark, SF_SMOKE)
+    (sb,) = stored(prev)
+    assert sa is sb, "second call must HIT the memo (same stored subtree)"
+    assert a is not b, "each call must return a fresh wrapper (plan hygiene)"
     try:
         spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-        c = registry.QUERIES[name](spark, SF_SMOKE)
-        assert c is not a, "TZ flip must not serve the UTC-built plan"
+        registry.QUERIES[name](spark, SF_SMOKE)
+        (sc,) = stored("Asia/Tokyo")
+        assert sc is not sa, "TZ flip must not serve the UTC-built plan"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    d = registry.QUERIES[name](spark, SF_SMOKE)
-    assert d is a
+    registry.QUERIES[name](spark, SF_SMOKE)
+    (sd,) = stored(prev)
+    assert sd is sa, "restored zone must hit the original entry"
+
+
+def test_memoized_plan_stays_initial_after_execution(spark):
+    """Regression pin for the r15 order-dependent hygiene failures: after
+    an action on one returned instance, a NEW invocation's executedPlan
+    must still be the INITIAL adaptive plan (isFinalPlan=false shape),
+    not the executed instance's re-optimized plan — x8_epoch_shuffle read
+    4 BroadcastNestedLoopJoins (vs 2) and n17_asof_join 2 Exchanges
+    (vs 1) when the stored object itself was returned."""
+    d1 = registry.QUERIES["x8_epoch_shuffle"](spark, SF_SMOKE)
+    before = d1._jdf.queryExecution().executedPlan().toString().count(
+        "BroadcastNestedLoopJoin"
+    )
+    d1.collect()
+    d2 = registry.QUERIES["x8_epoch_shuffle"](spark, SF_SMOKE)
+    after = d2._jdf.queryExecution().executedPlan().toString().count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert after == before, f"post-execution plan leaked: {before} -> {after}"
 
 
 def test_memoized_plan_recomputes_every_action(spark):
