@@ -53,12 +53,21 @@ def test_memo_hit_and_tz_key(spark):
     from etl_active911_spark.plans import cache
 
     name = "flagship_revenue_by_nation"
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    sf_abs = os.path.abspath(SF_SMOKE)
 
     def stored(tz):
+        # Filter on the FULL memo key (app id + sf_dir, not just name+tz):
+        # in suite order, other tests legitimately add entries for other
+        # sf_dirs and for restarted SparkContexts — matching on name+tz
+        # alone made this test order-dependent (seen green in isolation,
+        # red in the full r15 suite).
         return [
             v[1]
             for k, v in cache._QPLAN_MEMO.items()
-            if k[0] == "q." + name and k[3] == tz
+            if k[0] == "q." + name and k[1] == app_id and k[2] == sf_abs and k[3] == tz
         ]
 
     prev = spark.conf.get("spark.sql.session.timeZone")
