@@ -1546,33 +1546,47 @@ def x4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions are common; garbled text scores HIGH because its
     transitions are unseen). p(w2|w1) = (c12 + 0.5) / (c1 + 0.5·V).
 
-    Scale ledger: bigrams are built ARRAY-SIDE (codegen element_at over
-    an exploded index — no positions self-join); shuffles are keyed by
-    (w1, w2) for bigram counts, token for unigram counts, and doc_id for
-    the roll-up; the count rejoin keys are tokens (broadcast below
-    threshold, SMJ above). AVG + ROUND(6) absorbs libm ulp drift, same
-    as the unigram scorer."""
+    Scale ledger (restructured r15 optimization round): ONE positional
+    explode serves both n-gram orders — each (doc, position) row carries
+    w1 = t[i] (its unigram role) and w2 = t[i+1] or NULL at the document
+    tail (its bigram role) — and the two count tables became WINDOW
+    counts over that stream (c1 over w1, c12 over (w1, w2)), sharing a
+    single w1-keyed exchange (hash partitioning by w1 satisfies the
+    (w1, w2) clustering, so the second window adds only a partition-local
+    sort). The previous shape evaluated the corpus tokenize FOUR times
+    (big probe + bc build + uni + vocab) and rejoined counts through a
+    corpus-sized SMJ pair, with big ⋈ bc a rule-36 self-join; now the
+    tokenize runs twice (combined stream + vocabulary countDistinct) and
+    no corpus-sized join remains. Counts are identical by construction
+    (same multiset of positions), so each -ln term is the same double;
+    A/B'd bit-identical on all 5000 fixture docs. AVG + ROUND(6) absorbs
+    libm ulp drift, same as the unigram scorer."""
     from etl_active911_spark.operators.dedup import tokens
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    pos = toks.select("doc_id", F.explode("t").alias("tok"))
-    big = toks.select(
+    comb = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))).alias("i"),
+        F.explode(F.sequence(F.lit(1), F.size("t"))).alias("i"),
+        F.size("t").alias("n"),
         "t",
     ).select(
         "doc_id",
         F.element_at("t", F.col("i")).alias("w1"),
-        F.element_at("t", F.col("i") + 1).alias("w2"),
+        F.when(F.col("i") < F.col("n"), F.element_at("t", F.col("i") + 1)).alias("w2"),
     )
-    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c1"))
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
-    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    w_uni = Window.partitionBy("w1")
+    w_big = Window.partitionBy("w1", "w2")
+    counted = (
+        comb.withColumn("c1", F.count(F.lit(1)).over(w_uni).cast("double"))
+        .withColumn("c12", F.count(F.lit(1)).over(w_big).cast("double"))
+        .filter(F.col("w2").isNotNull())
+    )
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
     return (
-        big.join(bc, ["w1", "w2"])
-        .join(uni.withColumnRenamed("tok", "w1"), "w1")
-        .crossJoin(F.broadcast(vocab))
+        counted.crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
