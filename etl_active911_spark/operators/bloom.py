@@ -22,8 +22,8 @@ DataFrame primitives, entirely JVM-side and deterministic:
   replace 4 md5s over built strings), ``bit_or``-aggregated into <= 2048
   32-bit words — a fixed-size table INDEPENDENT of build-side
   cardinality (the whole point vs broadcasting the key set itself);
-- probe: the word table (<= 2048 longs — bounded driver state of the
-  same class as the IVF centroid sample) rides as a ONE-ROW broadcast, so
+- probe: the word table (<= 2048 longs, densified IN-PLAN — the bits
+  never touch the driver) rides as a ONE-ROW broadcast, so
   each of the 4 bit tests is a pure codegen ``element_at`` + ``&`` on the
   scanned row: the fact side is filtered right after its scan with no
   shuffle — exactly how a native engine broadcasts bloom bits, and
@@ -86,47 +86,55 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def bloom_bits(keys: DataFrame, key_col: str) -> list[int]:
-    """Densify the distributed word table into the 2048-long bitset that
-    the probe embeds as a plan literal. The collect is bounded by
-    ``M_BITS/32`` rows regardless of key cardinality — the same bounded
-    driver-state class as the IVF centroid sample."""
-    bits = [0] * (M_BITS // 32)
-    for r in bloom_build(keys, key_col).collect():
-        bits[r["w"]] = r["bits"]
-    return bits
+def bloom_bitset_df(keys: DataFrame, key_col: str) -> DataFrame:
+    """Densify the distributed word table into a ONE-ROW
+    ``(_bloom array<bigint>)`` bitset ENTIRELY IN-PLAN (r15 optimization
+    round): ``collect_list`` the ≤2048 (w, bits) pairs into a map and
+    unfold it over the fixed word-index sequence. The first cut collected
+    the words to the driver and shipped them back through
+    ``createDataFrame`` — one extra job plus a 2048-long py4j round trip
+    per invocation, and the builder-side collect froze data-derived
+    values into the plan, which made the query ineligible for the
+    whole-plan memo (a collected bitset would NOT recompute from parquet
+    on later actions). In-plan, every action rebuilds the bloom from the
+    key scan, so the query is memo-safe and one job cheaper. The
+    ``transform`` lambda is interpreted but runs over 2048 elements of
+    ONE row (rule-1's corpus-size concern does not apply)."""
+    n_words = M_BITS // 32
+    return (
+        bloom_build(keys, key_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), "
+                "i -> coalesce(m[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"
+            ).alias("_bloom")
+        )
+    )
 
 
 _BIT_MASKS = [1 << b for b in range(32)]
 
 
-def bloom_probe(fact: DataFrame, key: Column, bits: list[int]) -> DataFrame:
+def bloom_probe(fact: DataFrame, key: Column, bitset: DataFrame) -> DataFrame:
     """Keep only fact rows whose key passes the bloom: 4 pure-codegen bit
     tests (``element_at`` into the broadcast bitset + ``&``). The bitset
-    rides as a ONE-ROW broadcast joined on a constant key (a 16 KB
-    BroadcastHashJoin build side) rather than as a 2048-element literal:
-    inlining the array as a literal was measured ~2 s SLOWER per query —
-    all of it analyzer/optimizer time walking the 4 copies of the 2048-node
-    expression tree, none of it execution. Catalyst constant-folds the
-    join key away and plans this as a BroadcastNestedLoopJoin whose build
-    side is the single bitset row — a scalar broadcast (1×N, bit tests
-    evaluated streaming-side), not a pairwise blowup; asserted as such in
-    tests/test_scale_layout.py. An unset bit is a definite negative; no
-    shuffle of the fact side anywhere."""
-    spark = fact.sparkSession
-    bits_df = spark.createDataFrame([(1, bits)], "_jk int, _bloom array<bigint>")
+    rides as a ONE-ROW broadcast (16 KB build side) rather than as a
+    2048-element literal: inlining the array as a literal was measured
+    ~2 s SLOWER per query — all of it analyzer/optimizer time walking the
+    4 copies of the 2048-node expression tree, none of it execution. The
+    cross join of the single bitset row plans as a
+    BroadcastNestedLoopJoin whose build side is one row — a scalar
+    broadcast (1×N, bit tests evaluated streaming-side), not a pairwise
+    blowup; asserted as such in tests/test_scale_layout.py. An unset bit
+    is a definite negative; no shuffle of the fact side anywhere."""
     masks_lit = F.lit(_BIT_MASKS)
     cond = F.lit(True)
     for pos in _positions(key):
         word = F.element_at(F.col("_bloom"), (F.shiftright(pos, 5) + 1).cast("int"))
         mask = F.element_at(masks_lit, ((pos % 32) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(mask) != 0)
-    return (
-        fact.withColumn("_jk", F.lit(1))
-        .join(F.broadcast(bits_df), "_jk")
-        .filter(cond)
-        .drop("_jk", "_bloom")
-    )
+    return fact.crossJoin(F.broadcast(bitset)).filter(cond).drop("_bloom")
 
 
 def bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,11 +143,11 @@ def bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     keys = cust.filter(F.col("c_mktsegment") == _SEGMENT).select("c_custkey")
-    bits = bloom_bits(keys, "c_custkey")
+    bitset = bloom_bitset_df(keys, "c_custkey")
     return bloom_probe(
         orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
         F.col("o_custkey"),
-        bits,
+        bitset,
     )
 
 

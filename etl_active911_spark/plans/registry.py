@@ -267,6 +267,10 @@ PLAN_MEMOED: tuple[str, ...] = (
     "n12_session_window",
     "n13_apply_in_pandas",
     "n17_asof_join",
+    # n19 became eligible in the r15 optimization round: the bloom bitset
+    # is now densified in-plan (bloom.bloom_bitset_df), so the builder no
+    # longer collects — every action recomputes the bloom from parquet.
+    "n19_bloom_prefilter_join",
     "n21_retention_cohorts",
     "n23_skew_profile",
     "n2_join_broadcast_agg",
