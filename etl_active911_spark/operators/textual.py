@@ -1232,14 +1232,22 @@ def x4_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the ROUNDED score with (w1, w2) tie-breaks (rule 4).
     """
     docs = spread(read_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    toks = (
-        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("k", "w"))
-        .filter(F.col("w") != "")
+    # array-side pairing (r15 optimization round, the countmin change):
+    # array_remove scrubs empties natively and element_at pairs
+    # neighbors off one exploded index — no lead() window, so the corpus
+    # token stream is never sorted. Same (w1, w2) multiset: lead over
+    # (doc, position) of the non-empty stream IS the adjacent-pair list.
+    arr = F.array_remove(F.split("text", " "), "")
+    tokd = docs.select("doc_id", arr.alias("t"))
+    toks = tokd.select("doc_id", F.explode("t").alias("w"))
+    bi = (
+        tokd.filter(F.size("t") >= 2)
+        .select(F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("k")
-    bi = toks.select(
-        F.col("w").alias("w1"), F.lead("w").over(w_doc).alias("w2")
-    ).filter(F.col("w2").isNotNull())
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nt = uc.agg(F.sum("c").alias("n_t"))
@@ -4569,16 +4577,26 @@ def x4_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_active911_spark.plans.cache import scoped_persist
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("k", "w")
-    ).filter(F.col("w") != "")
-    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("k"))
+    # bigram pairing ARRAY-SIDE (r15 optimization round): array_remove
+    # drops the empty tokens natively (codegen, not an interpreted
+    # lambda), and element_at over an exploded index pairs neighbors
+    # without the lead() window the first cut used — that window SORTED
+    # the whole corpus token stream by (doc_id, position) for nothing
+    # the explode order doesn't already give. Same gram multiset by
+    # construction (A/B-verified, 931 distinct grams, identical result);
+    # bench-contract median 4.4 -> 1.6 s quiet.
+    t = F.array_remove(F.split("text", " "), "")
     grams = (
-        toks.select("doc_id", "k", "w", nxt.alias("w2"))
-        .filter(F.col("w2").isNotNull())
-        .select(F.concat_ws(" ", "w", "w2").alias("gram"))
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+        .select(
+            F.concat_ws(
+                " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+            ).alias("gram")
+        )
     )
-    # the tokenize/window gram pipeline feeds BOTH the counter aggregate
+    # the tokenize gram pipeline feeds BOTH the counter aggregate
     # and the exact top-K leg (rule 17: shared subtree -> scoped_persist)
     return countmin_calibration(
         scoped_persist("x4_countmin_sketch.grams", grams)
