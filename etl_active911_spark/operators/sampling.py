@@ -423,6 +423,37 @@ def x8_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_BUCKETS = 1_000_000  # inclusion-threshold resolution
 
 
+def tempered_shares(per: DataFrame, n_col: str = "n_docs") -> DataFrame:
+    """α=1/2 tempered mixture shares over a per-source count table:
+    ``share_s = ROUND(sqrt(n_s/N) / Σ_t sqrt(n_t/N), 6)``.
+
+    r15 optimization round: the first cut chained two scalar crossJoins
+    (``per → tot → z → p``), which cost a broadcast-BUILD JOB per scalar
+    and re-evaluated the per-source aggregate once per consumer (three
+    evaluations in the curation funnels). Both normalizers are now
+    WINDOW sums over the per-source table itself — one pass, zero extra
+    jobs. The unpartitioned window is bounded by |sources| (a
+    low-cardinality mixture axis by design), never corpus-sized.
+
+    Rounding audit (rule 26): the BIGINT n_total window sum is exact in
+    any order; z = Σ sqrt(n/N) is a sum of irrationals and the final
+    ROUND(wr/z, 6) sits after an irrational op, the rule-26b tie-free
+    class — the engines' existing 6dp agreement already tolerates
+    sum-order ulp drift (DuckDB sums in its own order today)."""
+    w_all = Window.partitionBy()
+    n_total = F.sum(n_col).over(w_all)
+    wr = F.sqrt(F.col(n_col).cast("double") / F.col("n_total"))
+    return (
+        per.withColumn("n_total", n_total)
+        .withColumn("wr", wr)
+        .withColumn("z", F.sum("wr").over(w_all))
+        .select(
+            *per.columns,
+            F.round(F.col("wr") / F.col("z"), 6).alias("share"),
+        )
+    )
+
+
 @query(
     "x8_mixture_weights",
     f"""
@@ -469,16 +500,7 @@ def x8_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded as scalar subqueries — no global sort, no RNG state."""
     docs = read_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    tot = per.agg(F.sum("n_docs").alias("n_total"))
-    w = per.crossJoin(F.broadcast(tot)).withColumn(
-        "wr", F.sqrt(F.col("n_docs").cast("double") / F.col("n_total"))
-    )
-    z = w.agg(F.sum("wr").alias("z"))
-    p = w.crossJoin(F.broadcast(z)).select(
-        "source",
-        "n_docs",
-        F.round(F.col("wr") / F.col("z"), 6).alias("tempered_share"),
-    )
+    p = tempered_shares(per).withColumnRenamed("share", "tempered_share")
     thr = F.floor(F.col("tempered_share") * MIX_BUCKETS).cast("bigint")
     sampled = (
         docs.join(F.broadcast(p), "source")

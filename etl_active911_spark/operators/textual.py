@@ -899,18 +899,25 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-supervised stand-in for CCNet-style LM quality scoring (docs of
     rare/garbled tokens score high, formulaic boilerplate scores low). Two
     shuffles: the vocab count (keyed by token) and the per-doc roll-up;
-    the vocab rejoin broadcasts below the threshold and SMJs above it —
     both fine at 100 TB since the key is the token. ln() differs in the
-    last ulp across libm builds; AVG + ROUND(6) absorbs it."""
+    last ulp across libm builds; AVG + ROUND(6) absorbs it.
+
+    r15 optimization round (the bigram-LM restructure applied one order
+    down): the per-token count is a WINDOW count over the token stream
+    (one tok-keyed exchange) instead of a vocab aggregate rejoined
+    through a corpus-sized join, and the corpus total is ONE count
+    aggregate — tokenize evaluations 3 → 2, the token join gone. Counts
+    are the same integers, so every -ln term is the same double."""
     from etl_active911_spark.operators.dedup import tokens
 
     docs = spread(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    tot = vocab.agg(F.sum("c").alias("n"))
+    counted = toks.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("double")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(tot))
+        counted.crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -2207,15 +2214,13 @@ def x9_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x9_curation_v5.surv",
         docs.join(exact_keep.select("doc_id"), "doc_id").select("doc_id", "source"),
     )
+    from etl_active911_spark.operators.sampling import tempered_shares
+
     per = surv.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    tot = per.agg(F.sum("n_docs").alias("n_total"))
-    wsh = per.crossJoin(F.broadcast(tot)).withColumn(
-        "wr", F.sqrt(F.col("n_docs").cast("double") / F.col("n_total"))
-    )
-    z = wsh.agg(F.sum("wr").alias("z"))
-    p = wsh.crossJoin(F.broadcast(z)).select(
-        "source", F.round(F.col("wr") / F.col("z"), 6).alias("share")
-    )
+    # window-based normalizers (r15 optimization round): one broadcast
+    # build instead of the tot/z scalar-crossJoin chain — see
+    # sampling.tempered_shares for the rule-26 rounding audit
+    p = tempered_shares(per).select("source", "share")
     thr = F.floor(F.col("share") * 1_000_000).cast("bigint")
     sampled = (
         surv.join(F.broadcast(p), "source")
