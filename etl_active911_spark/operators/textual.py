@@ -4432,9 +4432,8 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_active911_spark.operators.dedup import tokens
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-    )
+    toks_arr = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    pos = toks_arr.select("doc_id", F.explode("t").alias("tok"))
     wv = Window.orderBy(F.col("c").desc(), F.col("tok"))
     vocab = (
         pos.groupBy("tok")
@@ -4454,12 +4453,22 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge-weight job paid the corpus pass THREE times. Same
     # semantics: vocab is distinct, so inner-joining it == membership
     # filtering.
-    wadj = Window.partitionBy("doc_id").orderBy("pos")
-    adj = pos.select("doc_id", "pos", "tok", F.lag("tok").over(wadj).alias("prev"))
+    # r15 optimization round (the countmin/PMI change): adjacency pairs
+    # come from element_at over one exploded index instead of a lag()
+    # window — the token array already encodes adjacency, so sorting
+    # the corpus token stream by (doc_id, pos) bought nothing. Same
+    # (prev, tok) multiset: lag over explode order IS the adjacent pair.
+    adj = (
+        toks_arr.filter(F.size("t") >= 2)
+        .select(F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+        .select(
+            F.element_at("t", F.col("i")).alias("prev"),
+            F.element_at("t", F.col("i") + 1).alias("tok"),
+        )
+    )
     pairs = (
         adj.filter(
-            F.col("prev").isNotNull()
-            & (F.col("prev") != F.col("tok"))
+            (F.col("prev") != F.col("tok"))
             & F.col("prev").isin(node_list)
             & F.col("tok").isin(node_list)
         )
