@@ -435,6 +435,13 @@ def tempered_shares(per: DataFrame, n_col: str = "n_docs") -> DataFrame:
     jobs. The unpartitioned window is bounded by |sources| (a
     low-cardinality mixture axis by design), never corpus-sized.
 
+    GUARD (r16, VERDICT r15 item 4): an unpartitioned window serializes
+    its ENTIRE input into one task — callers MUST pass a table already
+    aggregated to the mixture axis (per-source counts), never row-grain
+    data. Every current caller passes a groupBy("source") result; reusing
+    this helper on a high-cardinality axis reintroduces the exact
+    single-task wall the r15 rewrite removed from the scalar chain.
+
     Rounding audit (rule 26): the BIGINT n_total window sum is exact in
     any order; z = Σ sqrt(n/N) is a sum of irrationals and the final
     ROUND(wr/z, 6) sits after an irrational op, the rule-26b tie-free

@@ -2323,29 +2323,46 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-row centroid broadcasts); the assignment KEEPS its score so
     member→own-centroid cosines need no sc2⋈cells2 self-join (rule 18:
     that join evaluated the whole Lloyd chain once per side — measured
-    4.9 s vs 1.7 s for lloyd2 itself before this rewrite). The scored
-    assignment is scoped_persist'd (rule 17: occupancy and the per-cell
-    argmin both consume it); the plan tail is windows over the 16-row
-    occupancy table plus one per-cell argmin with map-side
-    WindowGroupLimit (rule 19). Nothing corpus-sized moves to the
-    driver."""
-    from etl_active911_spark.plans.cache import scoped_persist
-
+    4.9 s vs 1.7 s for lloyd2 itself before this rewrite). Since r16 the
+    scored assignment is consumed ONCE: per-cell occupancy (a count over
+    the cell partition) and the per-cell outlier argmin (row_number over
+    the same partition) ride a single cell-keyed exchange+sort — the r15
+    shape ran a separate groupBy, a separate window pass, AND a
+    scoped_persist round-trip to share them (interleaved A/B at sf0.1:
+    3.16 → 2.80 s median-of-7, identical rows at sf0.01+sf0.1; the fold
+    also removes the persist, making the plan memo-eligible). The plan
+    tail is windows over the 16-row occupancy table; the per-cell argmin
+    gets map-side WindowGroupLimit (rule 19). Nothing corpus-sized moves
+    to the driver."""
     n, _, _, cells1 = _lloyd_step(spread(read_table(spark, sf_dir, "embeddings"), "vec_id"))
     sc2, _, _ = _lloyd_next_scored(n, cells1)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.round("cos", 6).desc(), F.col("cell")
     )
-    own = scoped_persist(
-        "x3_ann_ivf_reseed.own",
+    own = (
         sc2.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "cos"),
+        .select("vec_id", "cell", "cos")
     )
-    occ = own.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    # ONE cell-partitioned pass: the occupancy count and the outlier
+    # row_number share the exchange+sort; rn2 == 1 keeps the per-cell
+    # argmin row, which carries that cell's occupancy (n2 is constant
+    # within the partition). Empty cells surface via the cellids left
+    # join exactly as the old groupBy-based occ_all did.
+    w_far = Window.partitionBy("cell").orderBy(F.round("cos", 6), F.col("vec_id"))
+    w_cnt = Window.partitionBy("cell")
+    rep = (
+        own.withColumn("rn2", F.row_number().over(w_far))
+        .withColumn("n2", F.count(F.lit(1)).over(w_cnt).cast("bigint"))
+        .filter(F.col("rn2") == 1)
+        .select("cell", "n2", "vec_id", "cos")
+    )
     cellids = spark.range(IVF_N_CELLS).select(F.col("id").cast("int").alias("cell"))
-    occ_all = cellids.join(occ, "cell", "left").select(
-        "cell", F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2")
+    occ_all = cellids.join(rep, "cell", "left").select(
+        "cell",
+        F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2"),
+        "vec_id",
+        "cos",
     )
     w_thin = Window.orderBy(F.col("n2"), F.col("cell"))
     w_fat = Window.orderBy(F.col("n2").desc(), F.col("cell"))
@@ -2354,20 +2371,18 @@ def x3_ann_ivf_reseed_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("thin_n"),
         F.row_number().over(w_thin).alias("i"),
     ).filter(F.col("i") <= RESEED_Q)
+    # vec_id NOT NULL == "the donor cell has members" — the same inner
+    # semantics the old thin⋈donor⋈far chain had (an empty cell cannot
+    # nominate an outlier; the oracle's far CTE joins inner on the cell).
     donor = occ_all.select(
         F.col("cell").alias("donor_cell"),
         F.col("n2").alias("donor_n"),
+        "vec_id",
+        "cos",
         F.row_number().over(w_fat).alias("i"),
-    )
-    w_far = Window.partitionBy("cell").orderBy(F.round("cos", 6), F.col("vec_id"))
-    far = (
-        own.withColumn("rn", F.row_number().over(w_far))
-        .filter(F.col("rn") == 1)
-        .select("cell", "vec_id", "cos")
-    )
+    ).filter(F.col("vec_id").isNotNull())
     return (
         thin.join(donor, "i")
-        .join(far, F.col("cell") == F.col("donor_cell"))
         .select(
             "thin_cell",
             "thin_n",

@@ -897,17 +897,27 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4 (perplexity proxy): average negative log-probability of each
     document under the CORPUS'S OWN unigram distribution — the cheap
     self-supervised stand-in for CCNet-style LM quality scoring (docs of
-    rare/garbled tokens score high, formulaic boilerplate scores low). Two
-    shuffles: the vocab count (keyed by token) and the per-doc roll-up;
-    both fine at 100 TB since the key is the token. ln() differs in the
-    last ulp across libm builds; AVG + ROUND(6) absorbs it.
+    rare/garbled tokens score high, formulaic boilerplate scores low).
+    ln() differs in the last ulp across libm builds; AVG + ROUND(6)
+    absorbs it.
 
-    r15 optimization round (the bigram-LM restructure applied one order
-    down): the per-token count is a WINDOW count over the token stream
-    (one tok-keyed exchange) instead of a vocab aggregate rejoined
-    through a corpus-sized join, and the corpus total is ONE count
-    aggregate — tokenize evaluations 3 → 2, the token join gone. Counts
-    are the same integers, so every -ln term is the same double."""
+    Plan shape (r15 optimization round; SKEW AUDIT r16, ADVICE r15): the
+    per-token count is an unbounded-frame WINDOW count over the token
+    stream partitioned by tok (one tok-keyed exchange), the corpus total
+    ONE count aggregate — tokenize evaluations 3 → 2 vs the original
+    vocab-aggregate + corpus-sized-rejoin shape. Counts are the same
+    integers, so every -ln term is the same double. CAVEAT, examined and
+    accepted (SCALE.md "hot-token window" row): a window count has no
+    map-side partial aggregation, so a Zipf-head stop word's partition
+    is a single task holding that token's whole occurrence stream — at
+    100 TB the skew-safe shape is the two-level aggregate (per-(doc,tok)
+    grain → tok-keyed count + key join back, AQE skew-split eligible).
+    That shape was A/B'd value-identical here and in the bigram scorer
+    and measured SLOWER at fixture scale twice (paired interleaved
+    medians r16: 1.51 vs 2.24 uni, 0.68 vs 1.67 bigram — extra
+    aggregate+join stages dominate sub-second rows), so the window stays
+    locally per rule 34; the documented 100 TB remedy is the measured
+    two-level rewrite, not a config."""
     from etl_active911_spark.operators.dedup import tokens
 
     docs = spread(read_table(spark, sf_dir, "documents"))
@@ -1575,11 +1585,27 @@ def x4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus-sized join remains. Counts are identical by construction
     (same multiset of positions), so each -ln term is the same double;
     A/B'd bit-identical on all 5000 fixture docs. AVG + ROUND(6) absorbs
-    libm ulp drift, same as the unigram scorer."""
+    libm ulp drift, same as the unigram scorer.
+
+    HOT-TOKEN SKEW CAVEAT (r16, ADVICE r15): window counts have no
+    map-side partial aggregation — a Zipf-head w1 partition is one task
+    holding every occurrence of that token. See the unigram scorer's
+    docstring and SCALE.md's "hot-token window" row: the skew-safe
+    two-level + broadcast-key-join rewrite was built, verified
+    value-identical on all 5000 fixture docs, and measured 2.4x slower
+    at fixture scale (0.68 vs 1.67 s paired medians), so the window
+    shape stays locally; the rewrite is the documented 100 TB remedy."""
     from etl_active911_spark.operators.dedup import tokens
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # size >= 1 guard (ADVICE r15): tokens()=split() never returns an
+    # empty array today, but if it ever scrubs empties natively (as the
+    # PMI/countmin pairing does with array_remove), size=0 would make
+    # sequence(1, 0) a DESCENDING [1, 0] and element_at(t, 0) throw
+    # INVALID_INDEX_OF_ZERO at runtime. No-op on current data.
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 1
+    )
     comb = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("t"))).alias("i"),
@@ -4432,6 +4458,16 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_active911_spark.operators.dedup import tokens
 
     docs = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+    # MEASURED AND REJECTED (r16): scoped_persist of this tokenized frame
+    # (it feeds two separate collect jobs) won a marginal 1.97 vs 2.14 s
+    # paired median — but `select(doc_id, tokens(text))` over the spread
+    # corpus is the engine's most COMMON plan fragment, and Spark's
+    # CacheManager substitutes cached plans into EVERY later query by
+    # canonicalized-subtree match: the persist leaked an
+    # InMemoryRelation into x2_substr_scrub's plan (breaking its
+    # plan-memo eligibility contract) and would have silently served
+    # one query's cache to dozens of others mid-bench. Cross-query
+    # cache capture; cheap recompute wins (rule 34).
     toks_arr = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     pos = toks_arr.select("doc_id", F.explode("t").alias("tok"))
     wv = Window.orderBy(F.col("c").desc(), F.col("tok"))

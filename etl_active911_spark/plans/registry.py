@@ -292,6 +292,12 @@ PLAN_MEMOED: tuple[str, ...] = (
     "x2_substr_scrub",
     "x3_ann_ivf_add",
     "x3_ann_ivf_add_recall",
+    # reseed_plan became eligible in r16: the occupancy/outlier fold
+    # (one cell-keyed window pass) removed its scoped_persist, so the
+    # plan holds no InMemory nodes and every action recomputes from
+    # parquet. Its build is the heaviest in the ANN family (the whole
+    # 2-step Lloyd chain), so the memo matters (see OPTIMIZATION_r16.md).
+    "x3_ann_ivf_reseed_plan",
     "x3_ann_stream_ingest",
     "x3_cosine_topk",
     "x4_bigram_logprob",
@@ -301,6 +307,11 @@ PLAN_MEMOED: tuple[str, ...] = (
     "x4_langid_confusion",
     "x4_langid_risk_coverage",
     "x4_normalization_gain",
+    # r16 eligibility scan: plain one-pass token stats, no cached nodes,
+    # 0.33 s cold build — the last HEADLINE query that was memo-clean
+    # but unmemoized (the ride rows stay out: their builders carry the
+    # sanctioned index-build side effect).
+    "x4_token_stats",
     "x4_pii_gate",
     "x5_aspect_bucket_pack",
     "x5_audio_envelope_dedup",

@@ -32,9 +32,17 @@ def test_bigram_logprob_no_count_rejoin(spark):
 
 def test_countmin_gram_stream_sort_free(spark):
     """Change 15: bigram pairing is array-side — no window (and hence no
-    per-doc position sort) anywhere in the sketch plan."""
-    plan = _plan(spark, "x4_countmin_sketch")
-    assert "Window" not in plan, plan[:3000]
+    per-doc position sort) anywhere in the sketch plan.
+
+    Pinned on the ANALYZED logical plan (ADVICE r15): the gram pipeline
+    is scoped_persist'd, and once cached the EXECUTED plan prints it as
+    an InMemoryTableScan whose child rendering varies by Spark version —
+    a window reintroduced inside the persisted subtree could pass an
+    executed-plan pin vacuously. Cache substitution happens AFTER
+    analysis, so the analyzed plan always shows the full logical tree."""
+    df = registry.QUERIES["x4_countmin_sketch"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Window" not in analyzed, analyzed[:3000]
 
 
 def test_pmi_adjacency_sort_free(spark):
@@ -55,9 +63,10 @@ def test_unigram_logprob_no_vocab_join(spark):
 
 
 def test_mixture_weights_single_broadcast(spark):
-    """Change 16: both tempered-mixture normalizers ride window sums —
-    at most ONE nested-loop broadcast (the share table itself joins the
-    fact side by key, not by crossJoin)."""
+    """Change 16: both tempered-mixture normalizers ride window sums and
+    the share table joins the fact side BY KEY — zero nested-loop
+    broadcasts remain anywhere in the plan (the per/tot/z scalar
+    crossJoin chain cost one BNLJ per scalar before the rewrite)."""
     plan = _plan(spark, "x8_mixture_weights")
     assert plan.count("BroadcastNestedLoopJoin") == 0, plan[:3000]
 

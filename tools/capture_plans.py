@@ -1,5 +1,5 @@
 """Capture ``.explain("formatted")`` for registered queries into
-``plans/r15/<name>_<tag>.txt`` (optimization-round evidence files).
+``plans/r16/<name>_<tag>.txt`` (optimization-round evidence files).
 
 Usage:
     python tools/capture_plans.py <tag> <name> [<name> ...]
@@ -24,7 +24,7 @@ from etl_active911_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
 )
 
 
